@@ -1,0 +1,156 @@
+"""Lloyd iteration primitives: assign → recenter → converge.
+
+Reference semantics (SURVEY.md §2.3-2.4, §3.1):
+
+- assign = broadcast nested-loop argmin over the current centers
+  (`mapToPair` closing over the broadcast list with an inner for-loop,
+  SparKMeansGroupBy.java:77-98). Here the centers are a *plan-time
+  literal* (k×dim doubles): each point evaluates k unrolled distance
+  expressions and takes the argmin — zero join, zero shuffle, fully
+  whole-stage-codegen'd. At 100 TB this is a pure map stage.
+- recenter = per-cluster element-wise mean. The reference shuffles every
+  point string through `groupByKey` with no map-side combine
+  (SparKMeansGroupBy.java:102-114). Here: one `groupBy(center_id)` with
+  `dim` scalar `avg` aggregates → Catalyst HashAggregate with partial
+  (map-side) aggregation, so only k×dim partial sums cross the shuffle.
+- convergence = max movement between *index-matched* old/new centers
+  (textbook; the reference's any-match + index bug, SURVEY.md §8.1-8.2,
+  is deliberately not reproduced).
+
+Centers live on the driver as a k×dim Python list (≤ a few KB) —
+the only data that ever crosses to the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.functions import distance as D
+
+
+def _dist_col(features, center: list[float], p: float):
+    """Distance expression point↔literal-center. For p=2 the *squared*
+    distance is used (same argmin, avoids k sqrts per row)."""
+    if p == 2:
+        return D.l2_sq_unrolled(features, center)
+    if p == 1:
+        return D.l1_unrolled(features, center)
+    return D.minkowski(features, D.lit_vec(center), p)
+
+
+def assign(df: DataFrame, centers: list[list[float]], p: float = 2.0,
+           features_col: str = "features", keep_dist: bool = False) -> DataFrame:
+    """Add `center_id` (argmin over literal centers; ties → lowest id).
+
+    J1 in SURVEY.md §2.3 — the reference's only "join", expressed as a
+    narrow map: array of k distance columns → array_min → array_position.
+    """
+    feats = F.col(features_col)
+    dists = F.array(*[_dist_col(feats, c, p) for c in centers])
+    min_d = F.array_min(dists)
+    out = df.withColumn("__dists", dists).withColumn(
+        "center_id", (F.array_position(F.col("__dists"), F.array_min(F.col("__dists"))) - 1).cast("int")
+    )
+    if keep_dist:
+        out = out.withColumn("dist", F.array_min(F.col("__dists")))
+    return out.drop("__dists")
+
+
+def recenter(assigned: DataFrame, dim: int, features_col: str = "features") -> DataFrame:
+    """New centroid per cluster: groupBy(center_id) + dim scalar avgs +
+    count. One shuffle, map-side partial aggregation, k rows out."""
+    feats = F.col(features_col)
+    aggs = [F.avg(feats[j]).alias(f"c{j}") for j in range(dim)] + [
+        F.count(F.lit(1)).alias("size")
+    ]
+    return assigned.groupBy("center_id").agg(*aggs)
+
+
+def recenter_to_list(assigned: DataFrame, dim: int, k: int,
+                     features_col: str = "features") -> tuple[list[list[float] | None], list[int]]:
+    """Collect the k new centers (k rows — O(k·dim) driver traffic).
+    Returns (centers, sizes); empty clusters yield None / 0."""
+    rows = recenter(assigned, dim, features_col).collect()
+    centers: list[list[float] | None] = [None] * k
+    sizes = [0] * k
+    for r in rows:
+        cid = r["center_id"]
+        centers[cid] = [r[f"c{j}"] for j in range(dim)]
+        sizes[cid] = r["size"]
+    return centers, sizes
+
+
+def min_dist_col(features, centers: list[list[float]], p: float = 2.0):
+    """min over current centers of distance(point, center) — seeding's
+    D(x) quantity (SparKMeansGroupByPlusPlus.java:82-96)."""
+    return F.array_min(F.array(*[_dist_col(features, c, p) for c in centers]))
+
+
+def farthest_point(df: DataFrame, centers: list[list[float]], p: float = 2.0,
+                   features_col: str = "features") -> list[float]:
+    """argmax_x min_c dist(x, c) — Gonzalez scattering step and the
+    empty-cluster re-seed. orderBy+limit(1) is TakeOrdered (per-partition
+    top-1 then driver merge), not a full sort."""
+    row = (
+        df.select(F.col("id"), F.col(features_col).alias("f"),
+                  min_dist_col(F.col(features_col), centers, p).alias("d"))
+        .orderBy(F.desc("d"), F.asc("id"))
+        .limit(1)
+        .collect()[0]
+    )
+    return list(row["f"])
+
+
+def movement(old: list[list[float]], new: list[list[float]], p: float = 2.0) -> float:
+    """Max index-matched center movement under the Minkowski-p metric."""
+    worst = 0.0
+    for a, b in zip(old, new):
+        if p == 1:
+            d = sum(abs(x - y) for x, y in zip(a, b))
+        elif p == 2:
+            d = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+        else:
+            d = sum(abs(x - y) ** p for x, y in zip(a, b)) ** (1.0 / p)
+        worst = max(worst, d)
+    return worst
+
+
+def sse(assigned_with_dist: DataFrame) -> float:
+    """Total within-cluster squared error (expects `dist` = squared L2)."""
+    return assigned_with_dist.agg(F.sum("dist").alias("sse")).collect()[0]["sse"]
+
+
+def lloyd_fit(df: DataFrame, init_centers: list[list[float]], p: float,
+              threshold: float, max_iter: int,
+              features_col: str = "features") -> tuple[list[list[float]], int]:
+    """The dynamic driver loop (SURVEY.md §2.6 C5): assign → recenter →
+    converge, centers re-literalized each iteration.
+
+    `df` should be cached by the caller (C3). Because each iteration's
+    plan is rebuilt from the cached base frame + literal centers, there
+    is no lineage growth — no checkpointing needed (the reference
+    accidentally achieved the same by collecting every iteration).
+
+    Empty clusters are re-seeded from the current farthest point
+    (documented divergence from the reference, which silently shrank k —
+    SURVEY.md §8.3).
+    """
+    dim = len(init_centers[0])
+    k = len(init_centers)
+    centers = [list(c) for c in init_centers]
+    n_iter = 0
+    for _ in range(max_iter):
+        n_iter += 1
+        assigned = assign(df, centers, p, features_col)
+        new_centers, sizes = recenter_to_list(assigned, dim, k, features_col)
+        for i in range(k):
+            if new_centers[i] is None:
+                new_centers[i] = farthest_point(df, [c for c in new_centers if c is not None] or centers, p, features_col)
+        delta = movement(centers, new_centers, p)  # matched pairs, not any-match
+        centers = new_centers
+        if delta <= threshold:
+            break
+    return centers, n_iter

@@ -1,0 +1,366 @@
+"""Oracle-checked K-Means queries (SURVEY.md §2.2-2.6 operators).
+
+Each `q_*` is a `queries()` entry: (spark, sf_dir) → DataFrame; the
+matching ORACLE_* string is DuckDB SQL over the same parquet views.
+The frozen literal centers (fixtures.fixed_centers) make the
+single-step queries pure dataflow — no iteration — so the oracle can
+replay them exactly (FIXTURES.md §1 centers_fixed).
+
+Reference parity notes per query:
+- norms       → P5/P6 (point_abs_sum, point_distance_with_zero)
+- assign      → J1 broadcast-argmin assignment (SparKMeansGroupBy.java:77-98)
+- recenter    → A1+A2 group + per-dim mean (SparKMeansGroupBy.java:102-114)
+- sse         → the implicit quality measure of the Lloyd loop
+- init_extremes / gonzalez / plusplus → the six seeding strategies
+  (§2.5 O1-O4, §2.6 C7)
+- cluster_output → P8 "center:member;member;..." formatting
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark import fixtures, oraclegen as OG
+from apachebeamkmeans_spark.functions import distance as D
+from apachebeamkmeans_spark.functions.hashing import hash01
+from apachebeamkmeans_spark.operators.kmeans import KMeans, KMeansParams, lloyd
+from apachebeamkmeans_spark.operators.kmeans.mllib import mllib_kmeans_fit
+from apachebeamkmeans_spark.sources import io
+
+DIM = fixtures.EMBEDDING_DIM
+K = fixtures.K
+CENTERS = fixtures.fixed_centers()
+SEED = 42
+
+# Shared oracle CTE: embeddings with the FLOAT[]→DOUBLE[] cast the Spark
+# loader applies (sources.io.load_points).
+_E = "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io.load_points(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- norms (P5/P6)
+
+
+def q_kmeans_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = F.col("features")
+    return _pts(spark, sf_dir).select(
+        F.col("id").alias("vec_id"),
+        F.round(D.abs_sum_unrolled(f, DIM), 6).alias("l1_norm"),
+        F.round(F.sqrt(D.norm_sq_unrolled(f, DIM)), 6).alias("l2_norm"),
+    )
+
+
+ORACLE_NORMS = f"""
+SELECT vec_id,
+       round({OG.sql_abs_sum('e', DIM)}, 6) AS l1_norm,
+       round(sqrt({OG.sql_norm_sq('e', DIM)}), 6) AS l2_norm
+FROM {_E} t
+"""
+
+
+# ------------------------------------------------------------------ assign (J1)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0, keep_dist=True)
+    return assigned.select(
+        F.col("id").alias("vec_id"),
+        "center_id",
+        F.round(F.col("dist"), 6).alias("dist_sq"),
+    )
+
+
+def _oracle_dists() -> str:
+    cols = ", ".join(f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(CENTERS))
+    return f"SELECT vec_id, {cols} FROM {_E} t"
+
+
+ORACLE_ASSIGN = f"""
+WITH d AS ({_oracle_dists()})
+SELECT vec_id,
+       {OG.sql_argmin_case([f'd{i}' for i in range(K)])},
+       round(least({', '.join(f'd{i}' for i in range(K))}), 6) AS dist_sq
+FROM d
+"""
+
+
+# ------------------------------------------------------------- recenter (A1/A2)
+
+
+def q_kmeans_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0)
+    f = F.col("features")
+    return assigned.groupBy("center_id").agg(
+        F.count(F.lit(1)).alias("size"),
+        *[F.round(F.avg(f[j]), 6).alias(f"c{j}") for j in range(DIM)],
+    )
+
+
+ORACLE_RECENTER = f"""
+WITH d AS ({_oracle_dists()}),
+a AS (SELECT d.vec_id, {OG.sql_argmin_case([f'd{i}' for i in range(K)])} FROM d),
+e2 AS (SELECT vec_id, e FROM {_E} t)
+SELECT a.center_id,
+       CAST(count(*) AS BIGINT) AS size,
+       {', '.join(f'round(avg(e2.e[{j + 1}]), 6) AS c{j}' for j in range(DIM))}
+FROM a JOIN e2 ON a.vec_id = e2.vec_id
+GROUP BY a.center_id
+"""
+
+
+# ------------------------------------------------------------------- sse (A3)
+
+
+def q_kmeans_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0, keep_dist=True)
+    return assigned.agg(
+        F.round(F.sum("dist"), 4).alias("sse"), F.count(F.lit(1)).alias("n_points")
+    )
+
+
+ORACLE_SSE = f"""
+WITH d AS ({_oracle_dists()})
+SELECT round(sum(least({', '.join(f'd{i}' for i in range(K))})), 4) AS sse,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM d
+"""
+
+
+# -------------------------------------------- extreme-norm first seeds (O1-O3)
+
+
+def q_kmeans_init_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seed choice of init_max / init_min / max_farthest_manhattan:
+    TakeOrdered top-1 by norm with id tie-break — replaces the
+    reference's full sortByKey (SURVEY.md §4 'Full sort for top-1')."""
+    pts = _pts(spark, sf_dir)
+    f = F.col("features")
+
+    def pick(tag: str, norm_col, desc: bool) -> DataFrame:
+        base = pts.select(
+            F.lit(tag).alias("strategy"),
+            F.col("id").alias("vec_id"),
+            norm_col.alias("_n"),
+        )
+        order = [F.desc("_n") if desc else F.asc("_n"), F.asc("vec_id")]
+        return base.orderBy(*order).limit(1).select(
+            "strategy", "vec_id", F.round(F.col("_n"), 6).alias("norm")
+        )
+
+    l2n = F.sqrt(D.norm_sq_unrolled(f, DIM))
+    l1n = D.abs_sum_unrolled(f, DIM)
+    return (
+        pick("init_max", l2n, True)
+        .unionByName(pick("init_min", l2n, False))
+        .unionByName(pick("init_max_manhattan", l1n, True))
+    )
+
+
+def _oracle_extreme(tag: str, norm_sql: str, desc: str) -> str:
+    return (
+        f"SELECT '{tag}' AS strategy, vec_id, round(n, 6) AS norm FROM "
+        f"(SELECT vec_id, {norm_sql} AS n FROM {_E} t ORDER BY n {desc}, vec_id LIMIT 1)"
+    )
+
+
+ORACLE_INIT_EXTREMES = " UNION ALL ".join(
+    [
+        _oracle_extreme("init_max", f"sqrt({OG.sql_norm_sq('e', DIM)})", "DESC"),
+        _oracle_extreme("init_min", f"sqrt({OG.sql_norm_sq('e', DIM)})", "ASC"),
+        _oracle_extreme("init_max_manhattan", OG.sql_abs_sum("e", DIM), "DESC"),
+    ]
+)
+
+
+# ------------------------------------- Gonzalez farthest-point seeding (§3.2)
+
+
+def q_kmeans_gonzalez_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_farthest seeding trace: k seed picks, each one TakeOrdered
+    job; driver holds only k×dim doubles."""
+    pts = _pts(spark, sf_dir).cache()
+    f = F.col("features")
+    first = (
+        pts.select("id", f.alias("f"), F.sqrt(D.norm_sq_unrolled(f, DIM)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("id"))
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [(0, first["id"])]
+    centers = [list(first["f"])]
+    for r in range(1, K):
+        row = (
+            pts.select("id", f.alias("f"), lloyd.min_dist_col(f, centers, 2.0).alias("d"))
+            .orderBy(F.desc("d"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, row["id"]))
+        centers.append(list(row["f"]))
+    return spark.createDataFrame(chosen, "seed_rank INT, vec_id BIGINT")
+
+
+def _oracle_gonzalez() -> str:
+    d = OG.sql_l2_sq_cols_unrolled  # (a, b, dim)
+    ctes = [
+        f"e2 AS (SELECT vec_id, e AS emb FROM {_E} t)",
+        "s0 AS (SELECT vec_id, emb FROM ("
+        f"SELECT vec_id, emb, sqrt({OG.sql_norm_sq('emb', DIM)}) AS n FROM e2 "
+        "ORDER BY n DESC, vec_id LIMIT 1))",
+    ]
+    for r in range(1, K):
+        prev = ", ".join(f"s{i}" for i in range(r))
+        dists = [d("e2.emb", f"s{i}.emb", DIM) for i in range(r)]
+        mind = dists[0] if r == 1 else f"least({', '.join(dists)})"
+        ctes.append(
+            f"s{r} AS (SELECT vec_id, emb FROM ("
+            f"SELECT e2.vec_id, e2.emb, {mind} AS md FROM e2, {prev} "
+            "ORDER BY md DESC, e2.vec_id LIMIT 1))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS seed_rank, vec_id FROM s{r}" for r in range(K)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+ORACLE_GONZALEZ = _oracle_gonzalez()
+
+
+# ------------------------- k-means++ roulette via exponential race (§2.6 C7)
+
+
+def q_kmeans_plusplus_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded k-means++ (D² weight): distributed one-pass weighted
+    sampling — winner = argmin -ln(hash01(id, seed⊕round))/D²(x).
+    Replaces the reference's whole-dataset collect + linear roulette
+    scan (SparKMeansGroupByPlusPlus.java:105, SURVEY.md §8.6)."""
+    pts = _pts(spark, sf_dir).cache()
+    f = F.col("features")
+    first = (
+        pts.select("id", f.alias("f"), hash01(F.col("id"), SEED).alias("h"))
+        .orderBy(F.asc("h"), F.asc("id"))
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [(0, first["id"])]
+    centers = [list(first["f"])]
+    for r in range(1, K):
+        dcol = lloyd.min_dist_col(f, centers, 2.0)  # squared L2 = D² weight
+        u = hash01(F.col("id"), f"{SEED}-{r}")
+        t = F.when(dcol > 0, -F.log(u) / dcol).otherwise(F.lit(float("inf")))
+        row = (
+            pts.select("id", f.alias("f"), t.alias("t"))
+            .orderBy(F.asc("t"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, row["id"]))
+        centers.append(list(row["f"]))
+    return spark.createDataFrame(chosen, "seed_rank INT, vec_id BIGINT")
+
+
+def _oracle_plusplus() -> str:
+    d = OG.sql_l2_sq_cols_unrolled
+    ctes = [
+        f"e2 AS (SELECT vec_id, e AS emb FROM {_E} t)",
+        "s0 AS (SELECT vec_id, emb FROM ("
+        f"SELECT vec_id, emb, {OG.sql_hash01('vec_id', SEED)} AS h FROM e2 "
+        "ORDER BY h ASC, vec_id LIMIT 1))",
+    ]
+    for r in range(1, K):
+        prev = ", ".join(f"s{i}" for i in range(r))
+        dists = [d("e2.emb", f"s{i}.emb", DIM) for i in range(r)]
+        mind = dists[0] if r == 1 else f"least({', '.join(dists)})"
+        u = OG.sql_hash01("e2.vec_id", f"{SEED}-{r}")
+        ctes.append(
+            f"s{r} AS (SELECT vec_id, emb FROM ("
+            f"SELECT e2.vec_id, e2.emb, "
+            f"CASE WHEN {mind} > 0 THEN -ln({u}) / {mind} ELSE 1e308 END AS t "
+            f"FROM e2, {prev} ORDER BY t ASC, e2.vec_id LIMIT 1))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS seed_rank, vec_id FROM s{r}" for r in range(K)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+ORACLE_PLUSPLUS = _oracle_plusplus()
+
+
+# ----------------------------------------------- grouped text output (P8/S4)
+
+
+def q_kmeans_cluster_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`center:member;member;...;` lines — the reference's result file
+    format (FormatAsTextFn, BeamKmeansSideInput.java:22-32), distributed
+    (collect_list per cluster, never a driver loop), members identified
+    by stable id (§8.10)."""
+    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0)
+    return (
+        assigned.groupBy("center_id")
+        .agg(F.array_sort(F.collect_list("id")).alias("members"))
+        .select(
+            F.concat(
+                F.col("center_id").cast("string"),
+                F.lit(":"),
+                F.concat_ws(";", F.transform(F.col("members"), lambda x: x.cast("string"))),
+                F.lit(";"),
+            ).alias("value")
+        )
+    )
+
+
+ORACLE_CLUSTER_OUTPUT = f"""
+WITH d AS ({_oracle_dists()}),
+a AS (SELECT vec_id, {OG.sql_argmin_case([f'd{i}' for i in range(K)])} FROM d)
+SELECT concat(CAST(center_id AS VARCHAR), ':',
+              string_agg(CAST(vec_id AS VARCHAR), ';' ORDER BY vec_id), ';') AS value
+FROM a GROUP BY center_id
+"""
+
+
+# -------------------------------------------- full iterative fits (rows-only)
+
+
+def q_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end seeded Lloyd fit (random init) — iterative, so
+    rows-only checked (no SQL oracle)."""
+    pts = _pts(spark, sf_dir)
+    model = KMeans(KMeansParams(k=K, seed=SEED, max_iter=10, init="random")).fit(pts)
+    return (
+        model.transform(pts)
+        .groupBy("center_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .withColumn("n_iter", F.lit(model.n_iter))
+        .orderBy("center_id")
+    )
+
+
+def q_mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship MLlib path (BASELINE.json spark_approach) — cluster
+    sizes by rank; rows-only (k-means|| internals aren't SQL)."""
+    from pyspark.sql import Window
+
+    pts = _pts(spark, sf_dir)
+    _, assigned = mllib_kmeans_fit(pts, k=K, seed=SEED, max_iter=20)
+    sizes = assigned.groupBy("center_id").agg(F.count(F.lit(1)).alias("size"))
+    w = Window.orderBy(F.desc("size"), F.asc("center_id"))
+    return sizes.select(F.row_number().over(w).alias("rank"), "size")
+
+
+QUERIES = {
+    "kmeans_norms": (q_kmeans_norms, ORACLE_NORMS),
+    "kmeans_assign": (q_kmeans_assign, ORACLE_ASSIGN),
+    "kmeans_recenter": (q_kmeans_recenter, ORACLE_RECENTER),
+    "kmeans_sse": (q_kmeans_sse, ORACLE_SSE),
+    "kmeans_init_extremes": (q_kmeans_init_extremes, ORACLE_INIT_EXTREMES),
+    "kmeans_gonzalez_seeds": (q_kmeans_gonzalez_seeds, ORACLE_GONZALEZ),
+    "kmeans_plusplus_seeds": (q_kmeans_plusplus_seeds, ORACLE_PLUSPLUS),
+    "kmeans_cluster_output": (q_kmeans_cluster_output, ORACLE_CLUSTER_OUTPUT),
+    "kmeans_fit_clusters": (q_kmeans_fit_clusters, None),
+    "mllib_kmeans": (q_mllib_kmeans, None),
+}
