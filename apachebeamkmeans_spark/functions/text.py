@@ -43,13 +43,15 @@ def minhash_signature(shingles: Column, bands: int, seed: int = 0) -> Column:
     One md5 per (shingle, band) — O(|shingles|·bands) JVM work, no
     shuffle. NULL-safe: empty shingle set → array of NULLs.
     """
+
+    def band_hash(b: int):
+        # closure (not a default arg — an extra lambda param would be
+        # read by Spark as the HOF's index argument)
+        salt = f"{b}|{seed}|"
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, b=b: F.md5(F.concat(F.lit(f"{b}|{seed}|"), s)))
-            ).alias(f"mh{b}")
-            for b in range(bands)
-        ]
+        *[F.array_min(F.transform(shingles, band_hash(b))).alias(f"mh{b}") for b in range(bands)]
     )
 
 

@@ -1,0 +1,199 @@
+"""Deduplication operators — the core of a training-data pipeline at
+100 TB (north-star ops; no counterpart in the reference).
+
+Five families, all expressed as declarative DataFrame plans:
+
+- **exact**: md5(text) hash-groupBy — shuffle on a 32-char hash, never
+  on the raw document text; keeper = min doc_id per group.
+- **MinHash + LSH**: token shingles → per-band md5-min signatures
+  (narrow, no shuffle) → explode bands → self-join on (band, value)
+  → distinct candidate pairs. Banding bounds the join fan-out; the
+  full n² similarity matrix is never materialized.
+- **n-gram Jaccard**: exact verification of LSH candidates only.
+- **SimHash**: 16-bit per-token-hash majority sketch; near-dup pairs
+  by Hamming distance (xor + bit_count) over self-joined sketches.
+- **embedding cosine**: random-hyperplane (sign-LSH) bucketing of the
+  embedding space; cosine verified within buckets only.
+
+Every hash is md5-derived → deterministic and DuckDB-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.functions import distance as D
+from apachebeamkmeans_spark.functions import text as T
+
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc verdict: content hash, keeper (min doc_id with the same
+    hash), is_dup. Window partitions by the 128-bit hash — bounded-size
+    keys regardless of document length."""
+    hashed = docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id", "text_hash", "keeper_id", "is_dup")
+    )
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(docs: DataFrame, bands: int = 8, shingle: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, mh ARRAY<STRING>[bands]) — one md5-min per band over
+    token shingles. Pure map stage.
+
+    The shingle array is materialized in its own projection first: the
+    per-band min expressions then reference the bound column instead of
+    inlining the tokenize→shingle tree `bands` times (HOF subtrees are
+    not common-subexpression-eliminated; measured ~4× on sf0.1).
+    """
+    toks = T.tokens(F.col(text_col))
+    sh_df = docs.select("doc_id", T.token_shingles(toks, shingle).alias("__sh"))
+    return sh_df.select("doc_id", T.minhash_signature(F.col("__sh"), bands).alias("mh"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, bands: int = 8, shingle: int = 3) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs agreeing on ≥1 band. The join key
+    is (band_idx, band_value) — each band's buckets joined
+    independently, so skew is limited to genuinely-identical shingle
+    sets."""
+    # cache the signatures BEFORE the explode: (a) both self-join sides
+    # reuse one materialization instead of recomputing the tokenize→
+    # shingle→md5 lineage, and (b) whole-stage codegen would otherwise
+    # inline the signature expression into every exploded output row
+    # (measured 4× slower). At cluster scale this cache is a persisted
+    # signature table.
+    sigs = minhash_signatures(docs, bands, shingle).cache()
+    banded = sigs.select("doc_id", F.posexplode("mh").alias("band", "mh_val")).filter(
+        F.col("mh_val").isNotNull()
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh_val") == F.col("b.mh_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
+                   threshold: float = 0.0) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only."""
+    toks = T.tokens(F.col("text"))
+    sets = docs.select(
+        "doc_id", F.array_distinct(T.token_shingles(toks, shingle)).alias("sh")
+    ).cache()  # read twice (doc_a side + doc_b side)
+    return (
+        pairs.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def _hex_bit(t: Column, j: int) -> Column:
+    """Bit j of a token hash = parity of the j-th md5 hex char."""
+    return F.conv(F.substring(F.md5(t), j + 1, 1), 16, 10).cast("int") % 2
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """Per-doc SimHash sketch: bit j set iff the (+1/−1) majority vote
+    of token-hash bit j is positive. One narrow pass, `bits` aggregates
+    over the token array per row."""
+    toks = T.tokens(F.col(text_col))
+
+    def vote_fn(j: int):
+        return lambda acc, t: acc + (_hex_bit(t, j) * 2 - 1)
+
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(toks, F.lit(0), vote_fn(j))
+        bit_cols.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return docs.select("doc_id", total.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 4) -> DataFrame:
+    """Near-dup pairs by sketch Hamming distance (xor + bit_count).
+    O(n²) compare on 64-bit sketches — at scale, block first on sketch
+    bytes (split into 4 sub-keys; Hamming ≤ 4 ⇒ some sub-key equal,
+    standard pigeonhole blocking)."""
+    s = simhash(docs, bits)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------- embedding cosine near-dup
+
+
+def hyperplane_signature(vecs: DataFrame, planes: list[list[float]],
+                         features_col: str = "features") -> DataFrame:
+    """Sign-LSH bucket id: bit i = [dot(v, plane_i) ≥ 0]."""
+    f = F.col(features_col)
+    total = None
+    for i, p in enumerate(planes):
+        bit = F.when(D.dot_unrolled(f, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return vecs.withColumn("bucket", total.cast("int"))
+
+
+def embedding_near_pairs(vecs: DataFrame, planes: list[list[float]],
+                         min_cosine: float = 0.2,
+                         id_col: str = "id",
+                         features_col: str = "features") -> DataFrame:
+    """Near-dup embedding pairs: bucket by hyperplane signature, verify
+    cosine within buckets only (the n² never happens across buckets)."""
+    sig = hyperplane_signature(vecs, planes, features_col).select(
+        F.col(id_col).alias("vid"), "bucket", F.col(features_col).alias("vf")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = D.cosine(F.col("a.vf"), F.col("b.vf"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

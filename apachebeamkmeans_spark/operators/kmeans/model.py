@@ -33,7 +33,8 @@ class KMeansModel:
     def transform(self, df: DataFrame, features_col: str = "features",
                   keep_dist: bool = False) -> DataFrame:
         """Assign each point to its nearest center (adds `center_id`)."""
-        return lloyd.assign(df, self.centers, self.params.p, features_col, keep_dist)
+        return lloyd.assign(df, self.centers, self.params.p, features_col, keep_dist,
+                            mode="hof")
 
     def sse(self, df: DataFrame, features_col: str = "features") -> float:
         assigned = lloyd.assign(df, self.centers, 2.0, features_col, keep_dist=True)

@@ -1,0 +1,87 @@
+"""Multimodal column plumbing (north-star ops).
+
+Images/audio/video are carried as opaque BINARY payload columns with a
+typed metadata struct; decode/feature-extraction runs as Arrow-batched
+`mapInPandas` (never row-at-a-time UDFs). The real media libraries are
+not in this container, so `fake_decode` derives deterministic
+"decoded" properties from the payload's md5 — the Spark-side plumbing
+(schema, batching, partition behavior) is real and the determinism
+keeps even the Pandas-UDF path oracle-checkable.
+
+A production decode would replace `_fake_decode_batch`'s body with
+e.g. PIL/ffmpeg calls; everything else (schema contract, mapInPandas
+wiring) stays identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = "doc_id bigint, width int, height int, n_pixels bigint"
+
+
+def to_binary_assets(docs: DataFrame) -> DataFrame:
+    """documents → asset frame: (doc_id, payload BINARY, meta STRUCT).
+    Stands in for reading image/audio blobs; metadata is computed
+    JVM-side (octet_length, sha2) — no Python in this path."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(F.col("text")).alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in decoder: "image" dimensions from the
+    payload digest. Real decoders are I/O+CPU heavy → mapInPandas keeps
+    them batched per partition with zero shuffle."""
+    for pdf in batches:
+        digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+        width = digests.map(lambda h: int(h[0:2], 16) + 1).astype("int32")
+        height = digests.map(lambda h: int(h[2:4], 16) + 1).astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": width,
+                "height": height,
+                "n_pixels": (width.astype("int64") * height.astype("int64")),
+            }
+        )
+
+
+def fake_decode(assets: DataFrame) -> DataFrame:
+    """Arrow-batched decode over the binary payload column."""
+    return assets.select("doc_id", "payload").mapInPandas(
+        _fake_decode_batch, schema=DECODE_SCHEMA
+    )
+
+
+def frame_sample_indices(assets: DataFrame, every: int = 7) -> DataFrame:
+    """Frame-sampling plumbing: derive a per-asset frame count from the
+    metadata and emit every `every`-th frame index (column-expression
+    only — the actual frame extraction would join these indices into a
+    decode mapInPandas)."""
+    n_frames = (F.col("meta.n_bytes") % 100) + 1
+    return assets.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.sequence(F.lit(0), n_frames - 1, F.lit(every)).alias("frame_idx"),
+    )
+
+
+def decode_stub_real_media(fmt: str = "jpeg"):
+    """Placeholder for real media decoding — image/audio libraries are
+    not available in this environment."""
+    raise NotImplementedError(
+        f"real {fmt} decode requires PIL/ffmpeg; use fake_decode for plumbing tests"
+    )

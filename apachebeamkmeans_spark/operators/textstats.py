@@ -1,0 +1,101 @@
+"""Text-analysis operators over the `documents` table: per-doc stats,
+quality scoring, language heuristic, token frequencies, fingerprints.
+
+All pure column expressions (tokenize → higher-order transforms), no
+Python UDFs: at 100 TB these are narrow map stages over the documents
+scan, with a shuffle only where an aggregation requires one
+(token_frequencies). The md5-based fingerprint is cross-engine
+reproducible for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.fixtures import STOPWORDS
+from apachebeamkmeans_spark.functions import text as T
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Token/char counts, word-length and punctuation ratios."""
+    toks = T.tokens(F.col("text"))
+    n_toks = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(total_len.cast("double") / n_toks, 6).alias("avg_token_len"),
+        F.round(T.punct_count(F.col("text")).cast("double") / F.length("text"), 6).alias(
+            "punct_ratio"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1]:
+    0.5·min(n_tokens/100, 1) + 0.3·min(4·stopword_ratio, 1) + 0.2·(1 − punct_ratio).
+    Length rewards substance, stopword density proxies naturalness,
+    punctuation noise penalizes boilerplate."""
+    toks = T.tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_ratio = T.stopword_hits(toks, STOPWORDS).cast("double") / n_toks
+    punct_ratio = T.punct_count(F.col("text")).cast("double") / F.length("text")
+    score = (
+        0.5 * F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * F.least(4.0 * stop_ratio, F.lit(1.0))
+        + 0.2 * (1.0 - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram-free language heuristic: English stopword density.
+    (A real model would be a Pandas UDF; the deterministic rule keeps
+    the operator oracle-checkable.)"""
+    toks = T.tokens(F.col("text"))
+    density = T.stopword_hits(toks, STOPWORDS).cast("double") / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.when(density >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+        F.round(density, 6).alias("stopword_density"),
+    )
+
+
+def token_frequencies(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Global top-N tokens: explode → hash-agg count (map-side partial)
+    → TakeOrdered top-N with token tie-break."""
+    toks = T.tokens(F.col("text"))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: min md5 over character
+    n-gram shingles — a 1-value sketch for near-dup blocking."""
+    sh = T.char_shingles("text", n)
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+    )
+
+
+def near_dup_by_fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Docs sharing a fingerprint → candidate duplicate groups."""
+    fp = fingerprint(docs, n)
+    w = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") > 1)
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+    )

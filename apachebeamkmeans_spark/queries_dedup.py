@@ -1,0 +1,157 @@
+"""Oracle-checked deduplication queries (north-star dedup ops).
+
+Thresholds were chosen against the testdata so every query returns a
+non-trivial row set at sf0.01 (869 MinHash candidate pairs, ~8k
+Hamming≤2 SimHash pairs, ~170 cosine≥0.2 embedding pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apachebeamkmeans_spark import oraclegen as OG
+from apachebeamkmeans_spark.fixtures import lsh_hyperplanes
+from apachebeamkmeans_spark.operators import dedup as DD
+from apachebeamkmeans_spark.sources import io
+
+BANDS = 8
+SHINGLE = 3
+SIMHASH_BITS = 16
+MAX_HAMMING = 2
+MIN_COSINE = 0.2
+PLANES = lsh_hyperplanes()
+
+_TOKS = OG.sql_tokens("text")
+_SH = OG.sql_token_shingles("toks", SHINGLE)
+_MH = ", ".join(f"{OG.sql_minhash_band('sh', b)} AS mh{b}" for b in range(BANDS))
+_MH_MATCH = " OR ".join(f"a.mh{i} = b.mh{i}" for i in range(BANDS))
+_CAND = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SH} AS sh FROM t),
+m AS (SELECT doc_id, {_MH} FROM s),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM m a JOIN m b ON a.doc_id < b.doc_id AND ({_MH_MATCH}))
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io.read_table(spark, sf_dir, "documents")
+
+
+# ------------------------------------------------------------------- exact
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_docs(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, md5(text) AS text_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+"""
+
+
+# ---------------------------------------------------------- MinHash + LSH
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.lsh_candidate_pairs(_docs(spark, sf_dir), BANDS, SHINGLE)
+
+
+ORACLE_DEDUP_MINHASH_PAIRS = f"WITH {_CAND} SELECT doc_a, doc_b FROM cand"
+
+
+# ------------------------------------------------- Jaccard over candidates
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = DD.lsh_candidate_pairs(docs, BANDS, SHINGLE)
+    return DD.jaccard_verify(docs, pairs, SHINGLE, threshold=0.0)
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {_CAND},
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+             6) AS jaccard
+FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+          JOIN sets b ON cand.doc_b = b.doc_id
+"""
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(_docs(spark, sf_dir), SIMHASH_BITS)
+
+
+def _simhash_sql() -> str:
+    def bit(j: int) -> str:
+        vote = (
+            f"list_sum(list_transform(toks, t -> "
+            f"((strpos('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) % 2)*2 - 1))"
+        )
+        return f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)"
+
+    return " + ".join(bit(j) for j in range(SIMHASH_BITS))
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM t
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(_docs(spark, sf_dir), SIMHASH_BITS, MAX_HAMMING)
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM t)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+"""
+
+
+# ------------------------------------------------ embedding cosine near-dup
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = io.load_points(spark, sf_dir)
+    return DD.embedding_near_pairs(vecs, PLANES, MIN_COSINE)
+
+
+def _sig_sql(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {OG.sql_dot(col, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(PLANES)
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_PAIRS = f"""
+WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e, CAST({_sig_sql('e')} AS INTEGER) AS bucket FROM e2)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       round({OG.sql_cosine_cols('a.e', 'b.e')}, 6) AS cosine
+FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({OG.sql_cosine_cols('a.e', 'b.e')}, 6) >= {MIN_COSINE}
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
+    "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, ORACLE_DEDUP_SIMHASH_PAIRS),
+    "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING_PAIRS),
+}

@@ -1,0 +1,107 @@
+"""Oracle-checked event-time queries over `events` (FIXTURES.md §2).
+
+Timestamps cross engines as integer microseconds (`unix_micros` /
+`epoch_us`) wherever a computed time value is output — exact, no
+timezone/precision hazards. date_trunc'd buckets pass as timestamps
+(both engines µs-truncate the ns source identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.operators import timeseries as TS
+from apachebeamkmeans_spark.sources import io
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io.read_table(spark, sf_dir, "events")
+
+
+# ----------------------------------------------------- tumbling window agg
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.tumbling_agg(_events(spark, sf_dir), "hour")
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------- sessionization
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.session_stats(_events(spark, sf_dir), gap_minutes=30)
+
+
+ORACLE_EVENTS_SESSIONS = """
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR t_us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+  FROM t),
+sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY t_us ASC, event_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq,
+       min(t_us) AS session_start_us,
+       max(t_us) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+# ------------------------------------------------------------- as-of join
+
+
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the most recent purchase (≤ ts, same user) —
+    the engine's as-of join (scalable union+carry-forward plan; the
+    oracle states the same semantics as a correlated top-1)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = TS.asof_join_latest(
+        clicks, purchases, key="user_id",
+        probe_ts=F.col("ts"), update_ts=F.col("ts"), update_val="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("asof_event_id").alias("last_purchase_id"),
+    )
+
+
+ORACLE_EVENTS_ASOF_PURCHASE = """
+SELECT c.event_id AS click_id, c.user_id,
+       (SELECT p.event_id FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) <= epoch_us(c.ts)
+        ORDER BY epoch_us(p.ts) DESC, p.event_id DESC LIMIT 1) AS last_purchase_id
+FROM events c
+WHERE c.event_type = 'click'
+"""
+
+
+QUERIES = {
+    "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
+    "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
+    "events_asof_purchase": (q_events_asof_purchase, ORACLE_EVENTS_ASOF_PURCHASE),
+}

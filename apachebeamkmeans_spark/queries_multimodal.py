@@ -1,0 +1,82 @@
+"""Oracle-checked multimodal + streaming queries.
+
+`mm_fake_decode` is deliberately a **Pandas UDF (mapInPandas) query
+with an exact oracle**: the stand-in decoder derives dimensions from
+the payload md5, which DuckDB recomputes in SQL — proving the Arrow
+plumbing preserves values byte-for-byte.
+
+`stream_events_hourly` drives a real Structured Streaming query
+(file source → watermark → tumbling window → memory sink, complete
+mode) and must equal the batch oracle on the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark import oraclegen as OG
+from apachebeamkmeans_spark.operators import multimodal as MM
+from apachebeamkmeans_spark.sources import io
+from apachebeamkmeans_spark.streaming import events as SE
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.to_binary_assets(io.read_table(spark, sf_dir, "documents"))
+
+
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _assets(spark, sf_dir)
+    return a.select(
+        "doc_id",
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+ORACLE_MM_BINARY_META = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       'application/octet-stream' AS mime
+FROM documents
+"""
+
+
+def q_mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.fake_decode(_assets(spark, sf_dir))
+
+
+_W = f"({OG.sql_hex_to_int('substr(md5(text), 1, 2)', 2)} + 1)"
+_H = f"({OG.sql_hex_to_int('substr(md5(text), 3, 2)', 2)} + 1)"
+
+ORACLE_MM_FAKE_DECODE = f"""
+SELECT doc_id,
+       CAST({_W} AS INTEGER) AS width,
+       CAST({_H} AS INTEGER) AS height,
+       CAST({_W} * {_H} AS BIGINT) AS n_pixels
+FROM documents
+"""
+
+
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.run_hourly_stream_to_table(spark, sf_dir)
+
+
+# Streaming complete-mode output == batch tumbling aggregation.
+ORACLE_STREAM_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "mm_binary_meta": (q_mm_binary_meta, ORACLE_MM_BINARY_META),
+    "mm_fake_decode": (q_mm_fake_decode, ORACLE_MM_FAKE_DECODE),
+    "stream_events_hourly": (q_stream_events_hourly, ORACLE_STREAM_EVENTS_HOURLY),
+}

@@ -1,0 +1,366 @@
+"""Relational OLAP query suite over the star schema (FIXTURES.md §2).
+
+The reference has no relational surface at all (SURVEY.md §2.7) — on
+Spark these capabilities are built-ins; this suite exercises them the
+way a user of the engine would: multi-way joins (broadcast for small
+dims), partial-aggregated groupBys, window ranking, rollup, distinct
+aggregates, semi/anti joins and set ops, each with a DuckDB oracle.
+
+Scale notes (100 TB posture):
+- dimension tables (region/nation/customer/supplier/part) are
+  broadcast — no shuffle of the fact table for those joins;
+- fact-fact joins (orders⨝lineitem) shuffle on the join key once; at
+  scale both sides would be bucketed on orderkey to make this
+  shuffle-free;
+- every aggregate is expressed so Catalyst plans partial (map-side)
+  aggregation before the exchange;
+- filters are plain column predicates → parquet pushdown + pruning.
+
+Float policy for the oracle hash: sums of many doubles are rounded to
+2 decimals, averages to 6; raw (non-aggregated) doubles pass through
+exactly. Top-k orderings sort on the *rounded* measure with an id
+tie-break so both engines cut identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.sources import io
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return io.read_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------- Q1 pricing summary
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates — the
+    canonical partial-agg + codegen pipeline."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------- Q3 shipping priority
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast dim join + fact-fact join + top-k.
+    customer is broadcast; orders⨝lineitem shuffles on orderkey."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'AUTOMOBILE' AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ------------------------------------------------ Q5 local supplier volume
+
+
+def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, every dimension broadcast, one fact
+    shuffle; revenue by nation for ASIA in 1996."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_REGION_NATION_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+GROUP BY n_name
+"""
+
+
+# ------------------------------------------------- window: top-k per group
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per customer — ranking window function."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+ORACLE_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per brand."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+ORACLE_TOP_PARTS_PER_BRAND = """
+SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(row_number() OVER (PARTITION BY p_brand
+                                 ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rn
+  FROM part)
+WHERE rn <= 3
+"""
+
+
+# ----------------------------------------------------------- rollup / cube
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, priority): subtotal + grand-total rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .rollup("o_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ORACLE_ORDERS_ROLLUP = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (1, 2)
+"""
+
+
+# --------------------------------------------------- distinct aggregation
+
+
+def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate per market segment: distinct buyers vs order
+    volume (Catalyst expands count-distinct to a two-stage agg)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_buyers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_order_value"),
+        )
+    )
+
+
+ORACLE_SEGMENT_STATS = """
+SELECT c_mktsegment,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_buyers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(o_totalprice), 6) AS avg_order_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------- semi / anti joins
+
+
+def q_customers_with_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers with orders (left_semi) and without
+    (left_anti) — EXISTS / NOT EXISTS as join strategies."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    semi = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_with"))
+    )
+    anti = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_without"))
+    )
+    return (
+        semi.join(anti, "c_nationkey", "full_outer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+ORACLE_CUSTOMERS_WITH_WITHOUT_ORDERS = """
+WITH c AS (
+  SELECT c_nationkey,
+         EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_orders
+  FROM customer c)
+SELECT n_name,
+       CAST(sum(CASE WHEN has_orders THEN 1 ELSE 0 END) AS BIGINT) AS n_with,
+       CAST(sum(CASE WHEN has_orders THEN 0 ELSE 1 END) AS BIGINT) AS n_without
+FROM c JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ------------------------------------------------------------------ set ops
+
+
+def q_repeat_buyers_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: customers ordering in both 1995 and 1996 vs
+    only 1995."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).select(F.lit("both").alias("cohort"), "o_custkey")
+    only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("cohort"), "o_custkey")
+    return both.unionByName(only95)
+
+
+ORACLE_REPEAT_BUYERS_SET_OPS = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'only_1995' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+"""
+
+
+# ---------------------------------------------------- pivot (conditional agg)
+
+
+def q_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status per year (conditional aggregation —
+    the shuffle-free way to pivot a low-cardinality column)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def n(status: str):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0)).cast("long")
+
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            n("O").alias("n_open"),
+            n("F").alias("n_fulfilled"),
+            n("P").alias("n_pending"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+ORACLE_ORDER_STATUS_PIVOT = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "q3_top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
+    "q5_region_nation_revenue": (q_region_nation_revenue, ORACLE_REGION_NATION_REVENUE),
+    "top_orders_per_customer": (q_top_orders_per_customer, ORACLE_TOP_ORDERS_PER_CUSTOMER),
+    "top_parts_per_brand": (q_top_parts_per_brand, ORACLE_TOP_PARTS_PER_BRAND),
+    "orders_rollup": (q_orders_rollup, ORACLE_ORDERS_ROLLUP),
+    "segment_stats": (q_segment_stats, ORACLE_SEGMENT_STATS),
+    "customers_with_without_orders": (
+        q_customers_with_without_orders,
+        ORACLE_CUSTOMERS_WITH_WITHOUT_ORDERS,
+    ),
+    "repeat_buyers_set_ops": (q_repeat_buyers_set_ops, ORACLE_REPEAT_BUYERS_SET_OPS),
+    "order_status_pivot": (q_order_status_pivot, ORACLE_ORDER_STATUS_PIVOT),
+}

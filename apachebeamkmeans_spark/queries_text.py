@@ -1,0 +1,108 @@
+"""Oracle-checked text-analysis queries (north-star text ops).
+
+DuckDB twins mirror the Spark expressions exactly: same tokenizer
+(lower → whitespace split → drop empties), same md5 shingle hashes,
+same left-associated arithmetic for scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apachebeamkmeans_spark.fixtures import STOPWORDS
+from apachebeamkmeans_spark.operators import textstats as TX
+from apachebeamkmeans_spark.sources import io
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+_STOPLIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+_PUNCT = "(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io.read_table(spark, sf_dir, "documents")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_stats(_docs(spark, sf_dir))
+
+
+ORACLE_TEXT_STATS = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 6)
+         AS avg_token_len,
+       round(CAST({_PUNCT} AS DOUBLE) / length(text), 6) AS punct_ratio
+FROM t
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+_SCORE = (
+    f"0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)"
+    f" + 0.3 * least(4.0 * (CAST(len(list_filter(toks, t -> list_contains({_STOPLIST}, t))) AS DOUBLE)"
+    f" / len(toks)), 1.0)"
+    f" + 0.2 * (1.0 - CAST({_PUNCT} AS DOUBLE) / length(text))"
+)
+
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id, round({_SCORE}, 6) AS quality, ({_SCORE}) >= 0.5 AS keep
+FROM t
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(_docs(spark, sf_dir))
+
+
+_DENSITY = (
+    f"(CAST(len(list_filter(toks, t -> list_contains({_STOPLIST}, t))) AS DOUBLE) / len(toks))"
+)
+
+ORACLE_TEXT_LANG_ID = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN {_DENSITY} >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred,
+       round({_DENSITY}, 6) AS stopword_density
+FROM t
+"""
+
+
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_frequencies(_docs(spark, sf_dir), top_n=20)
+
+
+ORACLE_TOKEN_FREQUENCIES = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_docs(spark, sf_dir), n=5)
+
+
+ORACLE_DOC_FINGERPRINTS = """
+SELECT doc_id,
+       list_aggregate([md5(substr(text, i, 5))
+                       for i in generate_series(1, greatest(length(text) - 4, 0))],
+                      'min') AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "text_lang_id": (q_text_lang_id, ORACLE_TEXT_LANG_ID),
+    "token_frequencies": (q_token_frequencies, ORACLE_TOKEN_FREQUENCIES),
+    "doc_fingerprints": (q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS),
+}

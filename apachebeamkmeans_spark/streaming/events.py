@@ -1,0 +1,76 @@
+"""Structured Streaming over the events table.
+
+The reference's Beam pipelines are bounded batch (no windows,
+watermarks or triggers anywhere — SURVEY.md §2.7); this module gives
+the engine the streaming surface Spark users expect: file-source
+readStream → event-time windowed aggregation → sink, driven to
+completion in tests/queries with processAllAvailable on a memory sink.
+
+On a real cluster the source becomes Kafka and the sink a Delta/
+parquet table via foreachBatch; the aggregation plan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema (ts read as raw ns thanks to
+# spark.sql.legacy.parquet.nanosAsLong — file streams require an
+# explicit schema).
+_EVENTS_NS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file streams take a directory — scope to events.parquet via glob
+    raw = (
+        spark.readStream.schema(_EVENTS_NS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark for
+    late-data bounds. Complete output mode ⇒ results equal the batch
+    tumbling_agg on the same data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "sum_value", "avg_value")
+    )
+
+
+def run_hourly_stream_to_table(spark: SparkSession, sf_dir: str,
+                               name: str = "stream_events_hourly_out") -> DataFrame:
+    """Drive the stream over all available input and return the result
+    as a static DataFrame (memory sink, complete mode)."""
+    agg = hourly_agg_stream(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

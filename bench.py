@@ -1,0 +1,83 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Unlike the reference's harness (startTime outside the experiment loop —
+cumulative, not per-run; SparKMeansGroupBy.java:23,170), every timer
+here wraps exactly one materialized query execution. Materialization is
+the `noop` sink — full plan execution, no driver collect cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apachebeamkmeans_spark.registry import all_queries
+from apachebeamkmeans_spark.session import get_spark
+
+HEADLINE = [
+    # reference capability: clustering
+    "mllib_kmeans",
+    "kmeans_fit_clusters",
+    "kmeans_assign",
+    "kmeans_recenter",
+    "kmeans_plusplus_seeds",
+    # relational OLAP
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "top_orders_per_customer",
+    # event time
+    "events_hourly",
+    "events_sessions",
+    "events_asof_purchase",
+    # LLM-data-pipeline ops
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
+    "sim_topk_bruteforce",
+    "text_stats",
+    "doc_fingerprints",
+    "mm_fake_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warm the session (JVM/codegen paths) outside any timer
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Dedup + text-analysis operators on constructed documents with known
+duplicates/near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.fixtures import lsh_hyperplanes
+from apachebeamkmeans_spark.operators import dedup as DD
+from apachebeamkmeans_spark.operators import textstats as TX
+
+DOC = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+OTHER = "completely different words describing an unrelated subject entirely here now"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, DOC), (1, DOC), (2, NEAR), (3, OTHER)]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in DD.exact_dedup(docs).collect()}
+    assert out[1]["is_dup"] and out[1]["keeper_id"] == 0
+    assert not out[0]["is_dup"] and not out[2]["is_dup"] and not out[3]["is_dup"]
+
+
+def test_minhash_identical_docs_always_candidates(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in DD.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs           # identical → every band agrees
+    assert (0, 3) not in pairs and (1, 3) not in pairs  # unrelated docs
+
+
+def test_jaccard_values(docs):
+    pairs = DD.lsh_candidate_pairs(docs)
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in DD.jaccard_verify(docs, pairs).collect()}
+    assert j[(0, 1)] == 1.0
+    if (0, 2) in j:
+        assert 0 < j[(0, 2)] < 1.0
+
+
+def test_simhash_identical_equal_near_close(docs):
+    s = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+    assert s[0] == s[1]
+    ham_near = bin(s[0] ^ s[2]).count("1")
+    ham_far = bin(s[0] ^ s[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_embedding_near_pairs_finds_duplicate_vector(spark):
+    v = [0.1 * ((j % 7) - 3) for j in range(64)]
+    w = [-x for x in v]
+    rows = [(0, v), (1, list(v)), (2, w)]
+    vecs = spark.createDataFrame(rows, "id long, features array<double>")
+    out = DD.embedding_near_pairs(vecs, lsh_hyperplanes(), min_cosine=0.9)
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in out.collect()}
+    assert pairs == {(0, 1): 1.0}  # opposite vector lands in another bucket
+
+
+def test_doc_stats_and_quality(docs):
+    stats = {r["doc_id"]: r for r in TX.doc_stats(docs).collect()}
+    assert stats[0]["n_tokens"] == len(DOC.split())
+    assert stats[0]["n_chars"] == len(DOC)
+    q = {r["doc_id"]: r for r in TX.quality_score(docs).collect()}
+    assert 0.0 <= q[0]["quality"] <= 1.0
+
+
+def test_lang_id_stopword_density(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in TX.lang_id(docs).collect()}
+    assert out[0] == "en"    # contains 'the' twice + 'and'
+    assert out[3] == "und"   # no stopwords from the fixed list
+
+
+def test_fingerprint_identity(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in TX.fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[3]
+    grouped = {r["doc_id"] for r in TX.near_dup_by_fingerprint(docs).collect()}
+    # identical docs always collide; the near-dup may share the min
+    # shingle too (that's the sketch working) — but unrelated text never
+    assert {0, 1} <= grouped and 3 not in grouped
+
+
+def test_token_frequencies(docs):
+    top = TX.token_frequencies(docs, top_n=3).collect()
+    # 'again' and 'the' both occur 6× (2× in DOC × 3 docs); ties break
+    # token-ascending
+    assert (top[0]["token"], top[0]["n"]) == ("again", 6)
+    assert (top[1]["token"], top[1]["n"]) == ("the", 6)

@@ -1,0 +1,65 @@
+"""Similarity search, multimodal plumbing, and streaming equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.fixtures import fixed_centers
+from apachebeamkmeans_spark.operators import multimodal as MM
+from apachebeamkmeans_spark.operators import similarity as SIM
+from apachebeamkmeans_spark.operators import timeseries as TS
+from apachebeamkmeans_spark.sources import io
+from apachebeamkmeans_spark.streaming import events as SE
+
+
+def test_cosine_topk_exact_hit(spark):
+    base = [0.1 * ((j % 5) - 2) for j in range(64)]
+    rows = [(i, [x + 0.01 * i for x in base]) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "id long, features array<double>")
+    out = SIM.cosine_topk(vecs, [list(rows[7][1])], k=3).collect()
+    assert out[0]["vec_id"] == 7 and out[0]["cosine"] == 1.0 and out[0]["rank"] == 1
+    assert len(out) == 3
+
+
+def test_ivf_search_matches_bruteforce_within_cell(spark, sf_dir):
+    vecs = io.load_points(spark, sf_dir)
+    centers = fixed_centers()
+    q = [0.05] * 64
+    ivf = SIM.ivf_topk(vecs, [q], centers, k=5).collect()
+    assert len(ivf) == 5
+    assert all(r["probe_cell"] == SIM.nearest_center(q, centers) for r in ivf)
+    assert [r["rank"] for r in ivf] == [1, 2, 3, 4, 5]
+
+
+def test_binary_assets_and_decode(spark):
+    docs = spark.createDataFrame([(0, "hello world"), (1, "hello world"), (2, "x")],
+                                 "doc_id long, text string")
+    assets = MM.to_binary_assets(docs)
+    meta = {r["doc_id"]: r["meta"] for r in assets.collect()}
+    assert meta[0]["n_bytes"] == 11 and meta[0]["sha256"] == meta[1]["sha256"]
+    dec = {r["doc_id"]: r for r in MM.fake_decode(assets).collect()}
+    assert dec[0]["width"] == dec[1]["width"]  # deterministic from payload
+    assert dec[0]["n_pixels"] == dec[0]["width"] * dec[0]["height"]
+    assert 1 <= dec[2]["width"] <= 256
+
+
+def test_frame_sample_indices(spark):
+    docs = spark.createDataFrame([(0, "abc" * 40)], "doc_id long, text string")
+    out = MM.frame_sample_indices(MM.to_binary_assets(docs), every=7).collect()[0]
+    assert out["frame_idx"][0] == 0
+    assert all(b - a == 7 for a, b in zip(out["frame_idx"], out["frame_idx"][1:]))
+    assert out["frame_idx"][-1] < out["n_frames"]
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_stub_real_media("jpeg")
+
+
+def test_stream_hourly_equals_batch(spark, sf_dir):
+    batch = TS.tumbling_agg(io.read_table(spark, sf_dir, "events"), "hour")
+    stream = SE.run_hourly_stream_to_table(spark, sf_dir, name="test_stream_out")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s and len(b) > 0

@@ -1,0 +1,71 @@
+"""Sessionization and as-of join semantics on hand-built event frames."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.operators import timeseries as TS
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, datetime(2024, 1, 1, 10, 10), 1, "click", 1.0),   # same session
+        (3, datetime(2024, 1, 1, 11, 0), 1, "click", 1.0),    # 50min gap → new
+        (4, datetime(2024, 1, 1, 10, 5), 2, "click", 1.0),    # other user
+    ]
+    out = TS.sessionize(_ev(spark, rows), gap_minutes=30).collect()
+    sess = {r["event_id"]: r["session_seq"] for r in out}
+    assert sess[1] == 1 and sess[2] == 1 and sess[3] == 2
+    assert sess[4] == 1
+
+
+def test_session_stats_bounds(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "click", 2.0),
+        (2, datetime(2024, 1, 1, 10, 10), 1, "click", 3.0),
+    ]
+    out = TS.session_stats(_ev(spark, rows), gap_minutes=30).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 2 and r["sum_value"] == 5.0
+    assert r["session_end_us"] - r["session_start_us"] == 10 * 60 * 1_000_000
+
+
+def test_asof_join_latest(spark):
+    clicks = _ev(spark, [
+        (10, datetime(2024, 1, 1, 12, 0), 1, "click", 0.0),
+        (11, datetime(2024, 1, 1, 9, 0), 1, "click", 0.0),   # before any purchase
+        (12, datetime(2024, 1, 1, 12, 0), 2, "click", 0.0),  # other user, no purchase
+    ])
+    purchases = _ev(spark, [
+        (20, datetime(2024, 1, 1, 10, 0), 1, "purchase", 1.0),
+        (21, datetime(2024, 1, 1, 11, 0), 1, "purchase", 1.0),
+        (22, datetime(2024, 1, 1, 13, 0), 1, "purchase", 1.0),  # after the click
+    ])
+    out = TS.asof_join_latest(
+        clicks, purchases, key="user_id",
+        probe_ts=F.col("ts"), update_ts=F.col("ts"), update_val="event_id",
+    ).collect()
+    got = {r["event_id"]: r["asof_event_id"] for r in out}
+    assert got[10] == 21   # latest purchase ≤ 12:00
+    assert got[11] is None  # none before 9:00
+    assert got[12] is None  # user 2 never purchased
+
+
+def test_asof_tie_inclusive(spark):
+    clicks = _ev(spark, [(10, datetime(2024, 1, 1, 10, 0), 1, "click", 0.0)])
+    purchases = _ev(spark, [(20, datetime(2024, 1, 1, 10, 0), 1, "purchase", 1.0)])
+    out = TS.asof_join_latest(
+        clicks, purchases, key="user_id",
+        probe_ts=F.col("ts"), update_ts=F.col("ts"), update_val="event_id",
+    ).collect()
+    assert out[0]["asof_event_id"] == 20  # same-instant update counts
