@@ -100,8 +100,46 @@ WHERE c.event_type = 'click'
 """
 
 
+# --------------------------------------------- exact & approx percentiles
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based, linear interpolation) per type —
+    matches DuckDB's quantile_cont."""
+    return _events(spark, sf_dir).groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_EVENTS_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type, next to
+    the exact count (rows-only: sketch internals differ per engine —
+    the approximate-aggregate surface at 100 TB where exact distinct
+    is a full shuffle)."""
+    return _events(spark, sf_dir).groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 QUERIES = {
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_asof_purchase": (q_events_asof_purchase, ORACLE_EVENTS_ASOF_PURCHASE),
+    "events_quantiles": (q_events_quantiles, ORACLE_EVENTS_QUANTILES),
+    "events_approx_distinct": (q_events_approx_distinct, None),
 }

@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: per-user session tracking via
+applyInPandasWithState.
+
+Demonstrates the engine's arbitrary-stateful-processing surface (the
+escape hatch when windowed aggregation can't express the semantics):
+state is a per-key (user) tuple (last event µs, sessions so far),
+updated per micro-batch; a new session starts when the gap to the
+previous event exceeds the threshold. State lives in the state store —
+distributed by key, checkpointable, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long, last_ts_us long"
+STATE_SCHEMA = "last_ts_us long, n_sessions long, n_events long"
+
+
+def _make_update_fn(gap_us: int):
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            for t in pdf.sort_values("ts_us")["ts_us"]:
+                t = int(t)
+                if last_us is None or t - last_us > gap_us:
+                    n_sessions += 1
+                last_us = t
+                n_events += 1
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "last_ts_us": [last_us],
+            }
+        )
+
+    return update
+
+
+def session_counts_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """events stream → per-user running session/event counts."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_us = events.withColumn("ts_us", F.unix_micros("ts"))
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(gap_us),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_session_counts_to_table(spark, sf_dir: str,
+                                name: str = "stream_sessions_out",
+                                gap_minutes: int = 30) -> DataFrame:
+    from apachebeamkmeans_spark.streaming.events import read_events_stream
+
+    out = session_counts_stream(read_events_stream(spark, sf_dir), gap_minutes)
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the scale-critical properties each
+operator family was designed for (SURVEY.md §4, north-star scale
+posture). These lock in the plans — a regression that adds a shuffle,
+loses a broadcast, or breaks pushdown fails here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.fixtures import fixed_centers
+from apachebeamkmeans_spark.operators import textstats as TX
+from apachebeamkmeans_spark.operators.kmeans import lloyd
+from apachebeamkmeans_spark.plans import explain as X
+from apachebeamkmeans_spark.queries_relational import (
+    q_pricing_summary,
+    q_top_revenue_orders,
+)
+from apachebeamkmeans_spark.sources import io
+
+CENTERS = fixed_centers()
+
+
+def test_assign_is_shuffle_free(spark, sf_dir):
+    """J1 assignment is a pure map — no Exchange in either mode."""
+    pts = io.load_points(spark, sf_dir)
+    for mode in ("unrolled", "hof"):
+        assigned = lloyd.assign(pts, CENTERS, 2.0, mode=mode)
+        assert X.n_exchanges(assigned) == 0, mode
+
+
+def test_recenter_is_partially_aggregated(spark, sf_dir):
+    """A1/A2: one shuffle, map-side partial agg (vs the reference's
+    groupByKey shipping every row)."""
+    pts = io.load_points(spark, sf_dir)
+    rec = lloyd.recenter(lloyd.assign(pts, CENTERS, 2.0), dim=64)
+    assert X.n_exchanges(rec) == 1
+    assert X.has_partial_aggregate(rec)
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    q = q_pricing_summary(spark, sf_dir)
+    assert X.has_pushed_filter(q, "l_shipdate")
+    schemas = X.scan_read_schema(q)
+    assert schemas and all("l_orderkey" not in s for s in schemas)  # pruned
+    assert X.has_partial_aggregate(q)
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    assert X.has_broadcast_join(q_top_revenue_orders(spark, sf_dir))
+
+
+def test_text_stats_shuffle_free(spark, sf_dir):
+    docs = io.read_table(spark, sf_dir, "documents")
+    assert X.n_exchanges(TX.doc_stats(docs)) == 0
+    assert X.n_exchanges(TX.fingerprint(docs)) == 0
+
+
+def test_pruned_scan_for_projection(spark, sf_dir):
+    li = io.read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = X.scan_read_schema(li)
+    assert schemas and all("l_extendedprice" not in s for s in schemas)
