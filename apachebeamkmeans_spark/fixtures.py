@@ -43,6 +43,21 @@ def query_vectors(n: int = 5, dim: int = EMBEDDING_DIM) -> list[list[float]]:
     return [[_grid(i + 301, j, 0.3, 0.83) for j in range(dim)] for i in range(n)]
 
 
+# MinHash modulus and affine band coefficients: h_b(x) = (A_b·h(x)+C_b) mod P
+# over a single md5-derived base hash per shingle (one md5 instead of
+# `bands`). Pure integers — embedded identically in Spark and oracle SQL.
+MINHASH_P = 2147483647  # 2^31 − 1
+
+
+def minhash_coeffs(bands: int, seed: int = 0) -> list[tuple[int, int]]:
+    out = []
+    for b in range(bands):
+        a = (1103515245 * (b + seed + 1) + 12345) % MINHASH_P
+        c = (2246822519 * (b + seed + 1) + 3266489917) % MINHASH_P
+        out.append((a or 1, c))
+    return out
+
+
 # Stopword list for text quality scoring / language heuristics —
 # a tiny fixed set, embedded identically in Spark and oracle SQL.
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]

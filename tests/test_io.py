@@ -32,6 +32,17 @@ def test_read_tables(spark, sf_dir):
     assert dfs["lineitem"].count() == 6000
 
 
+def test_read_points_csv_uci_shape(spark, tmp_path):
+    """UCI-style CSV: n feature columns + trailing label (string or
+    numeric) carried but not clustered on — mirrors data/UCI/*.csv."""
+    p = tmp_path / "uci.csv"
+    p.write_text("1.0,2.0,3.0,High\n4.0,5.0,6.0,Low\n")
+    df = io.read_points_csv(spark, str(p), n_features=3)
+    rows = sorted(df.collect(), key=lambda r: r["features"][0])
+    assert rows[0]["features"] == [1.0, 2.0, 3.0] and rows[0]["label"] == "High"
+    assert df.columns == ["id", "features", "label"]
+
+
 def test_write_text_single(spark, tmp_path):
     df = spark.createDataFrame([("a",), ("b",)], "value string")
     out = str(tmp_path / "out")

@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis): Spark column-expression distance
+functions agree with independent NumPy computations on random vectors,
+and metric axioms hold. Vectors are batched into one DataFrame per
+property so each test runs a single Spark job."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.functions import distance as D
+
+finite = st.floats(min_value=-100, max_value=100, allow_nan=False, width=32)
+vec = st.lists(finite, min_size=2, max_size=8)
+
+
+@st.composite
+def _same_dim(draw, n_vecs: int):
+    n = draw(st.integers(min_value=2, max_value=8))
+    fixed = st.lists(finite, min_size=n, max_size=n)
+    return tuple(draw(fixed) for _ in range(n_vecs))
+
+
+pair = _same_dim(2)
+triple = _same_dim(3)
+
+
+def _spark_vals(spark, pairs, col_fn):
+    df = spark.createDataFrame(
+        [(list(map(float, a)), list(map(float, b))) for a, b in pairs],
+        "a array<double>, b array<double>",
+    )
+    return [r["v"] for r in df.select(col_fn(F.col("a"), F.col("b")).alias("v")).collect()]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(pair, min_size=1, max_size=8))
+def test_l2_matches_numpy(spark, pairs):
+    got = _spark_vals(spark, pairs, D.l2)
+    for (a, b), g in zip(pairs, got):
+        expected = float(np.linalg.norm(np.array(a) - np.array(b)))
+        assert g == pytest.approx(expected, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(pair, min_size=1, max_size=8))
+def test_l1_symmetry_and_value(spark, pairs):
+    fwd = _spark_vals(spark, pairs, D.l1)
+    rev = _spark_vals(spark, [(b, a) for a, b in pairs], D.l1)
+    for (a, b), f, r in zip(pairs, fwd, rev):
+        assert f == r  # symmetry, exactly (abs terms commute per element)
+        assert f == pytest.approx(float(np.abs(np.array(a) - np.array(b)).sum()), rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(triple, min_size=1, max_size=5))
+def test_l2_triangle_inequality(spark, triples):
+    ab = _spark_vals(spark, [(a, b) for a, b, c in triples], D.l2)
+    bc = _spark_vals(spark, [(b, c) for a, b, c in triples], D.l2)
+    ac = _spark_vals(spark, [(a, c) for a, b, c in triples], D.l2)
+    for x, y, z in zip(ab, bc, ac):
+        assert z <= x + y + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(vec)
+def test_unrolled_equals_hof(spark, v):
+    """The two physical forms of the same distance are bit-identical
+    (same left-to-right summation) — the invariant the oracle-exactness
+    and the hof-mode Lloyd loop both rely on."""
+    center = [round(x * 0.5, 3) for x in v]
+    df = spark.createDataFrame([(list(map(float, v)),)], "a array<double>")
+    unrolled, hof = df.select(
+        D.l2_sq_unrolled(F.col("a"), center).alias("u"),
+        D.l2_sq(F.col("a"), D.lit_vec(center)).alias("h"),
+    ).collect()[0]
+    assert unrolled == hof  # exact equality, not approx
