@@ -202,13 +202,23 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 4) -> Data
 
 def hyperplane_signature(vecs: DataFrame, planes: list[list[float]],
                          features_col: str = "features") -> DataFrame:
-    """Sign-LSH bucket id: bit i = [dot(v, plane_i) ≥ 0]."""
+    """Sign-LSH bucket id: bit i = [dot(v, plane_i) ≥ 0]. The planes are
+    one nested-array literal and the bits fold in a single higher-order
+    aggregate — compact plan, same dot-product values as the unrolled
+    oracle form."""
     f = F.col(features_col)
-    total = None
-    for i, p in enumerate(planes):
-        bit = F.when(D.dot_unrolled(f, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        total = bit if total is None else total + bit
-    return vecs.withColumn("bucket", total.cast("int"))
+    weights = [1 << i for i in range(len(planes))]
+    sig = F.aggregate(
+        F.transform(
+            F.lit([list(map(float, p)) for p in planes]),
+            lambda p, i: F.when(D.dot(f, p) >= 0, F.element_at(F.lit(weights), i + 1)).otherwise(
+                F.lit(0)
+            ),
+        ),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    return vecs.withColumn("bucket", sig.cast("int"))
 
 
 def embedding_near_pairs(vecs: DataFrame, planes: list[list[float]],

@@ -24,30 +24,31 @@ from apachebeamkmeans_spark.operators.kmeans import lloyd
 
 def cosine_topk(vecs: DataFrame, queries: list[list[float]], k: int = 10,
                 id_col: str = "id", features_col: str = "features") -> DataFrame:
-    """Exact top-k by cosine for each literal query vector. One
-    TakeOrdered job per query (queries are few); rank is recomputed on
-    the k survivors."""
+    """Exact top-k by cosine for every literal query vector in ONE scan:
+    the query matrix is a nested-array literal, each row computes all
+    cosines via a single higher-order transform (query norms folded at
+    plan time), posexplode fans out (qid, cosine), and a per-qid window
+    ranks. Arithmetic structure matches the unrolled/oracle form
+    (same left-to-right sums), so values are bit-identical."""
     dim = len(queries[0])
-    out = None
-    for qid, q in enumerate(queries):
-        cos = D.cosine_unrolled(F.col(features_col), q, dim)
-        top = (
-            vecs.select(
-                F.lit(qid).alias("qid"),
-                F.col(id_col).alias("vec_id"),
-                cos.alias("_c"),
-            )
-            .orderBy(F.desc("_c"), F.asc("vec_id"))
-            .limit(k)
-        )
-        ranked = top.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
-            ),
-        ).select("qid", "vec_id", F.round("_c", 6).alias("cosine"), "rank")
-        out = ranked if out is None else out.unionByName(ranked)
-    return out
+    f = F.col(features_col)
+    qnorms = [sum(float(v) * float(v) for v in q) ** 0.5 for q in queries]
+    vnorm = F.sqrt(
+        F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    cos_arr = F.transform(
+        F.lit([list(map(float, q)) for q in queries]),
+        lambda q, i: D.dot(f, q) / (vnorm * F.element_at(F.lit(qnorms), i + 1)),
+    )
+    exploded = vecs.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(cos_arr).alias("qid", "_c")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.round("_c", 6).alias("cosine"), "rank")
+    )
 
 
 def nearest_center(q: list[float], centers: list[list[float]]) -> int:
@@ -65,15 +66,19 @@ def ivf_topk(vecs: DataFrame, queries: list[list[float]],
              id_col: str = "id", features_col: str = "features") -> DataFrame:
     """IVF search: filter to the query's coarse cell, then exact cosine
     within it. The coarse assignment reuses the K-Means argmin map."""
-    dim = len(queries[0])
     assigned = lloyd.assign(
         vecs.select(F.col(id_col).alias("vec_id"), F.col(features_col).alias("f")),
-        centers, 2.0, features_col="f",
+        centers, 2.0, features_col="f", mode="hof",
     ).withColumnRenamed("center_id", "coarse_id")
+    f = F.col("f")
+    vnorm = F.sqrt(
+        F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
     out = None
     for qid, q in enumerate(queries):
         probe = nearest_center(q, centers)
-        cos = D.cosine_unrolled(F.col("f"), q, dim)
+        qnorm = sum(float(v) * float(v) for v in q) ** 0.5
+        cos = D.dot(f, D.lit_vec(q)) / (vnorm * F.lit(qnorm))
         top = (
             assigned.filter(F.col("coarse_id") == probe)
             .select(

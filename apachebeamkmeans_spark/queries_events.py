@@ -125,6 +125,35 @@ GROUP BY event_type
 """
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON `props` payload
+    with a schema (from_json → typed struct) and aggregate on the
+    extracted field."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_EVENTS_PROPS_JSON = """
+SELECT event_type,
+       round(avg(k), 6) AS avg_k,
+       CAST(max(k) AS INTEGER) AS max_k,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+GROUP BY event_type
+"""
+
+
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type, next to
     the exact count (rows-only: sketch internals differ per engine —
@@ -141,5 +170,6 @@ QUERIES = {
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_asof_purchase": (q_events_asof_purchase, ORACLE_EVENTS_ASOF_PURCHASE),
     "events_quantiles": (q_events_quantiles, ORACLE_EVENTS_QUANTILES),
+    "events_props_json": (q_events_props_json, ORACLE_EVENTS_PROPS_JSON),
     "events_approx_distinct": (q_events_approx_distinct, None),
 }

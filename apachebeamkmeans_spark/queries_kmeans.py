@@ -92,7 +92,7 @@ FROM d
 
 
 def q_kmeans_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0)
+    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0, mode="hof")
     f = F.col("features")
     return assigned.groupBy("center_id").agg(
         F.count(F.lit(1)).alias("size"),
@@ -116,7 +116,7 @@ GROUP BY a.center_id
 
 
 def q_kmeans_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0, keep_dist=True)
+    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0, keep_dist=True, mode="hof")
     return assigned.agg(
         F.round(F.sum("dist"), 4).alias("sse"), F.count(F.lit(1)).alias("n_points")
     )
@@ -194,7 +194,7 @@ def q_kmeans_gonzalez_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = [list(first["f"])]
     for r in range(1, K):
         row = (
-            pts.select("id", f.alias("f"), lloyd.min_dist_col(f, centers, 2.0).alias("d"))
+            pts.select("id", f.alias("f"), lloyd.min_dist_col(f, centers, 2.0, mode="hof").alias("d"))
             .orderBy(F.desc("d"), F.asc("id"))
             .limit(1)
             .collect()[0]
@@ -249,7 +249,7 @@ def q_kmeans_plusplus_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen = [(0, first["id"])]
     centers = [list(first["f"])]
     for r in range(1, K):
-        dcol = lloyd.min_dist_col(f, centers, 2.0)  # squared L2 = D² weight
+        dcol = lloyd.min_dist_col(f, centers, 2.0, mode="hof")  # squared L2 = D² weight
         u = hash01(F.col("id"), f"{SEED}-{r}")
         t = F.when(dcol > 0, -F.log(u) / dcol).otherwise(F.lit(float("inf")))
         row = (
@@ -299,7 +299,7 @@ def q_kmeans_cluster_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     format (FormatAsTextFn, BeamKmeansSideInput.java:22-32), distributed
     (collect_list per cluster, never a driver loop), members identified
     by stable id (§8.10)."""
-    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0)
+    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0, mode="hof")
     return (
         assigned.groupBy("center_id")
         .agg(F.array_sort(F.collect_list("id")).alias("members"))

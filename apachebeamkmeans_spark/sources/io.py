@@ -120,3 +120,13 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 32,
+                   mode: str = "overwrite") -> None:
+    """Persist hash-bucketed by `key`: joins/aggregations on the key
+    between tables bucketed the same way need NO shuffle — at 100 TB
+    this is how the orders⨝lineitem class of fact-fact joins avoids
+    re-exchanging either side on every query. (Saved as a managed
+    table: bucket metadata lives in the catalog.)"""
+    df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key).saveAsTable(table)

@@ -55,6 +55,35 @@ def test_text_stats_shuffle_free(spark, sf_dir):
     assert X.n_exchanges(TX.fingerprint(docs)) == 0
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Co-located fact-fact join: both sides bucketed on the key join
+    with zero Exchange (the 100 TB answer to repeated orders⨝lineitem
+    shuffles)."""
+    import shutil
+
+    orders = io.read_table(spark, sf_dir, "orders")
+    li = io.read_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # the in-memory catalog forgets tables across sessions but their
+    # warehouse directories persist — clear both
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    io.write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    io.write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8)
+    joined = (
+        spark.table("b_lineitem")
+        .join(spark.table("b_orders").hint("merge"), "o_orderkey")
+        .select("o_orderkey", "l_quantity", "o_totalprice")
+    )
+    assert X.n_exchanges(joined) == 0
+    assert joined.count() == 6000
+    # unbucketed same join shuffles at least one side
+    plain = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert X.n_exchanges(plain) >= 1
+
+
 def test_pruned_scan_for_projection(spark, sf_dir):
     li = io.read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     schemas = X.scan_read_schema(li)
