@@ -120,25 +120,29 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
 # ----------------------------------------------------------------- SimHash
 
 
-def _hash_bit(h: Column, j: int) -> Column:
-    """Bit j of a token hash = parity of the j-th md5 hex char."""
-    return F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") % 2
-
-
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
     """Per-doc SimHash sketch: bit j set iff the (+1/−1) majority vote
     of token-hash bit j is positive.
 
-    Tokens are hashed once into a cached (doc_id, md5-per-token) frame;
-    the `bits` per-bit votes then only parse hex chars. Without the
-    materialization, whole-stage codegen inlines the tokenize+md5 tree
-    into every vote — `bits`× redundant hashing (measured 5× at sf0.1).
+    Each token is hashed ONCE: the first ⌈bits/4⌉ md5 hex chars parse
+    to a single integer whose binary bits are the per-token hash bits
+    (shift+mask per vote — no per-bit hex parsing). The hashed-token
+    frame is cached: without the materialization, whole-stage codegen
+    inlines the tokenize+md5 tree into every vote (`bits`× redundant
+    hashing, measured 5× at sf0.1).
     """
+    n_hex = (bits + 3) // 4
     toks = T.tokens(F.col(text_col))
-    hashed = docs.select("doc_id", F.transform(toks, F.md5).alias("__th")).cache()
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, n_hex), 16, 10).cast("long"),
+        ).alias("__th"),
+    ).cache()
 
     def vote_fn(j: int):
-        return lambda acc, h: acc + (_hash_bit(h, j) * 2 - 1)
+        return lambda acc, h: acc + ((F.shiftright(h, j).bitwiseAND(1) * 2 - 1).cast("int"))
 
     bit_cols = []
     for j in range(bits):

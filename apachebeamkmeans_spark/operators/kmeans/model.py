@@ -30,6 +30,34 @@ class KMeansModel:
     n_iter: int
     params: KMeansParams
 
+    def save(self, path: str) -> None:
+        """Persist the model (centers are k×dim doubles — a driver-side
+        JSON file, no Spark job needed)."""
+        import dataclasses
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "centers": self.centers,
+                    "n_iter": self.n_iter,
+                    "params": dataclasses.asdict(self.params),
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "KMeansModel":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            centers=d["centers"], n_iter=d["n_iter"], params=KMeansParams(**d["params"])
+        )
+
     def transform(self, df: DataFrame, features_col: str = "features",
                   keep_dist: bool = False) -> DataFrame:
         """Assign each point to its nearest center (adds `center_id`)."""

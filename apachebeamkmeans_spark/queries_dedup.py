@@ -92,11 +92,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
+    # twin of dedup.simhash: one integer token hash (first ⌈bits/4⌉ md5
+    # hex chars), per-bit votes by shift+mask
+    n_hex = (SIMHASH_BITS + 3) // 4
+    h = OG.sql_hex_to_int(f"substr(md5(t), 1, {n_hex})", n_hex)
+
     def bit(j: int) -> str:
-        vote = (
-            f"list_sum(list_transform(toks, t -> "
-            f"((strpos('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) % 2)*2 - 1))"
-        )
+        vote = f"list_sum(list_transform(toks, t -> (({h} >> {j}) & 1)*2 - 1))"
         return f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)"
 
     return " + ".join(bit(j) for j in range(SIMHASH_BITS))

@@ -323,6 +323,39 @@ FROM a GROUP BY center_id
 """
 
 
+# ------------------------------------- external quality vs labels (SURVEY §5)
+
+
+def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity + adjusted Rand index of the fixed-center assignment
+    against the embeddings label column — the labeled-dataset external
+    validation the reference performed by hand on UCI data."""
+    from apachebeamkmeans_spark.operators.kmeans.evaluation import quality_metrics
+
+    assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0, mode="hof")
+    return quality_metrics(assigned)
+
+
+ORACLE_KMEANS_PURITY = f"""
+WITH d AS ({_oracle_dists()}),
+a AS (SELECT vec_id, {OG.sql_argmin_case([f'd{i}' for i in range(K)])} FROM d),
+j AS (SELECT a.center_id, e.label, count(*) AS n_ij
+      FROM a JOIN embeddings e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+s1 AS (SELECT CAST(sum(CAST(n_ij*(n_ij-1)/2 AS BIGINT)) AS BIGINT) AS s_ij,
+              CAST(sum(n_ij) AS BIGINT) AS n FROM j),
+sa AS (SELECT CAST(sum(CAST(a*(a-1)/2 AS BIGINT)) AS BIGINT) AS s_a,
+              CAST(sum(m) AS BIGINT) AS sum_max
+       FROM (SELECT center_id, sum(n_ij) AS a, max(n_ij) AS m FROM j GROUP BY 1)),
+sb AS (SELECT CAST(sum(CAST(b*(b-1)/2 AS BIGINT)) AS BIGINT) AS s_b
+       FROM (SELECT label, sum(n_ij) AS b FROM j GROUP BY 1))
+SELECT n,
+       round(CAST(sum_max AS DOUBLE) / n, 6) AS purity,
+       round((s_ij - s_a*s_b / CAST(n*(n-1)/2 AS BIGINT))
+             / ((s_a + s_b) / 2.0 - s_a*s_b / CAST(n*(n-1)/2 AS BIGINT)), 6) AS ari
+FROM s1, sa, sb
+"""
+
+
 # -------------------------------------------- full iterative fits (rows-only)
 
 
@@ -416,6 +449,7 @@ QUERIES = {
     "kmeans_gonzalez_seeds": (q_kmeans_gonzalez_seeds, ORACLE_GONZALEZ),
     "kmeans_plusplus_seeds": (q_kmeans_plusplus_seeds, ORACLE_PLUSPLUS),
     "kmeans_cluster_output": (q_kmeans_cluster_output, ORACLE_CLUSTER_OUTPUT),
+    "kmeans_purity": (q_kmeans_purity, ORACLE_KMEANS_PURITY),
     "kmeans_fit_clusters": (q_kmeans_fit_clusters, None),
     "mllib_kmeans": (q_mllib_kmeans, None),
 }

@@ -349,8 +349,43 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------- date/time scalar functions
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar breakdown — year/quarter/month extraction + dow of the
+    max order date per bucket (scalar date-function surface)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.quarter("o_orderdate").cast("int").alias("o_quarter"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.dayofweek(F.max("o_orderdate")).cast("int").alias("last_order_dow"),
+        )
+    )
+
+
+# DuckDB dayofweek() is 0=Sunday; Spark's is 1=Sunday — shift by one.
+ORACLE_ORDERS_BY_MONTH = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(dayofweek(max(o_orderdate)) + 1 AS INTEGER) AS last_order_dow
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "orders_by_month": (q_orders_by_month, ORACLE_ORDERS_BY_MONTH),
     "q3_top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
     "q5_region_nation_revenue": (q_region_nation_revenue, ORACLE_REGION_NATION_REVENUE),
     "top_orders_per_customer": (q_top_orders_per_customer, ORACLE_TOP_ORDERS_PER_CUSTOMER),

@@ -115,6 +115,34 @@ def test_format_clusters(spark):
     assert lines == ["0:0;1;", "1:2;"]
 
 
+def test_quality_metrics_perfect_and_random(blobs, spark):
+    from apachebeamkmeans_spark.operators.kmeans.evaluation import quality_metrics
+    from pyspark.sql import functions as F2
+
+    # perfect clustering: cluster == true label → purity 1, ARI 1
+    perfect = blobs.select("id", F.col("true_center").alias("center_id"),
+                           F.col("true_center").alias("label"))
+    r = quality_metrics(perfect).collect()[0]
+    assert r["purity"] == 1.0 and r["ari"] == 1.0 and r["n"] == 200
+    # everything in one cluster → ARI 0 (chance-corrected)
+    lumped = blobs.select("id", F2.lit(0).alias("center_id"),
+                          F.col("true_center").alias("label"))
+    r = quality_metrics(lumped).collect()[0]
+    assert abs(r["ari"]) < 1e-9 and r["purity"] == 0.25
+
+
+def test_model_save_load(blobs, tmp_path):
+    model = KMeans(KMeansParams(k=4, seed=1, init="max_farthest", max_iter=10)).fit(blobs)
+    p = str(tmp_path / "model.json")
+    model.save(p)
+    loaded = KMeansModel.load(p)
+    assert loaded.centers == model.centers
+    assert loaded.params == model.params
+    a = sorted((r["id"], r["center_id"]) for r in model.transform(blobs).collect())
+    b = sorted((r["id"], r["center_id"]) for r in loaded.transform(blobs).collect())
+    assert a == b
+
+
 def test_mllib_path(blobs):
     model, assigned = mllib_kmeans_fit(blobs, k=4, seed=42, max_iter=20)
     assert assigned.select("center_id").distinct().count() == 4
