@@ -383,9 +383,70 @@ GROUP BY 1, 2, 3
 """
 
 
+# ----------------------------------------------------------------- unpivot
+
+
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of lineitem measures, then per-metric stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("avg_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )
+
+
+ORACLE_LINEITEM_UNPIVOT = """
+WITH long AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+SELECT metric, CAST(count(*) AS BIGINT) AS n,
+       round(avg(val), 6) AS avg_val, round(max(val), 6) AS max_val
+FROM long GROUP BY metric
+"""
+
+
+# ------------------------------------------------- scalar subquery (SQL API)
+
+
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate through the SQL API (same Catalyst
+    plan as the DataFrame form — SURVEY.md §3.4)."""
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_above_avg,
+               round(avg(o_totalprice), 6) AS avg_above
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+ORACLE_ORDERS_ABOVE_AVG = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_above_avg,
+       round(avg(o_totalprice), 6) AS avg_above
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "orders_by_month": (q_orders_by_month, ORACLE_ORDERS_BY_MONTH),
+    "lineitem_unpivot": (q_lineitem_unpivot, ORACLE_LINEITEM_UNPIVOT),
+    "orders_above_avg": (q_orders_above_avg, ORACLE_ORDERS_ABOVE_AVG),
     "q3_top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
     "q5_region_nation_revenue": (q_region_nation_revenue, ORACLE_REGION_NATION_REVENUE),
     "top_orders_per_customer": (q_top_orders_per_customer, ORACLE_TOP_ORDERS_PER_CUSTOMER),

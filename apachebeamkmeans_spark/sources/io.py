@@ -38,7 +38,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     `events.parquet` stores ts as TIMESTAMP(NANOS), which the vectorized
     parquet reader rejects — read nanos as long and truncate to
     microseconds (matching DuckDB's µs TIMESTAMP semantics).
+
+    The session timezone is pinned to UTC here (not only in our session
+    factory) because every timestamp-valued result and date_trunc
+    bucket must agree with DuckDB's UTC-naive timestamps even when the
+    caller (e.g. the verification driver) built the SparkSession with a
+    different timezone.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -33,6 +33,7 @@ _EVENTS_NS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
     # file streams take a directory — scope to events.parquet via glob
     raw = (
         spark.readStream.schema(_EVENTS_NS_SCHEMA)
