@@ -23,15 +23,16 @@ from apachebeamkmeans_spark.registry import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: seeded K-Means fit (the reference's core capability,
-    MLlib-shaped params) on sf0.001 embeddings → per-point assignments.
-    """
-    from apachebeamkmeans_spark.operators.kmeans import KMeans, KMeansParams
+    """Flagship: MLlib KMeans over a DataFrame (the BASELINE.json
+    spark_approach) on sf0.001 embeddings → per-point assignments. The
+    engine's own seeded Lloyd/init implementations back the
+    oracle-checked queries()."""
+    from apachebeamkmeans_spark.operators.kmeans.mllib import mllib_kmeans_fit
     from apachebeamkmeans_spark.sources import io
 
     pts = io.load_points(spark, "/root/testdata/sf0.001")
-    model = KMeans(KMeansParams(k=4, seed=42, max_iter=10, init="plusplus")).fit(pts)
-    return model.transform(pts, keep_dist=True).select("id", "center_id", "dist")
+    _, assigned = mllib_kmeans_fit(pts, k=4, seed=42, max_iter=20)
+    return assigned.select("id", "center_id", "label")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

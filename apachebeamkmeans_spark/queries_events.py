@@ -165,6 +165,70 @@ def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- deterministic hash sampling
+
+
+def q_events_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via the engine's hash01 (no RNG state —
+    the exact-sample discipline of SURVEY §7.5 determinism rules applied
+    to plain sampling); aggregated per type so the oracle hashes a
+    stable summary."""
+    from apachebeamkmeans_spark.functions.hashing import hash01
+
+    ev = _events(spark, sf_dir)
+    sampled = ev.filter(hash01(F.col("event_id"), "sample-42") < 0.1)
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _oracle_sample() -> str:
+    from apachebeamkmeans_spark import oraclegen as OG
+
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+       round(sum(value), 4) AS sum_value
+FROM events
+WHERE {OG.sql_hash01('event_id', 'sample-42')} < 0.1
+GROUP BY event_type
+"""
+
+
+ORACLE_EVENTS_DETERMINISTIC_SAMPLE = _oracle_sample()
+
+
+# ------------------------------------------------ window frames (running)
+
+
+def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total + 3-event moving average over event time —
+    window frame surface (ROWS BETWEEN)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "running_sum"
+        ),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg3"),
+    )
+
+
+ORACLE_USER_RUNNING_VALUE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_sum,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+FROM events
+"""
+
+
 QUERIES = {
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
@@ -172,4 +236,9 @@ QUERIES = {
     "events_quantiles": (q_events_quantiles, ORACLE_EVENTS_QUANTILES),
     "events_props_json": (q_events_props_json, ORACLE_EVENTS_PROPS_JSON),
     "events_approx_distinct": (q_events_approx_distinct, None),
+    "events_deterministic_sample": (
+        q_events_deterministic_sample,
+        ORACLE_EVENTS_DETERMINISTIC_SAMPLE,
+    ),
+    "user_running_value": (q_user_running_value, ORACLE_USER_RUNNING_VALUE),
 }

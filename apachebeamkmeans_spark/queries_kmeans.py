@@ -291,6 +291,64 @@ def _oracle_plusplus() -> str:
 ORACLE_PLUSPLUS = _oracle_plusplus()
 
 
+def q_kmeans_plusplus_seeds_dweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact k-means++ variant — roulette weighted by D
+    (distance), not classic D² (SparKMeansGroupByPlusPlus.java:82-114,
+    SURVEY.md §8.4) — as a distributed seeded race."""
+    pts = _pts(spark, sf_dir).cache()
+    f = F.col("features")
+    first = (
+        pts.select("id", f.alias("f"), hash01(F.col("id"), SEED).alias("h"))
+        .orderBy(F.asc("h"), F.asc("id"))
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [(0, first["id"])]
+    centers = [list(first["f"])]
+    for r in range(1, K):
+        d = lloyd.min_dist_col(f, centers, 2.0, mode="hof")  # squared
+        w = F.sqrt(d)  # D weighting (reference semantics)
+        u = hash01(F.col("id"), f"{SEED}-{r}")
+        t = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+        row = (
+            pts.select("id", f.alias("f"), t.alias("t"))
+            .orderBy(F.asc("t"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, row["id"]))
+        centers.append(list(row["f"]))
+    return spark.createDataFrame(chosen, "seed_rank INT, vec_id BIGINT")
+
+
+def _oracle_plusplus_dweight() -> str:
+    d = OG.sql_l2_sq_cols_unrolled
+    ctes = [
+        f"e2 AS (SELECT vec_id, e AS emb FROM {_E} t)",
+        "s0 AS (SELECT vec_id, emb FROM ("
+        f"SELECT vec_id, emb, {OG.sql_hash01('vec_id', SEED)} AS h FROM e2 "
+        "ORDER BY h ASC, vec_id LIMIT 1))",
+    ]
+    for r in range(1, K):
+        prev = ", ".join(f"s{i}" for i in range(r))
+        dists = [d("e2.emb", f"s{i}.emb", DIM) for i in range(r)]
+        mind = dists[0] if r == 1 else f"least({', '.join(dists)})"
+        u = OG.sql_hash01("e2.vec_id", f"{SEED}-{r}")
+        ctes.append(
+            f"s{r} AS (SELECT vec_id, emb FROM ("
+            f"SELECT e2.vec_id, e2.emb, "
+            f"CASE WHEN sqrt({mind}) > 0 THEN -ln({u}) / sqrt({mind}) ELSE 1e308 END AS t "
+            f"FROM e2, {prev} ORDER BY t ASC, e2.vec_id LIMIT 1))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS seed_rank, vec_id FROM s{r}" for r in range(K)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+ORACLE_PLUSPLUS_DWEIGHT = _oracle_plusplus_dweight()
+
+
 # ----------------------------------------------- grouped text output (P8/S4)
 
 
@@ -448,6 +506,7 @@ QUERIES = {
     "kmeans_init_extremes": (q_kmeans_init_extremes, ORACLE_INIT_EXTREMES),
     "kmeans_gonzalez_seeds": (q_kmeans_gonzalez_seeds, ORACLE_GONZALEZ),
     "kmeans_plusplus_seeds": (q_kmeans_plusplus_seeds, ORACLE_PLUSPLUS),
+    "kmeans_plusplus_seeds_dweight": (q_kmeans_plusplus_seeds_dweight, ORACLE_PLUSPLUS_DWEIGHT),
     "kmeans_cluster_output": (q_kmeans_cluster_output, ORACLE_CLUSTER_OUTPUT),
     "kmeans_purity": (q_kmeans_purity, ORACLE_KMEANS_PURITY),
     "kmeans_fit_clusters": (q_kmeans_fit_clusters, None),
