@@ -201,6 +201,70 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 4) -> Data
     )
 
 
+# -------------------------------------------- duplicate-cluster resolution
+
+
+def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components over the near-duplicate pair graph → one
+    canonical keeper per duplicate cluster.
+
+    Iterative min-label propagation: every node starts as its own
+    label; each round joins the current labels across the (symmetric)
+    edge list and keeps the elementwise min. Components' diameters in
+    dedup graphs are tiny, so this converges in a few rounds; each
+    round is one shuffle join + aggregate (the standard large-scale CC
+    shape — no driver-side graph).
+
+    Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) where
+    cluster_id = min doc_id of the component; singletons are not
+    emitted (docs not in any pair keep themselves).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # localCheckpoint (not cache): each round's frame feeds the next
+    # round's joins, so without truncation the plan nests one join
+    # deeper per round and planning blows up — the iterative-lineage
+    # hazard of SURVEY §7.5. Checkpointing keeps every round's plan
+    # flat and the convergence check O(1) to plan.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # ------------------------------------------------- embedding cosine near-dup
 
 

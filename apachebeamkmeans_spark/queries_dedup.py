@@ -149,8 +149,45 @@ WHERE round({OG.sql_cosine_cols('a.e', 'b.e')}, 6) >= {MIN_COSINE}
 """
 
 
+# ------------------------------------------ duplicate-cluster resolution
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash candidate pairs with
+    Jaccard ≥ 0.5 → (doc_id, cluster_id). Spark runs iterative
+    min-label propagation; the oracle replays it as a recursive CTE
+    (reachability min) — same fixpoint."""
+    docs = _docs(spark, sf_dir)
+    pairs = DD.jaccard_verify(
+        docs, DD.lsh_candidate_pairs(docs, BANDS, SHINGLE), SHINGLE, threshold=0.5
+    ).select("doc_a", "doc_b")
+    return DD.duplicate_clusters(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_CAND},
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+jp AS (SELECT doc_a, doc_b FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS j
+  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+            JOIN sets b ON cand.doc_b = b.doc_id)
+  WHERE round(j, 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(doc_id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
     "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),

@@ -59,6 +59,24 @@ def test_embedding_near_pairs_finds_duplicate_vector(spark):
     assert pairs == {(0, 1): 1.0}  # opposite vector lands in another bucket
 
 
+def test_duplicate_clusters_components(spark):
+    # graph: {1-2, 2-3} one component, {7-9} another, 5 isolated (absent)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in DD.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_duplicate_clusters_chain_converges(spark):
+    # a long path 0-1-2-...-9 needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in DD.duplicate_clusters(pairs).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
 def test_doc_stats_and_quality(docs):
     stats = {r["doc_id"]: r for r in TX.doc_stats(docs).collect()}
     assert stats[0]["n_tokens"] == len(DOC.split())
