@@ -442,11 +442,56 @@ GROUP BY o_orderstatus
 """
 
 
+# -------------------------------------------- scalar function library sweep
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + math scalar-function surface in one pass over customer
+    (upper/substring/lpad/regexp_extract/translate/reverse/length,
+    abs/ceil/floor/round/sqrt/ln/pow) — each with an exact DuckDB twin."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.reverse("c_mktsegment").alias("seg_reversed"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.abs(bal).alias("bal_abs"),
+        F.ceil(bal).cast("long").alias("bal_ceil"),
+        F.floor(bal).cast("long").alias("bal_floor"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.round(F.log(F.abs(bal) + 1.0), 6).alias("bal_ln"),
+        F.round(F.pow(bal / 1000.0, 2), 6).alias("bal_pow"),
+    )
+
+
+ORACLE_SCALAR_FUNCTIONS = """
+SELECT c_custkey,
+       upper(substr(c_name, 1, 8)) AS name_prefix,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+       reverse(c_mktsegment) AS seg_reversed,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       abs(c_acctbal) AS bal_abs,
+       CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+       CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+       round(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
+       round(ln(abs(c_acctbal) + 1.0), 6) AS bal_ln,
+       round(pow(c_acctbal / 1000.0, 2), 6) AS bal_pow
+FROM customer
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "orders_by_month": (q_orders_by_month, ORACLE_ORDERS_BY_MONTH),
     "lineitem_unpivot": (q_lineitem_unpivot, ORACLE_LINEITEM_UNPIVOT),
     "orders_above_avg": (q_orders_above_avg, ORACLE_ORDERS_ABOVE_AVG),
+    "scalar_functions": (q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
     "q3_top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
     "q5_region_nation_revenue": (q_region_nation_revenue, ORACLE_REGION_NATION_REVENUE),
     "top_orders_per_customer": (q_top_orders_per_customer, ORACLE_TOP_ORDERS_PER_CUSTOMER),

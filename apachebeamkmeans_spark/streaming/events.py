@@ -59,6 +59,29 @@ def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     )
 
 
+def run_stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
+                          checkpoint_dir: str) -> None:
+    """Stream → parquet with foreachBatch: each micro-batch lands as an
+    idempotent overwrite-by-batch-id write. With the checkpoint
+    directory this is the restart-safe (effectively exactly-once) sink
+    pattern; the aggregation itself is the same hourly plan."""
+    agg = hourly_agg_stream(read_events_stream(spark, sf_dir))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_hourly_stream_to_table(spark: SparkSession, sf_dir: str,
                                name: str = "stream_events_hourly_out") -> DataFrame:
     """Drive the stream over all available input and return the result

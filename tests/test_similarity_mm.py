@@ -57,6 +57,17 @@ def test_decode_stub_raises():
         MM.decode_stub_real_media("jpeg")
 
 
+def test_stream_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
+    SE.run_stream_to_parquet(
+        spark, sf_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    written = spark.read.parquet(str(tmp_path / "out"))
+    batch = TS.tumbling_agg(io.read_table(spark, sf_dir, "events"), "hour")
+    assert sorted(map(tuple, written.drop("batch").collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 def test_stream_hourly_equals_batch(spark, sf_dir):
     batch = TS.tumbling_agg(io.read_table(spark, sf_dir, "events"), "hour")
     stream = SE.run_hourly_stream_to_table(spark, sf_dir, name="test_stream_out")
