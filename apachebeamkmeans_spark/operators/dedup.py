@@ -20,7 +20,7 @@ Every hash is md5-derived → deterministic and DuckDB-reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark.functions import distance as D

@@ -39,8 +39,10 @@ HEADLINE = [
     "events_hourly",
     "events_sessions",
     "events_asof_purchase",
+    "kmeans_purity",
     # LLM-data-pipeline ops
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
     "sim_topk_bruteforce",

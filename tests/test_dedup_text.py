@@ -4,7 +4,6 @@ duplicates/near-duplicates."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark.fixtures import lsh_hyperplanes
 from apachebeamkmeans_spark.operators import dedup as DD

@@ -5,8 +5,6 @@ loses a broadcast, or breaks pushdown fails here."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from apachebeamkmeans_spark.fixtures import fixed_centers
 from apachebeamkmeans_spark.operators import textstats as TX
 from apachebeamkmeans_spark.operators.kmeans import lloyd

@@ -5,8 +5,6 @@ property so each test runs a single Spark job."""
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark.fixtures import fixed_centers
 from apachebeamkmeans_spark.operators import multimodal as MM
