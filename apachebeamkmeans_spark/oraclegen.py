@@ -117,9 +117,13 @@ def sql_tokens(col: str) -> str:
 
 
 def sql_token_shingles(toks: str, n: int = 3) -> str:
-    """Twin of text.token_shingles via zipped shifted slices."""
+    """Twin of text.token_shingles via zipped shifted slices. End
+    indices are clamped at 0: DuckDB's array_slice treats a negative
+    end as from-the-end, which would fabricate shingles (with NULL
+    holes) for documents shorter than n tokens."""
     slices = ", ".join(
-        f"array_slice({toks}, {i + 1}, len({toks}) - {n - 1 - i})" for i in range(n)
+        f"array_slice({toks}, {i + 1}, greatest(len({toks}) - {n - 1 - i}, 0))"
+        for i in range(n)
     )
     parts = " || ' ' || ".join(f"s[{i + 1}]" for i in range(n))
     return f"list_transform(list_zip({slices}), s -> {parts})"

@@ -75,8 +75,19 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState
+    per-user session tracking) — rows-only: arbitrary state updates are
+    not SQL-expressible (the driver records the weaker check; the
+    batch-equivalence proof lives in tests/test_cli_stateful.py)."""
+    from apachebeamkmeans_spark.streaming.stateful import run_session_counts_to_table
+
+    return run_session_counts_to_table(spark, sf_dir, name="q_stream_sessions_out")
+
+
 QUERIES = {
     "mm_binary_meta": (q_mm_binary_meta, ORACLE_MM_BINARY_META),
     "mm_fake_decode": (q_mm_fake_decode, ORACLE_MM_FAKE_DECODE),
     "stream_events_hourly": (q_stream_events_hourly, ORACLE_STREAM_EVENTS_HOURLY),
+    "stream_session_counts": (q_stream_session_counts, None),
 }

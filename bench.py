@@ -49,6 +49,7 @@ HEADLINE = [
     "text_stats",
     "doc_fingerprints",
     "mm_fake_decode",
+    "stream_events_hourly",
 ]
 
 
