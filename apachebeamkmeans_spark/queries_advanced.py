@@ -1,0 +1,183 @@
+"""Advanced engine-native queries (SURVEY.md §2.7 gap list): binned
+event-time range join, CUBE multi-dimensional aggregation, sliding
+(hopping) event-time windows, and the SQL-UDF registration surface.
+
+None of these exist in the reference (it has no joins, no windows, no
+grouping sets, no function registration — SURVEY.md §2.3/§2.7); they
+are the capabilities a user graduating from it to a real engine needs.
+Each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark import fixtures
+from apachebeamkmeans_spark import oraclegen as OG
+from apachebeamkmeans_spark.operators.rangejoin import trailing_range_join
+from apachebeamkmeans_spark.sources import io
+
+HOUR_US = 3_600_000_000
+SLIDE_US = 900_000_000  # 15 min
+
+
+# ----------------------------------------------- binned time-range join
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: click count + click value of the same user in the
+    trailing hour. Binned range join (operators/rangejoin.py) — an
+    equi-join on (user_id, hour-bucket) with 2× probe duplication, not
+    a per-key nested loop; survives hot users at 100 TB."""
+    ev = io.read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    j = trailing_range_join(
+        purchases,
+        clicks,
+        key="user_id",
+        probe_ts_us=F.unix_micros("ts"),
+        other_ts_us=F.unix_micros("ts"),
+        window_us=HOUR_US,
+    )
+    counts = j.groupBy("event_id").agg(
+        F.count("o_event_id").alias("__n"),
+        F.round(F.sum("o_value"), 4).alias("__v"),
+    )
+    return purchases.join(counts, "event_id", "left").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.coalesce("__n", F.lit(0)).alias("n_clicks_1h"),
+        F.coalesce("__v", F.lit(0.0)).alias("click_value_1h"),
+    )
+
+
+ORACLE_EVENTS_RANGE_JOIN = f"""
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h,
+       round(coalesce(sum(c.value), 0.0), 4) AS click_value_1h
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - {HOUR_US}
+ AND epoch_us(c.ts) < epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ cube
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all 4 grouping sets in one pass —
+    Catalyst expands to a single Expand + partial-agg shuffle."""
+    orders = io.read_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+ORACLE_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY CUBE (1, 2)
+"""
+
+
+# -------------------------------------------- sliding (hopping) windows
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min — each event lands in 4
+    overlapping windows (`F.window` duration/slide). Output keyed by
+    the window start in integer microseconds (exact across engines)."""
+    ev = io.read_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("win.start").alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_EVENTS_SLIDING = f"""
+SELECT (CAST(floor(epoch_us(ts) / {SLIDE_US}) AS BIGINT) - i.i) * {SLIDE_US}
+         AS win_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------- SQL UDF registration surface
+
+
+DIM = fixtures.EMBEDDING_DIM
+CENTER = fixtures.fixed_centers()[0]
+
+
+def _center_sql_literal(center: list[float]) -> str:
+    return "array(" + ", ".join(f"{float(c)!r}D" for c in center) + ")"
+
+
+def q_sql_udf_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's scalars invoked from plain SQL text through the
+    registered SQL-UDF surface (functions/sqludfs.py) — declarative
+    bodies, inlined by Catalyst, codegen'd like built-ins."""
+    from apachebeamkmeans_spark.functions.sqludfs import register_sql_functions
+
+    register_sql_functions(spark)
+    io.read_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings_sqludf"
+    )
+    c = _center_sql_literal(CENTER)
+    return spark.sql(f"""
+        SELECT vec_id,
+               round(l1_norm(e), 6) AS l1,
+               round(sqrt(l2_norm_sq(e)), 6) AS l2,
+               round(l2_dist_sq(e, {c}), 6) AS d2_c0,
+               round(minkowski_dist(e, {c}, 1.0D), 6) AS d1_c0,
+               round(cosine_sim(e, {c}), 6) AS cos_c0
+        FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e
+              FROM embeddings_sqludf)
+    """)
+
+
+ORACLE_SQL_UDF_NORMS = f"""
+SELECT vec_id,
+       round({OG.sql_abs_sum('e', DIM)}, 6) AS l1,
+       round(sqrt({OG.sql_norm_sq('e', DIM)}), 6) AS l2,
+       round({OG.sql_l2_sq('e', CENTER)}, 6) AS d2_c0,
+       round({OG.sql_l1('e', CENTER)}, 6) AS d1_c0,
+       round({OG.sql_cosine_lit('e', CENTER, DIM)}, 6) AS cos_c0
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t
+"""
+
+
+QUERIES = {
+    "events_range_join": (q_events_range_join, ORACLE_EVENTS_RANGE_JOIN),
+    "orders_cube": (q_orders_cube, ORACLE_ORDERS_CUBE),
+    "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),
+    "sql_udf_norms": (q_sql_udf_norms, ORACLE_SQL_UDF_NORMS),
+}

@@ -25,6 +25,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "queries_dedup",
         "queries_similarity",
         "queries_multimodal",
+        "queries_advanced",
     ]:
         try:
             import importlib

@@ -50,6 +50,9 @@ HEADLINE = [
     "doc_fingerprints",
     "mm_fake_decode",
     "stream_events_hourly",
+    "events_range_join",
+    "events_sliding",
+    "sql_udf_norms",
 ]
 
 
