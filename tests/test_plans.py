@@ -86,3 +86,21 @@ def test_pruned_scan_for_projection(spark, sf_dir):
     li = io.read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     schemas = X.scan_read_schema(li)
     assert schemas and all("l_extendedprice" not in s for s in schemas)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: an equality filter on the
+    partition column becomes a PartitionFilter — at 100 TB the scan
+    touches one directory, not the table."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "events_by_type")
+    ev = io.read_table(spark, sf_dir, "events")
+    io.write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = X.formatted_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    n_all = io.read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    assert back.count() == n_all
