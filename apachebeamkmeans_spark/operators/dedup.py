@@ -242,24 +242,25 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry a per-row `changed` flag out of the update join itself:
+        # the convergence test is then a predicate over the frame this
+        # round materializes anyway — no extra new⨝old join per round.
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+                ).alias("new_cluster_id"),
+                (F.coalesce(F.col("nbr_min"), F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "changed"
+                ),
             )
+            .withColumnRenamed("new_cluster_id", "cluster_id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     return labels
