@@ -33,6 +33,27 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible
+# constructs (no lookahead) so Spark's Java regex and DuckDB's RE2
+# produce identical matches: contractions, optional-space letter runs,
+# optional-space digit runs, optional-space punctuation runs, whitespace.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace vs BPE-ish token counts + chars-per-token — the
+    budget arithmetic of an LLM data pipeline (how many training
+    tokens does this corpus hold?). Narrow map, JVM regex, no UDF."""
+    n_ws = F.size(T.tokens(F.col("text")))
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length("text").cast("double") / n_bpe, 6).alias("chars_per_token"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality score in [0,1]:
     0.5·min(n_tokens/100, 1) + 0.3·min(4·stopword_ratio, 1) + 0.2·(1 − punct_ratio).

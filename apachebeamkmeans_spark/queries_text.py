@@ -99,7 +99,29 @@ FROM documents
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_counts(_docs(spark, sf_dir))
+
+
+def _oracle_token_counts() -> str:
+    pat = TX.BPE_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks,
+                  len(regexp_extract_all(text, '{pat}')) AS n_bpe
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_ws_tokens,
+       CAST(n_bpe AS INTEGER) AS n_bpe_tokens,
+       round(CAST(length(text) AS DOUBLE) / n_bpe, 6) AS chars_per_token
+FROM t
+"""
+
+
+ORACLE_TOKEN_COUNTS = _oracle_token_counts()
+
+
 QUERIES = {
+    "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, ORACLE_TEXT_LANG_ID),

@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_embedding_pairs",
     "sim_topk_bruteforce",
     "text_stats",
+    "token_counts",
     "doc_fingerprints",
     "mm_fake_decode",
     "stream_events_hourly",

@@ -106,3 +106,19 @@ def test_token_frequencies(docs):
     # token-ascending
     assert (top[0]["token"], top[0]["n"]) == ("again", 6)
     assert (top[1]["token"], top[1]["n"]) == ("the", 6)
+
+
+def test_bpe_token_counts(spark):
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [(1, "I'll say it's 42 tokens, right?"), (2, "hello world"), (3, "a1b2")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.token_counts(docs).collect()}
+    # "I" "'ll" " say" " it" "'s" " 42" " tokens" "," " right" "?" = 10
+    assert rows[1]["n_bpe_tokens"] == 10
+    assert rows[1]["n_ws_tokens"] == 6
+    assert rows[2]["n_bpe_tokens"] == 2
+    # letter/digit alternation splits: "a" "1" "b" "2"
+    assert rows[3]["n_bpe_tokens"] == 4
