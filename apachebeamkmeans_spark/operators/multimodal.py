@@ -79,6 +79,70 @@ def frame_sample_indices(assets: DataFrame, every: int = 7) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, thumb binary"
+
+
+def _resize_batch_fn(width: int, height: int):
+    n = width * height
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["payload"].map(
+                lambda b: (bytes(b) * (n // max(len(b), 1) + 1))[:n]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return go
+
+
+def resize_stub(assets: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Resize plumbing: payload → fixed-size "thumbnail" bytes
+    (deterministic repeat+truncate stand-in for an image resampler).
+    Schema/batching/partitioning are exactly what a PIL-backed resize
+    would use; only the per-batch body changes in production."""
+    return assets.select("doc_id", "payload").mapInPandas(
+        _resize_batch_fn(width, height), schema=RESIZE_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = "doc_id bigint, features array<float>"
+
+
+def _histogram_batch_fn(bins: int):
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        edges = np.linspace(0, 256, bins + 1)
+        for pdf in batches:
+            feats = pdf["payload"].map(
+                lambda b: (
+                    np.histogram(np.frombuffer(bytes(b), dtype=np.uint8), bins=edges)[0]
+                    / max(len(b), 1)
+                ).astype("float32").tolist()
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return go
+
+
+def byte_histogram_features(assets: DataFrame, bins: int = 16) -> DataFrame:
+    """Feature-extraction plumbing: payload → normalized byte-histogram
+    vector (`array<float>`), the deterministic stand-in for an image/
+    audio embedding model. Output feeds the similarity operators
+    (cosine top-k, LSH near-dup) unchanged — the multimodal →
+    embedding-space hand-off of an LLM data pipeline."""
+    return assets.select("doc_id", "payload").mapInPandas(
+        _histogram_batch_fn(bins), schema=FEATURES_SCHEMA
+    )
+
+
 def decode_stub_real_media(fmt: str = "jpeg"):
     """Placeholder for real media decoding — image/audio libraries are
     not available in this environment."""

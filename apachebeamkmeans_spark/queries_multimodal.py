@@ -85,7 +85,26 @@ def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_session_counts_to_table(spark, sf_dir, name="q_stream_sessions_out")
 
 
+def q_mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + byte-histogram feature extraction over binary assets
+    (mapInPandas plumbing; rows-only — blob-byte iteration is not
+    SQL-expressible in the oracle; determinism and partition-invariance
+    are locked by tests/test_similarity_mm.py)."""
+    assets = _assets(spark, sf_dir)
+    thumbs = MM.resize_stub(assets, 8, 8)
+    feats = MM.byte_histogram_features(assets, bins=16)
+    return thumbs.join(feats, "doc_id").select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("thumb").alias("thumb_bytes"),
+        F.size("features").alias("feat_dim"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
 QUERIES = {
+    "mm_resize_features": (q_mm_resize_features, None),
     "mm_binary_meta": (q_mm_binary_meta, ORACLE_MM_BINARY_META),
     "mm_fake_decode": (q_mm_fake_decode, ORACLE_MM_FAKE_DECODE),
     "stream_events_hourly": (q_stream_events_hourly, ORACLE_STREAM_EVENTS_HOURLY),

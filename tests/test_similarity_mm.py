@@ -73,3 +73,40 @@ def test_stream_hourly_equals_batch(spark, sf_dir):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     assert b == s and len(b) > 0
+
+
+def test_resize_and_histogram_plumbing(spark, sf_dir):
+    """Resize + feature-extract mapInPandas: schema contract, value
+    determinism, and partition-invariance (same results at any
+    parallelism — the property a real decoder must also hold)."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import multimodal as MM
+    from apachebeamkmeans_spark.sources import io
+
+    assets = MM.to_binary_assets(io.read_table(spark, sf_dir, "documents")).limit(50)
+    thumbs = MM.resize_stub(assets, 8, 8)
+    assert thumbs.schema.simpleString() == (
+        "struct<doc_id:bigint,width:int,height:int,thumb:binary>"
+    )
+    rows = thumbs.collect()
+    assert all(len(r["thumb"]) == 64 for r in rows)
+
+    feats = MM.byte_histogram_features(assets, bins=16)
+    got = {r["doc_id"]: r["features"] for r in feats.collect()}
+    assert all(len(v) == 16 for v in got.values())
+    assert all(abs(sum(v) - 1.0) < 1e-3 for v in got.values())  # normalized
+    # partition-invariance: same values after a repartition
+    got8 = {
+        r["doc_id"]: r["features"]
+        for r in MM.byte_histogram_features(assets.repartition(8), bins=16).collect()
+    }
+    assert got == got8
+    # hand-off: histogram features are valid input to the similarity ops
+    from apachebeamkmeans_spark.functions import distance as D
+
+    sim = feats.select(
+        D.cosine(F.col("features").cast("array<double>"),
+                 F.col("features").cast("array<double>")).alias("self_cos")
+    ).collect()
+    assert all(abs(r["self_cos"] - 1.0) < 1e-9 for r in sim)
