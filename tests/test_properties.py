@@ -77,3 +77,41 @@ def test_unrolled_equals_hof(spark, v):
         D.l2_sq(F.col("a"), D.lit_vec(center)).alias("h"),
     ).collect()[0]
     assert unrolled == hof  # exact equality, not approx
+
+
+# ------------------------------------------- binned range join ≡ naive join
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key
+            st.integers(min_value=0, max_value=400),    # ts (us, tiny domain)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_binned_range_join_equals_naive(spark, rows):
+    """The binned plan must produce EXACTLY the pairs of the naive
+    inequality join for any data — including matches that straddle
+    bucket boundaries and events at the window edges."""
+    from apachebeamkmeans_spark.operators.rangejoin import trailing_range_join
+
+    window = 100
+    df = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rows)], "rid long, key long, t_us long"
+    )
+    j = trailing_range_join(
+        df, df, "key",
+        probe_ts_us=F.col("t_us"), other_ts_us=F.col("t_us"), window_us=window,
+    )
+    got = {(r["rid"], r["o_rid"]) for r in j.collect()}
+    naive = {
+        (p_i, o_i)
+        for p_i, (pk, pt) in enumerate(rows)
+        for o_i, (ok, ot) in enumerate(rows)
+        if pk == ok and pt - window <= ot < pt
+    }
+    assert got == naive
