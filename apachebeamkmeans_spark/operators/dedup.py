@@ -230,10 +230,19 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # deeper per round and planning blows up — the iterative-lineage
     # hazard of SURVEY §7.5. Checkpointing keeps every round's plan
     # flat and the convergence check O(1) to plan.
+    #
+    # The edge set after verification is orders of magnitude smaller
+    # than the corpus, so the loop's partitioning follows the EDGE
+    # count, not the session default — a dedup graph of a few thousand
+    # edges rounds through 1-partition tasks; a 100 TB corpus's edge
+    # set still fans out.
+    n_parts = max(1, min(edges.count() // 100_000 + 1, 200))
+    edges = edges.coalesce(n_parts).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .coalesce(n_parts)
         .localCheckpoint()
     )
     for _ in range(max_rounds):
@@ -257,6 +266,7 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
                 ),
             )
             .withColumnRenamed("new_cluster_id", "cluster_id")
+            .coalesce(n_parts)
             .localCheckpoint()
         )
         changed = new_labels.filter("changed").limit(1).count()
