@@ -175,7 +175,47 @@ FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t
 """
 
 
+# ------------------------------------------------------- map functions
+
+
+def q_events_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: per-user event_type→count map built
+    with map_from_entries, then accessed (element_at), enumerated
+    (map_keys) and folded (aggregate over map_values). The oracle
+    states the same facts relationally — the scalar projections are
+    what cross the engine boundary, the map is the Spark-side shape."""
+    ev = io.read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("n_clicks"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("n_events"),
+        F.concat_ws(",", F.map_keys("m")).alias("types_csv"),
+    )
+
+
+ORACLE_EVENTS_TYPE_MAP = """
+SELECT user_id,
+       CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT)
+         AS n_clicks,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "events_type_map": (q_events_type_map, ORACLE_EVENTS_TYPE_MAP),
     "events_range_join": (q_events_range_join, ORACLE_EVENTS_RANGE_JOIN),
     "orders_cube": (q_orders_cube, ORACLE_ORDERS_CUBE),
     "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),
