@@ -214,8 +214,61 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------------------- UDAF / UDTF surface
+
+
+def q_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-agg UDAF from SQL text: geometric mean of event
+    value per type. Arrow moves one ndarray per group; the oracle is
+    the exp∘avg∘ln identity (values rounded — summation order differs
+    across engines on thousands of doubles)."""
+    from apachebeamkmeans_spark.functions.udxf import register_udxfs
+
+    register_udxfs(spark)
+    io.read_table(spark, sf_dir, "events").createOrReplaceTempView("events_udxf")
+    return spark.sql(
+        "SELECT event_type, round(gmean(value), 6) AS gmean_value "
+        "FROM events_udxf GROUP BY event_type"
+    )
+
+
+ORACLE_UDAF_GMEAN = """
+SELECT event_type, round(exp(avg(ln(value))), 6) AS gmean_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: tokens + positions for a slice of
+    documents (the generator/table-function registration surface; the
+    hot-path tokenizer stays the JVM `split` in functions/text.py)."""
+    from apachebeamkmeans_spark.functions.udxf import register_udxfs
+
+    register_udxfs(spark)
+    io.read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.pos "
+        "FROM docs_udtf d, LATERAL tokenize_udtf(d.text) t"
+    )
+
+
+ORACLE_UDTF_TOKENS = """
+SELECT doc_id, toks[i] AS token, CAST(i - 1 AS INTEGER) AS pos
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> len(t) > 0) AS toks
+      FROM documents WHERE doc_id < 20),
+     LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+"""
+
+
 QUERIES = {
     "events_type_map": (q_events_type_map, ORACLE_EVENTS_TYPE_MAP),
+    "udaf_gmean": (q_udaf_gmean, ORACLE_UDAF_GMEAN),
+    "udtf_tokens": (q_udtf_tokens, ORACLE_UDTF_TOKENS),
     "events_range_join": (q_events_range_join, ORACLE_EVENTS_RANGE_JOIN),
     "orders_cube": (q_orders_cube, ORACLE_ORDERS_CUBE),
     "events_sliding": (q_events_sliding, ORACLE_EVENTS_SLIDING),

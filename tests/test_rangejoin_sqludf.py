@@ -94,3 +94,20 @@ def test_ws_tokens_sql_udf(spark):
     register_sql_functions(spark)
     got = spark.sql("SELECT ws_tokens('The  quick  Fox') AS t").collect()[0]["t"]
     assert got == ["the", "quick", "fox"]
+
+
+def test_udaf_udtf_registration(spark):
+    from apachebeamkmeans_spark.functions.udxf import register_udxfs
+
+    names = register_udxfs(spark)
+    assert names == ["gmean", "tokenize_udtf"]
+    spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 3.0)], "k string, v double"
+    ).createOrReplaceTempView("udxf_t")
+    rows = {
+        r["k"]: r["g"]
+        for r in spark.sql("SELECT k, gmean(v) AS g FROM udxf_t GROUP BY k").collect()
+    }
+    assert abs(rows["a"] - 4.0) < 1e-12 and abs(rows["b"] - 3.0) < 1e-12
+    toks = spark.sql("SELECT * FROM tokenize_udtf('Hello  world')").collect()
+    assert [(r["token"], r["pos"]) for r in toks] == [("hello", 0), ("world", 1)]
