@@ -214,6 +214,37 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------------------------- grouping sets
+
+
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) — disjoint
+    subtotal rows in one Expand pass, with GROUPING() flags
+    disambiguating real NULLs from subtotal NULLs."""
+    orders = io.read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+ORACLE_ORDERS_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
 # ------------------------------------------------- UDAF / UDTF surface
 
 
@@ -267,6 +298,7 @@ FROM (SELECT doc_id,
 
 QUERIES = {
     "events_type_map": (q_events_type_map, ORACLE_EVENTS_TYPE_MAP),
+    "orders_grouping_sets": (q_orders_grouping_sets, ORACLE_ORDERS_GROUPING_SETS),
     "udaf_gmean": (q_udaf_gmean, ORACLE_UDAF_GMEAN),
     "udtf_tokens": (q_udtf_tokens, ORACLE_UDTF_TOKENS),
     "events_range_join": (q_events_range_join, ORACLE_EVENTS_RANGE_JOIN),
