@@ -1,6 +1,8 @@
 """Advanced engine-native queries (SURVEY.md §2.7 gap list): binned
-event-time range join, CUBE multi-dimensional aggregation, sliding
-(hopping) event-time windows, and the SQL-UDF registration surface.
+event-time range join, CUBE / GROUPING SETS multi-dimensional
+aggregation, sliding (hopping) event-time windows, MAP-typed columns,
+and the function-registration triad (SQL UDF / Pandas UDAF / Python
+UDTF).
 
 None of these exist in the reference (it has no joins, no windows, no
 grouping sets, no function registration — SURVEY.md §2.3/§2.7); they

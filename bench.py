@@ -54,6 +54,8 @@ HEADLINE = [
     "events_range_join",
     "events_sliding",
     "sql_udf_norms",
+    "events_type_map",
+    "orders_grouping_sets",
 ]
 
 

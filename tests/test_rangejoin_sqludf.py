@@ -111,3 +111,26 @@ def test_udaf_udtf_registration(spark):
     assert abs(rows["a"] - 4.0) < 1e-12 and abs(rows["b"] - 3.0) < 1e-12
     toks = spark.sql("SELECT * FROM tokenize_udtf('Hello  world')").collect()
     assert [(r["token"], r["pos"]) for r in toks] == [("hello", 0), ("world", 1)]
+
+
+def test_empty_input_robustness(spark):
+    """Operators must return empty frames (not raise) on empty inputs —
+    the degenerate partitions a 100 TB run will inevitably contain."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import dedup as DD
+    from apachebeamkmeans_spark.operators.rangejoin import trailing_range_join
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert DD.minhash_signatures(empty).count() == 0
+    assert DD.lsh_candidate_pairs(empty).count() == 0
+    no_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert DD.duplicate_clusters(no_pairs).count() == 0
+
+    e = spark.createDataFrame([], "user_id long, ts timestamp")
+    j = trailing_range_join(
+        e, e, "user_id",
+        probe_ts_us=F.unix_micros("ts"), other_ts_us=F.unix_micros("ts"),
+        window_us=3_600_000_000,
+    )
+    assert j.count() == 0
