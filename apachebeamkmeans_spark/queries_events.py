@@ -229,6 +229,40 @@ FROM events
 """
 
 
+def q_user_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing one-hour event count + average value — the
+    time-based RANGE window-frame surface (vs ROWS above). RANGE frames
+    include all peers of the current ordering value per the SQL
+    standard, so Spark and the oracle agree on ties. Absent from the
+    reference (no window functions at all — SURVEY.md §2.7); at scale
+    this is a per-user-partitioned sort, no global order."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.asc())
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("trailing_1h_events"),
+        F.round(F.avg("value").over(w), 6).alias("trailing_1h_avg_value"),
+    )
+
+
+ORACLE_USER_TRAILING_HOUR = """
+SELECT event_id, user_id,
+       count(*) OVER w AS trailing_1h_events,
+       round(avg(value) OVER w, 6) AS trailing_1h_avg_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
@@ -241,4 +275,5 @@ QUERIES = {
         ORACLE_EVENTS_DETERMINISTIC_SAMPLE,
     ),
     "user_running_value": (q_user_running_value, ORACLE_USER_RUNNING_VALUE),
+    "user_trailing_hour": (q_user_trailing_hour, ORACLE_USER_TRAILING_HOUR),
 }
