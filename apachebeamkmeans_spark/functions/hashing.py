@@ -7,8 +7,12 @@ function of (stable id, explicit seed) computed via md5, which exists
 with identical semantics in Spark SQL and DuckDB, so the oracle can
 replay any sampling decision exactly.
 
-``hash01`` maps (col, seed) → uniform double in [0, 1): the first 8 hex
-chars of md5 parsed as a 32-bit integer over 2^32.
+``hash01`` maps (col, seed) → uniform double in (0, 1]: the first 8 hex
+chars of md5 parsed as a 32-bit integer, plus one, over 2^32. The +1
+keeps 0 out of the range so `-ln(u)` downstream (exponential-race
+sampling) can never hit log(0) — Spark would yield NULL (which sorts
+first under ASC) while DuckDB yields +inf (which sorts last): a
+cross-engine determinism divergence at p≈2^-32 per row.
 """
 
 from __future__ import annotations
@@ -30,8 +34,8 @@ def hash_u32(col: Column, seed: int | str = 0) -> Column:
 
 
 def hash01(col: Column, seed: int | str = 0) -> Column:
-    """Deterministic uniform [0,1) — the engine's reproducible `rand()`."""
-    return hash_u32(col, seed).cast("double") / F.lit(TWO32)
+    """Deterministic uniform (0,1] — the engine's reproducible `rand()`."""
+    return (hash_u32(col, seed) + 1).cast("double") / F.lit(TWO32)
 
 
 def bucket(col: Column, n_buckets: int, seed: int | str = 0) -> Column:

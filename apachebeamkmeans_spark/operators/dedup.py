@@ -27,6 +27,23 @@ from apachebeamkmeans_spark.functions import distance as D
 from apachebeamkmeans_spark.functions import text as T
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a reused intermediate (sketch/signature frame) on
+    first action and reuse it for every later action in the same plan
+    or query.
+
+    `localCheckpoint(eager=False)` rather than `.cache()`: the storage
+    blocks are registered with the ContextCleaner and released when the
+    frame is garbage-collected on the driver, so a long-lived session
+    does not leak executor memory one sketch frame per query.
+    (`.cache()` entries live in the CacheManager until an explicit
+    `unpersist`, which a function returning a lazy DataFrame has no
+    safe point to call.) At cluster scale this is where a persisted
+    signature TABLE would be substituted — see module docstring.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 # ------------------------------------------------------------------- exact
 
 
@@ -61,7 +78,8 @@ def minhash_signatures(docs: DataFrame, bands: int = 8, shingle: int = 3,
     toks = T.tokens(F.col(text_col))
     hashed = docs.select(
         "doc_id", T.shingle_hashes(T.token_shingles(toks, shingle)).alias("__h")
-    ).cache()
+    )
+    hashed = _materialize(hashed)
     return hashed.select("doc_id", T.minhash_signature(F.col("__h"), bands).alias("mh"))
 
 
@@ -76,7 +94,7 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = 8, shingle: int = 3) -> Da
     # inline the signature expression into every exploded output row
     # (measured 4× slower). At cluster scale this cache is a persisted
     # signature table.
-    sigs = minhash_signatures(docs, bands, shingle).cache()
+    sigs = _materialize(minhash_signatures(docs, bands, shingle))
     banded = sigs.select("doc_id", F.posexplode("mh").alias("band", "mh_val")).filter(
         F.col("mh_val").isNotNull()
     )
@@ -100,7 +118,8 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
     toks = T.tokens(F.col("text"))
     sets = docs.select(
         "doc_id", F.array_distinct(T.token_shingles(toks, shingle)).alias("sh")
-    ).cache()  # read twice (doc_a side + doc_b side)
+    )
+    sets = _materialize(sets)  # read twice (doc_a side + doc_b side)
     return (
         pairs.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
@@ -139,7 +158,8 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFram
             toks,
             lambda t: F.conv(F.substring(F.md5(t), 1, n_hex), 16, 10).cast("long"),
         ).alias("__th"),
-    ).cache()
+    )
+    hashed = _materialize(hashed)
 
     def vote_fn(j: int):
         return lambda acc, h: acc + ((F.shiftright(h, j).bitwiseAND(1) * 2 - 1).cast("int"))
@@ -169,7 +189,7 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 4) -> Data
     sizes = [base + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
     offsets = [sum(sizes[:i]) for i in range(n_blocks)]
 
-    s = simhash(docs, bits).cache()
+    s = _materialize(simhash(docs, bits))
     blocked = s.select(
         "doc_id",
         "simhash",
@@ -245,34 +265,61 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .coalesce(n_parts)
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # carry a per-row `changed` flag out of the update join itself:
-        # the convergence test is then a predicate over the frame this
-        # round materializes anyway — no extra new⨝old join per round.
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.col("cluster_id").alias("old_cluster"),
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("mid_cluster"),
+        )
+        # Pointer jumping: label := min(label, label(label)). Every label
+        # value is itself a node id, so one extra (small) labels⨝labels
+        # join per round doubles the propagation reach — max_rounds
+        # rounds cover components of diameter 2^max_rounds, not
+        # max_rounds, so long duplicate chains still converge.
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("mid_cluster").alias("p_cluster")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
+            stepped.join(parent, stepped.mid_cluster == parent.p_id, "left")
+            .withColumn(
+                "new_cluster",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("new_cluster_id"),
-                (F.coalesce(F.col("nbr_min"), F.col("cluster_id")) < F.col("cluster_id")).alias(
-                    "changed"
+                    F.col("mid_cluster"),
+                    F.coalesce(F.col("p_cluster"), F.col("mid_cluster")),
                 ),
             )
-            .withColumnRenamed("new_cluster_id", "cluster_id")
+            .select(
+                "doc_id",
+                F.col("new_cluster").alias("cluster_id"),
+                (F.col("new_cluster") < F.col("old_cluster")).alias("changed"),
+            )
             .coalesce(n_parts)
             .localCheckpoint()
         )
+        # the convergence test is a predicate over the frame this round
+        # materializes anyway — no extra new⨝old join.
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.drop("changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Never return partially-propagated labels silently: they would
+        # split one true component into several keepers.
+        raise RuntimeError(
+            f"duplicate_clusters: min-label propagation did not converge in "
+            f"{max_rounds} rounds (component diameter > 2^{max_rounds})"
+        )
     return labels
 
 

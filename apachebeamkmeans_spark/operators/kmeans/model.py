@@ -65,7 +65,26 @@ class KMeansModel:
                             mode="hof")
 
     def sse(self, df: DataFrame, features_col: str = "features") -> float:
-        assigned = lloyd.assign(df, self.centers, 2.0, features_col, keep_dist=True)
+        """Sum of squared (L2) errors to each point's assigned center.
+        Assignment uses the MODEL's metric (`params.p`, so a Manhattan
+        model scores its own assignments); the error value itself stays
+        squared L2 — SSE is squared error by definition."""
+        p = self.params.p
+        assigned = lloyd.assign(df, self.centers, p, features_col,
+                                keep_dist=(p == 2), mode="hof")
+        if p != 2:
+            feats = F.col(features_col)
+            sq = F.element_at(
+                F.transform(
+                    F.lit([list(map(float, c)) for c in self.centers]),
+                    lambda c: F.aggregate(
+                        F.zip_with(feats, c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, v: a + v,
+                    ),
+                ),
+                F.col("center_id") + 1,
+            )
+            assigned = assigned.withColumn("dist", sq)
         return lloyd.sse(assigned)
 
     def centers_df(self, spark) -> DataFrame:

@@ -49,16 +49,21 @@ def trailing_range_join(
     o = others.withColumn("__o_ts_us", other_ts_us)
     o = o.select([F.col(c).alias(f"o_{c}") for c in o.columns])
 
+    # Integer `div`, not F.floor(ts / w): double division is only exact
+    # below 2^53, so ns-scale epochs (or far-future µs) could round a row
+    # into the wrong bucket and silently drop matches. `div` truncates
+    # toward zero == floor for the non-negative epochs used here.
+    w = int(window_us)
     p = p.withColumn(
         _BUCKET,
         F.explode(
             F.array(
-                F.floor(F.col("__p_ts_us") / window_us),
-                F.floor(F.col("__p_ts_us") / window_us) - 1,
+                F.expr(f"__p_ts_us div {w}"),
+                F.expr(f"__p_ts_us div {w}") - 1,
             )
         ),
     )
-    o = o.withColumn(_BUCKET, F.floor(F.col("o___o_ts_us") / window_us))
+    o = o.withColumn(_BUCKET, F.expr(f"o___o_ts_us div {w}"))
 
     joined = p.join(
         o,

@@ -96,9 +96,10 @@ def sql_hex_to_int(h: str, n_chars: int = 8) -> str:
 
 
 def sql_hash01(col: str, seed) -> str:
-    """Twin of hashing.hash01: first 8 md5 hex chars / 2^32."""
+    """Twin of hashing.hash01: (first 8 md5 hex chars + 1) / 2^32 —
+    range (0, 1], so -ln(u) is always finite on both engines."""
     h = f"substr(md5(concat('{seed}|', CAST({col} AS VARCHAR))), 1, 8)"
-    return f"(CAST({sql_hex_to_int(h)} AS DOUBLE) / {TWO32!r})"
+    return f"(CAST({sql_hex_to_int(h)} + 1 AS DOUBLE) / {TWO32!r})"
 
 
 def sql_argmin_case(dist_cols: list[str], out: str = "center_id") -> str:

@@ -15,24 +15,30 @@ QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from apachebeamkmeans_spark import queries_kmeans
+    # Unconditional imports: a transitive ImportError inside a query
+    # module must fail loudly — silently dropping a module would remove
+    # its queries from the correctness gate and the bench.
+    from apachebeamkmeans_spark import (
+        queries_advanced,
+        queries_dedup,
+        queries_events,
+        queries_kmeans,
+        queries_multimodal,
+        queries_relational,
+        queries_similarity,
+        queries_text,
+    )
 
-    modules = [queries_kmeans]
-    for name in [
-        "queries_relational",
-        "queries_events",
-        "queries_text",
-        "queries_dedup",
-        "queries_similarity",
-        "queries_multimodal",
-        "queries_advanced",
-    ]:
-        try:
-            import importlib
-
-            modules.append(importlib.import_module(f"apachebeamkmeans_spark.{name}"))
-        except ImportError:
-            pass  # module not built yet
+    modules = [
+        queries_kmeans,
+        queries_relational,
+        queries_events,
+        queries_text,
+        queries_dedup,
+        queries_similarity,
+        queries_multimodal,
+        queries_advanced,
+    ]
 
     out: dict[str, QuerySpec] = {}
     for m in modules:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,12 +31,20 @@ def _make_update_fn(gap_us: int):
         else:
             last_us, n_sessions, n_events = None, 0, 0
         for pdf in pdfs:
-            for t in pdf.sort_values("ts_us")["ts_us"]:
-                t = int(t)
-                if last_us is None or t - last_us > gap_us:
-                    n_sessions += 1
-                last_us = t
-                n_events += 1
+            if len(pdf) == 0:
+                continue
+            # Vectorized per batch: sort once, then a session starts at
+            # every position whose gap to the previous timestamp exceeds
+            # gap_us (the first event of the key's lifetime always does).
+            ts = np.sort(pdf["ts_us"].to_numpy(dtype=np.int64))
+            if last_us is None:
+                gaps = np.diff(ts)
+                n_sessions += 1 + int((gaps > gap_us).sum())
+            else:
+                gaps = np.diff(np.concatenate(([last_us], ts)))
+                n_sessions += int((gaps > gap_us).sum())
+            n_events += len(ts)
+            last_us = int(ts[-1])
         state.update((last_us, n_sessions, n_events))
         yield pd.DataFrame(
             {
