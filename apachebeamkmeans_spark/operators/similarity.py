@@ -6,11 +6,14 @@ cosine(query, v) per row, then TakeOrdered top-k — per query, O(n)
 work and k-row driver traffic.
 
 IVF is the scale path: vectors are coarse-quantized to their nearest
-centroid (the same literal-center argmin as K-Means assignment); a
-query probes only its own centroid's partition(s). At 100 TB the table
-would be written partitioned by `coarse_id`, so the probe is a
-partition-pruned scan touching 1/k of the data; `nprobe` trades recall
-for scan cost exactly like FAISS IVF.
+centroid (the same literal-center argmin as K-Means assignment) and
+**materialized partitioned by `coarse_id`** (`build_ivf_index`); a
+search (`ivf_topk_indexed`) reads back with a `coarse_id IN (probe
+cells)` filter that Spark turns into partition pruning — the scan
+touches nprobe/k of the directories, not the table. All queries run in
+ONE plan: a literal query matrix fans out per-row cosines, a literal
+probe-cell map filters (qid, cell) matches, one window ranks. `nprobe`
+trades recall for scan cost exactly like FAISS IVF.
 """
 
 from __future__ import annotations
@@ -51,50 +54,96 @@ def cosine_topk(vecs: DataFrame, queries: list[list[float]], k: int = 10,
     )
 
 
+def nearest_centers(q: list[float], centers: list[list[float]],
+                    nprobe: int = 1) -> list[int]:
+    """Plan-time coarse-quantizer probe: the `nprobe` nearest cells of a
+    literal query vector, nearest first (ties → lowest cell id)."""
+    scored = sorted(
+        (sum((x - y) ** 2 for x, y in zip(q, c)), i) for i, c in enumerate(centers)
+    )
+    return [i for _, i in scored[:nprobe]]
+
+
 def nearest_center(q: list[float], centers: list[list[float]]) -> int:
-    """Plan-time coarse-quantizer probe for a literal query vector."""
-    best, best_d = 0, float("inf")
-    for i, c in enumerate(centers):
-        d = sum((x - y) ** 2 for x, y in zip(q, c))
-        if d < best_d:
-            best, best_d = i, d
-    return best
+    return nearest_centers(q, centers, 1)[0]
 
 
-def ivf_topk(vecs: DataFrame, queries: list[list[float]],
-             centers: list[list[float]], k: int = 5,
-             id_col: str = "id", features_col: str = "features") -> DataFrame:
-    """IVF search: filter to the query's coarse cell, then exact cosine
-    within it. The coarse assignment reuses the K-Means argmin map."""
-    assigned = lloyd.assign(
+def coarse_assign(vecs: DataFrame, centers: list[list[float]],
+                  id_col: str = "id", features_col: str = "features") -> DataFrame:
+    """(vec_id, f, coarse_id): each vector quantized to its nearest
+    coarse centroid — the same shuffle-free literal-center argmin map
+    as K-Means assignment."""
+    return lloyd.assign(
         vecs.select(F.col(id_col).alias("vec_id"), F.col(features_col).alias("f")),
         centers, 2.0, features_col="f", mode="hof",
     ).withColumnRenamed("center_id", "coarse_id")
+
+
+def build_ivf_index(vecs: DataFrame, centers: list[list[float]], path: str,
+                    id_col: str = "id", features_col: str = "features") -> None:
+    """Materialize the IVF layout: the coarse-assigned vectors written
+    hive-partitioned by `coarse_id`, one directory per cell. A probe is
+    then a partition-pruned scan — at 100 TB the search reads
+    nprobe/k of the directories, never the table."""
+    from apachebeamkmeans_spark.sources import io
+
+    io.write_parquet(coarse_assign(vecs, centers, id_col, features_col),
+                     path, partition_by=["coarse_id"])
+
+
+def ivf_probe_topk(index: DataFrame, queries: list[list[float]],
+                   centers: list[list[float]], k: int = 5,
+                   nprobe: int = 1) -> DataFrame:
+    """Top-k cosine within each query's probe cells, ALL queries in one
+    plan: the query matrix and the per-query probe-cell map are plan
+    literals; each scanned row fans out (qid, cosine) via posexplode,
+    a literal-map membership filter keeps only (qid, cell) matches, and
+    one per-qid window ranks. `probe_cell` is the cell the hit came
+    from. `index` must carry (vec_id, f ARRAY<DOUBLE>, coarse_id)."""
+    probe_cells = [nearest_centers(q, centers, nprobe) for q in queries]
+    all_cells = sorted({c for cells in probe_cells for c in cells})
+    pruned = index.filter(F.col("coarse_id").isin(all_cells))
     f = F.col("f")
+    qnorms = [sum(float(v) * float(v) for v in q) ** 0.5 for q in queries]
     vnorm = F.sqrt(
         F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
     )
-    out = None
-    for qid, q in enumerate(queries):
-        probe = nearest_center(q, centers)
-        qnorm = sum(float(v) * float(v) for v in q) ** 0.5
-        cos = D.dot(f, D.lit_vec(q)) / (vnorm * F.lit(qnorm))
-        top = (
-            assigned.filter(F.col("coarse_id") == probe)
-            .select(
-                F.lit(qid).alias("qid"),
-                F.lit(probe).alias("probe_cell"),
-                F.col("vec_id"),
-                cos.alias("_c"),
-            )
-            .orderBy(F.desc("_c"), F.asc("vec_id"))
-            .limit(k)
+    cos_arr = F.transform(
+        F.lit([list(map(float, q)) for q in queries]),
+        lambda q, i: D.dot(f, q) / (vnorm * F.element_at(F.lit(qnorms), i + 1)),
+    )
+    exploded = pruned.select(
+        F.col("vec_id"),
+        F.col("coarse_id").cast("int").alias("probe_cell"),
+        F.posexplode(cos_arr).alias("qid", "_c"),
+    )
+    hits = exploded.filter(
+        F.array_contains(
+            F.element_at(F.lit(probe_cells), F.col("qid") + 1), F.col("probe_cell")
         )
-        ranked = top.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
-            ),
-        ).select("qid", "probe_cell", "vec_id", F.round("_c", 6).alias("cosine"), "rank")
-        out = ranked if out is None else out.unionByName(ranked)
-    return out
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "probe_cell", "vec_id", F.round("_c", 6).alias("cosine"), "rank")
+    )
+
+
+def ivf_topk(vecs: DataFrame, queries: list[list[float]],
+             centers: list[list[float]], k: int = 5, nprobe: int = 1,
+             id_col: str = "id", features_col: str = "features") -> DataFrame:
+    """IVF search without a materialized layout (the coarse assignment
+    is computed inline) — correctness twin of the indexed path for
+    inputs that were never written out."""
+    return ivf_probe_topk(coarse_assign(vecs, centers, id_col, features_col),
+                          queries, centers, k, nprobe)
+
+
+def ivf_topk_indexed(spark, index_path: str, queries: list[list[float]],
+                     centers: list[list[float]], k: int = 5,
+                     nprobe: int = 1) -> DataFrame:
+    """IVF search over a materialized `build_ivf_index` layout: the
+    `coarse_id IN (probe cells)` filter becomes partition pruning on
+    the read (locked by tests/test_plans.py)."""
+    return ivf_probe_topk(spark.read.parquet(index_path), queries, centers, k, nprobe)

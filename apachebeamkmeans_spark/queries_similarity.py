@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from apachebeamkmeans_spark import fixtures, oraclegen as OG
@@ -13,6 +15,7 @@ QUERY_VECS = fixtures.query_vectors(5)
 CENTERS = fixtures.fixed_centers()
 TOPK = 10
 IVF_K = 5
+IVF_NPROBE = 2
 
 _E2 = "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
 
@@ -37,8 +40,20 @@ def _oracle_topk() -> str:
 ORACLE_SIM_TOPK = _oracle_topk()
 
 
+def _ivf_index_path(sf_dir: str) -> str:
+    """Materialized-index scratch dir inside the repo (one per sf)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo, ".ivf_index", os.path.basename(sf_dir.rstrip("/")))
+
+
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.ivf_topk(io.load_points(spark, sf_dir), QUERY_VECS, CENTERS, IVF_K)
+    """Build the coarse-partitioned IVF layout, then search it: the
+    probe is a partition-pruned read (`coarse_id IN (...)` reaches
+    PartitionFilters — locked by tests/test_plans.py), all queries in
+    one plan, nprobe=2 cells per query."""
+    path = _ivf_index_path(sf_dir)
+    SIM.build_ivf_index(io.load_points(spark, sf_dir), CENTERS, path)
+    return SIM.ivf_topk_indexed(spark, path, QUERY_VECS, CENTERS, IVF_K, IVF_NPROBE)
 
 
 def _oracle_ivf() -> str:
@@ -46,15 +61,17 @@ def _oracle_ivf() -> str:
     argmin = OG.sql_argmin_case([f"d{i}" for i in range(len(CENTERS))], "coarse_id")
     parts = []
     for qid, q in enumerate(QUERY_VECS):
-        probe = SIM.nearest_center(q, CENTERS)
+        probes = SIM.nearest_centers(q, CENTERS, IVF_NPROBE)
+        in_list = ", ".join(str(p) for p in probes)
         cos = OG.sql_cosine_lit("e", q, DIM)
         parts.append(
-            f"SELECT {qid} AS qid, {probe} AS probe_cell, vec_id, round(c, 6) AS cosine, rank FROM ("
-            f"  SELECT vec_id, c, CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank"
-            f"  FROM (SELECT vec_id, {cos} AS c FROM ("
+            f"SELECT {qid} AS qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM ("
+            f"  SELECT coarse_id AS probe_cell, vec_id, c,"
+            f"    CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank"
+            f"  FROM (SELECT vec_id, coarse_id, {cos} AS c FROM ("
             f"    SELECT vec_id, e, {argmin} FROM "
             f"    (SELECT vec_id, e, {', '.join(dists)} FROM {_E2} t)"
-            f"  ) WHERE coarse_id = {probe})"
+            f"  ) WHERE coarse_id IN ({in_list}))"
             f") WHERE rank <= {IVF_K}"
         )
     return " UNION ALL ".join(parts)

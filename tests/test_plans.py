@@ -88,6 +88,35 @@ def test_pruned_scan_for_projection(spark, sf_dir):
     assert schemas and all("l_extendedprice" not in s for s in schemas)
 
 
+def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The IVF search's `coarse_id IN (probe cells)` must reach the scan
+    as a PartitionFilter over the materialized coarse-partitioned
+    layout — the property that makes the probe touch nprobe/k of the
+    directories at 100 TB — and the whole multi-query search is ONE
+    plan (no per-query union of subplans)."""
+    from apachebeamkmeans_spark.fixtures import query_vectors
+    from apachebeamkmeans_spark.operators import similarity as SIM
+
+    idx = str(tmp_path / "ivf")
+    SIM.build_ivf_index(io.load_points(spark, sf_dir), CENTERS, idx)
+    res = SIM.ivf_topk_indexed(spark, idx, query_vectors(5), CENTERS, k=5, nprobe=2)
+    plan = X.formatted_plan(res)
+    after = plan.split("PartitionFilters", 1)
+    assert len(after) == 2 and "coarse_id" in after[1][:200]
+    # one plan, one scan (PartitionFilters prints once per scan node)
+    assert plan.count("PartitionFilters") == 1
+    # every qid got k hits, only from its own probe cells
+    rows = res.collect()
+    per_qid = {}
+    for r in rows:
+        per_qid.setdefault(r["qid"], []).append(r)
+    assert set(per_qid) == set(range(5))
+    for qid, hits in per_qid.items():
+        cells = set(SIM.nearest_centers(query_vectors(5)[qid], CENTERS, 2))
+        assert len(hits) == 5
+        assert {h["probe_cell"] for h in hits} <= cells
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Hive-style partitioned layout: an equality filter on the
     partition column becomes a PartitionFilter — at 100 TB the scan
