@@ -37,8 +37,10 @@ from apachebeamkmeans_spark.operators.kmeans.params import KMeansParams
 
 
 def _take1(df: DataFrame, order_cols) -> list[float]:
-    row = df.orderBy(*order_cols).limit(1).collect()[0]
-    return list(row["f"])
+    rows = df.orderBy(*order_cols).limit(1).collect()
+    if not rows:
+        raise ValueError("k-means seeding requires a non-empty points frame")
+    return list(rows[0]["f"])
 
 
 def init_random(df: DataFrame, k: int, seed: int, features_col: str = "features") -> list[list[float]]:
@@ -50,7 +52,15 @@ def init_random(df: DataFrame, k: int, seed: int, features_col: str = "features"
         .limit(k)
         .collect()
     )
-    return [list(r["f"]) for r in rows]
+    if not rows:
+        raise ValueError("k-means seeding requires a non-empty points frame")
+    feats = [list(r["f"]) for r in rows]
+    # k > n: cycle the available points rather than silently shrinking k
+    # (the reference shrank — documented divergence, SURVEY.md §8.3);
+    # the Lloyd loop's empty-cluster reseed takes it from here.
+    while len(feats) < k:
+        feats.append(list(feats[len(feats) % len(rows)]))
+    return feats
 
 
 def _roulette_next(df: DataFrame, centers: list[list[float]], p: float, weight: str,

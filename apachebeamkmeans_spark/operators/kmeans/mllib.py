@@ -22,6 +22,8 @@ def mllib_kmeans_fit(df: DataFrame, k: int = 4, seed: int = 42, max_iter: int = 
     """Fit MLlib KMeans on (id, features ARRAY<DOUBLE>); returns
     (model, assignments DataFrame(id, center_id))."""
     vec = df.withColumn("__vec", array_to_vector(F.col(features_col)))
+    if vec.isEmpty():
+        raise ValueError("k-means fit requires a non-empty points frame")
     km = MLKMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__vec", predictionCol="center_id")
     model = km.fit(vec)
     assigned = model.transform(vec).drop("__vec")

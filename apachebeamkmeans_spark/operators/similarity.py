@@ -140,10 +140,16 @@ def ivf_topk(vecs: DataFrame, queries: list[list[float]],
                           queries, centers, k, nprobe)
 
 
+INDEX_SCHEMA = "vec_id bigint, f array<double>, coarse_id int"
+
+
 def ivf_topk_indexed(spark, index_path: str, queries: list[list[float]],
                      centers: list[list[float]], k: int = 5,
                      nprobe: int = 1) -> DataFrame:
     """IVF search over a materialized `build_ivf_index` layout: the
     `coarse_id IN (probe cells)` filter becomes partition pruning on
-    the read (locked by tests/test_plans.py)."""
-    return ivf_probe_topk(spark.read.parquet(index_path), queries, centers, k, nprobe)
+    the read (locked by tests/test_plans.py). The schema is explicit —
+    no inference job, and a zero-vector index (no partition dirs)
+    still reads as a valid empty frame."""
+    return ivf_probe_topk(spark.read.schema(INDEX_SCHEMA).parquet(index_path),
+                          queries, centers, k, nprobe)

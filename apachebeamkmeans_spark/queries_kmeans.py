@@ -184,12 +184,15 @@ def q_kmeans_gonzalez_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     job; driver holds only k×dim doubles."""
     pts = _pts(spark, sf_dir).cache()
     f = F.col("features")
-    first = (
-        pts.select("id", f.alias("f"), F.sqrt(D.norm_sq_unrolled(f, DIM)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("id"))
-        .limit(1)
-        .collect()[0]
-    )
+    try:
+        first = (
+            pts.select("id", f.alias("f"), F.sqrt(D.norm_sq_unrolled(f, DIM)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+    except IndexError:
+        raise ValueError("k-means seeding requires a non-empty points frame") from None
     chosen = [(0, first["id"])]
     centers = [list(first["f"])]
     for r in range(1, K):
@@ -240,12 +243,15 @@ def q_kmeans_plusplus_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (SparKMeansGroupByPlusPlus.java:105, SURVEY.md §8.6)."""
     pts = _pts(spark, sf_dir).cache()
     f = F.col("features")
-    first = (
-        pts.select("id", f.alias("f"), hash01(F.col("id"), SEED).alias("h"))
-        .orderBy(F.asc("h"), F.asc("id"))
-        .limit(1)
-        .collect()[0]
-    )
+    try:
+        first = (
+            pts.select("id", f.alias("f"), hash01(F.col("id"), SEED).alias("h"))
+            .orderBy(F.asc("h"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+    except IndexError:
+        raise ValueError("k-means seeding requires a non-empty points frame") from None
     chosen = [(0, first["id"])]
     centers = [list(first["f"])]
     for r in range(1, K):
@@ -297,12 +303,15 @@ def q_kmeans_plusplus_seeds_dweight(spark: SparkSession, sf_dir: str) -> DataFra
     SURVEY.md §8.4) — as a distributed seeded race."""
     pts = _pts(spark, sf_dir).cache()
     f = F.col("features")
-    first = (
-        pts.select("id", f.alias("f"), hash01(F.col("id"), SEED).alias("h"))
-        .orderBy(F.asc("h"), F.asc("id"))
-        .limit(1)
-        .collect()[0]
-    )
+    try:
+        first = (
+            pts.select("id", f.alias("f"), hash01(F.col("id"), SEED).alias("h"))
+            .orderBy(F.asc("h"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+    except IndexError:
+        raise ValueError("k-means seeding requires a non-empty points frame") from None
     chosen = [(0, first["id"])]
     centers = [list(first["f"])]
     for r in range(1, K):

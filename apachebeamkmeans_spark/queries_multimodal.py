@@ -86,10 +86,13 @@ def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize + byte-histogram feature extraction over binary assets
-    (mapInPandas plumbing; rows-only — blob-byte iteration is not
-    SQL-expressible in the oracle; determinism and partition-invariance
-    are locked by tests/test_similarity_mm.py)."""
+    """Resize + byte-histogram feature extraction over binary assets —
+    a fully oracle-checked Pandas-UDF (mapInPandas) path: DuckDB
+    re-derives the byte histogram by hex-encoding the payload and
+    counting first-nibble matches, and replicates numpy's float32 cast,
+    so even the Arrow-batched Python stage hash-matches exactly.
+    `f6` = fraction of payload bytes in [96, 112) — the histogram bin
+    with real signal on text payloads (bin 0 is constant-zero)."""
     assets = _assets(spark, sf_dir)
     thumbs = MM.resize_stub(assets, 8, 8)
     feats = MM.byte_histogram_features(assets, bins=16)
@@ -99,12 +102,31 @@ def q_mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.octet_length("thumb").alias("thumb_bytes"),
         F.size("features").alias("feat_dim"),
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 7).cast("double"), 6).alias("f6"),
     )
 
 
+# hex(payload) has two chars per byte; a byte in [96,112) iff its first
+# hex nibble is '6'. CAST(... AS REAL) replicates numpy's float32.
+_F6 = (
+    "round(CAST(CAST("
+    "list_sum(list_transform(range(0, CAST(octet_length(encode(text)) AS INTEGER)),"
+    " i -> CASE WHEN substr(hex(encode(text)), 2*i + 1, 1) = '6' THEN 1 ELSE 0 END))"
+    " / octet_length(encode(text)) AS REAL) AS DOUBLE), 6)"
+)
+
+ORACLE_MM_RESIZE_FEATURES = f"""
+SELECT doc_id,
+       8 AS width, 8 AS height,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 64 END AS thumb_bytes,
+       16 AS feat_dim,
+       {_F6} AS f6
+FROM documents
+"""
+
+
 QUERIES = {
-    "mm_resize_features": (q_mm_resize_features, None),
+    "mm_resize_features": (q_mm_resize_features, ORACLE_MM_RESIZE_FEATURES),
     "mm_binary_meta": (q_mm_binary_meta, ORACLE_MM_BINARY_META),
     "mm_fake_decode": (q_mm_fake_decode, ORACLE_MM_FAKE_DECODE),
     "stream_events_hourly": (q_stream_events_hourly, ORACLE_STREAM_EVENTS_HOURLY),
