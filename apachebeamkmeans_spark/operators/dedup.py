@@ -60,6 +60,84 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ------------------------------------------------- skew-safe bucket self-join
+
+# Rows per (bucket × sub-cell) side before a bucket is grid-split. A cell
+# evaluates ≤ TARGET² candidate comparisons (~65k at 256) — small enough
+# that hundreds of cells spread evenly over any executor count.
+SALT_TARGET = 256
+
+
+def _hot_buckets(rows: DataFrame, key_cols: list[str], target: int) -> DataFrame:
+    """(key..., __s): split factor for buckets larger than `target`.
+    Map-side partial aggregation keeps this cheap; the *filtered* map is
+    skewed-keys-only — tiny by definition — so it broadcasts."""
+    return (
+        rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > target)
+        .select(*key_cols, F.ceil(F.col("__cnt") / target).cast("int").alias("__s"))
+    )
+
+
+def salted_self_pairs(rows: DataFrame, key_cols: list[str], id_col: str,
+                      target: int = SALT_TARGET) -> DataFrame:
+    """All (a, b) row pairs sharing a bucket key, with a.id < b.id —
+    the core of every LSH/blocking dedup join — made *skew-safe*.
+
+    A bucket holding m rows implies m²/2 genuinely-required candidate
+    comparisons; no optimizer can shrink that output. What CAN be fixed
+    is its parallelism: the naive self-join lands every hot bucket's m²
+    work on one task (and AQE's skew-split never triggers, because the
+    *input* bytes of a quadratic-output key are tiny — and a broadcast
+    self-join has no shuffle to split at all). Measured on the skew
+    fixture (2k-doc hot family): 35.7 s / 2 tasks for the MinHash join.
+
+    Grid salting: each row gets a stable sub-group g = hash(id) mod s,
+    where s = ceil(bucket_count / target) comes from a broadcast map of
+    over-threshold buckets only (s = 1, i.e. zero duplication, for the
+    other ~all buckets). Side A fans to cells (g, q ≥ g), side B to
+    cells (p ≤ g, g); every unordered pair lands in exactly one
+    (key, p, q) cell — cross-group pairs where A's group is the lower
+    one, same-group pairs deduped by id order. The join is hinted to
+    shuffle (merge) so cells spread across the cluster instead of
+    following the probe side's file splits.
+
+    Returns a-side row (id + payload) as `a.*`, b-side as `b.*`;
+    callers select/rename. Pair canonical order: (least, greatest) id.
+    """
+    hot = _hot_buckets(rows, key_cols, target)
+    tagged = rows.join(F.broadcast(hot), key_cols, "left").withColumn(
+        "__s", F.coalesce(F.col("__s"), F.lit(1))
+    )
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")
+    a = (
+        tagged.withColumn("__g", g)
+        .withColumn("__q", F.explode(F.sequence(F.col("__g"), F.col("__s") - 1)))
+        .withColumnRenamed("__g", "__p")
+        .drop("__s")
+        .alias("a")
+    )
+    b = (
+        tagged.withColumn("__g", g)
+        .withColumn("__p", F.explode(F.sequence(F.lit(0), F.col("__g"))))
+        .withColumnRenamed("__g", "__q")
+        .drop("__s")
+        .alias("b")
+    )
+    cond = (
+        (F.col("a.__p") == F.col("b.__p"))
+        & (F.col("a.__q") == F.col("b.__q"))
+        & (
+            (F.col("a.__p") < F.col("a.__q"))
+            | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        )
+    )
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return a.hint("merge").join(b, cond)
+
+
 # ----------------------------------------------------------- MinHash + LSH
 
 
@@ -98,16 +176,12 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = 8, shingle: int = 3) -> Da
     banded = sigs.select("doc_id", F.posexplode("mh").alias("band", "mh_val")).filter(
         F.col("mh_val").isNotNull()
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.mh_val") == F.col("b.mh_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        salted_self_pairs(banded, ["band", "mh_val"], "doc_id")
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -202,18 +276,12 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 4) -> Data
             )
         ).alias("block", "block_val"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        salted_self_pairs(blocked, ["block", "block_val"], "doc_id")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -323,6 +391,39 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     return labels
 
 
+def keeper_by_quality(clusters: DataFrame, quality: DataFrame,
+                      quality_col: str = "quality") -> DataFrame:
+    """Pick one canonical document per duplicate cluster by quality —
+    the step after connected components in a real dedup pipeline
+    (keep the best variant, drop the rest), rather than blindly
+    keeping the min doc_id.
+
+    `clusters` is (doc_id, cluster_id) from `duplicate_clusters`;
+    `quality` is (doc_id, <quality_col>). Keeper = max quality, ties
+    broken by min doc_id (deterministic). One shuffle join on doc_id +
+    one per-cluster aggregation — both keyed on bounded-size ids, so
+    the plan is indifferent to document size at 100 TB.
+    """
+    q = F.col(quality_col)
+    joined = clusters.join(quality, "doc_id")
+    # max_by with a composite deterministic order: (quality desc,
+    # doc_id asc) == max of struct(quality, -doc_id)
+    best = F.max(F.struct(q.alias("q"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            best.alias("__best"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("__best.neg_id")).alias("keeper_id"),
+            "n_docs",
+            F.col("__best.q").alias("keeper_quality"),
+        )
+    )
+
+
 # ------------------------------------------------- embedding cosine near-dup
 
 
@@ -356,16 +457,12 @@ def embedding_near_pairs(vecs: DataFrame, planes: list[list[float]],
     sig = hyperplane_signature(vecs, planes, features_col).select(
         F.col(id_col).alias("vid"), "bucket", F.col(features_col).alias("vf")
     )
-    a, b = sig.alias("a"), sig.alias("b")
     cos = D.cosine(F.col("a.vf"), F.col("b.vf"))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
-        )
+        salted_self_pairs(sig, ["bucket"], "vid")
         .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
+            F.least("a.vid", "b.vid").alias("vec_a"),
+            F.greatest("a.vid", "b.vid").alias("vec_b"),
             F.col("a.bucket").alias("bucket"),
             F.round(cos, 6).alias("cosine"),
         )

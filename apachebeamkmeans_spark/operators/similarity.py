@@ -54,6 +54,33 @@ def cosine_topk(vecs: DataFrame, queries: list[list[float]], k: int = 10,
     )
 
 
+def cosine_range_search(vecs: DataFrame, queries: list[list[float]],
+                        min_cosine: float, id_col: str = "id",
+                        features_col: str = "features") -> DataFrame:
+    """Range search (the dual of top-k): every vector with
+    cosine ≥ `min_cosine` of each literal query — retrieval-by-
+    threshold, e.g. "all documents semantically close to this probe".
+    Same single-scan shape as `cosine_topk` (one higher-order transform
+    per row computes all query cosines, posexplode fans out), with the
+    threshold applied before the shuffle-free projection — no window,
+    no sort: at 100 TB this is a pure narrow map over the embedding
+    scan."""
+    f = F.col(features_col)
+    qnorms = [sum(float(v) * float(v) for v in q) ** 0.5 for q in queries]
+    vnorm = F.sqrt(
+        F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    cos_arr = F.transform(
+        F.lit([list(map(float, q)) for q in queries]),
+        lambda q, i: D.dot(f, q) / (vnorm * F.element_at(F.lit(qnorms), i + 1)),
+    )
+    return (
+        vecs.select(F.col(id_col).alias("vec_id"), F.posexplode(cos_arr).alias("qid", "_c"))
+        .filter(F.round(F.col("_c"), 6) >= min_cosine)
+        .select("qid", "vec_id", F.round("_c", 6).alias("cosine"))
+    )
+
+
 def nearest_centers(q: list[float], centers: list[list[float]],
                     nprobe: int = 1) -> list[int]:
     """Plan-time coarse-quantizer probe: the `nprobe` nearest cells of a

@@ -101,6 +101,41 @@ def token_frequencies(docs: DataFrame, top_n: int = 20) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
+    """Per-document top-N TF-IDF terms — the standard relevance /
+    keyword-extraction primitive of a text pipeline.
+
+    Plan shape (scales to 100 TB): explode → (doc_id, term) hash-agg
+    with map-side partial (term frequency), a second hash-agg for
+    document frequency, one shuffle join on `term` to attach IDF, and
+    a per-doc window for the top-N. N_docs enters as a 1-row scalar
+    aggregate, never a data-sized collect.
+
+    The score is log-free on purpose: ``tf · (N / df)`` uses only IEEE
+    division/multiplication, which Spark and DuckDB evaluate
+    bit-identically, so the rank order (score desc, term asc) is
+    deterministic cross-engine; ``ln`` differs by ulps between JVM and
+    libm and would make near-tie ranks flap.
+    """
+    toks = T.tokens(F.col("text"))
+    n_docs = docs.count()  # scalar aggregate (1 long to the driver)
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__score"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .withColumn("__score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "term", "tf", F.round("__score", 6).alias("tfidf"), "rank")
+    )
+
+
 def fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: min md5 over character
     n-gram shingles — a 1-value sketch for near-dup blocking."""

@@ -185,8 +185,55 @@ SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id
 """
 
 
+# --------------------------------------------- keeper selection by quality
+
+
+def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after connected components in a production dedup
+    pipeline: per duplicate cluster, keep the best variant (here:
+    longest text, ties → min doc_id) instead of an arbitrary one."""
+    docs = _docs(spark, sf_dir)
+    pairs = DD.jaccard_verify(
+        docs, DD.lsh_candidate_pairs(docs, BANDS, SHINGLE), SHINGLE, threshold=0.5
+    ).select("doc_a", "doc_b")
+    clusters = DD.duplicate_clusters(pairs)
+    quality = docs.select("doc_id", docs.n_chars.alias("quality"))
+    return DD.keeper_by_quality(clusters, quality)
+
+
+ORACLE_DEDUP_KEEPER_QUALITY = f"""
+WITH RECURSIVE {_CAND},
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+jp AS (SELECT doc_a, doc_b FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS j
+  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+            JOIN sets b ON cand.doc_b = b.doc_id)
+  WHERE round(j, 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(doc_id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+cl AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),
+ranked AS (
+  SELECT cluster_id, cl.doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, cl.doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_docs
+  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+SELECT cluster_id, doc_id AS keeper_id, CAST(n_docs AS BIGINT) AS n_docs,
+       n_chars AS keeper_quality
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_keeper_quality": (q_dedup_keeper_quality, ORACLE_DEDUP_KEEPER_QUALITY),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
     "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),

@@ -263,8 +263,57 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
 """
 
 
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram per event type: fixed-width bucketing (integer
+    floor-div on the value, clamped top bucket) + hash agg — the
+    one-pass distribution profile of a metrics pipeline."""
+    ev = _events(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_EVENTS_VALUE_HISTOGRAM = """
+SELECT event_type, CAST(least(floor(value / 50.0), 9) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_user_distinct_types_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many DISTINCT event types this user produced in
+    the trailing hour — a distinct aggregate over a time-RANGE window.
+    Spark has no native windowed count-distinct; the idiomatic
+    formulation is size(collect_set() OVER w), which stays a per-user
+    partitioned sort (no extra shuffle vs the plain window)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us.asc()).rangeBetween(-3_600_000_000, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_1h"),
+    )
+
+
+ORACLE_USER_DISTINCT_TYPES_1H = """
+SELECT event_id, user_id,
+       CAST(count(DISTINCT event_type) OVER w AS INTEGER) AS n_types_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
+    "events_value_histogram": (q_events_value_histogram, ORACLE_EVENTS_VALUE_HISTOGRAM),
+    "user_distinct_types_1h": (q_user_distinct_types_1h, ORACLE_USER_DISTINCT_TYPES_1H),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_asof_purchase": (q_events_asof_purchase, ORACLE_EVENTS_ASOF_PURCHASE),
     "events_quantiles": (q_events_quantiles, ORACLE_EVENTS_QUANTILES),

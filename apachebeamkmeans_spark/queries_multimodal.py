@@ -85,6 +85,19 @@ def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_session_counts_to_table(spark, sf_dir, name="q_stream_sessions_out")
 
 
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: first (user_id, event_type, minute) key wins,
+    watermark-bounded state. Output = the distinct key set, so the
+    batch twin is a plain SELECT DISTINCT."""
+    return SE.run_dedup_stream_to_table(spark, sf_dir, name="q_stream_dedup_out")
+
+
+ORACLE_STREAM_DEDUP_EVENTS = """
+SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
+FROM events
+"""
+
+
 def q_mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + byte-histogram feature extraction over binary assets —
     a fully oracle-checked Pandas-UDF (mapInPandas) path: DuckDB
@@ -130,5 +143,6 @@ QUERIES = {
     "mm_binary_meta": (q_mm_binary_meta, ORACLE_MM_BINARY_META),
     "mm_fake_decode": (q_mm_fake_decode, ORACLE_MM_FAKE_DECODE),
     "stream_events_hourly": (q_stream_events_hourly, ORACLE_STREAM_EVENTS_HOURLY),
+    "stream_dedup_events": (q_stream_dedup_events, ORACLE_STREAM_DEDUP_EVENTS),
     "stream_session_counts": (q_stream_session_counts, None),
 }

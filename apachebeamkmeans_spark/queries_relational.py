@@ -486,6 +486,114 @@ FROM customer
 """
 
 
+# ------------------------------------- correlated scalar subquery (TPC-H q2)
+
+
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part: the cheapest supplier by unit price (TPC-H q2's
+    min-cost-supplier shape). The oracle states it as a correlated
+    scalar subquery; the scale-safe Spark plan is the decorrelated
+    equivalent Catalyst would also produce — a per-part window min,
+    filter to rows achieving it, then min suppkey for determinism.
+    Unit price is one IEEE division, bit-identical cross-engine, so the
+    float equality in the filter is exact. The reported price is scaled
+    to an integer with floor(x*1e4 + 0.5) rather than round(x, 4):
+    *, + and floor are IEEE-identical in Spark and DuckDB, while the
+    engines' decimal `round` disagrees on exact .00005 ties. Supplier
+    names attach via a broadcast join (dimension-sized)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    up = li.select(
+        "l_partkey", "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    cheapest = (
+        up.withColumn("__min_up", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("__min_up"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("suppkey"),
+            F.floor(F.min("unit_price") * 10000 + 0.5).cast("long").alias("unit_price_e4"),
+        )
+    )
+    return (
+        cheapest.join(F.broadcast(sup), cheapest.suppkey == sup.s_suppkey)
+        .select(F.col("l_partkey").alias("partkey"), "suppkey", "s_name", "unit_price_e4")
+    )
+
+
+ORACLE_Q2_CHEAPEST_SUPPLIER = """
+WITH up AS (SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+            FROM lineitem),
+ch AS (SELECT u.l_partkey AS partkey, min(u.l_suppkey) AS suppkey,
+              CAST(floor(min(u.unit_price) * 10000 + 0.5) AS BIGINT) AS unit_price_e4
+       FROM up u
+       WHERE u.unit_price = (SELECT min(u2.unit_price) FROM up u2
+                             WHERE u2.l_partkey = u.l_partkey)
+       GROUP BY u.l_partkey)
+SELECT partkey, suppkey, s_name, unit_price_e4
+FROM ch JOIN supplier ON suppkey = s_suppkey
+"""
+
+
+# --------------------------------------------- EXISTS semi-join (TPC-H q4)
+
+
+def q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with ≥1 returned lineitem, counted by priority — the
+    EXISTS/semi-join shape of TPC-H q4. left_semi never duplicates or
+    widens the probe side, so the orders scan stays narrow and the
+    aggregation is a 5-group hash agg."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_Q4_PRIORITY_RETURNS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# -------------------------------------------------- filter-agg (TPC-H q6)
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change: one filtered global aggregate (TPC-H
+    q6). Every predicate reaches the parquet scan as a pushed filter;
+    the whole query is scan → partial agg → 1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q6_REVENUE_DELTA = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "orders_by_month": (q_orders_by_month, ORACLE_ORDERS_BY_MONTH),
@@ -504,4 +612,7 @@ QUERIES = {
     ),
     "repeat_buyers_set_ops": (q_repeat_buyers_set_ops, ORACLE_REPEAT_BUYERS_SET_OPS),
     "order_status_pivot": (q_order_status_pivot, ORACLE_ORDER_STATUS_PIVOT),
+    "q2_cheapest_supplier": (q2_cheapest_supplier, ORACLE_Q2_CHEAPEST_SUPPLIER),
+    "q4_priority_returns": (q4_priority_returns, ORACLE_Q4_PRIORITY_RETURNS),
+    "q6_revenue_delta": (q6_revenue_delta, ORACLE_Q6_REVENUE_DELTA),
 }

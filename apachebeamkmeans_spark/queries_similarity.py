@@ -80,7 +80,33 @@ def _oracle_ivf() -> str:
 ORACLE_SIM_IVF = _oracle_ivf()
 
 
+MIN_COS_RANGE = 0.35
+
+
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval by threshold (the dual of top-k): every vector with
+    cosine ≥ 0.35 of each query, single scan, no window/sort — a pure
+    narrow map over the embedding scan."""
+    return SIM.cosine_range_search(io.load_points(spark, sf_dir), QUERY_VECS, MIN_COS_RANGE)
+
+
+def _oracle_range() -> str:
+    parts = []
+    for qid, q in enumerate(QUERY_VECS):
+        cos = OG.sql_cosine_lit("e", q, DIM)
+        parts.append(
+            f"SELECT {qid} AS qid, vec_id, round(c, 6) AS cosine"
+            f" FROM (SELECT vec_id, {cos} AS c FROM {_E2} t)"
+            f" WHERE round(c, 6) >= {MIN_COS_RANGE}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+ORACLE_SIM_RANGE = _oracle_range()
+
+
 QUERIES = {
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, ORACLE_SIM_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, ORACLE_SIM_IVF),
+    "sim_range_search": (q_sim_range_search, ORACLE_SIM_RANGE),
 }

@@ -120,8 +120,28 @@ FROM t
 ORACLE_TOKEN_COUNTS = _oracle_token_counts()
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.tfidf_top_terms(_docs(spark, sf_dir), top_n=3)
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT doc_id, term, tf, tf * (n.n / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+      FROM s)
+SELECT doc_id, term, tf, round(score, 6) AS tfidf, rank FROM r WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, ORACLE_TEXT_LANG_ID),

@@ -59,6 +59,34 @@ def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: first occurrence of each
+    (user_id, event_type, minute-bucket) key wins; the watermark bounds
+    how long per-key state lives in the state store (keys older than
+    the watermark are evicted — without it, streaming dedup state grows
+    forever). Only key columns are projected, so the output is the
+    deterministic distinct key set regardless of which physical row
+    arrived first."""
+    keyed = events.select(
+        "ts",
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", "ts").alias("minute"),
+    ).withWatermark("ts", watermark)
+    return keyed.dropDuplicates(["user_id", "event_type", "minute"]).drop("ts")
+
+
+def run_dedup_stream_to_table(spark: SparkSession, sf_dir: str,
+                              name: str = "stream_dedup_out") -> DataFrame:
+    out = dedup_stream(read_events_stream(spark, sf_dir))
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
                           checkpoint_dir: str) -> None:
     """Stream → parquet with foreachBatch: each micro-batch lands as an
