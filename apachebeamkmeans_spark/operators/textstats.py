@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark.fixtures import STOPWORDS
+from apachebeamkmeans_spark.functions import hashing as H
 from apachebeamkmeans_spark.functions import text as T
 
 
@@ -133,6 +134,79 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "term", "tf", F.round("__score", 6).alias("tfidf"), "rank")
+    )
+
+
+def ngram_contamination(docs: DataFrame, bench: DataFrame, shingle: int = 3) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct token n-grams it shares with a benchmark/eval set — the
+    standard pre-training hygiene check (drop or flag any training doc
+    that can leak an eval answer).
+
+    Scale shape: the benchmark set is small by definition (thousands of
+    eval questions vs billions of docs), so its distinct-shingle table
+    broadcasts; the corpus side is explode → broadcast-hash semi-join →
+    per-doc count — one narrow pass over the documents scan plus a
+    map-side-combined aggregation, no shuffle of document text.
+    Only contaminated docs are emitted (overlap ≥ 1)."""
+    sh = lambda d: F.explode(
+        F.array_distinct(T.token_shingles(T.tokens(F.col("text")), shingle))
+    ).alias("sh")
+    doc_sh = docs.select("doc_id", sh(docs))
+    bench_sh = bench.select(sh(bench)).distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def pack_sequences(docs: DataFrame, ctx_len: int = 256, n_shards: int = 8) -> DataFrame:
+    """Concat-and-chunk sequence packing plan: assign every document a
+    (shard, bin) so each bin holds ~`ctx_len` tokens — the token-budget
+    sharding step that turns a filtered corpus into fixed-size training
+    sequences. A document starting in bin b may straddle into b+1
+    (document-boundary-agnostic packing, the usual pre-training
+    layout); bin_id marks where its first token lands.
+
+    Shards are deterministic (seeded md5 hash01 of doc_id), packing
+    order within a shard is doc_id — so the layout is reproducible
+    run-to-run and engine-to-engine. Scale shape: one narrow map for
+    (shard, n_tokens), one window cumsum per shard (sort within the
+    shard partition only — no global sort; shard count scales with the
+    cluster). Arithmetic is integer throughout, so bin edges can't
+    drift at any corpus size."""
+    toks = F.size(T.tokens(F.col("text")))
+    shard = F.floor(H.hash01(F.col("doc_id"), "pack") * n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), toks.alias("n_tokens"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.expr(f"CAST((__cum - n_tokens) DIV {ctx_len} AS INT)").alias("bin_id"),
+        )
+    )
+
+
+def sample_mixture(docs: DataFrame, rates: dict[str, float],
+                   default_rate: float = 0.0, seed: str = "mix") -> DataFrame:
+    """Data-mixture downsampling: keep each document with a per-class
+    probability (here: per predicted language), via the seeded hash01
+    coin the whole repo uses — deterministic, reproducible, and exactly
+    reproducible in the DuckDB oracle. One narrow map + filter over the
+    documents scan: no shuffle, no RNG state, works identically on 1
+    machine or 1000 executors."""
+    lid = lang_id(docs).select("doc_id", "lang_pred")
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col("lang_pred") == k, F.lit(v)).otherwise(rate)
+    return (
+        docs.join(lid, "doc_id")
+        .filter(H.hash01(F.col("doc_id"), seed) <= rate)
+        .select("doc_id", "lang_pred")
     )
 
 

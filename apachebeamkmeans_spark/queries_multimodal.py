@@ -98,6 +98,21 @@ FROM events
 """
 
 
+def q_stream_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: event stream enriched with the customer
+    dimension (broadcast per micro-batch), aggregated to nation level.
+    Complete output mode ⇒ batch join+agg twin."""
+    return SE.run_enriched_stream_to_table(spark, sf_dir, name="q_stream_enriched_out")
+
+
+ORACLE_STREAM_ENRICHED_NATION = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 def q_mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + byte-histogram feature extraction over binary assets —
     a fully oracle-checked Pandas-UDF (mapInPandas) path: DuckDB
@@ -144,5 +159,6 @@ QUERIES = {
     "mm_fake_decode": (q_mm_fake_decode, ORACLE_MM_FAKE_DECODE),
     "stream_events_hourly": (q_stream_events_hourly, ORACLE_STREAM_EVENTS_HOURLY),
     "stream_dedup_events": (q_stream_dedup_events, ORACLE_STREAM_DEDUP_EVENTS),
+    "stream_enriched_nation": (q_stream_enriched_nation, ORACLE_STREAM_ENRICHED_NATION),
     "stream_session_counts": (q_stream_session_counts, None),
 }

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from apachebeamkmeans_spark import oraclegen as OG
 from apachebeamkmeans_spark.fixtures import STOPWORDS
 from apachebeamkmeans_spark.operators import textstats as TX
 from apachebeamkmeans_spark.sources import io
@@ -139,9 +140,91 @@ SELECT doc_id, term, tf, round(score, 6) AS tfidf, rank FROM r WHERE rank <= 3
 """
 
 
+# ------------------------------------------- benchmark decontamination
+
+N_BENCH_DOCS = 5  # doc_id < 5 plays the eval/benchmark set
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training doc: distinct token 3-grams shared with the
+    benchmark set (docs 0-4 stand in for an eval suite)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    return TX.ngram_contamination(
+        docs.filter(F.col("doc_id") >= N_BENCH_DOCS),
+        docs.filter(F.col("doc_id") < N_BENCH_DOCS),
+    )
+
+
+_SH3 = OG.sql_token_shingles("toks", 3)
+
+ORACLE_TEXT_CONTAMINATION = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct({_SH3})) AS sh FROM t),
+b AS (SELECT DISTINCT sh FROM sh WHERE doc_id < {N_BENCH_DOCS}),
+c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= {N_BENCH_DOCS})
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM c JOIN b USING (sh)
+GROUP BY c.doc_id
+"""
+
+
+# ------------------------------------------------- sequence packing plan
+
+CTX_LEN = 256
+N_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.pack_sequences(_docs(spark, sf_dir), CTX_LEN, N_SHARDS)
+
+
+_PACK_H = OG.sql_hash01("doc_id", "pack")
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH base AS (SELECT doc_id,
+                     CAST(floor({_PACK_H} * {N_SHARDS}) AS INTEGER) AS shard,
+                     CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+              FROM documents),
+c AS (SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      FROM base)
+SELECT doc_id, shard, n_tokens,
+       CAST((cum - n_tokens) // {CTX_LEN} AS INTEGER) AS bin_id
+FROM c
+"""
+
+
+# ------------------------------------------------- data-mixture sampling
+
+MIX_RATES = {"en": 0.9, "und": 0.3}
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.sample_mixture(_docs(spark, sf_dir), MIX_RATES)
+
+
+_MIX_H = OG.sql_hash01("doc_id", "mix")
+
+ORACLE_SAMPLE_MIXTURE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+l AS (SELECT doc_id,
+             CASE WHEN {_DENSITY} >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred
+      FROM t)
+SELECT doc_id, lang_pred
+FROM l
+WHERE {_MIX_H} <= CASE lang_pred WHEN 'en' THEN {MIX_RATES['en']!r}
+                                 ELSE {MIX_RATES['und']!r} END
+"""
+
+
 QUERIES = {
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
+    "text_contamination": (q_text_contamination, ORACLE_TEXT_CONTAMINATION),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "sample_mixture": (q_sample_mixture, ORACLE_SAMPLE_MIXTURE),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, ORACLE_TEXT_LANG_ID),

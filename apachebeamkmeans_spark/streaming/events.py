@@ -87,6 +87,40 @@ def run_dedup_stream_to_table(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def enriched_nation_agg_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join + aggregation: enrich the event stream with a
+    static dimension (customer → nation) via a broadcast hash join —
+    the standard streaming-enrichment shape (per micro-batch the dim is
+    rebroadcast; no state, no shuffle of the stream beyond the final
+    agg). Complete output mode ⇒ results equal the batch join+agg
+    twin."""
+    joined = events.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        events.user_id == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def run_enriched_stream_to_table(spark: SparkSession, sf_dir: str,
+                                 name: str = "stream_enriched_out") -> DataFrame:
+    from apachebeamkmeans_spark.sources import io as _io
+
+    cust = _io.read_table(spark, sf_dir, "customer")
+    out = enriched_nation_agg_stream(read_events_stream(spark, sf_dir), cust)
+    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
                           checkpoint_dir: str) -> None:
     """Stream → parquet with foreachBatch: each micro-batch lands as an

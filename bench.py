@@ -56,6 +56,19 @@ HEADLINE = [
     "sql_udf_norms",
     "events_type_map",
     "orders_grouping_sets",
+    # round 2 additions
+    "q2_cheapest_supplier",
+    "q4_priority_returns",
+    "q6_revenue_delta",
+    "tfidf_top_terms",
+    "text_contamination",
+    "pack_sequences",
+    "sample_mixture",
+    "dedup_keeper_quality",
+    "sim_range_search",
+    "user_distinct_types_1h",
+    "stream_dedup_events",
+    "stream_enriched_nation",
 ]
 
 

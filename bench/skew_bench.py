@@ -47,11 +47,13 @@ TARGETS = [
 
 
 def run_one(spark, fn, sf_dir: str) -> dict:
+    # timer wraps fn() as well: iterative queries (dedup_clusters) run
+    # eager per-round actions during construction, not at collect time
+    t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     summary = df.groupBy(F.spark_partition_id().alias("pid")).agg(
         F.count(F.lit(1)).alias("rows")
     )
-    t0 = time.perf_counter()
     parts = summary.collect()
     sec = round(time.perf_counter() - t0, 3)
     plan = summary._jdf.queryExecution().executedPlan().toString()

@@ -119,7 +119,9 @@ def gen_events(out: str, n: int, hot_user: int, hot_hour: int, n_users: int,
     tbl = pa.table(
         {
             "event_id": pa.array(np.arange(n, dtype=np.int64)),
-            "ts": pa.array(ts, type=pa.timestamp("us")),
+            # ns like the driver testdata, so sources/io.read_table takes
+            # the same nanosAsLong read path the engine uses everywhere
+            "ts": pa.array(ts * 1000, type=pa.timestamp("ns")),
             "user_id": pa.array(users),
             "event_type": pa.array(etype),
             "value": pa.array(np.round(rng.uniform(0, 100, size=n), 2)),
