@@ -39,13 +39,15 @@ def cosine_topk(vecs: DataFrame, queries: list[list[float]], k: int = 10,
     vnorm = F.sqrt(
         F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
     )
+    # row norm materialized once (HOF lambdas get no CSE — inlining
+    # `vnorm` here would recompute it n_queries times per row)
     cos_arr = F.transform(
         F.lit([list(map(float, q)) for q in queries]),
-        lambda q, i: D.dot(f, q) / (vnorm * F.element_at(F.lit(qnorms), i + 1)),
+        lambda q, i: D.dot(f, q) / (F.col("__vnorm") * F.element_at(F.lit(qnorms), i + 1)),
     )
     exploded = vecs.select(
-        F.col(id_col).alias("vec_id"), F.posexplode(cos_arr).alias("qid", "_c")
-    )
+        F.col(id_col).alias("vec_id"), f, vnorm.alias("__vnorm")
+    ).select("vec_id", F.posexplode(cos_arr).alias("qid", "_c"))
     w = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
     return (
         exploded.withColumn("rank", F.row_number().over(w))
@@ -70,12 +72,16 @@ def cosine_range_search(vecs: DataFrame, queries: list[list[float]],
     vnorm = F.sqrt(
         F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
     )
+    # materialize the row norm once per row: subexpressions inside HOF
+    # lambdas are NOT common-subexpression-eliminated, so referencing
+    # `vnorm` in the per-query lambda would recompute it n_queries times
     cos_arr = F.transform(
         F.lit([list(map(float, q)) for q in queries]),
-        lambda q, i: D.dot(f, q) / (vnorm * F.element_at(F.lit(qnorms), i + 1)),
+        lambda q, i: D.dot(f, q) / (F.col("__vnorm") * F.element_at(F.lit(qnorms), i + 1)),
     )
     return (
-        vecs.select(F.col(id_col).alias("vec_id"), F.posexplode(cos_arr).alias("qid", "_c"))
+        vecs.select(F.col(id_col).alias("vec_id"), f, vnorm.alias("__vnorm"))
+        .select("vec_id", F.posexplode(cos_arr).alias("qid", "_c"))
         .filter(F.round(F.col("_c"), 6) >= min_cosine)
         .select("qid", "vec_id", F.round("_c", 6).alias("cosine"))
     )
@@ -135,15 +141,17 @@ def ivf_probe_topk(index: DataFrame, queries: list[list[float]],
     vnorm = F.sqrt(
         F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
     )
+    # row norm materialized once (no CSE inside HOF lambdas)
     cos_arr = F.transform(
         F.lit([list(map(float, q)) for q in queries]),
-        lambda q, i: D.dot(f, q) / (vnorm * F.element_at(F.lit(qnorms), i + 1)),
+        lambda q, i: D.dot(f, q) / (F.col("__vnorm") * F.element_at(F.lit(qnorms), i + 1)),
     )
     exploded = pruned.select(
         F.col("vec_id"),
         F.col("coarse_id").cast("int").alias("probe_cell"),
-        F.posexplode(cos_arr).alias("qid", "_c"),
-    )
+        f,
+        vnorm.alias("__vnorm"),
+    ).select("vec_id", "probe_cell", F.posexplode(cos_arr).alias("qid", "_c"))
     hits = exploded.filter(
         F.array_contains(
             F.element_at(F.lit(probe_cells), F.col("qid") + 1), F.col("probe_cell")

@@ -231,8 +231,58 @@ FROM ranked WHERE rk = 1
 """
 
 
+# ------------------------------------------------- final corpus purge
+
+
+def q_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup pipeline: the corpus with near-
+    duplicate non-keepers REMOVED (keeper = min doc_id per connected
+    component). A left_anti join against the loser set — the corpus
+    scan is never widened, and the loser frame is duplicate-count
+    sized (small), so at 100 TB this is a broadcast anti-join over one
+    narrow pass."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    pairs = DD.jaccard_verify(
+        docs, DD.lsh_candidate_pairs(docs, BANDS, SHINGLE), SHINGLE, threshold=0.5
+    ).select("doc_a", "doc_b")
+    losers = (
+        DD.duplicate_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "n_chars"
+    )
+
+
+ORACLE_DEDUP_PURGE = f"""
+WITH RECURSIVE {_CAND},
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+jp AS (SELECT doc_a, doc_b FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS j
+  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+            JOIN sets b ON cand.doc_b = b.doc_id)
+  WHERE round(j, 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(doc_id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+cl AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_purge": (q_dedup_purge, ORACLE_DEDUP_PURGE),
     "dedup_keeper_quality": (q_dedup_keeper_quality, ORACLE_DEDUP_KEEPER_QUALITY),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),

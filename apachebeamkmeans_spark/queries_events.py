@@ -310,8 +310,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
 """
 
 
+DECAY = 0.8
+N_TRAIL = 10
+# identical decimal literals feed both engines: pow() differs by ulps
+# between JVM and libm, precomputed Python floats round-trip exactly
+_WEIGHTS = [DECAY**k for k in range(N_TRAIL)]  # index = age (0 = current)
+
+
+def q_user_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: exponentially-decayed average of the user's trailing
+    10 values (recency-weighted feature — the streaming-feature-store
+    staple). collect_list over a bounded ROWS frame keeps the window
+    per-user partitioned (no global sort) and O(10) per row; the
+    weighted fold is one higher-order aggregate, JVM-side."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    wlit = F.lit(_WEIGHTS)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(N_TRAIL - 1), 0)
+    )
+    df = ev.select(
+        "event_id", "user_id", F.collect_list("value").over(w).alias("__vals")
+    )
+    n = F.size("__vals")
+    # element i (0-based) has age n-1-i → weight _WEIGHTS[n-1-i] = wlit[n-i] (1-based)
+    num = F.aggregate(
+        F.transform("__vals", lambda v, i: v * F.element_at(wlit, n - i)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    den = F.aggregate(
+        F.transform("__vals", lambda v, i: F.element_at(wlit, n - i)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return df.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("decayed_avg")
+    )
+
+
+_W_SQL = "[" + ", ".join(repr(w) for w in _WEIGHTS) + "]"
+
+ORACLE_USER_DECAYED_AVG = f"""
+WITH b AS (
+  SELECT event_id, user_id,
+         list(value) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts) ASC, event_id ASC
+                           ROWS BETWEEN {N_TRAIL - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events)
+SELECT event_id, user_id,
+       round(
+         list_reduce(list_transform(range(1, len(vals) + 1),
+                                    i -> vals[i] * ({_W_SQL})[len(vals) - i + 1]),
+                     (a, v) -> a + v)
+         / list_reduce(list_transform(range(1, len(vals) + 1),
+                                      i -> ({_W_SQL})[len(vals) - i + 1]),
+                       (a, v) -> a + v),
+         6) AS decayed_avg
+FROM b
+"""
+
+
 QUERIES = {
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
+    "user_decayed_avg": (q_user_decayed_avg, ORACLE_USER_DECAYED_AVG),
     "events_value_histogram": (q_events_value_histogram, ORACLE_EVENTS_VALUE_HISTOGRAM),
     "user_distinct_types_1h": (q_user_distinct_types_1h, ORACLE_USER_DISTINCT_TYPES_1H),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),

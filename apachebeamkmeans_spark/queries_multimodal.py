@@ -113,6 +113,25 @@ GROUP BY c_nationkey
 """
 
 
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarked, time-bounded state:
+    every (click, purchase) pair of the same user within one hour —
+    the attribution join. Batch twin = the equivalent range join."""
+    return SE.run_click_purchase_join_to_table(
+        spark, sf_dir, name="q_stream_attrib_out"
+    )
+
+
+ORACLE_STREAM_CLICK_ATTRIBUTION = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+"""
+
+
 def q_mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + byte-histogram feature extraction over binary assets —
     a fully oracle-checked Pandas-UDF (mapInPandas) path: DuckDB
@@ -160,5 +179,6 @@ QUERIES = {
     "stream_events_hourly": (q_stream_events_hourly, ORACLE_STREAM_EVENTS_HOURLY),
     "stream_dedup_events": (q_stream_dedup_events, ORACLE_STREAM_DEDUP_EVENTS),
     "stream_enriched_nation": (q_stream_enriched_nation, ORACLE_STREAM_ENRICHED_NATION),
+    "stream_click_attribution": (q_stream_click_attribution, ORACLE_STREAM_CLICK_ATTRIBUTION),
     "stream_session_counts": (q_stream_session_counts, None),
 }

@@ -24,6 +24,8 @@ tie-break so both engines cut identical rows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -594,8 +596,57 @@ WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
 """
 
 
+# ------------------------------------ bucketed co-located fact-fact join
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⨝ lineitem with BOTH sides bucketed+sorted by orderkey:
+    the join needs no Exchange and no Sort on either side (locked by
+    tests/test_plans.py) — at 100 TB this is how recurring fact-fact
+    joins amortize their shuffle into a one-time layout. The merge
+    hint keeps Catalyst from broadcasting the (test-sized) orders
+    side, which would hide the co-location."""
+    import shutil
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    lt, ot = f"b_lineitem_{sfx}", f"b_orders_{sfx}"
+
+    def _ensure(table: str, src: str, cols: list[str], key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # a fresh session's in-memory catalog forgets the table while its
+        # warehouse directory persists — clear the stale location first
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+        io.write_bucketed(_t(spark, sf_dir, src).select(*cols), table, key)
+
+    _ensure(lt, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey")
+    _ensure(ot, "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey")
+    li, orders = spark.table(lt), spark.table(ot)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.hint("merge")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_BUCKETED_JOIN_REVENUE = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "bucketed_join_revenue": (q_bucketed_join_revenue, ORACLE_BUCKETED_JOIN_REVENUE),
     "orders_by_month": (q_orders_by_month, ORACLE_ORDERS_BY_MONTH),
     "lineitem_unpivot": (q_lineitem_unpivot, ORACLE_LINEITEM_UNPIVOT),
     "orders_above_avg": (q_orders_above_avg, ORACLE_ORDERS_ABOVE_AVG),

@@ -121,6 +121,61 @@ def run_enriched_stream_to_table(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def click_purchase_join_stream(events: DataFrame,
+                               horizon_min: int = 60) -> DataFrame:
+    """Stream-stream inner join: every (click, purchase) pair for the
+    same user where the purchase lands within `horizon_min` minutes
+    AFTER the click — the attribution join, streaming edition.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time to [click, click + horizon], so the state store can evict
+    clicks older than watermark + horizon and purchases older than
+    watermark — bounded state, the only formulation that survives an
+    unbounded stream. Inner-join matches are emitted as both sides
+    arrive; the final table equals the batch range-join twin."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+def run_click_purchase_join_to_table(spark: SparkSession, sf_dir: str,
+                                     name: str = "stream_joined_out") -> DataFrame:
+    out = click_purchase_join_stream(read_events_stream(spark, sf_dir))
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
                           checkpoint_dir: str) -> None:
     """Stream → parquet with foreachBatch: each micro-batch lands as an

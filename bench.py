@@ -69,6 +69,8 @@ HEADLINE = [
     "user_distinct_types_1h",
     "stream_dedup_events",
     "stream_enriched_nation",
+    "user_decayed_avg",
+    "bucketed_join_revenue",
 ]
 
 

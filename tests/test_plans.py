@@ -133,3 +133,50 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
         F.col("event_type") == "purchase"
     ).count()
     assert back.count() == n_all
+
+
+def test_q4_semi_join_never_widens_probe(spark, sf_dir):
+    """EXISTS shape: left_semi keeps the orders side narrow (no
+    lineitem columns survive the join) and broadcasts the filtered
+    returned-keys side at dimension size."""
+    from apachebeamkmeans_spark.queries_relational import q4_priority_returns
+
+    q = q4_priority_returns(spark, sf_dir)
+    plan = X.formatted_plan(q)
+    assert "LeftSemi" in plan
+    schemas = X.scan_read_schema(q)
+    # both scans pruned to join/agg keys: nothing reads o_totalprice or
+    # lineitem's numeric payload
+    assert schemas and all("o_totalprice" not in s and "l_quantity" not in s for s in schemas)
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    from apachebeamkmeans_spark.queries_relational import q6_revenue_delta
+
+    q = q6_revenue_delta(spark, sf_dir)
+    assert X.has_pushed_filter(q, "l_shipdate")
+    assert X.has_pushed_filter(q, "l_discount")
+    assert X.has_partial_aggregate(q)
+
+
+def test_bucketed_join_query_no_exchange_below_agg(spark, sf_dir):
+    """The registered bucketed_join_revenue query: the only Exchange
+    is the final 5-group aggregation; the join itself is co-located
+    (bucketed scans, no Sort, no shuffle)."""
+    from apachebeamkmeans_spark.queries_relational import q_bucketed_join_revenue
+
+    q = q_bucketed_join_revenue(spark, sf_dir)
+    # one Exchange for the groupBy; the join contributes zero
+    assert X.n_exchanges(q) == 1
+    assert "SortMergeJoin" in X.formatted_plan(q)
+
+
+def test_range_search_is_narrow_map(spark, sf_dir):
+    """cosine_range_search: no window, no sort, no shuffle — a pure
+    projection+filter over the embedding scan."""
+    from apachebeamkmeans_spark.operators import similarity as SIM
+    from apachebeamkmeans_spark.queries_similarity import QUERY_VECS
+
+    vecs = io.load_points(spark, sf_dir)
+    q = SIM.cosine_range_search(vecs, QUERY_VECS, 0.35)
+    assert X.n_exchanges(q) == 0
