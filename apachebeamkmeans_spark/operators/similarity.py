@@ -87,6 +87,44 @@ def cosine_range_search(vecs: DataFrame, queries: list[list[float]],
     )
 
 
+def quantize_int8(vecs: DataFrame, scale: int = 127,
+                  id_col: str = "id", features_col: str = "features") -> DataFrame:
+    """Int8 vector quantization (the storage-compression step before
+    ANN serving: 4× smaller than float32, 8× smaller than float64)
+    as a **scalar Arrow pandas_udf** — the vectorized-Python surface
+    (SURVEY.md §2.7 UDF family; sibling of the SQL UDF / UDAF / UDTF /
+    mapInPandas paths). Each batch is one numpy broadcast:
+    floor(clip(x, -1, 1) · scale) — elementwise IEEE mult + floor, so
+    the codes are integer-exact and the DuckDB oracle reproduces them
+    bit-for-bit (no summation-order concerns). Zero shuffle: a narrow
+    Arrow-batched map over the embedding scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: with `from __future__ import annotations` they are
+    # strings pandas_udf can't resolve against function-local imports;
+    # returnType + functionType carry the contract instead
+    def _codes_fn(col):
+        import numpy as np
+
+        return col.map(
+            lambda v: np.floor(
+                np.clip(np.asarray(v, dtype=np.float64), -1.0, 1.0) * scale
+            ).astype(np.int32)
+        )
+
+    _codes = pandas_udf(_codes_fn, returnType="array<int>")
+
+    codes = _codes(F.col(features_col))
+    return vecs.select(
+        F.col(id_col).alias("vec_id"),
+        codes.alias("codes"),
+    ).select(
+        "vec_id",
+        "codes",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, v: a + v).alias("code_sum"),
+    )
+
+
 def nearest_centers(q: list[float], centers: list[list[float]],
                     nprobe: int = 1) -> list[int]:
     """Plan-time coarse-quantizer probe: the `nprobe` nearest cells of a

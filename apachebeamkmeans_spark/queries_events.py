@@ -374,8 +374,56 @@ FROM b
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view → click → purchase by first-occurrence
+    order: per-user conditional-min timestamps (one hash agg with
+    map-side partial), then a single global roll-up counting each
+    stage — two aggregations total, no joins, no windows; the per-user
+    frame is k-conditionals wide regardless of event volume."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("v"),
+        first_ts("click").alias("c"),
+        first_ts("purchase").alias("p"),
+    )
+    reached_v = per_user.v.isNotNull()
+    reached_vc = reached_v & per_user.c.isNotNull() & (per_user.c > per_user.v)
+    reached_vcp = reached_vc & per_user.p.isNotNull() & (per_user.p > per_user.c)
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        one(reached_v).alias("n_view"),
+        one(reached_vc).alias("n_view_click"),
+        one(reached_vcp).alias("n_view_click_purchase"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                      AND p IS NOT NULL AND p > c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+FROM u
+"""
+
+
 QUERIES = {
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
+    "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
     "user_decayed_avg": (q_user_decayed_avg, ORACLE_USER_DECAYED_AVG),
     "events_value_histogram": (q_events_value_histogram, ORACLE_EVENTS_VALUE_HISTOGRAM),
     "user_distinct_types_1h": (q_user_distinct_types_1h, ORACLE_USER_DISTINCT_TYPES_1H),

@@ -506,8 +506,54 @@ GROUP BY center_id
 """
 
 
+# -------------------------------------------- clustering quality: silhouette
+
+
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette for the fixed literal centers:
+    a = distance to own center, b = distance to the nearest OTHER
+    center, s = (b-a)/max(a,b) — the center-based silhouette used at
+    scale (O(n·k), one narrow map + one k-group agg; the classic
+    O(n²) pairwise silhouette is unusable at 100 TB). Sorting the
+    k distances gives a and b as the two smallest — identical floats
+    both engines, so the oracle is exact."""
+    pts = _pts(spark, sf_dir)
+    f = F.col("features")
+    dists = [D.l2_sq_unrolled(f, c) for c in CENTERS]
+    darr = F.array_sort(F.array(*dists))
+    a = F.sqrt(F.element_at(darr, 1))
+    b = F.sqrt(F.element_at(darr, 2))
+    cid = (F.array_position(F.array(*dists), F.array_min(F.array(*dists))) - 1).cast("int")
+    s = (b - a) / F.greatest(a, b)
+    return (
+        pts.select(cid.alias("center_id"), s.alias("__s"))
+        .groupBy("center_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("__s"), 6).alias("silhouette"),
+        )
+    )
+
+
+_DLIST = "[" + ", ".join(f"d{i}" for i in range(K)) + "]"
+
+ORACLE_KMEANS_SILHOUETTE = f"""
+WITH d AS ({_oracle_dists()}),
+s AS (SELECT vec_id,
+             {OG.sql_argmin_case([f'd{i}' for i in range(K)], 'center_id')},
+             sqrt(list_sort({_DLIST})[1]) AS a,
+             sqrt(list_sort({_DLIST})[2]) AS b
+      FROM d)
+SELECT center_id, CAST(count(*) AS BIGINT) AS n_points,
+       round(avg((b - a) / greatest(a, b)), 6) AS silhouette
+FROM s
+GROUP BY center_id
+"""
+
+
 QUERIES = {
     "kmeans_norms": (q_kmeans_norms, ORACLE_NORMS),
+    "kmeans_silhouette": (q_kmeans_silhouette, ORACLE_KMEANS_SILHOUETTE),
     "kmeans_lineitem_assign": (q_kmeans_lineitem_assign, ORACLE_LINEITEM_ASSIGN),
     "kmeans_assign": (q_kmeans_assign, ORACLE_ASSIGN),
     "kmeans_recenter": (q_kmeans_recenter, ORACLE_RECENTER),

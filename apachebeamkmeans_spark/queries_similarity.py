@@ -105,8 +105,26 @@ def _oracle_range() -> str:
 ORACLE_SIM_RANGE = _oracle_range()
 
 
+def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization codes via a scalar Arrow pandas_udf —
+    integer-exact, so fully oracle-checked despite the Python hop."""
+    return SIM.quantize_int8(io.load_points(spark, sf_dir))
+
+
+ORACLE_SIM_QUANTIZE = f"""
+SELECT vec_id,
+       list_transform(e, x -> CAST(floor(least(greatest(x, -1.0), 1.0) * 127)
+                                   AS INTEGER)) AS codes,
+       CAST(list_reduce(list_transform(e, x -> CAST(floor(least(greatest(x, -1.0), 1.0) * 127)
+                                                    AS INTEGER)),
+                        (a, v) -> a + v) AS BIGINT) AS code_sum
+FROM {_E2} t
+"""
+
+
 QUERIES = {
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, ORACLE_SIM_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, ORACLE_SIM_IVF),
     "sim_range_search": (q_sim_range_search, ORACLE_SIM_RANGE),
+    "sim_quantize_int8": (q_sim_quantize_int8, ORACLE_SIM_QUANTIZE),
 }

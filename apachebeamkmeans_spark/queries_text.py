@@ -219,8 +219,51 @@ WHERE {_MIX_H} <= CASE lang_pred WHEN 'en' THEN {MIX_RATES['en']!r}
 """
 
 
+# ------------------------------------------------ JSONL source round-trip
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSON-lines sink → explicit-schema JSONL source →
+    per-(lang, source) roll-up: proves the interchange path end to end
+    with integer-exact aggregates (string/long columns only, so the
+    round-trip is lossless by construction)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    sfx = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _os.path.join(repo, ".scratch", f"docs_jsonl_{sfx}")
+    io.write_jsonl(_docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"), path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = io.read_jsonl(spark, path, schema)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+ORACLE_JSONL_ROUNDTRIP = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "text_contamination": (q_text_contamination, ORACLE_TEXT_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),

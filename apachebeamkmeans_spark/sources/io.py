@@ -129,6 +129,19 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, splittable for re-read) —
+    the interchange format crawl/annotation pipelines feed from."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema: schema inference
+    would scan the data twice and silently widen types at 100 TB —
+    production readers always pin the schema."""
+    return spark.read.schema(schema).json(path)
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 32,
                    mode: str = "overwrite") -> None:
     """Persist hash-bucketed by `key`: joins/aggregations on the key

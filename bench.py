@@ -71,6 +71,10 @@ HEADLINE = [
     "stream_enriched_nation",
     "user_decayed_avg",
     "bucketed_join_revenue",
+    "kmeans_silhouette",
+    "events_funnel",
+    "sim_quantize_int8",
+    "jsonl_roundtrip",
 ]
 
 
@@ -95,6 +99,12 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
+        # release accumulated localCheckpoint/broadcast blocks: the
+        # ContextCleaner frees them only after driver GC, and 40 queries
+        # in one JVM otherwise build enough memory pressure to inflate
+        # late queries ~4x (measured: dedup_clusters 8.7 s standalone vs
+        # 36 s mid-suite before this)
+        spark._jvm.System.gc()
 
     print(
         json.dumps(
