@@ -520,13 +520,17 @@ def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _pts(spark, sf_dir)
     f = F.col("features")
     dists = [D.l2_sq_unrolled(f, c) for c in CENTERS]
-    darr = F.array_sort(F.array(*dists))
+    # materialize the k-distance array once: the unrolled expression is
+    # k·dim terms, and referencing it from sort/argmin/min separately
+    # would evaluate it three times (no CSE across usages)
+    staged = pts.select(F.array(*dists).alias("__d"))
+    darr = F.array_sort("__d")
     a = F.sqrt(F.element_at(darr, 1))
     b = F.sqrt(F.element_at(darr, 2))
-    cid = (F.array_position(F.array(*dists), F.array_min(F.array(*dists))) - 1).cast("int")
+    cid = (F.array_position("__d", F.array_min("__d")) - 1).cast("int")
     s = (b - a) / F.greatest(a, b)
     return (
-        pts.select(cid.alias("center_id"), s.alias("__s"))
+        staged.select(cid.alias("center_id"), s.alias("__s"))
         .groupBy("center_id")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
