@@ -108,3 +108,38 @@ def asof_join_latest(probes: DataFrame, updates: DataFrame, key: str,
         merged.filter(F.col("__is_probe") == 1)
         .select("__row.*", f"asof_{update_val}")
     )
+
+
+def mad_outliers(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Per-user robust outlier profile via median absolute deviation —
+    the grouped-map `applyInPandas` surface (each user's rows arrive as
+    one Arrow-backed pandas frame; medians need the whole group sorted,
+    which no single SQL window expresses without two self-joins).
+
+    Scale shape: one shuffle on user_id, then embarrassingly parallel
+    per-group numpy. Group size is a user's event count — bounded in
+    practice; a pathological hot user would be capped/sampled upstream.
+    All arithmetic is order-independent (selection-based medians,
+    elementwise abs/compare), so the DuckDB oracle matches bit-for-bit
+    without rounding.
+    """
+    import pandas as pd
+
+    schema = "user_id long, n_events long, median double, mad double, n_outliers long"
+
+    def _profile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        med = float(np.median(v))
+        ad = np.abs(v - med)
+        mad = float(np.median(ad))
+        n_out = int((ad > threshold * mad).sum()) if mad > 0 else 0
+        return pd.DataFrame(
+            [[int(pdf["user_id"].iloc[0]), len(v), med, mad, n_out]],
+            columns=["user_id", "n_events", "median", "mad", "n_outliers"],
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandas(
+        _profile, schema
+    )

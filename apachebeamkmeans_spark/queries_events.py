@@ -421,9 +421,35 @@ FROM u
 """
 
 
+def q_user_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MAD outlier profile — the grouped-map applyInPandas
+    surface, fully value-checked (selection-based medians are
+    order-independent, so no rounding is needed)."""
+    from apachebeamkmeans_spark.operators import timeseries as TS
+
+    return TS.mad_outliers(_events(spark, sf_dir), threshold=3.0)
+
+
+ORACLE_USER_MAD_OUTLIERS = """
+WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
+d AS (SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN m USING (user_id)),
+mm AS (SELECT user_id, median(ad) AS mad FROM d GROUP BY user_id)
+SELECT d.user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       any_value(d.med) AS median,
+       any_value(mm.mad) AS mad,
+       CAST(sum(CASE WHEN mm.mad > 0 AND d.ad > 3.0 * mm.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN mm USING (user_id)
+GROUP BY d.user_id
+"""
+
+
 QUERIES = {
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
+    "user_mad_outliers": (q_user_mad_outliers, ORACLE_USER_MAD_OUTLIERS),
     "user_decayed_avg": (q_user_decayed_avg, ORACLE_USER_DECAYED_AVG),
     "events_value_histogram": (q_events_value_histogram, ORACLE_EVENTS_VALUE_HISTOGRAM),
     "user_distinct_types_1h": (q_user_distinct_types_1h, ORACLE_USER_DISTINCT_TYPES_1H),

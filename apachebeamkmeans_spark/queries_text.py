@@ -261,9 +261,54 @@ GROUP BY lang, source
 """
 
 
+# ----------------------------------------- stratified exact-k sampling
+
+K_PER_STRATUM = 20
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k documents per language stratum, chosen by seeded-hash
+    order (the distributed, reproducible version of `GROUP BY lang
+    LIMIT k`): one per-stratum window over the hash01 order — no
+    global sort, no RNG state, same k docs on any cluster size."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.functions.hashing import hash01
+    from apachebeamkmeans_spark.operators.textstats import lang_id
+
+    docs = _docs(spark, sf_dir)
+    lid = lang_id(docs).select("doc_id", "lang_pred")
+    w = Window.partitionBy("lang_pred").orderBy(
+        hash01(F.col("doc_id"), "strat").asc(), F.col("doc_id").asc()
+    )
+    return (
+        lid.withColumn("pick", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick") <= K_PER_STRATUM)
+        .select("lang_pred", "doc_id", "pick")
+    )
+
+
+_STRAT_H = OG.sql_hash01("doc_id", "strat")
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+l AS (SELECT doc_id,
+             CASE WHEN {_DENSITY} >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred
+      FROM t),
+r AS (SELECT lang_pred, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang_pred
+                                     ORDER BY {_STRAT_H} ASC, doc_id ASC)
+                  AS INTEGER) AS pick
+      FROM l)
+SELECT lang_pred, doc_id, pick FROM r WHERE pick <= {K_PER_STRATUM}
+"""
+
+
 QUERIES = {
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "text_contamination": (q_text_contamination, ORACLE_TEXT_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),

@@ -75,6 +75,8 @@ HEADLINE = [
     "events_funnel",
     "sim_quantize_int8",
     "jsonl_roundtrip",
+    "user_mad_outliers",
+    "stratified_sample",
 ]
 
 
