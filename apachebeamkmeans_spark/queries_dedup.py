@@ -296,9 +296,97 @@ WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
 """
 
 
+# --------------------------------------- end-to-end corpus pipeline
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data flow in one declarative plan: near-dup
+    purge (keeper = min doc_id per component) → quality gate (English
+    by stopword density, ≥ 30 chars) → concat-and-chunk sequence
+    packing → per-shard layout summary. Every stage is an operator the
+    engine already proves individually; this query proves they
+    COMPOSE — one Catalyst plan end to end, with the purge anti-join
+    broadcast, the lang gate a narrow map, and packing a per-shard
+    window. Output: per shard, the bin count and token volume a
+    trainer would schedule."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import textstats as TX
+    from apachebeamkmeans_spark.queries_text import CTX_LEN, N_SHARDS
+
+    docs = _docs(spark, sf_dir)
+    losers = (
+        DD.duplicate_clusters(_verified_pairs(spark, sf_dir))
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    lid = TX.lang_id(survivors).select("doc_id", "lang_pred")
+    kept = (
+        survivors.join(lid, "doc_id")
+        .filter((F.col("lang_pred") == "en") & (F.col("n_chars") >= 30))
+    )
+    packed = TX.pack_sequences(kept, CTX_LEN, N_SHARDS)
+    return packed.groupBy("shard").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+def _oracle_corpus_pipeline() -> str:
+    from apachebeamkmeans_spark import oraclegen as OG2
+    from apachebeamkmeans_spark.queries_text import CTX_LEN, N_SHARDS, _DENSITY, _TOKS
+
+    pack_h = OG2.sql_hash01("doc_id", "pack")
+    return f"""
+WITH RECURSIVE {_CAND},
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+jp AS (SELECT doc_a, doc_b FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS j
+  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+            JOIN sets b ON cand.doc_b = b.doc_id)
+  WHERE round(j, 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(doc_id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+cl AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),
+surv AS (SELECT * FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+tk AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM surv),
+kept AS (SELECT doc_id, toks FROM tk
+         WHERE {_DENSITY} >= 0.05 AND n_chars >= 30),
+base AS (SELECT doc_id,
+                CAST(floor({pack_h} * {N_SHARDS}) AS INTEGER) AS shard,
+                CAST(len(toks) AS INTEGER) AS n_tokens
+         FROM kept),
+c AS (SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      FROM base),
+b AS (SELECT shard, n_tokens,
+             CAST((cum - n_tokens) // {CTX_LEN} AS INTEGER) AS bin_id
+      FROM c)
+SELECT shard, CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM b
+GROUP BY shard
+"""
+
+
+ORACLE_CORPUS_PIPELINE = _oracle_corpus_pipeline()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_purge": (q_dedup_purge, ORACLE_DEDUP_PURGE),
+    "corpus_pipeline": (q_corpus_pipeline, ORACLE_CORPUS_PIPELINE),
     "dedup_keeper_quality": (q_dedup_keeper_quality, ORACLE_DEDUP_KEEPER_QUALITY),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),

@@ -77,6 +77,7 @@ HEADLINE = [
     "jsonl_roundtrip",
     "user_mad_outliers",
     "stratified_sample",
+    "corpus_pipeline",
 ]
 
 
