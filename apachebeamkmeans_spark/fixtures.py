@@ -43,6 +43,19 @@ def query_vectors(n: int = 5, dim: int = EMBEDDING_DIM) -> list[list[float]]:
     return [[_grid(i + 301, j, 0.3, 0.83) for j in range(dim)] for i in range(n)]
 
 
+def pq_codebooks(m: int = 8, ksub: int = 16,
+                 dsub: int = EMBEDDING_DIM // 8) -> list[list[list[float]]]:
+    """Product-quantization codebooks: `m` subspaces × `ksub` centroids
+    × `dsub` dims (m·dsub = EMBEDDING_DIM). Frozen literals, like
+    `fixed_centers`, so encode (per-subspace argmin) and ADC search
+    (lookup-table sums) are exactly reproducible in oracle SQL."""
+    return [
+        [[_grid(s * ksub + c + 501, j, 0.35, 0.47) for j in range(dsub)]
+         for c in range(ksub)]
+        for s in range(m)
+    ]
+
+
 # MinHash modulus and affine band coefficients: h_b(x) = (A_b·h(x)+C_b) mod P
 # over a single md5-derived base hash per shingle (one md5 instead of
 # `bands`). Pure integers — embedded identically in Spark and oracle SQL.

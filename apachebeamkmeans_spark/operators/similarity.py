@@ -125,6 +125,94 @@ def quantize_int8(vecs: DataFrame, scale: int = 127,
     )
 
 
+def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "id", features_col: str = "features") -> DataFrame:
+    """Product-quantization encode: each vector → `m` uint8-range codes,
+    one per subspace (the nearest of `ksub` literal centroids over that
+    subspace's `dsub` dims). This is the compression step of IVF-PQ —
+    at 100 TB it turns a 512-byte float64 embedding into m bytes, and
+    it is a pure narrow map (zero shuffle): per subspace an unrolled
+    squared-L2 array over literal centroids, staged once, then a
+    first-minimum argmin. Same argmin tie-break as K-Means assignment
+    (array_position of array_min → lowest code wins), so the DuckDB
+    CASE-chain oracle is exact."""
+    f = F.col(features_col)
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    # The codebook rides along as DATA (one nested literal), not as
+    # m·ksub unrolled expression trees — the unrolled form is ~1000
+    # expression nodes, which overflows whole-stage codegen and costs
+    # tens of seconds per run in compile fallback. The fold seeds with
+    # 0.0, exact for the non-negative squared terms, so values equal
+    # the unrolled oracle's left-associated sums bit-for-bit.
+    subs = F.array(*[F.slice(f, s * dsub + 1, dsub) for s in range(m)])
+    staged = vecs.select(F.col(id_col).alias("vec_id"), subs.alias("__subs"))
+    dmat = F.zip_with(
+        F.col("__subs"), F.lit(codebooks),
+        lambda sub, cb_s: F.transform(
+            cb_s,
+            lambda cent: F.aggregate(
+                F.zip_with(sub, cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, v: a + v,
+            ),
+        ),
+    )
+    codes = F.transform(
+        dmat, lambda darr: (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    )
+    return staged.select("vec_id", codes.alias("codes"))
+
+
+def pq_adc_lut(q: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Driver-side ADC lookup table for one query: lut[s][c] = squared
+    L2 between the query's subvector `s` and codebook centroid `c`,
+    summed left-to-right. Computed once in Python and embedded as the
+    SAME double literals in the Spark plan and the oracle SQL — the
+    engines only ever look values up, never recompute them."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    lut = []
+    for s in range(m):
+        row = []
+        for cent in codebooks[s]:
+            t = 0.0
+            for j, v in enumerate(cent):
+                d = float(q[s * dsub + j]) - float(v)
+                t += d * d
+            row.append(t)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(encoded: DataFrame, queries: list[list[float]],
+                codebooks: list[list[list[float]]], k: int = 5) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes, ALL queries in one
+    plan: the per-query lookup tables ride along as one nested literal,
+    each row's approximate distance is m table lookups + an (m-1)-add
+    sum — no floats from the original vectors are touched, which is
+    what makes PQ serving cheap at 100 TB (scan m bytes/row, not the
+    embedding). posexplode fans out (qid, dist); one per-qid window
+    ranks ascending (ties → lowest vec_id)."""
+    m = len(codebooks)
+    luts = [pq_adc_lut(q, codebooks) for q in queries]
+    codes = F.col("codes")
+
+    def _adc(lut_q):
+        t = None
+        for s in range(m):
+            term = F.element_at(F.element_at(lut_q, s + 1),
+                                F.element_at(codes, s + 1) + 1)
+            t = term if t is None else t + term
+        return t
+
+    adc_arr = F.transform(F.lit(luts), _adc)
+    exploded = encoded.select("vec_id", F.posexplode(adc_arr).alias("qid", "_d"))
+    w = Window.partitionBy("qid").orderBy(F.asc("_d"), F.asc("vec_id"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.round("_d", 6).alias("adc_dist"), "rank")
+    )
+
+
 def nearest_centers(q: list[float], centers: list[list[float]],
                     nprobe: int = 1) -> list[int]:
     """Plan-time coarse-quantizer probe: the `nprobe` nearest cells of a

@@ -105,6 +105,60 @@ def _oracle_range() -> str:
 ORACLE_SIM_RANGE = _oracle_range()
 
 
+PQ_CODEBOOKS = fixtures.pq_codebooks()
+PQ_M = len(PQ_CODEBOOKS)
+PQ_KSUB = len(PQ_CODEBOOKS[0])
+PQ_DSUB = len(PQ_CODEBOOKS[0][0])
+PQ_K = 5
+
+
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode every embedding to 8 codes
+    (nearest-of-16 per 8-dim subspace, literal codebooks), then ADC
+    top-5 per query via lookup-table sums — encode + search in ONE
+    plan, zero shuffle until the final k-row window. The 100 TB story:
+    the serving scan reads m bytes per vector instead of the raw
+    embedding, and the same codes feed the IVF layout (IVF-PQ)."""
+    return SIM.pq_adc_topk(
+        SIM.pq_encode(io.load_points(spark, sf_dir), PQ_CODEBOOKS),
+        QUERY_VECS, PQ_CODEBOOKS, PQ_K,
+    )
+
+
+def _oracle_pq() -> str:
+    dcols = []
+    for s in range(PQ_M):
+        for c in range(PQ_KSUB):
+            terms = " + ".join(
+                f"(e[{s * PQ_DSUB + j + 1}] - ({float(v)!r}))"
+                f"*(e[{s * PQ_DSUB + j + 1}] - ({float(v)!r}))"
+                for j, v in enumerate(PQ_CODEBOOKS[s][c])
+            )
+            dcols.append(f"({terms}) AS d_{s}_{c}")
+    argmins = [
+        OG.sql_argmin_case([f"d_{s}_{c}" for c in range(PQ_KSUB)], f"c{s}")
+        for s in range(PQ_M)
+    ]
+    parts = []
+    for qid, q in enumerate(QUERY_VECS):
+        lut = SIM.pq_adc_lut(q, PQ_CODEBOOKS)
+        adc = " + ".join(f"({OG.dlist(lut[s])})[c{s} + 1]" for s in range(PQ_M))
+        parts.append(
+            f"SELECT {qid} AS qid, vec_id, round(d, 6) AS adc_dist, rank FROM ("
+            f"  SELECT vec_id, d, CAST(row_number() OVER (ORDER BY d ASC, vec_id ASC) AS INTEGER) AS rank"
+            f"  FROM (SELECT vec_id, ({adc}) AS d FROM codes)"
+            f") WHERE rank <= {PQ_K}"
+        )
+    return (
+        "WITH d AS (SELECT vec_id, " + ", ".join(dcols) + f" FROM {_E2} t), "
+        "codes AS (SELECT vec_id, " + ", ".join(argmins) + " FROM d) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_SIM_PQ = _oracle_pq()
+
+
 def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 quantization codes via a scalar Arrow pandas_udf —
     integer-exact, so fully oracle-checked despite the Python hop."""
@@ -125,6 +179,7 @@ FROM {_E2} t
 QUERIES = {
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, ORACLE_SIM_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, ORACLE_SIM_IVF),
+    "sim_pq_topk": (q_sim_pq_topk, ORACLE_SIM_PQ),
     "sim_range_search": (q_sim_range_search, ORACLE_SIM_RANGE),
     "sim_quantize_int8": (q_sim_quantize_int8, ORACLE_SIM_QUANTIZE),
 }

@@ -78,6 +78,7 @@ HEADLINE = [
     "user_mad_outliers",
     "stratified_sample",
     "corpus_pipeline",
+    "sim_pq_topk",
 ]
 
 
