@@ -68,6 +68,57 @@ GROUP BY user_id, session_seq
 """
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in `session_window` aggregation (batch mode of the same
+    operator the streaming engine runs): merges events < 30 min apart
+    into [first_ts, last_ts + 30min) windows per user. Semantics twin
+    of the gaps-and-islands `events_sessions` but with the >= gap
+    boundary and gap-padded end the native operator defines."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Native session-window semantics: new session when the time delta is
+# >= gap (a window is [ts, ts+gap) and merging needs strict overlap);
+# window end = last event + gap.
+ORACLE_EVENTS_SESSION_WINDOW = """
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR t_us - prev_us >= 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+  FROM t),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY t_us ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged)
+SELECT user_id,
+       min(t_us) AS session_start_us,
+       max(t_us) + 1800000000 AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 # ------------------------------------------------------------- as-of join
 
 
@@ -454,6 +505,7 @@ QUERIES = {
     "events_value_histogram": (q_events_value_histogram, ORACLE_EVENTS_VALUE_HISTOGRAM),
     "user_distinct_types_1h": (q_user_distinct_types_1h, ORACLE_USER_DISTINCT_TYPES_1H),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
+    "events_session_window": (q_events_session_window, ORACLE_EVENTS_SESSION_WINDOW),
     "events_asof_purchase": (q_events_asof_purchase, ORACLE_EVENTS_ASOF_PURCHASE),
     "events_quantiles": (q_events_quantiles, ORACLE_EVENTS_QUANTILES),
     "events_props_json": (q_events_props_json, ORACLE_EVENTS_PROPS_JSON),

@@ -75,6 +75,19 @@ GROUP BY 1, 2
 """
 
 
+from apachebeamkmeans_spark.queries_events import (
+    ORACLE_EVENTS_SESSION_WINDOW as _SW_ORACLE,
+)
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows in Structured Streaming (complete mode):
+    the built-in merging-window state operator, watermark-bounded —
+    output equals the batch `events_session_window` twin, so the
+    oracle is the same gaps-and-islands SQL."""
+    return SE.run_session_window_stream_to_table(spark, sf_dir)
+
+
 def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState
     per-user session tracking) — rows-only: arbitrary state updates are
@@ -177,6 +190,7 @@ QUERIES = {
     "mm_binary_meta": (q_mm_binary_meta, ORACLE_MM_BINARY_META),
     "mm_fake_decode": (q_mm_fake_decode, ORACLE_MM_FAKE_DECODE),
     "stream_events_hourly": (q_stream_events_hourly, ORACLE_STREAM_EVENTS_HOURLY),
+    "stream_session_window": (q_stream_session_window, _SW_ORACLE),
     "stream_dedup_events": (q_stream_dedup_events, ORACLE_STREAM_DEDUP_EVENTS),
     "stream_enriched_nation": (q_stream_enriched_nation, ORACLE_STREAM_ENRICHED_NATION),
     "stream_click_attribution": (q_stream_click_attribution, ORACLE_STREAM_CLICK_ATTRIBUTION),

@@ -59,6 +59,45 @@ def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     )
 
 
+def session_window_agg_stream(events: DataFrame, gap: str = "30 minutes",
+                              watermark: str = "1 hour") -> DataFrame:
+    """Native session windows (`F.session_window`): per user, events
+    closer than `gap` merge into one [first_ts, last_ts+gap) window —
+    the built-in dynamic-gap operator (vs. the gaps-and-islands batch
+    formulation in `timeseries.sessionize` and the custom
+    applyInPandasWithState tracker in `streaming.stateful`; three
+    surfaces, one semantics). The watermark bounds open-session state:
+    sessions whose window end falls behind it are finalized and
+    evicted. Update mode is rejected for session windows (merges would
+    retract emitted rows); complete mode ⇒ equals the batch twin."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_session_window_stream_to_table(spark: SparkSession, sf_dir: str,
+                                       name: str = "stream_session_window_out") -> DataFrame:
+    out = session_window_agg_stream(read_events_stream(spark, sf_dir))
+    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming deduplication: first occurrence of each
     (user_id, event_type, minute-bucket) key wins; the watermark bounds

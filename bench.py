@@ -79,6 +79,7 @@ HEADLINE = [
     "stratified_sample",
     "corpus_pipeline",
     "sim_pq_topk",
+    "events_session_window",
 ]
 
 
