@@ -35,9 +35,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one testdata table; Catalyst pushes filters and
     prunes columns down to this parquet read.
 
-    `events.parquet` stores ts as TIMESTAMP(NANOS), which the vectorized
-    parquet reader rejects — read nanos as long and truncate to
-    microseconds (matching DuckDB's µs TIMESTAMP semantics).
+    `events.parquet` has stored ts as TIMESTAMP(NANOS) (which the
+    vectorized parquet reader rejects — read as long ns and truncate)
+    or naive TIMESTAMP(MICROS) depending on the generator run; both are
+    normalized to µs TIMESTAMP matching DuckDB (see normalize_event_ts).
 
     The session timezone is pinned to UTC here (not only in our session
     factory) because every timestamp-valued result and date_trunc
@@ -49,11 +50,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer div — float division would lose precision at ns scale
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to a session-tz TIMESTAMP regardless of how
+    the generator wrote it: TIMESTAMP(NANOS) arrives as bigint ns (via
+    spark.sql.legacy.parquet.nanosAsLong), naive TIMESTAMP(MICROS)
+    arrives as TIMESTAMP_NTZ, and adjusted-to-UTC micros arrives as
+    TIMESTAMP already. With the session timezone pinned to UTC the
+    NTZ→TZ cast is value-preserving, so unix_micros/date_trunc agree
+    with DuckDB's naive-µs timestamps for every encoding."""
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        # integer div — float division would lose precision at ns scale
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -14,33 +14,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# events.parquet physical schema (ts read as raw ns thanks to
-# spark.sql.legacy.parquet.nanosAsLong — file streams require an
-# explicit schema).
-_EVENTS_NS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apachebeamkmeans_spark.sources.io import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
-    # file streams take a directory — scope to events.parquet via glob
+    # File streams require an explicit schema, and the on-disk ts type
+    # varies by generator (ns-as-long vs naive µs) — take it from the
+    # footer via a batch schema probe, then normalize like the batch path.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_NS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
