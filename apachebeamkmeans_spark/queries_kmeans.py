@@ -182,7 +182,10 @@ ORACLE_INIT_EXTREMES = " UNION ALL ".join(
 def q_kmeans_gonzalez_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_farthest seeding trace: k seed picks, each one TakeOrdered
     job; driver holds only k×dim doubles."""
-    pts = _pts(spark, sf_dir).cache()
+    # localCheckpoint, not cache: blocks release when `pts` is GC'd
+    # on the driver (operators/dedup.py:_materialize rationale) —
+    # no unpersist point exists and cache() would leak per call.
+    pts = _pts(spark, sf_dir).localCheckpoint(eager=False)
     f = F.col("features")
     try:
         first = (
@@ -241,7 +244,10 @@ def q_kmeans_plusplus_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling — winner = argmin -ln(hash01(id, seed⊕round))/D²(x).
     Replaces the reference's whole-dataset collect + linear roulette
     scan (SparKMeansGroupByPlusPlus.java:105, SURVEY.md §8.6)."""
-    pts = _pts(spark, sf_dir).cache()
+    # localCheckpoint, not cache: blocks release when `pts` is GC'd
+    # on the driver (operators/dedup.py:_materialize rationale) —
+    # no unpersist point exists and cache() would leak per call.
+    pts = _pts(spark, sf_dir).localCheckpoint(eager=False)
     f = F.col("features")
     try:
         first = (
@@ -301,7 +307,10 @@ def q_kmeans_plusplus_seeds_dweight(spark: SparkSession, sf_dir: str) -> DataFra
     """The reference's exact k-means++ variant — roulette weighted by D
     (distance), not classic D² (SparKMeansGroupByPlusPlus.java:82-114,
     SURVEY.md §8.4) — as a distributed seeded race."""
-    pts = _pts(spark, sf_dir).cache()
+    # localCheckpoint, not cache: blocks release when `pts` is GC'd
+    # on the driver (operators/dedup.py:_materialize rationale) —
+    # no unpersist point exists and cache() would leak per call.
+    pts = _pts(spark, sf_dir).localCheckpoint(eager=False)
     f = F.col("features")
     try:
         first = (

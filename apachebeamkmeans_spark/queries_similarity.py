@@ -161,14 +161,24 @@ ORACLE_SIM_PQ = _oracle_pq()
 
 def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 quantization codes via a scalar Arrow pandas_udf —
-    integer-exact, so fully oracle-checked despite the Python hop."""
-    return SIM.quantize_int8(io.load_points(spark, sf_dir))
+    integer-exact, so fully oracle-checked despite the Python hop.
+    The result surface is all-scalar (`codes_csv` instead of the raw
+    ARRAY<INT>): the driver's canonicalizer sorts every output column
+    with pandas, which cannot hash list values (r03 failure)."""
+    from pyspark.sql import functions as F
+
+    return SIM.quantize_int8(io.load_points(spark, sf_dir)).select(
+        "vec_id",
+        F.array_join("codes", ",").alias("codes_csv"),
+        "code_sum",
+    )
 
 
 ORACLE_SIM_QUANTIZE = f"""
 SELECT vec_id,
-       list_transform(e, x -> CAST(floor(least(greatest(x, -1.0), 1.0) * 127)
-                                   AS INTEGER)) AS codes,
+       list_aggregate(list_transform(e, x -> CAST(CAST(floor(least(greatest(x, -1.0), 1.0) * 127)
+                                                       AS INTEGER) AS VARCHAR)),
+                      'string_agg', ',') AS codes_csv,
        CAST(list_reduce(list_transform(e, x -> CAST(floor(least(greatest(x, -1.0), 1.0) * 127)
                                                     AS INTEGER)),
                         (a, v) -> a + v) AS BIGINT) AS code_sum

@@ -15,6 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Footer-probe results per (session id, sf_dir): several run_*_to_table
+# helpers each construct a stream, and re-reading the same parquet
+# footer per construction is avoidable driver work. Keyed on the
+# session's id() so a restarted session (new JVM) re-probes.
+_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apachebeamkmeans_spark.sources.io import normalize_event_ts
 
@@ -22,8 +29,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
     # File streams require an explicit schema, and the on-disk ts type
     # varies by generator (ns-as-long vs naive µs) — take it from the
-    # footer via a batch schema probe, then normalize like the batch path.
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # footer via a batch schema probe (cached), then normalize like the
+    # batch path.
+    key = (id(spark), sf_dir)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _SCHEMA_CACHE[key] = schema
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
