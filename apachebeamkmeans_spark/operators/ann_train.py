@@ -1,0 +1,243 @@
+"""Training the ANN family's parameters from data.
+
+Round-3 verdict gap: PQ codebooks, IVF coarse centers and LSH planes
+were fixture literals (`fixtures.py`) — oracle-convenient but not
+self-contained. This module trains them with the engine itself:
+
+- `ivf_train` — Lloyd's k-means over (L2-normalized) embeddings for the
+  IVF coarse quantizer: the same literal-center argmin assign map as
+  K-Means assignment (the reference's J1 join,
+  /root/reference/SparKMeansGroupBy.java:77-98) + partial-agg recenter,
+  generalized per SURVEY.md §2.3-2.4.
+- `pq_train` — Lloyd per PQ subspace, ALL `m` subspaces in one
+  distributed job per iteration: vectors explode to (subspace, subvec)
+  rows once, each iteration assigns against the current codebooks (one
+  nested literal) and recenters with a single groupBy(subspace, code)
+  — m independent k-means runs for the price of one shuffle per
+  iteration. This is the training step of IVF-PQ
+  (/root/reference/SparKMeansGroupByPlusPlus.java:73-151 is the Lloyd
+  loop it generalizes).
+
+Determinism contract: seeds come from the engine's md5 `hash01` order
+(lowest hash wins, ties by id); iteration count is FIXED (no float
+convergence test that could diverge across engines); an empty cluster
+keeps its previous centroid (FAISS behavior — deterministic, no
+re-seed race). Under that contract the `*_np` numpy twins reproduce
+training to float-rounding precision, which lets the driver
+oracle-check the Spark-trained values against numpy-trained literals
+(see queries_similarity).
+
+100 TB posture: per iteration the only driver traffic is k·dim (IVF)
+or m·ksub·dsub (PQ) partial means; the exploded PQ frame shuffles
+m·ksub·(dsub+2) partial aggregates, never rows. Training normally runs
+on a sample (here: the sf0.01 reference slice) — codebooks do not need
+the full corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.functions.hashing import hash01
+from apachebeamkmeans_spark.operators.kmeans import lloyd
+
+TWO32 = 4294967296.0
+
+
+# ------------------------------------------------------------ shared helpers
+
+
+def py_hash01(value, seed) -> float:
+    """Python twin of functions.hashing.hash01 — same md5, same (0, 1]."""
+    h = hashlib.md5(f"{seed}|{value}".encode()).hexdigest()[:8]
+    return (int(h, 16) + 1) / TWO32
+
+
+def l2_normalize(vecs: DataFrame, id_col: str = "id",
+                 features_col: str = "features") -> DataFrame:
+    """Unit-normalize: x / sqrt(Σx²), zero-norm rows dropped. On unit
+    vectors squared L2 is a monotone transform of cosine
+    (‖a−b‖² = 2 − 2·cos), so L2-trained PQ/IVF serve cosine queries.
+    Norm is materialized before the transform — HOF lambdas get no
+    CSE, inlining it would recompute the fold per element."""
+    f = F.col(features_col)
+    nsq = F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    return (
+        vecs.select(F.col(id_col).alias(id_col), f.alias(features_col), nsq.alias("__nsq"))
+        .filter(F.col("__nsq") > 0)
+        .select(
+            id_col,
+            F.transform(f, lambda x: x / F.sqrt(F.col("__nsq"))).alias(features_col),
+        )
+    )
+
+
+def seed_rows(vecs: DataFrame, n: int, seed,
+              id_col: str = "id", features_col: str = "features") -> list[list[float]]:
+    """The n rows with the smallest hash01(id, seed) (ties → lowest id)
+    — the engine's deterministic seeded sample (TakeOrdered, no full
+    sort; O(n·dim) driver traffic)."""
+    rows = (
+        vecs.select(F.col(id_col).alias("i"), F.col(features_col).alias("f"),
+                    hash01(F.col(id_col), seed).alias("h"))
+        .orderBy(F.asc("h"), F.asc("i"))
+        .limit(n)
+        .collect()
+    )
+    return [list(r["f"]) for r in rows]
+
+
+# ------------------------------------------------------------- IVF training
+
+
+def ivf_train(vecs: DataFrame, k: int, n_iters: int = 5, seed="ivf",
+              id_col: str = "id", features_col: str = "features") -> list[list[float]]:
+    """k coarse centers by Lloyd: literal-center argmin assign (zero
+    shuffle) → per-dim avg recenter (map-side partial agg, k rows to
+    the driver per iteration). Fixed iteration count; empty clusters
+    keep their previous centroid."""
+    dim_row = vecs.select(F.size(features_col).alias("d")).limit(1).collect()
+    if not dim_row:
+        raise ValueError("ivf_train requires a non-empty points frame")
+    dim = dim_row[0]["d"]
+    centers = seed_rows(vecs, k, seed, id_col, features_col)
+    if len(centers) < k:
+        raise ValueError(f"ivf_train: need >= {k} rows, got {len(centers)}")
+    base = vecs.select(F.col(id_col).alias("id"), F.col(features_col).alias("features"))
+    base = base.localCheckpoint(eager=False)
+    for _ in range(n_iters):
+        assigned = lloyd.assign(base, centers, p=2.0, mode="hof")
+        rows = lloyd.recenter(assigned, dim).collect()
+        by_id = {r["center_id"]: [r[f"c{j}"] for j in range(dim)] for r in rows}
+        centers = [by_id.get(i, centers[i]) for i in range(k)]
+    return centers
+
+
+def load_embeddings_np(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) from embeddings.parquet via pyarrow — the
+    numpy twins' input; float32→float64 cast matches the Spark ingest."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_numpy())
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _np_seed_order(ids: np.ndarray, n: int, seed) -> np.ndarray:
+    h = np.array([py_hash01(int(i), seed) for i in ids])
+    order = np.lexsort((ids, h))
+    return order[:n]
+
+
+def normalized_embeddings_np(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, unit-normalized float64 matrix) — numpy twin of
+    `l2_normalize(load_points(...))` (zero-norm rows dropped)."""
+    ids, mat = load_embeddings_np(sf_dir)
+    nsq = (mat * mat).sum(axis=1)
+    keep = nsq > 0
+    return ids[keep], mat[keep] / np.sqrt(nsq[keep])[:, None]
+
+
+def ivf_train_np(ids: np.ndarray, mat: np.ndarray, k: int,
+                 n_iters: int = 5, seed="ivf") -> np.ndarray:
+    """Numpy twin of `ivf_train` (same init/updates/empty-cluster
+    rule); equality after rounding is the training oracle."""
+    centers = mat[_np_seed_order(ids, k, seed)].copy()
+    for _ in range(n_iters):
+        d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        code = d.argmin(axis=1)
+        for c in range(k):
+            members = mat[code == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return centers
+
+
+# -------------------------------------------------------------- PQ training
+
+
+def pq_train(vecs: DataFrame, m: int, ksub: int, n_iters: int = 5, seed="pq",
+             id_col: str = "id", features_col: str = "features") -> list[list[list[float]]]:
+    """PQ codebooks: m×ksub×dsub centroids, trained as m concurrent
+    Lloyd runs over ONE exploded (subspace, subvec) frame — per
+    iteration a single assign map (nested codebook literal, per-row
+    argmin within the row's subspace) and a single
+    groupBy(subspace, code) partial-agg recenter; m·ksub mean rows to
+    the driver. Init: codebook c of every subspace = the c-th seed
+    row's slice (same seeded sample for all subspaces)."""
+    f = F.col(features_col)
+    dim_row = vecs.select(F.size(features_col).alias("d")).limit(1).collect()
+    if not dim_row:
+        raise ValueError("pq_train requires a non-empty points frame")
+    dim = dim_row[0]["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = seed_rows(vecs, ksub, seed, id_col, features_col)
+    if len(seeds) < ksub:
+        raise ValueError(f"pq_train: need >= {ksub} rows, got {len(seeds)}")
+    codebooks = [
+        [[float(seeds[c][s * dsub + j]) for j in range(dsub)] for c in range(ksub)]
+        for s in range(m)
+    ]
+    subs = F.array(*[F.slice(f, s * dsub + 1, dsub) for s in range(m)])
+    ex = vecs.select(F.posexplode(subs).alias("s", "sub"))
+    ex = ex.localCheckpoint(eager=False)  # reused every iteration
+    for _ in range(n_iters):
+        cb_s = F.element_at(F.lit(codebooks), F.col("s") + 1)
+        dists = F.transform(
+            cb_s,
+            lambda cent: F.aggregate(
+                F.zip_with(F.col("sub"), cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, v: a + v,
+            ),
+        )
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        aggs = [F.avg(F.col("sub")[j]).alias(f"c{j}") for j in range(dsub)] + [
+            F.count(F.lit(1)).alias("n")
+        ]
+        rows = ex.withColumn("code", code).groupBy("s", "code").agg(*aggs).collect()
+        by_key = {(r["s"], r["code"]): [r[f"c{j}"] for j in range(dsub)] for r in rows}
+        codebooks = [
+            [by_key.get((s, c), codebooks[s][c]) for c in range(ksub)]
+            for s in range(m)
+        ]
+    return codebooks
+
+
+def pq_train_np(ids: np.ndarray, mat: np.ndarray, m: int, ksub: int,
+                n_iters: int = 5, seed="pq") -> list[np.ndarray]:
+    """Numpy twin of `pq_train`."""
+    dim = mat.shape[1]
+    dsub = dim // m
+    seeds = mat[_np_seed_order(ids, ksub, seed)]
+    books = []
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        cents = seeds[:, s * dsub:(s + 1) * dsub].copy()
+        for _ in range(n_iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            code = d.argmin(axis=1)
+            for c in range(ksub):
+                members = sub[code == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def round_param(v: float, nd: int = 4) -> float:
+    """Round a trained parameter to the fixed-decimal literal form both
+    engines embed. `+ 0.0` folds IEEE -0.0 to 0.0 — str(-0.0) and
+    str(0.0) differ, which would break the value-hash comparison."""
+    return round(float(v), nd) + 0.0
+
+
+def round_mat(mat, nd: int = 4):
+    return [[round_param(v, nd) for v in row] for row in mat]

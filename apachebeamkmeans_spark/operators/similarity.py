@@ -126,7 +126,8 @@ def quantize_int8(vecs: DataFrame, scale: int = 127,
 
 
 def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]],
-              id_col: str = "id", features_col: str = "features") -> DataFrame:
+              id_col: str = "id", features_col: str = "features",
+              carry: tuple[str, ...] = ()) -> DataFrame:
     """Product-quantization encode: each vector → `m` uint8-range codes,
     one per subspace (the nearest of `ksub` literal centroids over that
     subspace's `dsub` dims). This is the compression step of IVF-PQ —
@@ -145,7 +146,9 @@ def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]],
     # 0.0, exact for the non-negative squared terms, so values equal
     # the unrolled oracle's left-associated sums bit-for-bit.
     subs = F.array(*[F.slice(f, s * dsub + 1, dsub) for s in range(m)])
-    staged = vecs.select(F.col(id_col).alias("vec_id"), subs.alias("__subs"))
+    staged = vecs.select(
+        F.col(id_col).alias("vec_id"), subs.alias("__subs"), *[F.col(c) for c in carry]
+    )
     dmat = F.zip_with(
         F.col("__subs"), F.lit(codebooks),
         lambda sub, cb_s: F.transform(
@@ -159,7 +162,7 @@ def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]],
     codes = F.transform(
         dmat, lambda darr: (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
     )
-    return staged.select("vec_id", codes.alias("codes"))
+    return staged.select("vec_id", codes.alias("codes"), *carry)
 
 
 def pq_adc_lut(q: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
@@ -210,6 +213,76 @@ def pq_adc_topk(encoded: DataFrame, queries: list[list[float]],
         exploded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", F.round("_d", 6).alias("adc_dist"), "rank")
+    )
+
+
+def ivfpq_topk(vecs: DataFrame, queries: list[list[float]],
+               coarse_centers: list[list[float]],
+               codebooks: list[list[list[float]]], k: int = 5,
+               nprobe: int = 2, refine: int = 50, id_col: str = "id",
+               features_col: str = "features") -> DataFrame:
+    """IVF-PQ serving with exact re-rank, ONE plan — the FAISS
+    IVF-PQ+refine search shape: coarse-quantize each (already
+    normalized) vector to its nearest trained center, keep only the
+    union of all queries' probe cells, PQ-encode the survivors
+    (m codes/row), ADC-rank per query with a (qid, cell) membership
+    filter, keep the top-`refine` shortlist, then re-rank the shortlist
+    by EXACT cosine (dot on unit vectors) for the final top-k. With a
+    materialized coarse-partitioned layout (`build_ivf_index`) the cell
+    filter becomes partition pruning, so at 100 TB the scan touches
+    nprobe/k of the data; the ADC stage reads m bytes per row, and the
+    exact distance is computed for only `refine` rows per query.
+    No residual encoding (codes are over raw normalized vectors, not
+    center residuals) — one codebook serves all cells, the common
+    memory/simplicity trade."""
+    from apachebeamkmeans_spark.functions import distance as D
+
+    m = len(codebooks)
+    probe_cells = [nearest_centers(q, coarse_centers, nprobe) for q in queries]
+    all_cells = sorted({c for cells in probe_cells for c in cells})
+    assigned = coarse_assign(vecs, coarse_centers, id_col, features_col)
+    pruned = assigned.filter(F.col("coarse_id").isin(all_cells))
+    encoded = pq_encode(
+        pruned.withColumn("probe_cell", F.col("coarse_id").cast("int")),
+        codebooks, id_col="vec_id", features_col="f",
+        carry=("probe_cell", "f"),
+    )
+    luts = [pq_adc_lut(q, codebooks) for q in queries]
+    codes = F.col("codes")
+
+    def _adc(lut_q):
+        t = None
+        for s in range(m):
+            term = F.element_at(F.element_at(lut_q, s + 1),
+                                F.element_at(codes, s + 1) + 1)
+            t = term if t is None else t + term
+        return t
+
+    adc_arr = F.transform(F.lit(luts), _adc)
+    exploded = encoded.select(
+        "vec_id", "probe_cell", "f", F.posexplode(adc_arr).alias("qid", "_d")
+    )
+    hits = exploded.filter(
+        F.array_contains(
+            F.element_at(F.lit(probe_cells), F.col("qid") + 1), F.col("probe_cell")
+        )
+    )
+    wa = Window.partitionBy("qid").orderBy(F.asc("_d"), F.asc("vec_id"))
+    shortlist = (
+        hits.withColumn("adc_rank", F.row_number().over(wa))
+        .filter(F.col("adc_rank") <= refine)
+    )
+    # exact refine: vectors are unit-normalized, so cosine = dot
+    dots = F.transform(
+        F.lit([list(map(float, q)) for q in queries]),
+        lambda q: D.dot(F.col("f"), q),
+    )
+    scored = shortlist.withColumn("_c", F.element_at(dots, F.col("qid") + 1))
+    wc = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= k)
+        .select("qid", "probe_cell", "vec_id", F.round("_c", 6).alias("cosine"), "rank")
     )
 
 

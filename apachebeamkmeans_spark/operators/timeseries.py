@@ -66,6 +66,22 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Final per-user session/event counts — one row per user with
+    (n_sessions, n_events, last_ts_us). The batch twin of the custom
+    stateful streaming operator (`streaming.stateful.session_counts_
+    stream`): after the stream has consumed all input, its state equals
+    exactly this frame (asserted in tests/test_cli_stateful.py), which
+    is what lets the driver oracle-certify the stateful surface through
+    a plain gaps-and-islands SQL twin."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id").agg(
+        F.max("session_seq").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+    )
+
+
 def asof_join_latest(probes: DataFrame, updates: DataFrame, key: str,
                      probe_ts: Column, update_ts: Column,
                      update_val: str) -> DataFrame:

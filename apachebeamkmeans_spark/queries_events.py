@@ -68,6 +68,31 @@ GROUP BY user_id, session_seq
 """
 
 
+def q_user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user FINAL (n_sessions, n_events, last_ts_us) — the batch
+    twin of the applyInPandasWithState stream (`stream_session_counts`,
+    rows-only by contract): tests/test_cli_stateful.py asserts the
+    stream's final state equals this frame row-for-row, and this query
+    carries the oracle-checked certification for that surface."""
+    return TS.session_counts(_events(spark, sf_dir), gap_minutes=30)
+
+
+ORACLE_USER_SESSION_COUNTS = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_us IS NULL OR t_us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(t_us) AS last_ts_us
+FROM t
+GROUP BY user_id
+"""
+
+
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in `session_window` aggregation (batch mode of the same
     operator the streaming engine runs): merges events < 30 min apart
@@ -505,6 +530,7 @@ QUERIES = {
     "events_value_histogram": (q_events_value_histogram, ORACLE_EVENTS_VALUE_HISTOGRAM),
     "user_distinct_types_1h": (q_user_distinct_types_1h, ORACLE_USER_DISTINCT_TYPES_1H),
     "events_sessions": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
+    "user_session_counts": (q_user_session_counts, ORACLE_USER_SESSION_COUNTS),
     "events_session_window": (q_events_session_window, ORACLE_EVENTS_SESSION_WINDOW),
     "events_asof_purchase": (q_events_asof_purchase, ORACLE_EVENTS_ASOF_PURCHASE),
     "events_quantiles": (q_events_quantiles, ORACLE_EVENTS_QUANTILES),

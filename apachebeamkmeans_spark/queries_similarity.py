@@ -186,10 +186,196 @@ FROM {_E2} t
 """
 
 
+# --------------------------------------------------- trained IVF-PQ (r4)
+# The coarse centers and codebooks above are fixture literals; the
+# queries below TRAIN them from data with the engine itself
+# (operators/ann_train.py — Lloyd generalized from the reference's
+# /root/reference/SparKMeansGroupBy.java:73-151 loop) and serve with
+# the trained values. Oracle strategy: the numpy twin trainer runs at
+# import on the TRAIN slice (sf0.01 — the driver's correctness sf) and
+# its rounded output is embedded as literals in BOTH the training
+# oracles (VALUES tables the Spark-trained params must hash-match) and
+# the serving query/oracle pair (same machinery as the fixture path).
+
+TRAIN_SF_DIR = os.environ.get("SPARK_GRAFT_TRAIN_SF_DIR", "/root/testdata/sf0.01")
+IVFPQ_K = 4          # coarse cells
+IVFPQ_NPROBE = 2
+IVFPQ_M = 8          # PQ subspaces
+IVFPQ_KSUB = 16      # centroids per subspace
+IVFPQ_ITERS = 5
+IVFPQ_TOPK = 5
+
+
+def _train_np() -> tuple[list[list[float]], list[list[list[float]]]]:
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    ids, mat = ANN.normalized_embeddings_np(TRAIN_SF_DIR)
+    centers = ANN.round_mat(ANN.ivf_train_np(ids, mat, IVFPQ_K, IVFPQ_ITERS, "ivf"))
+    books = [
+        ANN.round_mat(b)
+        for b in ANN.pq_train_np(ids, mat, IVFPQ_M, IVFPQ_KSUB, IVFPQ_ITERS, "pq")
+    ]
+    return centers, books
+
+
+try:
+    TRAINED_CENTERS, TRAINED_CODEBOOKS = _train_np()
+except Exception:  # no testdata in this environment — keep imports alive
+    TRAINED_CENTERS, TRAINED_CODEBOOKS = CENTERS, PQ_CODEBOOKS
+
+
+def _norm_q(q: list[float]) -> list[float]:
+    n = sum(float(v) * float(v) for v in q) ** 0.5
+    return [float(v) / n for v in q]
+
+
+NQUERY_VECS = [_norm_q(q) for q in QUERY_VECS]
+
+
+def q_sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed IVF coarse-quantizer training (Lloyd, fixed 5
+    iterations, seeded md5 init) on the normalized embeddings; output =
+    the trained centers, one row per (center_id, pos). Oracle = the
+    numpy twin's values — an independent reimplementation, which is a
+    stronger check than rows-only."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    centers = ANN.ivf_train(
+        ANN.l2_normalize(io.load_points(spark, sf_dir)), IVFPQ_K, IVFPQ_ITERS, "ivf"
+    )
+    rows = [
+        (i, j, ANN.round_param(v))
+        for i, c in enumerate(centers)
+        for j, v in enumerate(c)
+    ]
+    return spark.createDataFrame(rows, "center_id INT, pos INT, val DOUBLE")
+
+
+def q_sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PQ codebook training — m=8 concurrent Lloyd runs in
+    one exploded frame, one shuffle per iteration. Output = trained
+    codebooks, one row per (subspace, code, pos); oracle = numpy twin."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    books = ANN.pq_train(
+        ANN.l2_normalize(io.load_points(spark, sf_dir)),
+        IVFPQ_M, IVFPQ_KSUB, IVFPQ_ITERS, "pq",
+    )
+    rows = [
+        (s, c, j, ANN.round_param(v))
+        for s, book in enumerate(books)
+        for c, cent in enumerate(book)
+        for j, v in enumerate(cent)
+    ]
+    return spark.createDataFrame(rows, "subspace INT, code INT, pos INT, val DOUBLE")
+
+
+def _values_oracle(rows: list[tuple], cols: list[str]) -> str:
+    body = ", ".join(
+        "(" + ", ".join(
+            f"CAST({v!r} AS DOUBLE)" if isinstance(v, float) else str(v) for v in r
+        ) + ")"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES {body}) t({', '.join(cols)})"
+
+
+ORACLE_IVF_TRAIN = _values_oracle(
+    [
+        (i, j, float(v) + 0.0)
+        for i, c in enumerate(TRAINED_CENTERS)
+        for j, v in enumerate(c)
+    ],
+    ["center_id", "pos", "val"],
+)
+
+ORACLE_PQ_TRAIN = _values_oracle(
+    [
+        (s, c, j, float(v) + 0.0)
+        for s, book in enumerate(TRAINED_CODEBOOKS)
+        for c, cent in enumerate(book)
+        for j, v in enumerate(cent)
+    ],
+    ["subspace", "code", "pos", "val"],
+)
+
+
+def q_sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving with TRAINED parameters: normalize → coarse
+    assign to trained centers → probe-cell prune → PQ encode with
+    trained codebooks → ADC top-5, all in one plan. On unit vectors
+    squared L2 is monotone in cosine, so this approximates the cosine
+    bruteforce top-k (recall asserted in tests/test_ann_train.py)."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    return SIM.ivfpq_topk(
+        ANN.l2_normalize(io.load_points(spark, sf_dir)),
+        NQUERY_VECS, TRAINED_CENTERS, TRAINED_CODEBOOKS,
+        IVFPQ_TOPK, IVFPQ_NPROBE,
+    )
+
+
+def _oracle_ivfpq_trained() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    dists = [f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)]
+    argmin = OG.sql_argmin_case([f"d{i}" for i in range(IVFPQ_K)], "coarse_id")
+    dsub = DIM // IVFPQ_M
+    dcols = []
+    for s in range(IVFPQ_M):
+        for c in range(IVFPQ_KSUB):
+            terms = " + ".join(
+                f"(e[{s * dsub + j + 1}] - ({float(v)!r}))"
+                f"*(e[{s * dsub + j + 1}] - ({float(v)!r}))"
+                for j, v in enumerate(TRAINED_CODEBOOKS[s][c])
+            )
+            dcols.append(f"({terms}) AS d_{s}_{c}")
+    argmins = [
+        OG.sql_argmin_case([f"d_{s}_{c}" for c in range(IVFPQ_KSUB)], f"c{s}")
+        for s in range(IVFPQ_M)
+    ]
+    probe_cells = [
+        SIM.nearest_centers(q, TRAINED_CENTERS, IVFPQ_NPROBE) for q in NQUERY_VECS
+    ]
+    all_cells = ", ".join(str(c) for c in sorted({c for p in probe_cells for c in p}))
+    parts = []
+    for qid, q in enumerate(NQUERY_VECS):
+        lut = SIM.pq_adc_lut(q, TRAINED_CODEBOOKS)
+        adc = " + ".join(f"({OG.dlist(lut[s])})[c{s} + 1]" for s in range(IVFPQ_M))
+        in_list = ", ".join(str(p) for p in probe_cells[qid])
+        parts.append(
+            f"SELECT {qid} AS qid, probe_cell, vec_id, round(d, 6) AS adc_dist, rank FROM ("
+            f"  SELECT coarse_id AS probe_cell, vec_id, d,"
+            f"    CAST(row_number() OVER (ORDER BY d ASC, vec_id ASC) AS INTEGER) AS rank"
+            f"  FROM (SELECT vec_id, coarse_id, ({adc}) AS d FROM codes"
+            f"        WHERE coarse_id IN ({in_list}))"
+            f") WHERE rank <= {IVFPQ_TOPK}"
+        )
+    # AS MATERIALIZED: without it DuckDB inlines the CTE chain and the
+    # argmin CASEs × subspace-distance columns × the normalization
+    # lambda multiply into an expression tree that takes minutes; each
+    # stage computed once is instant (and is also what Spark does).
+    return (
+        f"WITH en AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e"
+        f" FROM {_E2} t WHERE {nsq} > 0), "
+        f"ca AS MATERIALIZED (SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}"
+        f" FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))"
+        f" WHERE coarse_id IN ({all_cells})), "
+        "d AS MATERIALIZED (SELECT vec_id, coarse_id, " + ", ".join(dcols) + " FROM ca), "
+        "codes AS MATERIALIZED (SELECT vec_id, coarse_id, " + ", ".join(argmins) + " FROM d) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_SIM_IVFPQ_TRAINED = _oracle_ivfpq_trained()
+
+
 QUERIES = {
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, ORACLE_SIM_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, ORACLE_SIM_IVF),
     "sim_pq_topk": (q_sim_pq_topk, ORACLE_SIM_PQ),
     "sim_range_search": (q_sim_range_search, ORACLE_SIM_RANGE),
     "sim_quantize_int8": (q_sim_quantize_int8, ORACLE_SIM_QUANTIZE),
+    "sim_ivf_train": (q_sim_ivf_train, ORACLE_IVF_TRAIN),
+    "sim_pq_train": (q_sim_pq_train, ORACLE_PQ_TRAIN),
+    "sim_ivfpq_trained": (q_sim_ivfpq_trained, ORACLE_SIM_IVFPQ_TRAINED),
 }

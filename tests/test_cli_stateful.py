@@ -45,13 +45,18 @@ def test_cli_end_to_end(spark, tmp_path):
 
 
 def test_stateful_session_counts_match_batch(spark, sf_dir):
+    """The stream's final state equals the oracle-checked batch twin
+    (`user_session_counts`) row-for-row, including last_ts_us — this is
+    the equality that lets a driver-green batch row certify the
+    applyInPandasWithState surface."""
     out = stateful.run_session_counts_to_table(spark, sf_dir, name="t_sessions")
-    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in out.collect()}
-    batch = TS.session_stats(io.read_table(spark, sf_dir, "events"), 30)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["last_ts_us"])
+        for r in out.collect()
+    }
+    batch = TS.session_counts(io.read_table(spark, sf_dir, "events"), 30)
     exp = {
-        r["user_id"]: (r["max(session_seq)"], r["sum(n_events)"])
-        for r in batch.groupBy("user_id")
-        .agg({"session_seq": "max", "n_events": "sum"})
-        .collect()
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["last_ts_us"])
+        for r in batch.collect()
     }
     assert got == exp and len(got) > 0
