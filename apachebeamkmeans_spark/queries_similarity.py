@@ -198,12 +198,20 @@ FROM {_E2} t
 # the serving query/oracle pair (same machinery as the fixture path).
 
 TRAIN_SF_DIR = os.environ.get("SPARK_GRAFT_TRAIN_SF_DIR", "/root/testdata/sf0.01")
-IVFPQ_K = 4          # coarse cells
-IVFPQ_NPROBE = 2
+# Serving quality at the training sf (recall@5 vs bruteforce, asserted
+# in tests/test_ann_train.py): the r4 config (4 cells, nprobe=2,
+# refine=50) measured 0.64 — half the loss was coarse pruning. At the
+# SAME scan fraction (nprobe/k = 1/2), a finer coarse quantizer probes
+# around cell boundaries much better: 8 cells / nprobe=4 / refine=100
+# measures 0.88. (16 cells over ~500 train vectors degrades to 0.60 —
+# cells too small to train; at 100 TB kc scales with corpus size.)
+IVFPQ_K = 8          # coarse cells
+IVFPQ_NPROBE = 4
 IVFPQ_M = 8          # PQ subspaces
 IVFPQ_KSUB = 16      # centroids per subspace
 IVFPQ_ITERS = 5
 IVFPQ_TOPK = 5
+IVFPQ_REFINE = 100   # ADC shortlist size re-ranked by exact cosine
 
 
 def _train_np() -> tuple[list[list[float]], list[list[list[float]]]]:
@@ -220,8 +228,38 @@ def _train_np() -> tuple[list[list[float]], list[list[list[float]]]]:
 
 try:
     TRAINED_CENTERS, TRAINED_CODEBOOKS = _train_np()
-except Exception:  # no testdata in this environment — keep imports alive
+except (FileNotFoundError, OSError) as _e:
+    # ONLY the missing-testdata case falls back to fixture literals
+    # (keeps imports alive on machines without /root/testdata); a bug
+    # in the trainer itself must propagate — silently certifying the
+    # fixture path would mask it (ADVICE r4).
+    import sys
+
+    print(
+        f"[queries_similarity] WARNING: numpy ANN training fell back to "
+        f"fixture literals ({_e!r}); trained-query oracles are NOT "
+        f"data-trained in this environment",
+        file=sys.stderr,
+    )
     TRAINED_CENTERS, TRAINED_CODEBOOKS = CENTERS, PQ_CODEBOOKS
+
+
+def _warn_if_not_train_sf(sf_dir: str, name: str) -> None:
+    """The registered training oracles are numpy-trained literals pinned
+    to TRAIN_SF_DIR (the driver's correctness sf). Training at another
+    sf is a legitimate use of the query, but its result will not match
+    the registered oracle — say so loudly instead of letting the
+    mismatch look like an engine bug (ADVICE r4). Not an exception: the
+    empty-input sweep and ad-hoc runs at other sfs are valid."""
+    if os.path.abspath(sf_dir) != os.path.abspath(TRAIN_SF_DIR):
+        import sys
+
+        print(
+            f"[queries_similarity] NOTE: {name} running at sf_dir={sf_dir!r} "
+            f"but its registered oracle literals were trained at "
+            f"{TRAIN_SF_DIR!r}; oracle comparison is only valid there",
+            file=sys.stderr,
+        )
 
 
 def _norm_q(q: list[float]) -> list[float]:
@@ -240,6 +278,7 @@ def q_sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     stronger check than rows-only."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
+    _warn_if_not_train_sf(sf_dir, "sim_ivf_train")
     centers = ANN.ivf_train(
         ANN.l2_normalize(io.load_points(spark, sf_dir)), IVFPQ_K, IVFPQ_ITERS, "ivf"
     )
@@ -257,6 +296,7 @@ def q_sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, one row per (subspace, code, pos); oracle = numpy twin."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
+    _warn_if_not_train_sf(sf_dir, "sim_pq_train")
     books = ANN.pq_train(
         ANN.l2_normalize(io.load_points(spark, sf_dir)),
         IVFPQ_M, IVFPQ_KSUB, IVFPQ_ITERS, "pq",
@@ -308,10 +348,11 @@ def q_sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     bruteforce top-k (recall asserted in tests/test_ann_train.py)."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
+    _warn_if_not_train_sf(sf_dir, "sim_ivfpq_trained")
     return SIM.ivfpq_topk(
         ANN.l2_normalize(io.load_points(spark, sf_dir)),
         NQUERY_VECS, TRAINED_CENTERS, TRAINED_CODEBOOKS,
-        IVFPQ_TOPK, IVFPQ_NPROBE,
+        IVFPQ_TOPK, IVFPQ_NPROBE, refine=IVFPQ_REFINE,
     )
 
 
@@ -342,12 +383,25 @@ def _oracle_ivfpq_trained() -> str:
         lut = SIM.pq_adc_lut(q, TRAINED_CODEBOOKS)
         adc = " + ".join(f"({OG.dlist(lut[s])})[c{s} + 1]" for s in range(IVFPQ_M))
         in_list = ", ".join(str(p) for p in probe_cells[qid])
+        # Twin of ivfpq_topk's two-stage rank: ADC shortlist of
+        # `refine` rows (d ASC, vec_id ASC), then exact re-rank of the
+        # shortlist by dot on the unit vectors (cosine) DESC with
+        # vec_id tie-break — emits `cosine`, same as the Spark side.
+        dot = OG.sql_dot("en.e", q)
         parts.append(
-            f"SELECT {qid} AS qid, probe_cell, vec_id, round(d, 6) AS adc_dist, rank FROM ("
-            f"  SELECT coarse_id AS probe_cell, vec_id, d,"
-            f"    CAST(row_number() OVER (ORDER BY d ASC, vec_id ASC) AS INTEGER) AS rank"
-            f"  FROM (SELECT vec_id, coarse_id, ({adc}) AS d FROM codes"
-            f"        WHERE coarse_id IN ({in_list}))"
+            f"SELECT {qid} AS qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM ("
+            f"  SELECT probe_cell, vec_id, c,"
+            f"    CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank"
+            f"  FROM ("
+            f"    SELECT sl.probe_cell, sl.vec_id, {dot} AS c"
+            f"    FROM ("
+            f"      SELECT coarse_id AS probe_cell, vec_id,"
+            f"        row_number() OVER (ORDER BY d ASC, vec_id ASC) AS adc_rank"
+            f"      FROM (SELECT vec_id, coarse_id, ({adc}) AS d FROM codes"
+            f"            WHERE coarse_id IN ({in_list}))"
+            f"    ) sl JOIN en ON en.vec_id = sl.vec_id"
+            f"    WHERE sl.adc_rank <= {IVFPQ_REFINE}"
+            f"  )"
             f") WHERE rank <= {IVFPQ_TOPK}"
         )
     # AS MATERIALIZED: without it DuckDB inlines the CTE chain and the

@@ -3,15 +3,88 @@
 Aggregates every query module's QUERIES dict. `__spark_entry__.py`
 exposes this to the driver; `bench.py` times the headline subset;
 `tools/selfcheck.py` replays the oracle comparison locally.
+
+Certification rotation: the verification driver oracle-checks the
+FIRST `CERT_WINDOW` registry entries each round, so iteration order
+decides which queries get driver-certified rows. The order is DERIVED
+from the `CORRECTNESS_r*.json` history at the repo root, never
+hand-maintained (the hand-kept front went stale twice — r3/r4
+verdicts): oracle-backed queries with no green driver row in any round
+come first, then green-but-stale ones oldest-round-first, and the
+rows-only (no-oracle) queries last — a rows-only row can never
+certify, so they must not occupy window slots.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+
+# How many registry entries (in iteration order) the driver
+# oracle-checks per round.
+CERT_WINDOW = 50
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def correctness_history(root: str | None = None) -> dict[str, int]:
+    """name → latest round with a GREEN driver row (all three matches
+    true) or — for queries registered without an oracle — a contracted
+    rows-only row. A failed row does not count: a query whose last
+    driver check failed must rotate back to the head of the window."""
+    root = _repo_root() if root is None else root
+    latest: dict[str, int] = {}
+    for fn in os.listdir(root):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(os.path.join(root, fn)) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            green = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and bool(row.get("hash_match"))
+            ) or row.get("err") == "no_oracle"
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def certification_order(
+    queries: dict[str, QuerySpec], history: dict[str, int] | None = None
+) -> dict[str, QuerySpec]:
+    """Order the registry so the driver's certification window is spent
+    where it buys the most:
+
+    1. oracle-backed, never green in any recorded round (incl. queries
+       whose most recent driver row FAILED) — name order;
+    2. oracle-backed, green before — oldest green round first, then
+       name (so no query silently goes rounds without re-certification);
+    3. no-oracle queries last (their driver row is rows-only and can
+       never certify — keeping them in the window wastes slots).
+    """
+    hist = correctness_history() if history is None else history
+
+    def key(item: tuple[str, QuerySpec]):
+        name, (_fn, sql) = item
+        if sql is None:
+            return (2, 0, name)
+        last = hist.get(name)
+        if last is None:
+            return (0, 0, name)
+        return (1, last, name)
+
+    return dict(sorted(queries.items(), key=key))
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -46,70 +119,13 @@ def all_queries() -> dict[str, QuerySpec]:
             if k in out:
                 raise ValueError(f"duplicate query name: {k}")
             out[k] = v
-    front = [n for n in CERTIFICATION_FRONT if n in out]
-    ordered = {n: out[n] for n in front}
-    ordered.update((k, v) for k, v in out.items() if k not in ordered)
+    ordered = certification_order(out)
+    # Fail-loud window invariant: every slot the driver will check must
+    # be oracle-backed (there are far more than CERT_WINDOW such
+    # queries; a no-oracle entry inside the window means the ordering
+    # logic regressed).
+    window = list(ordered.items())[:CERT_WINDOW]
+    bad = [n for n, (_f, sql) in window if sql is None]
+    if bad:
+        raise AssertionError(f"no-oracle queries inside the cert window: {bad}")
     return ordered
-
-
-# The verification driver oracle-checks the FIRST 50 registry entries
-# each round (CORRECTNESS_r01/r02 are exactly the first 50 names in
-# iteration order at the time of each run). With more than 50 queries
-# registered, iteration order decides which get driver-certified rows,
-# so: queries with no certified row in any prior round come first
-# (everything here through `stream_session_window`), then the flagship
-# core so the central engine surface is re-certified alongside them.
-CERTIFICATION_FRONT = [
-    # -- never driver-certified (absent from CORRECTNESS_r01 + r02) --
-    "corpus_pipeline",
-    "dedup_keeper_quality",
-    "dedup_purge",
-    "events_range_join",
-    "events_sliding",
-    "events_type_map",
-    "mm_binary_meta",
-    "mm_fake_decode",
-    "mm_resize_features",
-    "orders_cube",
-    "orders_grouping_sets",
-    "pack_sequences",
-    "sample_mixture",
-    "sim_ivf_topk",
-    "sim_pq_topk",
-    "sim_quantize_int8",
-    "sim_range_search",
-    "sql_udf_norms",
-    "stream_click_attribution",
-    "stream_dedup_events",
-    "stream_enriched_nation",
-    "stream_events_hourly",
-    "stream_session_counts",
-    "stream_session_window",
-    "text_contamination",
-    "tfidf_top_terms",
-    "udaf_gmean",
-    "udtf_tokens",
-    # -- flagship core: keep continuously certified (fills to 50) --
-    "kmeans_assign",
-    "kmeans_recenter",
-    "kmeans_sse",
-    "kmeans_fit_clusters",
-    "mllib_kmeans",
-    "kmeans_plusplus_seeds",
-    "kmeans_init_extremes",
-    "kmeans_gonzalez_seeds",
-    "kmeans_purity",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "top_orders_per_customer",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_jaccard",
-    "dedup_clusters",
-    "sim_topk_bruteforce",
-    "text_stats",
-    "token_counts",
-    "events_sessions",
-    "events_asof_purchase",
-]

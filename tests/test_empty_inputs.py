@@ -23,6 +23,9 @@ NEEDS_DATA = {
     "kmeans_plusplus_seeds_dweight",
     "kmeans_fit_clusters",
     "mllib_kmeans",
+    # ANN trainers are Lloyd fits: no centers/codebooks of no points.
+    "sim_ivf_train",
+    "sim_pq_train",
 }
 
 QUERIES = all_queries()
