@@ -44,9 +44,14 @@ BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace vs BPE-ish token counts + chars-per-token — the
     budget arithmetic of an LLM data pipeline (how many training
-    tokens does this corpus hold?). Narrow map, JVM regex, no UDF."""
-    n_ws = F.size(T.tokens(F.col("text")))
-    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    tokens does this corpus hold?). Narrow map, JVM regex, no UDF.
+    Counting uses `regexp_count`, which walks the matcher without
+    materializing the match array (`size(regexp_extract_all(...))`
+    allocated hundreds of strings per document just to count them —
+    ~2x the per-row cost); counting \\S+ runs equals counting the
+    non-empty split tokens."""
+    n_ws = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    n_bpe = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN))
     return docs.select(
         "doc_id",
         n_ws.alias("n_ws_tokens"),

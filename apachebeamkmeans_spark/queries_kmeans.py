@@ -432,6 +432,79 @@ FROM s1, sa, sb
 """
 
 
+# ----------------------------------- full Lloyd fit, oracle-checked (r5)
+# `kmeans_fit_clusters` below stays rows-only because its convergence
+# test is float-dependent — but a FIXED-iteration fit has no such
+# dependency: seeded md5 init (lowest hash01 wins, ties by id), exactly
+# FIT_FIXED_ITERS Lloyd steps, empty clusters keep their previous
+# centroid. Under that contract an independent numpy reimplementation
+# (operators/ann_train.py *_np twins) reproduces the fit to rounding
+# precision, so the full iterative loop — the reference's C5 driver
+# loop, /root/reference/SparKMeansGroupBy.java:73-151 — gets a real
+# value-match oracle instead of a rows-only row.
+
+FIT_FIXED_ITERS = 5
+FIT_FIXED_SEED = "fitfix"
+import os as _os  # noqa: E402
+
+FIT_TRAIN_SF_DIR = _os.environ.get("SPARK_GRAFT_TRAIN_SF_DIR", "/root/testdata/sf0.01")
+
+
+def q_kmeans_fit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration seeded Lloyd fit over the raw embeddings:
+    one row per center with its final member count and the rounded
+    center coordinates. Oracle = the numpy twin's VALUES (independent
+    reimplementation — a stronger check than rows-only)."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    pts = _pts(spark, sf_dir)
+    centers = ANN.ivf_train(pts, K, FIT_FIXED_ITERS, FIT_FIXED_SEED)
+    assigned = lloyd.assign(pts, centers, 2.0, mode="hof")
+    sizes = assigned.groupBy("center_id").agg(F.count(F.lit(1)).alias("size"))
+    cdf = spark.createDataFrame(
+        [(i, *[ANN.round_param(v) for v in c]) for i, c in enumerate(centers)],
+        "center_id INT, " + ", ".join(f"c{j} DOUBLE" for j in range(DIM)),
+    )
+    return cdf.join(sizes, "center_id", "left").select(
+        "center_id",
+        F.coalesce("size", F.lit(0)).alias("size"),
+        *[F.col(f"c{j}") for j in range(DIM)],
+    )
+
+
+def _oracle_fit_fixed() -> str:
+    """Numpy-twin fit at the driver's correctness sf; centers AND final
+    sizes embedded as a VALUES table."""
+    import numpy as np
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    ids, mat = ANN.load_embeddings_np(FIT_TRAIN_SF_DIR)
+    centers = ANN.ivf_train_np(ids, mat, K, FIT_FIXED_ITERS, FIT_FIXED_SEED)
+    d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    code = d.argmin(axis=1)
+    rounded = ANN.round_mat(centers)
+    rows = []
+    for i in range(K):
+        vals = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in rounded[i])
+        rows.append(f"({i}, CAST({int(np.sum(code == i))} AS BIGINT), {vals})")
+    cols = ", ".join(["center_id", "size"] + [f"c{j}" for j in range(DIM)])
+    return f"SELECT * FROM (VALUES {', '.join(rows)}) t({cols})"
+
+
+try:
+    ORACLE_KMEANS_FIT_FIXED: str | None = _oracle_fit_fixed()
+except (FileNotFoundError, OSError) as _e:
+    import sys as _sys
+
+    print(
+        f"[queries_kmeans] WARNING: kmeans_fit_fixed oracle unavailable "
+        f"(no testdata: {_e!r}); registering rows-only",
+        file=_sys.stderr,
+    )
+    ORACLE_KMEANS_FIT_FIXED = None
+
+
 # -------------------------------------------- full iterative fits (rows-only)
 
 
@@ -577,6 +650,7 @@ QUERIES = {
     "kmeans_plusplus_seeds_dweight": (q_kmeans_plusplus_seeds_dweight, ORACLE_PLUSPLUS_DWEIGHT),
     "kmeans_cluster_output": (q_kmeans_cluster_output, ORACLE_CLUSTER_OUTPUT),
     "kmeans_purity": (q_kmeans_purity, ORACLE_KMEANS_PURITY),
+    "kmeans_fit_fixed": (q_kmeans_fit_fixed, ORACLE_KMEANS_FIT_FIXED),
     "kmeans_fit_clusters": (q_kmeans_fit_clusters, None),
     "mllib_kmeans": (q_mllib_kmeans, None),
 }

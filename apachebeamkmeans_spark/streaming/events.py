@@ -15,11 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Footer-probe results per (session id, sf_dir): several run_*_to_table
-# helpers each construct a stream, and re-reading the same parquet
-# footer per construction is avoidable driver work. Keyed on the
-# session's id() so a restarted session (new JVM) re-probes.
-_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+# Footer-probe results per (applicationId, sf_dir): several
+# run_*_to_table helpers each construct a stream, and re-reading the
+# same parquet footer per construction is avoidable driver work. Keyed
+# on the session's applicationId — stable for the session's lifetime
+# and never recycled (unlike id(spark), which CPython can reuse after
+# GC and serve a stale schema to a new session — ADVICE r4).
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,7 +33,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # varies by generator (ns-as-long vs naive µs) — take it from the
     # footer via a batch schema probe (cached), then normalize like the
     # batch path.
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema

@@ -80,6 +80,13 @@ HEADLINE = [
     "corpus_pipeline",
     "sim_pq_topk",
     "events_session_window",
+    # round 5 additions: trained-ANN family + oracle-checked fixed fit
+    # + the stateful-surface batch twin
+    "sim_ivf_train",
+    "sim_pq_train",
+    "sim_ivfpq_trained",
+    "kmeans_fit_fixed",
+    "user_session_counts",
 ]
 
 

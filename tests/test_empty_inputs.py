@@ -23,9 +23,11 @@ NEEDS_DATA = {
     "kmeans_plusplus_seeds_dweight",
     "kmeans_fit_clusters",
     "mllib_kmeans",
-    # ANN trainers are Lloyd fits: no centers/codebooks of no points.
+    # ANN trainers / fixed-iteration fit are Lloyd fits: no
+    # centers/codebooks of no points.
     "sim_ivf_train",
     "sim_pq_train",
+    "kmeans_fit_fixed",
 }
 
 QUERIES = all_queries()
