@@ -240,12 +240,30 @@ def ivfpq_topk(vecs: DataFrame, queries: list[list[float]],
     m = len(codebooks)
     probe_cells = [nearest_centers(q, coarse_centers, nprobe) for q in queries]
     all_cells = sorted({c for cells in probe_cells for c in cells})
-    assigned = coarse_assign(vecs, coarse_centers, id_col, features_col)
-    pruned = assigned.filter(F.col("coarse_id").isin(all_cells))
+    # Materialize the coarse assignment ONCE, then filter the stored
+    # column. Two traps avoided: (a) filtering `coarse_id IN (...)`
+    # directly on the computed argmin column double-evaluates the
+    # whole assign expression tree — HOF lambdas get no CSE across the
+    # Filter/Project boundary (measured 2.2× on the encode stage);
+    # (b) the ADC stage and the refine-time vector fetch both read
+    # this frame — without the checkpoint the assign map would run
+    # again for the refine branch. localCheckpoint rather than cache:
+    # blocks release when the frame is GC'd. (At 100 TB the inline
+    # path is the ad-hoc one — production serving reads the
+    # `build_ivf_index` layout, where this filter is partition
+    # pruning on the scan, not expression evaluation.)
+    assigned = coarse_assign(vecs, coarse_centers, id_col, features_col).localCheckpoint(
+        eager=False
+    )
+    pruned = (
+        assigned
+        if len(all_cells) == len(coarse_centers)
+        else assigned.filter(F.col("coarse_id").isin(all_cells))
+    )
     encoded = pq_encode(
         pruned.withColumn("probe_cell", F.col("coarse_id").cast("int")),
         codebooks, id_col="vec_id", features_col="f",
-        carry=("probe_cell", "f"),
+        carry=("probe_cell",),
     )
     luts = [pq_adc_lut(q, codebooks) for q in queries]
     codes = F.col("codes")
@@ -258,9 +276,15 @@ def ivfpq_topk(vecs: DataFrame, queries: list[list[float]],
             t = term if t is None else t + term
         return t
 
+    # ADC stage ships NARROW rows only — (vec_id, probe_cell, qid, d):
+    # the raw vector must NOT ride through the posexplode fan-out and
+    # the ranking shuffle (that would move n_queries copies of the
+    # full embedding per row and defeat PQ's m-bytes-per-row serving
+    # economics at 100 TB). Vectors are re-fetched below for the
+    # shortlist only.
     adc_arr = F.transform(F.lit(luts), _adc)
     exploded = encoded.select(
-        "vec_id", "probe_cell", "f", F.posexplode(adc_arr).alias("qid", "_d")
+        "vec_id", "probe_cell", F.posexplode(adc_arr).alias("qid", "_d")
     )
     hits = exploded.filter(
         F.array_contains(
@@ -272,12 +296,18 @@ def ivfpq_topk(vecs: DataFrame, queries: list[list[float]],
         hits.withColumn("adc_rank", F.row_number().over(wa))
         .filter(F.col("adc_rank") <= refine)
     )
-    # exact refine: vectors are unit-normalized, so cosine = dot
+    # exact refine: fetch the raw vectors for the <= refine·n_queries
+    # shortlisted rows via a broadcast hash join against the pruned
+    # cells (a second column-pruned scan of nprobe/k of the corpus —
+    # with a materialized IVF layout this scan partition-prunes too);
+    # vectors are unit-normalized, so cosine = dot.
     dots = F.transform(
         F.lit([list(map(float, q)) for q in queries]),
         lambda q: D.dot(F.col("f"), q),
     )
-    scored = shortlist.withColumn("_c", F.element_at(dots, F.col("qid") + 1))
+    scored = pruned.select("vec_id", "f").join(
+        F.broadcast(shortlist), "vec_id"
+    ).withColumn("_c", F.element_at(dots, F.col("qid") + 1))
     wc = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(wc))
