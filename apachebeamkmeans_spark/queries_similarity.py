@@ -356,6 +356,62 @@ def q_sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coarse quantizer meets the materialized layout:
+    normalize → assign to the TRAINED centers → write hive-partitioned
+    by `coarse_id` → partition-pruned probe (`coarse_id IN (...)`
+    reaches PartitionFilters, same plan lock as the fixture-center
+    index) ranking by exact cosine within the probed cells. This is the
+    production IVF serving shape at 100 TB: the index is a one-time
+    write, every search scans nprobe/k of the directories. Unlike the
+    training oracles, this pair is valid at ANY sf — the trained
+    centers are literals on both sides and the data is whatever the
+    caller passes."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    path = _ivf_index_path(sf_dir) + "-trained"
+    SIM.build_ivf_index(
+        ANN.l2_normalize(io.load_points(spark, sf_dir)), TRAINED_CENTERS, path
+    )
+    return SIM.ivf_topk_indexed(
+        spark, path, NQUERY_VECS, TRAINED_CENTERS, IVFPQ_TOPK, IVFPQ_NPROBE
+    )
+
+
+def _oracle_ivf_trained_indexed() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    dists = [f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)]
+    argmin = OG.sql_argmin_case(
+        [f"d{i}" for i in range(len(TRAINED_CENTERS))], "coarse_id"
+    )
+    parts = []
+    for qid, q in enumerate(NQUERY_VECS):
+        probes = SIM.nearest_centers(q, TRAINED_CENTERS, IVFPQ_NPROBE)
+        in_list = ", ".join(str(p) for p in probes)
+        cos = OG.sql_cosine_lit("e", q, DIM)
+        parts.append(
+            f"SELECT {qid} AS qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM ("
+            f"  SELECT coarse_id AS probe_cell, vec_id, c,"
+            f"    CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank"
+            f"  FROM (SELECT vec_id, coarse_id, {cos} AS c FROM ca"
+            f"        WHERE coarse_id IN ({in_list}))"
+            f") WHERE rank <= {IVFPQ_TOPK}"
+        )
+    # AS MATERIALIZED for the same reason as the IVF-PQ oracle below:
+    # inlining the normalization lambda into the k×dim distance columns
+    # makes DuckDB's expression tree explode.
+    return (
+        f"WITH en AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e"
+        f" FROM {_E2} t WHERE {nsq} > 0), "
+        f"ca AS MATERIALIZED (SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}"
+        f" FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_SIM_IVF_TRAINED_INDEXED = _oracle_ivf_trained_indexed()
+
+
 def _oracle_ivfpq_trained() -> str:
     nsq = OG.sql_norm_sq("e", DIM)
     dists = [f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)]
@@ -432,4 +488,5 @@ QUERIES = {
     "sim_ivf_train": (q_sim_ivf_train, ORACLE_IVF_TRAIN),
     "sim_pq_train": (q_sim_pq_train, ORACLE_PQ_TRAIN),
     "sim_ivfpq_trained": (q_sim_ivfpq_trained, ORACLE_SIM_IVFPQ_TRAINED),
+    "sim_ivf_trained_indexed": (q_sim_ivf_trained_indexed, ORACLE_SIM_IVF_TRAINED_INDEXED),
 }

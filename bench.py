@@ -85,6 +85,7 @@ HEADLINE = [
     "sim_ivf_train",
     "sim_pq_train",
     "sim_ivfpq_trained",
+    "sim_ivf_trained_indexed",
     "kmeans_fit_fixed",
     "user_session_counts",
 ]
