@@ -353,6 +353,23 @@ def build_ivf_index(vecs: DataFrame, centers: list[list[float]], path: str,
                      path, partition_by=["coarse_id"])
 
 
+def append_to_ivf_index(vecs: DataFrame, centers: list[list[float]], path: str,
+                        id_col: str = "id", features_col: str = "features") -> None:
+    """Incremental index maintenance: coarse-assign a NEW batch of
+    vectors and append it to an existing `build_ivf_index` layout —
+    dynamic-partition append, so only the touched `coarse_id=`
+    directories gain files; existing data is never rewritten. This is
+    how a production corpus ingests continuously at 100 TB (assign +
+    append per arriving batch; the quantizer is retrained offline and
+    the layout rebuilt only when cell balance drifts). Search results
+    after an append equal a from-scratch rebuild over the union —
+    asserted in tests/test_similarity_mm.py."""
+    from apachebeamkmeans_spark.sources import io
+
+    io.write_parquet(coarse_assign(vecs, centers, id_col, features_col),
+                     path, mode="append", partition_by=["coarse_id"])
+
+
 def ivf_probe_topk(index: DataFrame, queries: list[list[float]],
                    centers: list[list[float]], k: int = 5,
                    nprobe: int = 1) -> DataFrame:

@@ -31,6 +31,30 @@ def test_ivf_search_matches_bruteforce_within_cell(spark, sf_dir):
     assert [r["rank"] for r in ivf] == [1, 2, 3, 4, 5]
 
 
+def test_ivf_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental index maintenance: building with half the vectors
+    then appending the rest must serve exactly the same results as one
+    from-scratch build over everything."""
+    vecs = io.load_points(spark, sf_dir).localCheckpoint()
+    centers = fixed_centers()
+    queries = [[0.05] * 64, [-0.03] * 64]
+
+    full_path = str(tmp_path / "ivf_full")
+    inc_path = str(tmp_path / "ivf_inc")
+    SIM.build_ivf_index(vecs, centers, full_path)
+    half = vecs.filter("id % 2 = 0")
+    rest = vecs.filter("id % 2 = 1")
+    SIM.build_ivf_index(half, centers, inc_path)
+    SIM.append_to_ivf_index(rest, centers, inc_path)
+
+    key = lambda rows: sorted(
+        (r["qid"], r["rank"], r["vec_id"], r["probe_cell"], r["cosine"]) for r in rows
+    )
+    a = SIM.ivf_topk_indexed(spark, full_path, queries, centers, k=5, nprobe=2).collect()
+    b = SIM.ivf_topk_indexed(spark, inc_path, queries, centers, k=5, nprobe=2).collect()
+    assert key(a) == key(b) and len(a) == 10
+
+
 def test_binary_assets_and_decode(spark):
     docs = spark.createDataFrame([(0, "hello world"), (1, "hello world"), (2, "x")],
                                  "doc_id long, text string")
