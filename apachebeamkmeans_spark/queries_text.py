@@ -305,8 +305,110 @@ SELECT lang_pred, doc_id, pick FROM r WHERE pick <= {K_PER_STRATUM}
 """
 
 
+# ------------------------------------- Gopher-style repetition filters
+
+MAX_TOP_FRAC = 0.2
+MAX_DUP2_FRAC = 0.4
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.repetition_stats(_docs(spark, sf_dir), MAX_TOP_FRAC, MAX_DUP2_FRAC)
+
+
+_G2 = OG.sql_token_shingles("toks", 2)
+
+_TOP_FRAC = (
+    "CASE WHEN len(toks) > 0 THEN "
+    "CAST(list_max(list_transform(list_distinct(toks), "
+    "d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE) / len(toks) "
+    "ELSE 0.0 END"
+)
+_DUP2_FRAC = (
+    "CASE WHEN len(g2) > 0 THEN "
+    "1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END"
+)
+
+ORACLE_TEXT_REPETITION = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks, {_G2} AS g2 FROM t)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END, 6) AS distinct_token_ratio,
+       round({_TOP_FRAC}, 6) AS top_token_frac,
+       round({_DUP2_FRAC}, 6) AS dup_2gram_frac,
+       (({_TOP_FRAC}) <= {MAX_TOP_FRAC}) AND (({_DUP2_FRAC}) <= {MAX_DUP2_FRAC}) AS keep
+FROM s
+"""
+
+
+# --------------------------------------------------- PII redaction pass
+
+# The synthetic corpus carries no real PII, so the query plants
+# deterministic PII derived from doc_id (one email, one phone, one
+# IPv4 per doc) before scrubbing — the redaction path is exercised on
+# every row and the oracle replays the same construction.
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com phone 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    return TX.pii_scrub(docs).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5("text").alias("scrubbed_md5"),
+    )
+
+
+def _oracle_pii() -> str:
+    em = TX.EMAIL_RE.replace("'", "''")
+    ph = TX.PHONE_RE
+    ip = TX.IP_RE
+    synth = (
+        "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+        "'@example.com phone 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
+        "' ip 10.0.', CAST(doc_id % 256 AS VARCHAR), '.', "
+        "CAST((doc_id * 7) % 256 AS VARCHAR))"
+    )
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(t2, '{em}', '<EMAIL>', 'g'), "
+        f"'{ph}', '<PHONE>', 'g'), '{ip}', '<IP>', 'g')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {synth} AS t2 FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2, '{em}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t2, '{ph}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t2, '{ip}')) AS INTEGER) AS n_ips,
+       md5({scrub}) AS scrubbed_md5
+FROM t
+"""
+
+
+ORACLE_TEXT_PII_SCRUB = _oracle_pii()
+
+
 QUERIES = {
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
+    "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    "text_pii_scrub": (q_text_pii_scrub, ORACLE_TEXT_PII_SCRUB),
     "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),

@@ -88,6 +88,8 @@ HEADLINE = [
     "sim_ivf_trained_indexed",
     "kmeans_fit_fixed",
     "user_session_counts",
+    "text_repetition",
+    "text_pii_scrub",
 ]
 
 

@@ -122,3 +122,40 @@ def test_bpe_token_counts(spark):
     assert rows[2]["n_bpe_tokens"] == 2
     # letter/digit alternation splits: "a" "1" "b" "2"
     assert rows[3]["n_bpe_tokens"] == 4
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+x@sub.example.io or call 555-1234 from 192.168.0.1 now"),
+            (2, "two mails: p@q.org r@s.net; no phone; 10.0.0.7 and 8.8.8.8"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.pii_scrub(docs).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ips"]) == (1, 1, 1)
+    assert rows[1]["text"] == "mail <EMAIL> or call <PHONE> from <IP> now"
+    assert (rows[2]["n_emails"], rows[2]["n_ips"]) == (2, 2)
+    assert rows[2]["text"] == "two mails: <EMAIL> <EMAIL>; no phone; <IP> and <IP>"
+    assert (rows[3]["n_emails"], rows[3]["n_phones"], rows[3]["n_ips"]) == (0, 0, 0)
+    assert rows[3]["text"] == "nothing sensitive here"
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),   # dup 2-grams, top 'buy'=0.5
+            (2, "the quick brown fox jumps over dogs"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.repetition_stats(docs).collect()}
+    assert rows[1]["keep"] is False and rows[1]["top_token_frac"] == 0.5
+    # 7 2-grams, 2 distinct ("buy now", "now buy") -> dup frac 5/7
+    assert rows[1]["dup_2gram_frac"] == round(1 - 2 / 7, 6)
+    assert rows[2]["keep"] is True and rows[2]["distinct_token_ratio"] == 1.0
