@@ -60,20 +60,27 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic quality score in [0,1]:
+def quality_expr():
+    """The unrounded quality-score column expression in [0,1]:
     0.5·min(n_tokens/100, 1) + 0.3·min(4·stopword_ratio, 1) + 0.2·(1 − punct_ratio).
     Length rewards substance, stopword density proxies naturalness,
-    punctuation noise penalizes boilerplate."""
+    punctuation noise penalizes boilerplate. Shared by `quality_score`
+    and the per-source cap ranking (which must order by the UNROUNDED
+    value so ties agree with the oracle)."""
     toks = T.tokens(F.col("text"))
     n_toks = F.size(toks)
     stop_ratio = T.stopword_hits(toks, STOPWORDS).cast("double") / n_toks
     punct_ratio = T.punct_count(F.col("text")).cast("double") / F.length("text")
-    score = (
+    return (
         0.5 * F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
         + 0.3 * F.least(4.0 * stop_ratio, F.lit(1.0))
         + 0.2 * (1.0 - punct_ratio)
     )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Per-doc quality verdict — see `quality_expr`."""
+    score = quality_expr()
     return docs.select(
         "doc_id",
         F.round(score, 6).alias("quality"),

@@ -405,10 +405,48 @@ FROM t
 ORACLE_TEXT_PII_SCRUB = _oracle_pii()
 
 
+# ----------------------------------------- per-source document caps
+
+CAP_PER_SOURCE = 15
+
+
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-level share capping — the corpus-curation step
+    that stops any single crawl source from dominating the training
+    mix: within each source keep the `CAP_PER_SOURCE` highest-quality
+    documents (quality score desc, doc_id tie-break). One per-source
+    window over the quality map — no global sort; source count scales
+    with the corpus, partitions stay balanced."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "source", TX.quality_expr().alias("__q"))
+    w = Window.partitionBy("source").orderBy(F.desc("__q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= CAP_PER_SOURCE)
+        .select("source", "doc_id", F.round("__q", 6).alias("quality"), "rank")
+    )
+
+
+ORACLE_SOURCE_CAPS = f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, source, {_SCORE} AS q FROM t),
+r AS (SELECT source, doc_id, q,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY q DESC, doc_id ASC) AS INTEGER) AS rank
+      FROM s)
+SELECT source, doc_id, round(q, 6) AS quality, rank
+FROM r WHERE rank <= {CAP_PER_SOURCE}
+"""
+
+
 QUERIES = {
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
     "text_pii_scrub": (q_text_pii_scrub, ORACLE_TEXT_PII_SCRUB),
+    "source_caps": (q_source_caps, ORACLE_SOURCE_CAPS),
     "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),

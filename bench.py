@@ -90,6 +90,7 @@ HEADLINE = [
     "user_session_counts",
     "text_repetition",
     "text_pii_scrub",
+    "source_caps",
 ]
 
 

@@ -115,3 +115,65 @@ def test_binned_range_join_equals_naive(spark, rows):
         if pk == ok and pt - window <= ot < pt
     }
     assert got == naive
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pii_scrub_idempotent_and_clean(spark, texts):
+    """Scrubbing is idempotent (scrub(scrub(x)) == scrub(x)) and the
+    scrubbed output never matches any PII pattern again — for ANY
+    input, including pattern fragments and near-misses."""
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = TX.pii_scrub(docs).localCheckpoint()
+    twice = TX.pii_scrub(once)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+    residue = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ips"])
+        for r in twice.collect()
+    }
+    assert all(v == (0, 0, 0) for v in residue.values())
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "now", "buy"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_stats_bounds(spark, docs_tokens):
+    """All ratios stay in [0, 1]; a document of one repeated token has
+    top_token_frac 1; an all-distinct document has distinct ratio 1."""
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)],
+        "doc_id long, text string",
+    )
+    for r in TX.repetition_stats(docs).collect():
+        for c in ("distinct_token_ratio", "top_token_frac", "dup_2gram_frac"):
+            assert 0.0 <= r[c] <= 1.0, (c, r)
+        toks = docs_tokens[r["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        if toks and len(set(toks)) == 1:
+            assert r["top_token_frac"] == 1.0
+        if toks and len(set(toks)) == len(toks):
+            assert r["distinct_token_ratio"] == 1.0
