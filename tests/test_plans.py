@@ -180,3 +180,41 @@ def test_range_search_is_narrow_map(spark, sf_dir):
     vecs = io.load_points(spark, sf_dir)
     q = SIM.cosine_range_search(vecs, QUERY_VECS, 0.35)
     assert X.n_exchanges(q) == 0
+
+
+def test_ivfpq_serving_shape(spark, sf_dir):
+    """Trained IVF-PQ serving plan invariants: the exact-refine vector
+    fetch is a BROADCAST hash join (the shortlist side is tiny by
+    construction), and the raw feature array does NOT travel through
+    the ADC ranking exchange — only narrow (vec_id, probe_cell, qid, d)
+    rows shuffle, which is what keeps PQ serving at m bytes/row at
+    100 TB."""
+    from apachebeamkmeans_spark import queries_similarity as QS
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators import similarity as SIM
+
+    q = SIM.ivfpq_topk(
+        ANN.l2_normalize(io.load_points(spark, sf_dir)),
+        QS.NQUERY_VECS, QS.TRAINED_CENTERS, QS.TRAINED_CODEBOOKS,
+        QS.IVFPQ_TOPK, QS.IVFPQ_NPROBE, refine=QS.IVFPQ_REFINE,
+    )
+    plan = X.formatted_plan(q)
+    assert "BroadcastHashJoin" in plan
+    # The ADC-rank Exchange ships rows of (vec_id, probe_cell, qid, _d)
+    # only — the feature column must not appear in any Exchange input.
+    exchanges = [
+        seg
+        for seg in plan.split("\n\n")
+        if seg.startswith("(") and ") Exchange" in seg.split("\n")[0]
+    ]
+    assert exchanges, "expected at least one Exchange in the serving plan"
+    for seg in exchanges:
+        assert "array<double>" not in seg, seg
+
+
+def test_pii_and_repetition_are_narrow_maps(spark, sf_dir):
+    """Both text-curation passes are shuffle-free narrow maps over the
+    documents scan."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    assert X.n_exchanges(TX.pii_scrub(docs)) == 0
+    assert X.n_exchanges(TX.repetition_stats(docs)) == 0
