@@ -44,6 +44,31 @@ FROM documents
 """
 
 
+def q_mm_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level exact dedup — the first pass of multimodal corpus
+    hygiene: group binary payloads by content hash (the sha256 the
+    asset frame already carries), keeper = lowest doc_id. Scale shape:
+    one map-side-combined hash aggregation on a 32-byte key; the
+    payload bytes never shuffle."""
+    a = _assets(spark, sf_dir)
+    return (
+        a.groupBy(F.col("meta.sha256").alias("sha256"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+ORACLE_MM_ASSET_DEDUP = """
+SELECT sha256(text) AS sha256,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.fake_decode(_assets(spark, sf_dir))
 
@@ -188,6 +213,7 @@ FROM documents
 QUERIES = {
     "mm_resize_features": (q_mm_resize_features, ORACLE_MM_RESIZE_FEATURES),
     "mm_binary_meta": (q_mm_binary_meta, ORACLE_MM_BINARY_META),
+    "mm_asset_dedup": (q_mm_asset_dedup, ORACLE_MM_ASSET_DEDUP),
     "mm_fake_decode": (q_mm_fake_decode, ORACLE_MM_FAKE_DECODE),
     "stream_events_hourly": (q_stream_events_hourly, ORACLE_STREAM_EVENTS_HOURLY),
     "stream_session_window": (q_stream_session_window, _SW_ORACLE),

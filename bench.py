@@ -91,6 +91,7 @@ HEADLINE = [
     "text_repetition",
     "text_pii_scrub",
     "source_caps",
+    "mm_asset_dedup",
 ]
 
 
