@@ -186,6 +186,34 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = 8, shingle: int = 3) -> Da
     )
 
 
+def lsh_pairs_against(corpus: DataFrame, new: DataFrame, bands: int = 8,
+                      shingle: int = 3) -> DataFrame:
+    """Incremental near-dup check: (new_id, corpus_id) candidate pairs
+    between a NEW document batch and the EXISTING corpus — the shape
+    continuous ingestion actually needs (is this incoming doc a
+    near-dup of anything we already hold?), with no corpus×corpus
+    work. The new batch's banded signatures BROADCAST (a batch is tiny
+    next to the corpus); the corpus side streams through a broadcast
+    hash join, so there is no shuffle at all and therefore no hot-
+    bucket skew — each corpus partition probes the in-memory batch
+    table independently. At cluster scale the corpus signatures are a
+    persisted table (`minhash_signatures` stage 1) and only the new
+    batch is sketched per arrival."""
+    cs = _materialize(minhash_signatures(corpus, bands, shingle))
+    ns = _materialize(minhash_signatures(new, bands, shingle))
+    cb = cs.select(
+        F.col("doc_id").alias("corpus_id"), F.posexplode("mh").alias("band", "mh_val")
+    ).filter(F.col("mh_val").isNotNull())
+    nb = ns.select(
+        F.col("doc_id").alias("new_id"), F.posexplode("mh").alias("band", "mh_val")
+    ).filter(F.col("mh_val").isNotNull())
+    return (
+        cb.join(F.broadcast(nb), ["band", "mh_val"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
 def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
                    threshold: float = 0.0) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only."""

@@ -60,6 +60,32 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidate_pairs(_docs(spark, sf_dir), BANDS, SHINGLE)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion check: every 10th document plays the
+    newly-arrived batch, the rest the standing corpus; emit each new
+    doc's near-dup candidates among existing docs (batch side
+    broadcast — no shuffle, no corpus×corpus work)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    return DD.lsh_pairs_against(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        BANDS, SHINGLE,
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SH} AS sh FROM t),
+m AS (SELECT doc_id, {_MH} FROM s),
+cand AS (SELECT b.doc_id AS new_id, a.doc_id AS corpus_id
+         FROM m a JOIN m b
+         ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 AND ({_MH_MATCH}))
+SELECT DISTINCT new_id, corpus_id FROM cand
+"""
+
+
 ORACLE_DEDUP_MINHASH_PAIRS = f"WITH {_CAND} SELECT doc_a, doc_b FROM cand"
 
 
@@ -390,6 +416,7 @@ QUERIES = {
     "dedup_keeper_quality": (q_dedup_keeper_quality, ORACLE_DEDUP_KEEPER_QUALITY),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, ORACLE_DEDUP_SIMHASH_PAIRS),

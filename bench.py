@@ -92,6 +92,7 @@ HEADLINE = [
     "text_pii_scrub",
     "source_caps",
     "mm_asset_dedup",
+    "dedup_incremental",
 ]
 
 

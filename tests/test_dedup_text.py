@@ -159,3 +159,29 @@ def test_repetition_stats_flags_boilerplate(spark):
     # 7 2-grams, 2 distinct ("buy now", "now buy") -> dup frac 5/7
     assert rows[1]["dup_2gram_frac"] == round(1 - 2 / 7, 6)
     assert rows[2]["keep"] is True and rows[2]["distinct_token_ratio"] == 1.0
+
+
+def test_incremental_lsh_equals_full_join_cross_pairs(spark):
+    """lsh_pairs_against(corpus, new) must equal the (new, corpus)
+    cross-pairs of the full self-join — no pair lost or invented by
+    the broadcast formulation."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import dedup as DD
+    from apachebeamkmeans_spark.sources import io
+
+    docs = io.read_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = {
+        (r["new_id"], r["corpus_id"])
+        for r in DD.lsh_pairs_against(corpus, new).collect()
+    }
+    full = DD.lsh_candidate_pairs(docs).collect()
+    cross = set()
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 10 == 0) != (b % 10 == 0):
+            n, c = (a, b) if a % 10 == 0 else (b, a)
+            cross.add((n, c))
+    assert inc == cross
