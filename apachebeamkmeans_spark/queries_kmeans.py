@@ -450,19 +450,49 @@ import os as _os  # noqa: E402
 FIT_TRAIN_SF_DIR = _os.environ.get("SPARK_GRAFT_TRAIN_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _warn_if_not_fit_train_sf(sf_dir: str) -> None:
+    """ORACLE_KMEANS_FIT_FIXED's center literals are numpy-trained at
+    FIT_TRAIN_SF_DIR; training elsewhere is a valid use of the query
+    but its result will not match the registered oracle — say so
+    loudly instead of letting the mismatch look like an engine bug
+    (same contract as the trained-ANN queries)."""
+    import os as _os
+
+    if _os.path.abspath(sf_dir) != _os.path.abspath(FIT_TRAIN_SF_DIR):
+        import sys as _sys
+
+        print(
+            f"[queries_kmeans] NOTE: kmeans_fit_fixed running at "
+            f"sf_dir={sf_dir!r} but its oracle centers were trained at "
+            f"{FIT_TRAIN_SF_DIR!r}; oracle comparison is only valid there",
+            file=_sys.stderr,
+        )
+
+
 def q_kmeans_fit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration seeded Lloyd fit over the raw embeddings:
     one row per center with its final member count and the rounded
-    center coordinates. Oracle = the numpy twin's VALUES (independent
-    reimplementation — a stronger check than rows-only)."""
+    center coordinates. The final assignment (for the counts) runs
+    against the ROUNDED centers with the unrolled oracle-exact
+    distance form — the oracle assigns with the same rounded literals
+    and identical expression structure, so counts can't flip on
+    ULP-level trainer drift; the only cross-engine dependence is the
+    rounded-center equality itself (asserted in
+    tests/test_ann_train.py for the same trainer)."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
+    _warn_if_not_fit_train_sf(sf_dir)
     pts = _pts(spark, sf_dir)
     centers = ANN.ivf_train(pts, K, FIT_FIXED_ITERS, FIT_FIXED_SEED)
-    assigned = lloyd.assign(pts, centers, 2.0, mode="hof")
+    rounded = ANN.round_mat(centers)
+    # hof mode: the zip_with fold (0.0 + Σ left-to-right) produces the
+    # same floats as the unrolled left-associated oracle sum, without
+    # the k·dim-term codegen compile (same pairing as kmeans_recenter's
+    # green hof-vs-sql_l2_sq oracle)
+    assigned = lloyd.assign(pts, rounded, 2.0, mode="hof")
     sizes = assigned.groupBy("center_id").agg(F.count(F.lit(1)).alias("size"))
     cdf = spark.createDataFrame(
-        [(i, *[ANN.round_param(v) for v in c]) for i, c in enumerate(centers)],
+        [(i, *c) for i, c in enumerate(rounded)],
         "center_id INT, " + ", ".join(f"c{j} DOUBLE" for j in range(DIM)),
     )
     return cdf.join(sizes, "center_id", "left").select(
@@ -473,23 +503,32 @@ def q_kmeans_fit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_fit_fixed() -> str:
-    """Numpy-twin fit at the driver's correctness sf; centers AND final
-    sizes embedded as a VALUES table."""
-    import numpy as np
-
+    """Centers: numpy-twin VALUES. Sizes: computed BY DUCKDB from the
+    same rounded center literals with the unrolled-L2 + first-min
+    CASE twins of `lloyd.assign` — bit-identical to the Spark side,
+    immune to summation-order boundary flips."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
     ids, mat = ANN.load_embeddings_np(FIT_TRAIN_SF_DIR)
-    centers = ANN.ivf_train_np(ids, mat, K, FIT_FIXED_ITERS, FIT_FIXED_SEED)
-    d = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    code = d.argmin(axis=1)
-    rounded = ANN.round_mat(centers)
-    rows = []
-    for i in range(K):
-        vals = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in rounded[i])
-        rows.append(f"({i}, CAST({int(np.sum(code == i))} AS BIGINT), {vals})")
-    cols = ", ".join(["center_id", "size"] + [f"c{j}" for j in range(DIM)])
-    return f"SELECT * FROM (VALUES {', '.join(rows)}) t({cols})"
+    rounded = ANN.round_mat(
+        ANN.ivf_train_np(ids, mat, K, FIT_FIXED_ITERS, FIT_FIXED_SEED)
+    )
+    dists = ", ".join(f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(rounded))
+    argmin = OG.sql_argmin_case([f"d{i}" for i in range(K)])
+    center_rows = ", ".join(
+        "(" + ", ".join([str(i)] + [f"CAST({v!r} AS DOUBLE)" for v in rounded[i]]) + ")"
+        for i in range(K)
+    )
+    cols = ", ".join(["center_id"] + [f"c{j}" for j in range(DIM)])
+    out_cols = ", ".join(f"c.c{j}" for j in range(DIM))
+    return f"""
+WITH d AS (SELECT vec_id, {dists} FROM {_E} t),
+a AS (SELECT vec_id, {argmin} FROM d),
+sz AS (SELECT center_id, count(*) AS n FROM a GROUP BY 1),
+c({cols}) AS (SELECT * FROM (VALUES {center_rows}))
+SELECT c.center_id, CAST(COALESCE(sz.n, 0) AS BIGINT) AS size, {out_cols}
+FROM c LEFT JOIN sz ON c.center_id = sz.center_id
+"""
 
 
 try:

@@ -35,13 +35,15 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def correctness_history(root: str | None = None) -> dict[str, int]:
-    """name → latest round with a GREEN driver row (all three matches
-    true) or — for queries registered without an oracle — a contracted
-    rows-only row. A failed row does not count: a query whose last
-    driver check failed must rotate back to the head of the window."""
+def correctness_history(root: str | None = None) -> tuple[dict[str, int], dict[str, int]]:
+    """(last_green, last_seen): per query name, the latest round with a
+    VALUE-GREEN driver row (all three matches true — a contracted
+    `no_oracle` row does NOT count, so a query that later gains an
+    oracle is still 'never certified'), and the latest round with ANY
+    recorded row (green, failed, rows-only, crashed)."""
     root = _repo_root() if root is None else root
-    latest: dict[str, int] = {}
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
     for fn in os.listdir(root):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
         if not m:
@@ -50,39 +52,44 @@ def correctness_history(root: str | None = None) -> dict[str, int]:
         with open(os.path.join(root, fn)) as f:
             data = json.load(f)
         for name, row in data.items():
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
             green = (
                 bool(row.get("rows_match"))
                 and bool(row.get("schema_match"))
                 and bool(row.get("hash_match"))
-            ) or row.get("err") == "no_oracle"
+            )
             if green:
-                latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green, last_seen
 
 
 def certification_order(
-    queries: dict[str, QuerySpec], history: dict[str, int] | None = None
+    queries: dict[str, QuerySpec],
+    history: tuple[dict[str, int], dict[str, int]] | None = None,
 ) -> dict[str, QuerySpec]:
     """Order the registry so the driver's certification window is spent
     where it buys the most:
 
-    1. oracle-backed, never green in any recorded round (incl. queries
-       whose most recent driver row FAILED) — name order;
-    2. oracle-backed, green before — oldest green round first, then
-       name (so no query silently goes rounds without re-certification);
+    1. oracle-backed, never value-green — OR whose most recent driver
+       row was NOT green (a failure after an old green must rotate
+       back to the head, not hide behind its stale green round) —
+       name order;
+    2. oracle-backed, green at last check — oldest green round first,
+       then name (so no query silently goes rounds without
+       re-certification);
     3. no-oracle queries last (their driver row is rows-only and can
        never certify — keeping them in the window wastes slots).
     """
-    hist = correctness_history() if history is None else history
+    green, seen = correctness_history() if history is None else history
 
     def key(item: tuple[str, QuerySpec]):
         name, (_fn, sql) = item
         if sql is None:
             return (2, 0, name)
-        last = hist.get(name)
-        if last is None:
+        g = green.get(name)
+        if g is None or seen.get(name, 0) > g:
             return (0, 0, name)
-        return (1, last, name)
+        return (1, g, name)
 
     return dict(sorted(queries.items(), key=key))
 

@@ -27,8 +27,9 @@ def test_order_never_certified_first_then_stalest_then_no_oracle():
         "never_a": _spec(True),
         "rows_only": _spec(False),
     }
-    history = {"fresh_r4": 4, "stale_r1": 1, "stale_r2": 2, "rows_only": 4}
-    ordered = list(registry.certification_order(queries, history))
+    green = {"fresh_r4": 4, "stale_r1": 1, "stale_r2": 2}
+    seen = {"fresh_r4": 4, "stale_r1": 1, "stale_r2": 2, "rows_only": 4}
+    ordered = list(registry.certification_order(queries, (green, seen)))
     assert ordered == [
         "never_a", "never_b", "stale_r1", "stale_r2", "fresh_r4", "rows_only",
     ]
@@ -37,14 +38,38 @@ def test_order_never_certified_first_then_stalest_then_no_oracle():
 def test_failed_last_row_rotates_back_to_front():
     """A query whose only driver row FAILED must rank as never-green."""
     queries = {"ok_r1": _spec(True), "failed_r4": _spec(True)}
-    # failed_r4 has a row in the history file but it was red, so
-    # correctness_history never records it -> treated as never-green.
-    history = {"ok_r1": 1}
-    ordered = list(registry.certification_order(queries, history))
+    green = {"ok_r1": 1}
+    seen = {"ok_r1": 1, "failed_r4": 4}
+    ordered = list(registry.certification_order(queries, (green, seen)))
     assert ordered == ["failed_r4", "ok_r1"]
 
 
-def test_history_parses_green_and_contracted_rows_only(tmp_path):
+def test_green_then_failed_rotates_back_to_front():
+    """Green in an old round but FAILED at its most recent check: the
+    stale green must not shelter it — it rotates to the head so the
+    known-failing state is re-checked next round."""
+    queries = {
+        "green_r4": _spec(True),
+        "green_r2_failed_r4": _spec(True),
+        "green_r1": _spec(True),
+    }
+    green = {"green_r4": 4, "green_r2_failed_r4": 2, "green_r1": 1}
+    seen = {"green_r4": 4, "green_r2_failed_r4": 4, "green_r1": 1}
+    ordered = list(registry.certification_order(queries, (green, seen)))
+    assert ordered == ["green_r2_failed_r4", "green_r1", "green_r4"]
+
+
+def test_no_oracle_row_is_not_certification():
+    """A query whose only driver rows are contracted `no_oracle` checks
+    must count as never-certified once it has an oracle — its first
+    value check is still pending."""
+    queries = {"gained_oracle": _spec(True), "old_green": _spec(True)}
+    (tmp_green, tmp_seen) = ({"old_green": 1}, {"old_green": 1, "gained_oracle": 4})
+    ordered = list(registry.certification_order(queries, (tmp_green, tmp_seen)))
+    assert ordered == ["gained_oracle", "old_green"]
+
+
+def test_history_parses_green_failed_and_rows_only(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
         "green_q": {"rows_match": True, "schema_match": True,
                     "hash_match": True, "err": None},
@@ -59,8 +84,9 @@ def test_history_parses_green_and_contracted_rows_only(tmp_path):
         "green_q": {"rows_match": True, "schema_match": True,
                     "hash_match": True, "err": None},
     }))
-    hist = registry.correctness_history(str(tmp_path))
-    assert hist == {"green_q": 3, "contracted_q": 1}
+    green, seen = registry.correctness_history(str(tmp_path))
+    assert green == {"green_q": 3}
+    assert seen == {"green_q": 3, "red_q": 1, "contracted_q": 1, "crashed_q": 1}
 
 
 def test_live_window_is_all_oracle_backed():
@@ -74,15 +100,22 @@ def test_live_window_is_all_oracle_backed():
 
 
 def test_live_window_prioritizes_stalest():
-    """With the real history: no query inside the window has a green
-    row newer than any oracle-backed query outside it (the exact
-    staleness-first guarantee the r3/r4 verdicts asked for)."""
-    hist = registry.correctness_history()
+    """With the real history: no currently-green query inside the
+    window has a green row newer than any currently-green oracle-backed
+    query outside it (the staleness-first guarantee the r3/r4 verdicts
+    asked for). Queries pending re-check (never green, or failed at
+    last check) sort ahead of everything and are excluded from the
+    monotonicity comparison."""
+    green, seen = registry.correctness_history()
     qs = registry.all_queries()
     names = list(qs)
     window, rest = names[: registry.CERT_WINDOW], names[registry.CERT_WINDOW:]
-    newest_in = max(hist.get(n, 0) for n in window)
-    oracle_rest = [n for n in rest if qs[n][1] is not None]
-    if oracle_rest:
-        oldest_out = min(hist.get(n, 0) for n in oracle_rest)
-        assert newest_in <= oldest_out
+
+    def is_current_green(n):
+        g = green.get(n)
+        return g is not None and seen.get(n, 0) <= g
+
+    green_in = [n for n in window if is_current_green(n)]
+    green_out = [n for n in rest if qs[n][1] is not None and is_current_green(n)]
+    if green_in and green_out:
+        assert max(green[n] for n in green_in) <= min(green[n] for n in green_out)
