@@ -119,3 +119,18 @@ def test_ivfpq_exact_mode_equals_bruteforce(spark, serving, norm_points_train):
         sorted((r["qid"], r["rank"], r["vec_id"], r["cosine"]) for r in exact)
         == sorted((r["qid"], r["rank"], r["vec_id"], r["cosine"]) for r in brute)
     )
+
+
+def test_fit_fixed_trainer_matches_numpy(spark):
+    """kmeans_fit_fixed's training config — RAW (unnormalized)
+    embeddings, k=4 — must also reproduce in numpy after rounding
+    (the normalized-path tests above don't cover the raw ingest)."""
+    from apachebeamkmeans_spark import queries_kmeans as QK
+
+    pts = io.load_points(spark, SF)
+    ids, mat = ANN.load_embeddings_np(SF)
+    a = ANN.round_mat(ANN.ivf_train(pts, QK.K, QK.FIT_FIXED_ITERS, QK.FIT_FIXED_SEED))
+    b = ANN.round_mat(
+        ANN.ivf_train_np(ids, mat, QK.K, QK.FIT_FIXED_ITERS, QK.FIT_FIXED_SEED)
+    )
+    assert a == b
