@@ -74,8 +74,14 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_dists() -> str:
-    cols = ", ".join(f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(CENTERS))
+def _oracle_dists(centers: list[list[float]] | None = None) -> str:
+    """Per-row unrolled squared-L2 columns d0..dk-1 against the given
+    center literals (default: the frozen fixture CENTERS) — the single
+    distance/argmin scaffold every fixed-center oracle builds on."""
+    cols = ", ".join(
+        f"{OG.sql_l2_sq('e', c)} AS d{i}"
+        for i, c in enumerate(CENTERS if centers is None else centers)
+    )
     return f"SELECT vec_id, {cols} FROM {_E} t"
 
 
@@ -456,8 +462,6 @@ def _warn_if_not_fit_train_sf(sf_dir: str) -> None:
     but its result will not match the registered oracle — say so
     loudly instead of letting the mismatch look like an engine bug
     (same contract as the trained-ANN queries)."""
-    import os as _os
-
     if _os.path.abspath(sf_dir) != _os.path.abspath(FIT_TRAIN_SF_DIR):
         import sys as _sys
 
@@ -513,7 +517,6 @@ def _oracle_fit_fixed() -> str:
     rounded = ANN.round_mat(
         ANN.ivf_train_np(ids, mat, K, FIT_FIXED_ITERS, FIT_FIXED_SEED)
     )
-    dists = ", ".join(f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(rounded))
     argmin = OG.sql_argmin_case([f"d{i}" for i in range(K)])
     center_rows = ", ".join(
         "(" + ", ".join([str(i)] + [f"CAST({v!r} AS DOUBLE)" for v in rounded[i]]) + ")"
@@ -522,7 +525,7 @@ def _oracle_fit_fixed() -> str:
     cols = ", ".join(["center_id"] + [f"c{j}" for j in range(DIM)])
     out_cols = ", ".join(f"c.c{j}" for j in range(DIM))
     return f"""
-WITH d AS (SELECT vec_id, {dists} FROM {_E} t),
+WITH d AS ({_oracle_dists(rounded)}),
 a AS (SELECT vec_id, {argmin} FROM d),
 sz AS (SELECT center_id, count(*) AS n FROM a GROUP BY 1),
 c({cols}) AS (SELECT * FROM (VALUES {center_rows}))
