@@ -42,6 +42,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5(text): keeper id + is_dup flag per document."""
     return DD.exact_dedup(_docs(spark, sf_dir))
 
 
@@ -57,6 +58,7 @@ FROM documents
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: banded signatures, salted bucket self-join."""
     return DD.lsh_candidate_pairs(_docs(spark, sf_dir), BANDS, SHINGLE)
 
 
@@ -93,6 +95,7 @@ ORACLE_DEDUP_MINHASH_PAIRS = f"WITH {_CAND} SELECT doc_a, doc_b FROM cand"
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard for the LSH candidate pairs only."""
     docs = _docs(spark, sf_dir)
     pairs = DD.lsh_candidate_pairs(docs, BANDS, SHINGLE)
     return DD.jaccard_verify(docs, pairs, SHINGLE, threshold=0.0)
@@ -114,6 +117,7 @@ FROM cand JOIN sets a ON cand.doc_a = a.doc_id
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash sketch per document."""
     return DD.simhash(_docs(spark, sf_dir), SIMHASH_BITS)
 
 
@@ -137,6 +141,7 @@ SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM t
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming <= 2, pigeonhole-blocked join."""
     return DD.simhash_pairs(_docs(spark, sf_dir), SIMHASH_BITS, MAX_HAMMING)
 
 
@@ -154,6 +159,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
 
 
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane sign-LSH buckets, cosine-verified."""
     vecs = io.load_points(spark, sf_dir)
     return DD.embedding_near_pairs(vecs, PLANES, MIN_COSINE)
 

@@ -23,6 +23,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation per event type."""
     return TS.tumbling_agg(_events(spark, sf_dir), "hour")
 
 
@@ -40,6 +41,7 @@ GROUP BY 1, 2
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-minute gap) per user."""
     return TS.session_stats(_events(spark, sf_dir), gap_minutes=30)
 
 

@@ -46,6 +46,7 @@ def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L2 norms per point (the reference's point_abs_sum / distance_with_zero)."""
     f = F.col("features")
     return _pts(spark, sf_dir).select(
         F.col("id").alias("vec_id"),
@@ -66,6 +67,7 @@ FROM {_E} t
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One argmin assignment step against the frozen centers (J1), with distance."""
     assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0, keep_dist=True)
     return assigned.select(
         F.col("id").alias("vec_id"),
@@ -98,6 +100,7 @@ FROM d
 
 
 def q_kmeans_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One recenter step: per-cluster size + per-dimension means (A1/A2)."""
     assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0, mode="hof")
     f = F.col("features")
     return assigned.groupBy("center_id").agg(
@@ -122,6 +125,7 @@ GROUP BY a.center_id
 
 
 def q_kmeans_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SSE of the fixed-center assignment (A3 global sum)."""
     assigned = lloyd.assign(_pts(spark, sf_dir), CENTERS, 2.0, keep_dist=True, mode="hof")
     return assigned.agg(
         F.round(F.sum("dist"), 4).alias("sse"), F.count(F.lit(1)).alias("n_points")

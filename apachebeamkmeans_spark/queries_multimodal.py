@@ -26,6 +26,7 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary asset metadata: byte length, sha256, mime per payload."""
     a = _assets(spark, sf_dir)
     return a.select(
         "doc_id",
@@ -70,6 +71,7 @@ GROUP BY 1
 
 
 def q_mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow mapInPandas decode: md5-derived width/height/pixels per payload."""
     return MM.fake_decode(_assets(spark, sf_dir))
 
 
@@ -86,6 +88,7 @@ FROM documents
 
 
 def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-hour agg driven to completion; equals the batch twin."""
     return SE.run_hourly_stream_to_table(spark, sf_dir)
 
 

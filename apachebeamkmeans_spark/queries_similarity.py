@@ -21,6 +21,7 @@ _E2 = "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
 
 
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 literal query vectors in one scan."""
     return SIM.cosine_topk(io.load_points(spark, sf_dir), QUERY_VECS, TOPK)
 
 

@@ -24,6 +24,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char counts, average token length, punctuation ratio."""
     return TX.doc_stats(_docs(spark, sf_dir))
 
 
@@ -40,6 +41,7 @@ FROM t
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score + keep verdict (length, stopword density, punctuation)."""
     return TX.quality_score(_docs(spark, sf_dir))
 
 
@@ -58,6 +60,7 @@ FROM t
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language heuristic: lang_pred + density per doc."""
     return TX.lang_id(_docs(spark, sf_dir))
 
 
@@ -75,6 +78,7 @@ FROM t
 
 
 def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 tokens (explode, partial-agg count, TakeOrdered)."""
     return TX.token_frequencies(_docs(spark, sf_dir), top_n=20)
 
 
@@ -88,6 +92,7 @@ LIMIT 20
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-md5 character-5-gram fingerprint per document."""
     return TX.fingerprint(_docs(spark, sf_dir), n=5)
 
 
@@ -101,6 +106,7 @@ FROM documents
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts + chars-per-token per document."""
     return TX.token_counts(_docs(spark, sf_dir))
 
 
@@ -122,6 +128,7 @@ ORACLE_TOKEN_COUNTS = _oracle_token_counts()
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (log-free tf*N/df scoring)."""
     return TX.tfidf_top_terms(_docs(spark, sf_dir), top_n=3)
 
 
@@ -177,6 +184,7 @@ N_SHARDS = 8
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: deterministic (shard, bin) layout per doc."""
     return TX.pack_sequences(_docs(spark, sf_dir), CTX_LEN, N_SHARDS)
 
 
@@ -202,6 +210,7 @@ MIX_RATES = {"en": 0.9, "und": 0.3}
 
 
 def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language hash01-coin downsampling (en 0.9, und 0.3)."""
     return TX.sample_mixture(_docs(spark, sf_dir), MIX_RATES)
 
 
@@ -312,6 +321,7 @@ MAX_DUP2_FRAC = 0.4
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratios + keep verdict per document."""
     return TX.repetition_stats(_docs(spark, sf_dir), MAX_TOP_FRAC, MAX_DUP2_FRAC)
 
 
@@ -352,6 +362,7 @@ FROM s
 
 
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant doc_id-derived PII, scrub it, emit counts + md5 of the scrubbed text."""
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir).select(
