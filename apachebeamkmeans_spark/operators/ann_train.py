@@ -100,13 +100,13 @@ def ivf_train(vecs: DataFrame, k: int, n_iters: int = 5, seed="ivf",
     shuffle) → per-dim avg recenter (map-side partial agg, k rows to
     the driver per iteration). Fixed iteration count; empty clusters
     keep their previous centroid."""
-    dim_row = vecs.select(F.size(features_col).alias("d")).limit(1).collect()
-    if not dim_row:
-        raise ValueError("ivf_train requires a non-empty points frame")
-    dim = dim_row[0]["d"]
+    # dimensionality comes from the seed rows — no separate probe job
     centers = seed_rows(vecs, k, seed, id_col, features_col)
+    if not centers:
+        raise ValueError("ivf_train requires a non-empty points frame")
     if len(centers) < k:
         raise ValueError(f"ivf_train: need >= {k} rows, got {len(centers)}")
+    dim = len(centers[0])
     base = vecs.select(F.col(id_col).alias("id"), F.col(features_col).alias("features"))
     base = base.localCheckpoint(eager=False)
     for _ in range(n_iters):
@@ -172,16 +172,16 @@ def pq_train(vecs: DataFrame, m: int, ksub: int, n_iters: int = 5, seed="pq",
     the driver. Init: codebook c of every subspace = the c-th seed
     row's slice (same seeded sample for all subspaces)."""
     f = F.col(features_col)
-    dim_row = vecs.select(F.size(features_col).alias("d")).limit(1).collect()
-    if not dim_row:
+    # dimensionality comes from the seed rows — no separate probe job
+    seeds = seed_rows(vecs, ksub, seed, id_col, features_col)
+    if not seeds:
         raise ValueError("pq_train requires a non-empty points frame")
-    dim = dim_row[0]["d"]
+    if len(seeds) < ksub:
+        raise ValueError(f"pq_train: need >= {ksub} rows, got {len(seeds)}")
+    dim = len(seeds[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    seeds = seed_rows(vecs, ksub, seed, id_col, features_col)
-    if len(seeds) < ksub:
-        raise ValueError(f"pq_train: need >= {ksub} rows, got {len(seeds)}")
     codebooks = [
         [[float(seeds[c][s * dsub + j]) for j in range(dsub)] for c in range(ksub)]
         for s in range(m)
