@@ -88,6 +88,68 @@ SELECT DISTINCT new_id, corpus_id FROM cand
 """
 
 
+INGEST_MAX_JACCARD = 0.5
+
+
+def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion verdict the incremental check feeds: per arriving
+    document (every 10th doc plays the batch), its LSH candidates
+    among the standing corpus are exact-Jaccard verified and the doc
+    is ACCEPTED iff no candidate reaches the near-dup threshold.
+    Composition: broadcast incremental candidates → candidates-only
+    verification → per-new-doc aggregate → left join back (docs with
+    zero candidates auto-accept). End product of continuous corpus
+    hygiene: candidate work is bounded by LSH, verification by the
+    candidate count, nothing is corpus×corpus."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cand = DD.lsh_pairs_against(corpus, new, BANDS, SHINGLE)
+    pairs = cand.select(
+        F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+    )
+    verified = DD.jaccard_verify(docs, pairs, SHINGLE, threshold=0.0)
+    per_new = verified.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("__n"), F.max("jaccard").alias("__mj")
+    )
+    return (
+        new.select("doc_id")
+        .join(per_new, new.doc_id == per_new.doc_a, "left")
+        .select(
+            "doc_id",
+            F.coalesce("__n", F.lit(0)).alias("n_candidates"),
+            F.coalesce("__mj", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("__mj", F.lit(0.0)) < INGEST_MAX_JACCARD).alias("accept"),
+        )
+    )
+
+
+ORACLE_INGEST_GATE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SH} AS sh FROM t),
+m AS (SELECT doc_id, {_MH} FROM s),
+cand AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
+         FROM m a JOIN m b
+         ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 AND ({_MH_MATCH})),
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+v AS (SELECT cand.new_id,
+             round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+                   6) AS j
+      FROM cand JOIN sets a ON cand.new_id = a.doc_id
+                JOIN sets b ON cand.corpus_id = b.doc_id),
+p AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n, max(j) AS mj FROM v GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n, 0) AS n_candidates,
+       coalesce(p.mj, 0.0) AS max_jaccard,
+       coalesce(p.mj, 0.0) < {INGEST_MAX_JACCARD} AS accept
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN p ON d.doc_id = p.new_id
+"""
+
+
 ORACLE_DEDUP_MINHASH_PAIRS = f"WITH {_CAND} SELECT doc_a, doc_b FROM cand"
 
 
@@ -423,6 +485,7 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "ingest_gate": (q_ingest_gate, ORACLE_INGEST_GATE),
     "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, ORACLE_DEDUP_SIMHASH_PAIRS),

@@ -93,6 +93,7 @@ HEADLINE = [
     "source_caps",
     "mm_asset_dedup",
     "dedup_incremental",
+    "ingest_gate",
 ]
 
 
