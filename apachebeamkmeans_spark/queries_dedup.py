@@ -77,14 +77,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_INCREMENTAL = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# Shared new-vs-corpus candidate CTE block (every 10th doc = the
+# arriving batch) — used by BOTH the incremental-pairs oracle and the
+# ingest-gate oracle so the banding/split rule can never diverge.
+_CAND_INCR = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {_SH} AS sh FROM t),
 m AS (SELECT doc_id, {_MH} FROM s),
-cand AS (SELECT b.doc_id AS new_id, a.doc_id AS corpus_id
+cand AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
          FROM m a JOIN m b
          ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 AND ({_MH_MATCH}))
-SELECT DISTINCT new_id, corpus_id FROM cand
+"""
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH {_CAND_INCR}
+SELECT new_id, corpus_id FROM cand
 """
 
 
@@ -127,12 +134,7 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_INGEST_GATE = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, {_SH} AS sh FROM t),
-m AS (SELECT doc_id, {_MH} FROM s),
-cand AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
-         FROM m a JOIN m b
-         ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0 AND ({_MH_MATCH})),
+WITH {_CAND_INCR},
 sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
 v AS (SELECT cand.new_id,
              round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
