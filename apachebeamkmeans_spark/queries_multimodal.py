@@ -213,8 +213,76 @@ FROM documents
 """
 
 
+# ------------------------------------- multimodal → ANN hand-off (r5)
+
+MM_TOPK = 5
+# Literal query histograms over the 16 byte-value bins (bin d = bytes
+# with first hex nibble d). ASCII text mass sits in bins 2 (space),
+# 3 (digits), 6-7 (lowercase letters) — one uniform probe, one
+# lowercase-shaped probe.
+MM_QUERY_HISTS = [
+    [1.0 / 16.0] * 16,
+    [0.0] * 6 + [0.5, 0.5] + [0.0] * 8,
+]
+
+
+def q_mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval end-to-end: the Arrow mapInPandas
+    byte-histogram features feed `similarity.cosine_topk` UNCHANGED —
+    top-5 most-similar assets per literal query histogram. The whole
+    path (Python feature extraction → float32 cast → cosine ranking)
+    is value-checked: DuckDB re-derives every histogram bin by
+    hex-nibble counting and replays the same unrolled cosine."""
+    from apachebeamkmeans_spark.operators import similarity as SIM
+
+    feats = MM.byte_histogram_features(_assets(spark, sf_dir), bins=16)
+    vecs = feats.select(
+        "doc_id", F.col("features").cast("array<double>").alias("features")
+    )
+    return SIM.cosine_topk(vecs, MM_QUERY_HISTS, MM_TOPK, id_col="doc_id")
+
+
+def _oracle_mm_feature_topk() -> str:
+    # bin fraction h_d: payload bytes whose first hex nibble is d,
+    # divided by payload length, float32-cast like numpy's astype —
+    # the full-histogram generalization of the single-bin _F6 twin.
+    n = "CAST(octet_length(encode(text)) AS INTEGER)"
+
+    def hd(d: int) -> str:
+        nib = "0123456789ABCDEF"[d]
+        return (
+            f"CAST(CAST(list_sum(list_transform(range(0, {n}),"
+            f" i -> CASE WHEN substr(hex(encode(text)), 2*i + 1, 1) = '{nib}'"
+            f" THEN 1 ELSE 0 END))"
+            f" / greatest(octet_length(encode(text)), 1) AS REAL) AS DOUBLE)"
+        )
+
+    cols = ", ".join(f"{hd(d)} AS h{d}" for d in range(16))
+    parts = []
+    for qid, qv in enumerate(MM_QUERY_HISTS):
+        qnorm = sum(float(v) * float(v) for v in qv) ** 0.5
+        dot = " + ".join(f"h{d}*({float(qv[d])!r})" for d in range(16))
+        nsq = " + ".join(f"h{d}*h{d}" for d in range(16))
+        cos = f"(({dot}) / (sqrt({nsq}) * ({qnorm!r})))"
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id AS vec_id, round(c, 6) AS cosine, rank FROM ("
+            f" SELECT doc_id, c,"
+            f" CAST(row_number() OVER (ORDER BY c DESC, doc_id ASC) AS INTEGER) AS rank"
+            f" FROM (SELECT doc_id, {cos} AS c FROM h)"
+            f") WHERE rank <= {MM_TOPK}"
+        )
+    return (
+        "WITH h AS MATERIALIZED (SELECT doc_id, " + cols + " FROM documents) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_MM_FEATURE_TOPK = _oracle_mm_feature_topk()
+
+
 QUERIES = {
     "mm_resize_features": (q_mm_resize_features, ORACLE_MM_RESIZE_FEATURES),
+    "mm_feature_topk": (q_mm_feature_topk, ORACLE_MM_FEATURE_TOPK),
     "mm_binary_meta": (q_mm_binary_meta, ORACLE_MM_BINARY_META),
     "mm_asset_dedup": (q_mm_asset_dedup, ORACLE_MM_ASSET_DEDUP),
     "mm_fake_decode": (q_mm_fake_decode, ORACLE_MM_FAKE_DECODE),

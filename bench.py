@@ -94,6 +94,7 @@ HEADLINE = [
     "mm_asset_dedup",
     "dedup_incremental",
     "ingest_gate",
+    "mm_feature_topk",
 ]
 
 
