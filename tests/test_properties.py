@@ -177,3 +177,37 @@ def test_repetition_stats_bounds(spark, docs_tokens):
             assert r["top_token_frac"] == 1.0
         if toks and len(set(toks)) == len(toks):
             assert r["distinct_token_ratio"] == 1.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_incremental_lsh_equals_full_property(spark, docs_tokens):
+    """For ANY corpus (including empty docs, sub-shingle docs, and
+    fully identical docs): lsh_pairs_against(corpus, new) == the
+    (new, corpus) cross pairs of the full self-join. Generalizes the
+    fixed sf0.001 equality test to adversarial shapes."""
+    from apachebeamkmeans_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)],
+        "doc_id long, text string",
+    )
+    new = docs.filter("doc_id % 2 = 0")
+    corpus = docs.filter("doc_id % 2 = 1")
+    inc = {
+        (r["new_id"], r["corpus_id"])
+        for r in DD.lsh_pairs_against(corpus, new).collect()
+    }
+    cross = set()
+    for r in DD.lsh_candidate_pairs(docs).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 2 == 0) != (b % 2 == 0):
+            n, c = (a, b) if a % 2 == 0 else (b, a)
+            cross.add((n, c))
+    assert inc == cross
