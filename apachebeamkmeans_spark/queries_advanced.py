@@ -298,8 +298,103 @@ FROM (SELECT doc_id,
 """
 
 
+def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout profile of the events table: bucket
+    (user_id, event-hour) to 8 bits each, interleave the bits into one
+    Morton key (operators/layout.py — pure bitwise column arithmetic,
+    codegen'd, no UDF), slice the Morton order into "files" (64 keys
+    per file), and emit each file's min/max on BOTH dimensions. The
+    per-file ranges stay narrow on user AND time simultaneously —
+    which is exactly the property that lets min/max file statistics
+    prune a 100 TB scan on either predicate (tests/test_layout.py
+    asserts the clustering beats a single-dimension sort). The oracle
+    runs the byte-identical interleave generated from the same Python
+    loop."""
+    from apachebeamkmeans_spark.operators.layout import morton_col
+
+    ev = io.read_table(spark, sf_dir, "events")
+    ub = (F.col("user_id") % 256).cast("int")
+    tb = (F.floor(F.unix_micros("ts") / F.lit(HOUR_US)) % 256).cast("int")
+    return (
+        ev.select(ub.alias("user_bucket"), tb.alias("time_bucket"))
+        .withColumn("zval", morton_col(F.col("user_bucket"), F.col("time_bucket")))
+        .groupBy(F.shiftright("zval", 6).alias("zfile"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("user_bucket").alias("min_user"),
+            F.max("user_bucket").alias("max_user"),
+            F.min("time_bucket").alias("min_t"),
+            F.max("time_bucket").alias("max_t"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    from apachebeamkmeans_spark.operators.layout import morton_sql
+
+    return f"""
+WITH b AS (
+  SELECT CAST(user_id % 256 AS INTEGER) AS user_bucket,
+         CAST((epoch_us(ts) // 3600000000) % 256 AS INTEGER) AS time_bucket
+  FROM events
+), z AS (
+  SELECT user_bucket, time_bucket,
+         {morton_sql("user_bucket", "time_bucket")} AS zval
+  FROM b
+)
+SELECT zval >> 6 AS zfile, count(*) AS n_rows,
+       min(user_bucket) AS min_user, max(user_bucket) AS max_user,
+       min(time_bucket) AS min_t, max(time_bucket) AS max_t
+FROM z GROUP BY 1
+"""
+
+
+ORACLE_EVENTS_ZORDER_LAYOUT = _zorder_oracle()
+
+
+def q_bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to URGENT 1996-H1 orders, by
+    return flag: a selectively-filtered build side against the big
+    fact. At production scale Catalyst's runtime bloom filter
+    (`spark.sql.optimizer.runtime.bloomFilter.*`, on by default)
+    builds a bloom from the filtered order keys and pre-prunes the
+    lineitem side BEFORE its shuffle — the injected
+    `bloom_filter_might_contain` is locked by tests/test_layout.py
+    with the size thresholds scaled to the fixture. Results are exact
+    either way: bloom false positives are removed by the real join."""
+    orders = io.read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = io.read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+ORACLE_BLOOM_PRUNE_REVENUE = """
+SELECT l_returnflag, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "events_type_map": (q_events_type_map, ORACLE_EVENTS_TYPE_MAP),
+    "events_zorder_layout": (q_events_zorder_layout, ORACLE_EVENTS_ZORDER_LAYOUT),
+    "bloom_prune_revenue": (q_bloom_prune_revenue, ORACLE_BLOOM_PRUNE_REVENUE),
     "orders_grouping_sets": (q_orders_grouping_sets, ORACLE_ORDERS_GROUPING_SETS),
     "udaf_gmean": (q_udaf_gmean, ORACLE_UDAF_GMEAN),
     "udtf_tokens": (q_udtf_tokens, ORACLE_UDTF_TOKENS),
