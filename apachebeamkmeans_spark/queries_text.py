@@ -8,6 +8,7 @@ same left-associated arithmetic for scores.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark import oraclegen as OG
 from apachebeamkmeans_spark.fixtures import STOPWORDS
@@ -453,7 +454,46 @@ FROM r WHERE rank <= {CAP_PER_SOURCE}
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed inverted-index build over the corpus: per token, the
+    exact document frequency and the first 50 doc_ids of the sorted
+    posting list. Shape at 100 TB: explode per-doc DISTINCT tokens (the
+    array_distinct runs inside codegen before the shuffle, so a token
+    repeated 1000× in a doc ships once), one map-side-combined hash
+    aggregation keyed by token, postings capped at the agg so no row
+    grows with corpus size. Stopword-grade tokens (df > 100) keep their
+    exact df but an empty posting list — the standard posting-list
+    elision for non-selective terms."""
+    docs = _docs(spark, sf_dir)
+    posting = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.T.tokens(F.col("text")))).alias("token")
+    )
+    sorted_ids = F.sort_array(F.collect_list("doc_id"))
+    return posting.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.when(F.count("*") <= 100,
+               F.concat_ws(",", F.transform(F.slice(sorted_ids, 1, 50),
+                                            lambda x: x.cast("string"))))
+        .otherwise(F.lit(""))
+        .alias("postings_csv"),
+    )
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH p AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       CASE WHEN count(*) <= 100
+            THEN array_to_string(list_slice(list_sort(list(doc_id)), 1, 50), ',')
+            ELSE '' END AS postings_csv
+FROM p GROUP BY token
+"""
+
+
 QUERIES = {
+    "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
     "text_pii_scrub": (q_text_pii_scrub, ORACLE_TEXT_PII_SCRUB),

@@ -95,6 +95,9 @@ HEADLINE = [
     "dedup_incremental",
     "ingest_gate",
     "mm_feature_topk",
+    "events_zorder_layout",
+    "bloom_prune_revenue",
+    "inverted_index",
 ]
 
 
