@@ -479,7 +479,44 @@ GROUP BY shard
 ORACLE_CORPUS_PIPELINE = _oracle_corpus_pipeline()
 
 
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-duplicate pair graph
+    (operators/graph.py): centrality in the similarity graph surfaces
+    template/boilerplate families that pairwise keep-or-drop misses.
+    Fixed 5 power iterations, damping 0.85, restricted to nodes with
+    at least one pair — deterministic, so the DuckDB twin replays the
+    identical arithmetic (the ann_train oracle discipline applied to
+    graph state). One shuffle join + one aggregate per iteration over
+    the edge list; rank state is one row per node."""
+    from apachebeamkmeans_spark.operators.graph import pagerank
+
+    return pagerank(_verified_pairs(spark, sf_dir))
+
+
+def _pagerank_oracle() -> str:
+    from apachebeamkmeans_spark.operators.graph import pagerank_oracle_sql
+
+    return f"""
+WITH {_CAND},
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+jp AS (SELECT doc_a, doc_b FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS j
+  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+            JOIN sets b ON cand.doc_b = b.doc_id)
+  WHERE round(j, 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+{pagerank_oracle_sql("edges")}
+"""
+
+
+ORACLE_DOC_PAGERANK = _pagerank_oracle()
+
+
 QUERIES = {
+    "doc_pagerank": (q_doc_pagerank, ORACLE_DOC_PAGERANK),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_purge": (q_dedup_purge, ORACLE_DEDUP_PURGE),
     "corpus_pipeline": (q_corpus_pipeline, ORACLE_CORPUS_PIPELINE),

@@ -98,6 +98,7 @@ HEADLINE = [
     "events_zorder_layout",
     "bloom_prune_revenue",
     "inverted_index",
+    "doc_pagerank",
 ]
 
 

@@ -1,0 +1,51 @@
+"""PageRank operator: numpy-twin equality on a literal graph +
+conservation property."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.operators.graph import DAMPING, ITERATIONS, pagerank
+
+# path 1-2-3 plus a separate pair (4,5): two components, asymmetric
+# degrees inside the first.
+PAIRS = [(1, 2), (2, 3), (4, 5)]
+
+
+def _numpy_twin(pairs, d=DAMPING, iters=ITERATIONS):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1.0 - d) / n + d * (adj.T @ (r / deg))
+    return {v: round(float(r[idx[v]]), 6) for v in nodes}
+
+
+def test_pagerank_matches_numpy_twin(spark):
+    pairs = spark.createDataFrame(PAIRS, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["rank"] for r in pagerank(pairs).collect()}
+    assert got == _numpy_twin(PAIRS)
+
+
+def test_pagerank_conserves_mass_and_ranks_center_highest(spark):
+    pairs = spark.createDataFrame(PAIRS, "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r["rank"] for r in pagerank(pairs).collect()}
+    # symmetric graph, no dangling nodes: total rank stays 1
+    # (tolerance = n nodes × the 1e-6/2 output rounding)
+    assert abs(sum(rows.values()) - 1.0) < len(rows) * 5e-7
+    # degree-2 center of the path outranks its leaves
+    assert rows[2] > rows[1] == rows[3]
+    # the isolated pair splits its mass evenly
+    assert rows[4] == rows[5]
+
+
+def test_pagerank_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = pagerank(empty)
+    assert out.columns == ["doc_id", "rank"] and out.count() == 0
