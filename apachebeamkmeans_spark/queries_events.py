@@ -524,7 +524,48 @@ GROUP BY d.user_id
 """
 
 
+def q_events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance: the standing hourly rollup
+    (history = events with event_id % 10 != 0) is UPDATED with a new
+    delta batch (event_id % 10 == 0) by merging partial aggregates —
+    (n, sum) re-combine and avg re-derives — instead of rescanning the
+    corpus. At 100 TB the history side is a tiny pre-aggregated table
+    (buckets × types rows), so the daily maintenance cost follows the
+    DELTA size; the oracle proves the merged result equals the
+    from-scratch aggregation over everything."""
+    ev = _events(spark, sf_dir)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+
+    history = partial(ev.filter(F.col("event_id") % 10 != 0))
+    delta = partial(ev.filter(F.col("event_id") % 10 == 0))
+    merged = (
+        history.unionByName(delta)
+        .groupBy("bucket", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "bucket",
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round("s", 4).alias("sum_value"),
+        F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+    )
+
+
+# From-scratch aggregation over all events — the merge must be
+# indistinguishable from recomputation.
+ORACLE_EVENTS_HOURLY_INCREMENTAL = ORACLE_EVENTS_HOURLY
+
+
 QUERIES = {
+    "events_hourly_incremental": (
+        q_events_hourly_incremental,
+        ORACLE_EVENTS_HOURLY_INCREMENTAL,
+    ),
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
     "user_mad_outliers": (q_user_mad_outliers, ORACLE_USER_MAD_OUTLIERS),

@@ -280,7 +280,35 @@ def _oracle_mm_feature_topk() -> str:
 ORACLE_MM_FEATURE_TOPK = _oracle_mm_feature_topk()
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' assets: per-asset frame count from
+    the metadata (deterministic stand-in: n_bytes % 100 + 1 frames),
+    every-7th frame index emitted as its own row (posexplode). The
+    index plan is pure column expressions — sequence() + explode runs
+    in codegen, no Python; a production pipeline joins these indices
+    into the decode mapInPandas so only sampled frames are ever
+    decoded (the 100 TB video answer: decode cost ∝ sampled frames,
+    not stored frames)."""
+    a = _assets(spark, sf_dir)
+    idx = MM.frame_sample_indices(a, every=7)
+    return idx.select(
+        "doc_id",
+        "n_frames",
+        F.posexplode("frame_idx").alias("sample_pos", "frame_idx"),
+    ).select("doc_id", "n_frames", F.col("sample_pos").cast("int").alias("sample_pos"), "frame_idx")
+
+
+ORACLE_MM_FRAME_SAMPLE = """
+WITH a AS (SELECT doc_id, (strlen(text) % 100) + 1 AS n_frames FROM documents)
+SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(fi // 7 AS INTEGER) AS sample_pos,
+       CAST(fi AS INTEGER) AS frame_idx
+FROM a, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 7)) AS fi)
+"""
+
+
 QUERIES = {
+    "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAME_SAMPLE),
     "mm_resize_features": (q_mm_resize_features, ORACLE_MM_RESIZE_FEATURES),
     "mm_feature_topk": (q_mm_feature_topk, ORACLE_MM_FEATURE_TOPK),
     "mm_binary_meta": (q_mm_binary_meta, ORACLE_MM_BINARY_META),

@@ -99,6 +99,8 @@ HEADLINE = [
     "bloom_prune_revenue",
     "inverted_index",
     "doc_pagerank",
+    "mm_frame_sample",
+    "events_hourly_incremental",
 ]
 
 
