@@ -314,7 +314,9 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = io.read_table(spark, sf_dir, "events")
     ub = (F.col("user_id") % 256).cast("int")
-    tb = (F.floor(F.unix_micros("ts") / F.lit(HOUR_US)) % 256).cast("int")
+    # `div` = exact integer division (float `/`+floor can land one off
+    # at exact-hour boundaries; the oracle's `//` is integer-exact)
+    tb = (F.expr(f"unix_micros(ts) div {HOUR_US}") % 256).cast("int")
     return (
         ev.select(ub.alias("user_bucket"), tb.alias("time_bucket"))
         .withColumn("zval", morton_col(F.col("user_bucket"), F.col("time_bucket")))
