@@ -49,3 +49,31 @@ def test_pagerank_empty_input(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     out = pagerank(empty)
     assert out.columns == ["doc_id", "rank"] and out.count() == 0
+
+
+# --------------------------------------------------- hypothesis property
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _random_pairs(draw):
+    n_nodes = draw(st.integers(min_value=2, max_value=10))
+    n_edges = draw(st.integers(min_value=1, max_value=12))
+    pairs = set()
+    for _ in range(n_edges):
+        a = draw(st.integers(min_value=0, max_value=n_nodes - 1))
+        b = draw(st.integers(min_value=0, max_value=n_nodes - 1))
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    return sorted(pairs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_random_pairs())
+def test_pagerank_matches_numpy_on_random_graphs(spark, pairs):
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["rank"] for r in pagerank(df).collect()}
+    assert got == _numpy_twin(pairs)
