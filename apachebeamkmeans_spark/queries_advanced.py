@@ -393,10 +393,71 @@ GROUP BY l_returnflag
 """
 
 
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a CDC
+    changeset (updates/deletes/inserts, derived deterministically from
+    doc_id so the oracle replays it) to the documents snapshot via one
+    full-outer join + CASE resolution. Every 13th doc is deleted,
+    every 7th surviving doc gets an updated text, and 5 fresh rows are
+    inserted. Scale shape: the changeset is tiny next to the snapshot
+    ⇒ Catalyst broadcasts it and the snapshot scan is never widened;
+    with a bucketed snapshot the join needs no snapshot-side shuffle
+    at all. Output: (doc_id, origin, text_md5) of the merged state."""
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    upd = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
+        .select("doc_id", F.lit("U").alias("op"), F.upper("text").alias("new_text"))
+    )
+    dele = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", F.lit("D").alias("op"), F.lit(None).cast("string").alias("new_text"))
+    )
+    ins = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.lit("I").alias("op"),
+            F.concat(F.lit("new:"), F.col("text")).alias("new_text"),
+        )
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = docs.join(changes, "doc_id", "full_outer").filter(
+        (F.col("op").isNull()) | (F.col("op") != "D")
+    )
+    return merged.select(
+        "doc_id",
+        F.when(F.col("op") == "I", "inserted")
+        .when(F.col("op") == "U", "updated")
+        .otherwise("kept")
+        .alias("origin"),
+        F.md5(F.coalesce("new_text", "text")).alias("text_md5"),
+    )
+
+
+ORACLE_CDC_MERGE = """
+WITH changes AS (
+  SELECT doc_id, 'U' AS op, upper(text) AS new_text FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id, 'D', NULL FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 100000, 'I', 'new:' || text FROM documents WHERE doc_id < 5
+)
+SELECT coalesce(d.doc_id, c.doc_id) AS doc_id,
+       CASE WHEN c.op = 'I' THEN 'inserted'
+            WHEN c.op = 'U' THEN 'updated'
+            ELSE 'kept' END AS origin,
+       md5(coalesce(c.new_text, d.text)) AS text_md5
+FROM documents d FULL OUTER JOIN changes c ON d.doc_id = c.doc_id
+WHERE c.op IS NULL OR c.op != 'D'
+"""
+
+
 QUERIES = {
     "events_type_map": (q_events_type_map, ORACLE_EVENTS_TYPE_MAP),
     "events_zorder_layout": (q_events_zorder_layout, ORACLE_EVENTS_ZORDER_LAYOUT),
     "bloom_prune_revenue": (q_bloom_prune_revenue, ORACLE_BLOOM_PRUNE_REVENUE),
+    "cdc_merge": (q_cdc_merge, ORACLE_CDC_MERGE),
     "orders_grouping_sets": (q_orders_grouping_sets, ORACLE_ORDERS_GROUPING_SETS),
     "udaf_gmean": (q_udaf_gmean, ORACLE_UDAF_GMEAN),
     "udtf_tokens": (q_udtf_tokens, ORACLE_UDTF_TOKENS),

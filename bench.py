@@ -101,6 +101,7 @@ HEADLINE = [
     "doc_pagerank",
     "mm_frame_sample",
     "events_hourly_incremental",
+    "cdc_merge",
 ]
 
 
