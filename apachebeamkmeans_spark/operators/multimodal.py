@@ -8,14 +8,19 @@ not in this container, so `fake_decode` derives deterministic
 (schema, batching, partition behavior) is real and the determinism
 keeps even the Pandas-UDF path oracle-checkable.
 
-A production decode would replace `_fake_decode_batch`'s body with
+A production decode would replace `fake_decode`'s batch body with
 e.g. PIL/ffmpeg calls; everything else (schema contract, mapInPandas
 wiring) stays identical.
+
+Every function handed to mapInPandas/applyInPandas here is defined
+INSIDE its operator (closure) so cloudpickle ships it by value —
+module-level functions are pickled by reference and would force the
+executor's Python worker to import this package, which the driver
+contract does not guarantee is importable there.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -41,28 +46,38 @@ def to_binary_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic stand-in decoder: "image" dimensions from the
-    payload digest. Real decoders are I/O+CPU heavy → mapInPandas keeps
-    them batched per partition with zero shuffle."""
-    for pdf in batches:
-        digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
-        width = digests.map(lambda h: int(h[0:2], 16) + 1).astype("int32")
-        height = digests.map(lambda h: int(h[2:4], 16) + 1).astype("int32")
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "width": width,
-                "height": height,
-                "n_pixels": (width.astype("int64") * height.astype("int64")),
-            }
-        )
-
-
 def fake_decode(assets: DataFrame) -> DataFrame:
-    """Arrow-batched decode over the binary payload column."""
+    """Arrow-batched decode over the binary payload column.
+
+    Deterministic stand-in decoder: "image" dimensions from the
+    payload digest. Real decoders are I/O+CPU heavy → mapInPandas
+    keeps them batched per partition with zero shuffle.
+
+    The batch fn is defined LOCALLY (like the resize/histogram
+    factories below) so cloudpickle ships it by value: a module-level
+    function is pickled by reference, and the executor's Python worker
+    would then have to `import apachebeamkmeans_spark` — which fails
+    under a driver whose sys.path/cwd doesn't include this repo (the
+    driver contract makes no such promise)."""
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            digests = pdf["payload"].map(lambda b: _hl.md5(bytes(b)).hexdigest())
+            width = digests.map(lambda h: int(h[0:2], 16) + 1).astype("int32")
+            height = digests.map(lambda h: int(h[2:4], 16) + 1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "n_pixels": (width.astype("int64") * height.astype("int64")),
+                }
+            )
+
     return assets.select("doc_id", "payload").mapInPandas(
-        _fake_decode_batch, schema=DECODE_SCHEMA
+        _batch, schema=DECODE_SCHEMA
     )
 
 
