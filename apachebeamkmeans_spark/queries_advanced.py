@@ -399,10 +399,11 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id so the oracle replays it) to the documents snapshot via one
     full-outer join + CASE resolution. Every 13th doc is deleted,
     every 7th surviving doc gets an updated text, and 5 fresh rows are
-    inserted. Scale shape: the changeset is tiny next to the snapshot
-    ⇒ Catalyst broadcasts it and the snapshot scan is never widened;
-    with a bucketed snapshot the join needs no snapshot-side shuffle
-    at all. Output: (doc_id, origin, text_md5) of the merged state."""
+    inserted. Scale shape: full-outer joins can't broadcast (both
+    sides may contribute unmatched rows), so the join shuffles on
+    doc_id — with a snapshot bucketed on the key (io.write_bucketed)
+    only the tiny changeset side moves, which is how table formats
+    run MERGE at scale. Output: (doc_id, origin, text_md5)."""
     docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
     upd = (
         docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
