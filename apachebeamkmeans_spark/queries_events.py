@@ -561,7 +561,116 @@ def q_events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_HOURLY_INCREMENTAL = ORACLE_EVENTS_HOURLY
 
 
+def q_events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: its quartile among same-type events — quantile
+    bucketing / discretization via `ntile` (equal-count buckets,
+    remainder to the leading buckets — the SQL-standard definition
+    both engines share). The (value, event_id) ordering is total, so
+    bucket boundaries are deterministic. Scale: one window per
+    event_type partition, no global sort."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLE_EVENTS_VALUE_QUARTILES = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS INTEGER) AS quartile
+FROM events
+"""
+
+
+AB_SEED = "ab"
+
+
+def q_events_ab_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: users are hash-assigned to variant A/B
+    (hash01(user_id, seed) — deterministic, so assignment is stable
+    across reruns and engines), then per-variant event volume,
+    distinct users, purchase rate, mean value, and the two-sample
+    z-statistic for the value-mean difference (same scalar on both
+    rows). The whole readout is two aggregations — the assignment
+    hash is a narrow map, never a shuffle of its own."""
+    from apachebeamkmeans_spark.functions import hashing as H
+
+    ev = _events(spark, sf_dir).withColumn(
+        "variant",
+        F.when(H.hash01(F.col("user_id"), AB_SEED) < 0.5, "A").otherwise("B"),
+    )
+    per = ev.groupBy("variant").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("__np"),
+        F.avg("value").alias("__avg"),
+        F.var_samp("value").alias("__var"),
+    )
+    z = per.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("__avg"))).alias("avg_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("__avg"))).alias("avg_b"),
+        F.max(F.when(F.col("variant") == "A", F.col("__var") / F.col("n_events"))).alias("se2_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("__var") / F.col("n_events"))).alias("se2_b"),
+    ).select(
+        F.round(
+            (F.col("avg_a") - F.col("avg_b"))
+            / F.sqrt(F.col("se2_a") + F.col("se2_b")),
+            6,
+        ).alias("z_value")
+    )
+    return per.crossJoin(z).select(
+        "variant",
+        "n_users",
+        "n_events",
+        F.round(F.col("__np") / F.col("n_events"), 6).alias("purchase_rate"),
+        F.round("__avg", 6).alias("avg_value"),
+        "z_value",
+    )
+
+
+def _ab_oracle() -> str:
+    from apachebeamkmeans_spark import oraclegen as OG
+
+    h = OG.sql_hash01("user_id", AB_SEED)
+    return f"""
+WITH ev AS (
+  SELECT *, CASE WHEN {h} < 0.5 THEN 'A' ELSE 'B' END AS variant FROM events
+),
+per AS (
+  SELECT variant,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         avg(value) AS a,
+         var_samp(value) AS v
+  FROM ev GROUP BY variant
+),
+z AS (
+  SELECT round((max(CASE WHEN variant = 'A' THEN a END)
+                - max(CASE WHEN variant = 'B' THEN a END))
+               / sqrt(max(CASE WHEN variant = 'A' THEN v / n_events END)
+                      + max(CASE WHEN variant = 'B' THEN v / n_events END)),
+               6) AS z_value
+  FROM per
+)
+SELECT variant, n_users, n_events,
+       round(CAST(np AS DOUBLE) / n_events, 6) AS purchase_rate,
+       round(a, 6) AS avg_value, z_value
+FROM per CROSS JOIN z
+"""
+
+
+ORACLE_EVENTS_AB_METRICS = _ab_oracle()
+
+
 QUERIES = {
+    "events_value_quartiles": (q_events_value_quartiles, ORACLE_EVENTS_VALUE_QUARTILES),
+    "events_ab_metrics": (q_events_ab_metrics, ORACLE_EVENTS_AB_METRICS),
     "events_hourly_incremental": (
         q_events_hourly_incremental,
         ORACLE_EVENTS_HOURLY_INCREMENTAL,

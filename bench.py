@@ -102,6 +102,8 @@ HEADLINE = [
     "mm_frame_sample",
     "events_hourly_incremental",
     "cdc_merge",
+    "events_value_quartiles",
+    "events_ab_metrics",
 ]
 
 
