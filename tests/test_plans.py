@@ -218,3 +218,44 @@ def test_pii_and_repetition_are_narrow_maps(spark, sf_dir):
     docs = io.read_table(spark, sf_dir, "documents")
     assert X.n_exchanges(TX.pii_scrub(docs)) == 0
     assert X.n_exchanges(TX.repetition_stats(docs)) == 0
+
+
+def test_inverted_index_one_shuffle_no_single_partition(spark, sf_dir):
+    """Inverted-index build: exactly one Exchange (hash by token) and
+    never an Exchange SinglePartition — the index never funnels
+    through one task. The per-doc array_distinct runs before the
+    explode (pre-shuffle dedup), visible as explode over
+    array_distinct in the plan."""
+    from apachebeamkmeans_spark.queries_text import q_inverted_index
+
+    q = q_inverted_index(spark, sf_dir)
+    assert X.n_exchanges(q) == 1
+    plan = X.formatted_plan(q)
+    assert "SinglePartition" not in plan
+    # the explode consumes the deduped array directly: array_distinct
+    # sits inside the generator's child expression, i.e. BEFORE the
+    # shuffle, so repeated tokens never ship
+    assert "explode(array_distinct(" in plan
+
+
+def test_quartiles_window_is_type_partitioned(spark, sf_dir):
+    """ntile bucketing: the window sorts inside event_type partitions
+    only — one hash Exchange, no global (SinglePartition) sort."""
+    from apachebeamkmeans_spark.queries_events import q_events_value_quartiles
+
+    q = q_events_value_quartiles(spark, sf_dir)
+    plan = X.formatted_plan(q)
+    assert "SinglePartition" not in plan
+    assert X.n_exchanges(q) == 1
+
+
+def test_zorder_morton_is_codegen_narrow_map(spark, sf_dir):
+    """The Morton interleave stays inside whole-stage codegen (no UDF,
+    no extra Exchange beyond the final aggregation's)."""
+    from apachebeamkmeans_spark.queries_advanced import q_events_zorder_layout
+
+    q = q_events_zorder_layout(spark, sf_dir)
+    plan = X.formatted_plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert X.n_exchanges(q) == 1
+    assert X.has_partial_aggregate(q)
