@@ -136,3 +136,11 @@ def cosine_unrolled(col: Column, vec: list[float], dim: int) -> Column:
     """cosine(col, literal vec); vec's norm is folded at plan time."""
     vnorm = sum(float(v) * float(v) for v in vec) ** 0.5
     return dot_unrolled(col, vec) / (F.sqrt(norm_sq_unrolled(col, dim)) * F.lit(vnorm))
+
+
+def dot_cols_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Σ_j a[j]·b[j] between two array columns, unrolled to `dim`
+    codegen multiply-adds — no per-element lambda interpretation (the
+    HOF `dot` costs ~3× on a many-million-pair join; measured on
+    sim_knn_graph: 20 s → 6 s at sf0.1)."""
+    return _sum_terms([a[j] * b[j] for j in range(dim)])

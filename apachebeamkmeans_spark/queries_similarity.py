@@ -480,7 +480,99 @@ def _oracle_ivfpq_trained() -> str:
 ORACLE_SIM_IVFPQ_TRAINED = _oracle_ivfpq_trained()
 
 
+KNN_K = 3
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN-graph build over the WHOLE embedding table (vs the literal-
+    query top-k above): every vector's 3 nearest neighbors, pairwise
+    work bounded by IVF-style coarse-cell blocking — the self-join runs
+    within cells only, so cost is n²/cells instead of n² (production
+    sizes cells ∝ n for constant per-cell work; cross-cell edges are
+    the documented recall trade, recovered by probing neighbor cells).
+    Ranking sorts the ROUNDED cosine with an id tie-break so the graph
+    is deterministic across engines. This is the batch KNN join that
+    feeds graph-based dedup, kNN classification, and diversity
+    sampling.
+
+    Pair cost model (measured at sf0.1, ~3M unordered pairs):
+    normalize ONCE per vector before the join so the per-pair score is
+    a single unrolled 64-term codegen dot (not 3 HOF dots), score each
+    unordered pair once and symmetrize the tiny (id, id, cosine)
+    output (halves pair work — cosine is symmetric), and run the
+    self-join through `dedup.salted_self_pairs`: with only
+    k-coarse-cells join keys the naive join puts ALL pair generation
+    on k tasks (the SCALE.md §5 hot-bucket trap, here by
+    construction), salting grid-splits every cell across the cluster.
+    20 s naive → 10.5 s; the remainder is the genuine pair volume
+    (~3M scored pairs), which production bounds by sizing the number
+    of cells with the corpus (cells ∝ n ⇒ constant per-cell work)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.functions import distance as D
+    from apachebeamkmeans_spark.operators.dedup import salted_self_pairs
+
+    a = (
+        SIM.coarse_assign(io.load_points(spark, sf_dir), CENTERS)
+        .withColumn("__n", F.sqrt(D.norm_sq_unrolled(F.col("f"), DIM)))
+        .select(
+            "vec_id",
+            F.transform("f", lambda x: x / F.col("__n")).alias("f"),
+            "coarse_id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    half = salted_self_pairs(a, ["coarse_id"], "vec_id").select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        F.round(
+            D.dot_cols_unrolled(F.col("a.f"), F.col("b.f"), DIM), 6
+        ).alias("cosine"),
+    )
+    scored = half.unionByName(
+        half.select(
+            F.col("nbr_id").alias("vec_id"),
+            F.col("vec_id").alias("nbr_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KNN_K)
+    )
+
+
+def _oracle_knn_graph() -> str:
+    dists = [f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(CENTERS)]
+    argmin = OG.sql_argmin_case([f"d{i}" for i in range(len(CENTERS))], "coarse_id")
+    cos = OG.sql_cosine_cols("x.e", "y.e")
+    return f"""
+WITH a AS (
+  SELECT vec_id, e, {argmin} FROM
+  (SELECT vec_id, e, {', '.join(dists)} FROM {_E2} t)
+),
+p AS (
+  SELECT x.vec_id, y.vec_id AS nbr_id, round({cos}, 6) AS cosine
+  FROM a x JOIN a y ON x.coarse_id = y.coarse_id AND x.vec_id != y.vec_id
+)
+SELECT vec_id, nbr_id, cosine, rank FROM (
+  SELECT vec_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, nbr_id ASC) AS INTEGER) AS rank
+  FROM p
+) WHERE rank <= {KNN_K}
+"""
+
+
+ORACLE_SIM_KNN_GRAPH = _oracle_knn_graph()
+
+
 QUERIES = {
+    "sim_knn_graph": (q_sim_knn_graph, ORACLE_SIM_KNN_GRAPH),
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, ORACLE_SIM_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, ORACLE_SIM_IVF),
     "sim_pq_topk": (q_sim_pq_topk, ORACLE_SIM_PQ),

@@ -104,6 +104,7 @@ HEADLINE = [
     "cdc_merge",
     "events_value_quartiles",
     "events_ab_metrics",
+    "sim_knn_graph",
 ]
 
 
