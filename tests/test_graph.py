@@ -4,7 +4,6 @@ conservation property."""
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark.operators.graph import DAMPING, ITERATIONS, pagerank
 

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import functions as F
-
 from apachebeamkmeans_spark.sources import io
 from apachebeamkmeans_spark.streaming.events import hourly_agg_stream
 
