@@ -244,7 +244,12 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     sfx = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = _os.path.join(repo, ".scratch", f"docs_jsonl_{sfx}")
+    # keyed by applicationId: the sink is rewritten every call, so two
+    # concurrent sessions (e.g. selfcheck + a driver-shape replay)
+    # sharing one path would race writer-vs-reader
+    path = _os.path.join(
+        repo, ".scratch", f"docs_jsonl_{sfx}_{spark.sparkContext.applicationId}"
+    )
     io.write_jsonl(_docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"), path)
     schema = T.StructType(
         [
