@@ -481,54 +481,86 @@ ORACLE_SIM_IVFPQ_TRAINED = _oracle_ivfpq_trained()
 
 
 KNN_K = 3
+KNN_NPROBE = 2  # cells probed per vector; pairs need a SHARED probed cell
 
 
 def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN-graph build over the WHOLE embedding table (vs the literal-
     query top-k above): every vector's 3 nearest neighbors, pairwise
-    work bounded by IVF-style coarse-cell blocking — the self-join runs
-    within cells only, so cost is n²/cells instead of n² (production
-    sizes cells ∝ n for constant per-cell work; cross-cell edges are
-    the documented recall trade, recovered by probing neighbor cells).
-    Ranking sorts the ROUNDED cosine with an id tie-break so the graph
-    is deterministic across engines. This is the batch KNN join that
-    feeds graph-based dedup, kNN classification, and diversity
-    sampling.
+    work bounded by multi-probe coarse-cell blocking — each vector
+    joins its 2 nearest trained cells and a pair is scored iff the two
+    vectors SHARE a probed cell, so cost is ~(nprobe·n)²/cells instead
+    of n² and boundary neighbors are recovered (primary-cell-only
+    blocking measures recall@3 = 0.35 on this corpus because true
+    nearest neighbors straddle cell walls; shared-probe nprobe=2
+    reaches 0.78, asserted in tests/test_ann_train.py). Production
+    sizes cells ∝ n for constant per-cell work. Ranking sorts the
+    ROUNDED cosine with an id tie-break so the graph is deterministic
+    across engines. This is the batch KNN join that feeds graph-based
+    dedup, kNN classification, and diversity sampling.
 
-    Pair cost model (measured at sf0.1, ~3M unordered pairs):
-    normalize ONCE per vector before the join so the per-pair score is
-    a single unrolled 64-term codegen dot (not 3 HOF dots), score each
-    unordered pair once and symmetrize the tiny (id, id, cosine)
-    output (halves pair work — cosine is symmetric), and run the
+    Pair cost model: normalize ONCE per vector before the join so the
+    per-pair score is a single unrolled 64-term codegen dot (not 3 HOF
+    dots), score each unordered pair once and symmetrize the tiny
+    (id, id, cosine) output (cosine is symmetric), and run the
     self-join through `dedup.salted_self_pairs`: with only
     k-coarse-cells join keys the naive join puts ALL pair generation
     on k tasks (the SCALE.md §5 hot-bucket trap, here by
-    construction), salting grid-splits every cell across the cluster.
-    20 s naive → 10.5 s; the remainder is the genuine pair volume
-    (~3M scored pairs), which production bounds by sizing the number
-    of cells with the corpus (cells ∝ n ⇒ constant per-cell work)."""
+    construction); salting grid-splits every cell across the cluster.
+    The residual cost is the genuine scored-pair volume — the recall
+    dial (cells, nprobe) is also the cost dial."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from apachebeamkmeans_spark.functions import distance as D
+    from apachebeamkmeans_spark.operators import ann_train as ANN
     from apachebeamkmeans_spark.operators.dedup import salted_self_pairs
 
-    a = (
-        SIM.coarse_assign(io.load_points(spark, sf_dir), CENTERS)
-        .withColumn("__n", F.sqrt(D.norm_sq_unrolled(F.col("f"), DIM)))
-        .select(
-            "vec_id",
-            F.transform("f", lambda x: x / F.col("__n")).alias("f"),
-            "coarse_id",
-        )
-        .localCheckpoint(eager=False)
+    pts = ANN.l2_normalize(io.load_points(spark, sf_dir)).select(
+        F.col("id").alias("vec_id"), F.col("features").alias("f")
     )
-    half = salted_self_pairs(a, ["coarse_id"], "vec_id").select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("nbr_id"),
-        F.round(
-            D.dot_cols_unrolled(F.col("a.f"), F.col("b.f"), DIM), 6
-        ).alias("cosine"),
+    # 2 nearest trained cells per vector: sort (distance, cell) structs
+    # — ties break toward the lower cell id, matching the oracle's CASE
+    dists = [D.l2_sq_unrolled(F.col("f"), c) for c in TRAINED_CENTERS]
+    cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(d.alias("d"), F.lit(i).alias("i"))
+                for i, d in enumerate(dists)
+            ]
+        )
+    )
+    # Materialize the probe assignment BEFORE the explode: a Generate
+    # whose child inlines the (8 cells × 64-term × sort) assign tree
+    # sends codegen compilation pathological (measured 181 s for the
+    # compile alone vs 0.8 s with the tree cut here), and an eager cut
+    # is also what keeps the tree out of both self-join sides.
+    probed = pts.select(
+        "vec_id",
+        "f",
+        F.slice(F.transform(cells, lambda s: s["i"]), 1, KNN_NPROBE).alias(
+            "probes"
+        ),
+    ).localCheckpoint(eager=True)
+    a = probed.select(
+        "vec_id", "f", "probes", F.explode("probes").alias("coarse_id")
+    ).localCheckpoint(eager=True)
+    half = (
+        salted_self_pairs(a, ["coarse_id"], "vec_id")
+        # a pair sharing BOTH probed cells would arrive twice; scoring
+        # it only in the LOWEST shared cell dedups structurally — no
+        # multi-million-row distinct() shuffle afterwards
+        .filter(
+            F.col("a.coarse_id")
+            == F.array_min(F.array_intersect(F.col("a.probes"), F.col("b.probes")))
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            F.round(
+                D.dot_cols_unrolled(F.col("a.f"), F.col("b.f"), DIM), 6
+            ).alias("cosine"),
+        )
     )
     scored = half.unionByName(
         half.select(
@@ -546,18 +578,56 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_argmin_over(ids: list[int]) -> str:
+    """First-minimum CASE over d{i} for the given center ids — same
+    tie-break (lowest id wins) as the sorted-(d, i)-struct Spark
+    side."""
+    cols = [f"d{i}" for i in ids]
+    clauses = []
+    for i in range(len(ids) - 1):
+        conds = " AND ".join(
+            f"{cols[i]} <= {cols[j]}" for j in range(i + 1, len(ids))
+        )
+        clauses.append(f"WHEN {conds} THEN {ids[i]}")
+    return "CASE " + " ".join(clauses) + f" ELSE {ids[-1]} END"
+
+
+def _sql_second_nearest(primary: str, k: int) -> str:
+    """Second-nearest cell id: argmin over the non-primary cells."""
+    whens = []
+    for p in range(k):
+        rest = [i for i in range(k) if i != p]
+        whens.append(f"WHEN {primary} = {p} THEN ({_sql_argmin_over(rest)})")
+    return "CASE " + " ".join(whens) + " END"
+
+
 def _oracle_knn_graph() -> str:
-    dists = [f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(CENTERS)]
-    argmin = OG.sql_argmin_case([f"d{i}" for i in range(len(CENTERS))], "coarse_id")
-    cos = OG.sql_cosine_cols("x.e", "y.e")
+    nc = len(TRAINED_CENTERS)
+    nsq = OG.sql_norm_sq("e", DIM)
+    dists = [
+        f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)
+    ]
+    argmin = OG.sql_argmin_case([f"d{i}" for i in range(nc)], "coarse_id")
+    second = _sql_second_nearest("coarse_id", nc)
+    # unit vectors ⇒ cosine = plain dot
+    cos = OG.sql_dot_cols("x.e", "y.e")
     return f"""
-WITH a AS (
-  SELECT vec_id, e, {argmin} FROM
-  (SELECT vec_id, e, {', '.join(dists)} FROM {_E2} t)
+WITH en AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
+  FROM {_E2} t WHERE {nsq} > 0
+),
+pr AS MATERIALIZED (
+  SELECT vec_id, e, coarse_id, ({second}) AS coarse2 FROM
+  (SELECT vec_id, e, {argmin}, {', '.join(f'd{i}' for i in range(nc))} FROM
+   (SELECT vec_id, e, {', '.join(dists)} FROM en))
+),
+m AS MATERIALIZED (
+  SELECT vec_id, e, coarse_id FROM pr
+  UNION ALL SELECT vec_id, e, coarse2 FROM pr
 ),
 p AS (
-  SELECT x.vec_id, y.vec_id AS nbr_id, round({cos}, 6) AS cosine
-  FROM a x JOIN a y ON x.coarse_id = y.coarse_id AND x.vec_id != y.vec_id
+  SELECT DISTINCT x.vec_id, y.vec_id AS nbr_id, round({cos}, 6) AS cosine
+  FROM m x JOIN m y ON x.coarse_id = y.coarse_id AND x.vec_id != y.vec_id
 )
 SELECT vec_id, nbr_id, cosine, rank FROM (
   SELECT vec_id, nbr_id, cosine,

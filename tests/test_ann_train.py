@@ -151,3 +151,37 @@ def test_fit_fixed_trainer_matches_numpy_at_oracle_sf(spark):
         ANN.ivf_train_np(ids, mat, QK.K, QK.FIT_FIXED_ITERS, QK.FIT_FIXED_SEED)
     )
     assert a == b
+
+
+def test_knn_graph_recall(spark, sf_dir):
+    """sim_knn_graph (shared-probe nprobe=2 over the trained coarse
+    cells) must recover most exact 3-NN edges: >= 0.6 at sf0.001
+    (centers are trained at sf0.01, so this is off-distribution —
+    at the train sf it measures 0.78), and far above the ~0.006 random
+    baseline. Primary-cell-only blocking measures ~0.35: the probe
+    dial is what makes the blocked graph usable."""
+    import numpy as np
+
+    from apachebeamkmeans_spark.queries_similarity import KNN_K, q_sim_knn_graph
+
+    pts = io.load_points(spark, sf_dir).select("id", "features").collect()
+    ids = np.array([r["id"] for r in pts])
+    M = np.array([r["features"] for r in pts], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -2)
+    exact = {
+        ids[i]: {
+            ids[j]
+            for j in sorted(
+                range(len(ids)), key=lambda j: (-round(S[i, j], 6), ids[j])
+            )[:KNN_K]
+        }
+        for i in range(len(ids))
+    }
+    got: dict[int, set[int]] = {}
+    for r in q_sim_knn_graph(spark, sf_dir).collect():
+        got.setdefault(r["vec_id"], set()).add(r["nbr_id"])
+    hits = sum(len(exact[v] & got.get(v, set())) for v in exact)
+    recall = hits / (len(ids) * KNN_K)
+    assert recall >= 0.6, recall
