@@ -136,17 +136,23 @@ def main() -> None:
         # 36 s mid-suite before this)
         spark._jvm.System.gc()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # stdout is the driver contract; the file copy exists because the
+    # r5 driver captured only a truncated stdout tail (BENCH_r05.json's
+    # `parsed` was null) — round-over-round comparison must not depend
+    # on tail parsing
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LATEST.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

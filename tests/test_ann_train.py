@@ -153,13 +153,28 @@ def test_fit_fixed_trainer_matches_numpy_at_oracle_sf(spark):
     assert a == b
 
 
+def test_knn_trainer_matches_numpy_at_oracle_config(spark):
+    """The sim_knn_graph oracle premise: the Spark trainer at EXACTLY
+    the oracle's config — TRAIN_SF_DIR corpus, k = knn_cells(n), seed
+    "knn" — reproduces the numpy-twin literals the oracle embeds. The
+    k=4 equality test above doesn't cover the derived √n cell count."""
+    from apachebeamkmeans_spark import queries_similarity as QS
+
+    pts = ANN.l2_normalize(io.load_points(spark, QS.TRAIN_SF_DIR))
+    got = ANN.round_mat(
+        ANN.ivf_train(pts, QS.KNN_TRAIN_CELLS, QS.IVFPQ_ITERS, "knn")
+    )
+    assert got == QS.KNN_TRAINED_CENTERS
+
+
 def test_knn_graph_recall(spark, sf_dir):
-    """sim_knn_graph (shared-probe nprobe=2 over the trained coarse
-    cells) must recover most exact 3-NN edges: >= 0.6 at sf0.001
-    (centers are trained at sf0.01, so this is off-distribution —
-    at the train sf it measures 0.78), and far above the ~0.006 random
-    baseline. Primary-cell-only blocking measures ~0.35: the probe
-    dial is what makes the blocked graph usable."""
+    """sim_knn_graph (shared-probe blocking over coarse cells trained
+    IN-QUERY on the corpus it serves, k = knn_cells(n) and nprobe =
+    knn_nprobe(k)) must recover most exact 3-NN edges: >= 0.8 (the
+    derived rule measures 0.90 at sf0.001, vs 0.78 for the r5 fixed
+    (8 cells, nprobe 2) config and a ~0.006 random baseline).
+    Primary-cell-only blocking measures ~0.35: the probe dial is what
+    makes the blocked graph usable."""
     import numpy as np
 
     from apachebeamkmeans_spark.queries_similarity import KNN_K, q_sim_knn_graph
@@ -184,4 +199,4 @@ def test_knn_graph_recall(spark, sf_dir):
         got.setdefault(r["vec_id"], set()).add(r["nbr_id"])
     hits = sum(len(exact[v] & got.get(v, set())) for v in exact)
     recall = hits / (len(ids) * KNN_K)
-    assert recall >= 0.6, recall
+    assert recall >= 0.8, recall

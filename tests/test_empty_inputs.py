@@ -28,6 +28,9 @@ NEEDS_DATA = {
     "sim_ivf_train",
     "sim_pq_train",
     "kmeans_fit_fixed",
+    # r6: the KNN graph trains its coarse quantizer in-query (cells
+    # derived from n), so it inherits the trainer contract.
+    "sim_knn_graph",
 }
 
 QUERIES = all_queries()
