@@ -464,20 +464,39 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact document frequency and the first 50 doc_ids of the sorted
     posting list. Shape at 100 TB: explode per-doc DISTINCT tokens (the
     array_distinct runs inside codegen before the shuffle, so a token
-    repeated 1000× in a doc ships once), one map-side-combined hash
-    aggregation keyed by token, postings capped at the agg so no row
-    grows with corpus size. Stopword-grade tokens (df > 100) keep their
+    repeated 1000× in a doc ships once); df is a map-side-combined
+    count; the posting sample is BOUNDED BEFORE aggregation — a
+    row_number(≤ 50) rank filter that Spark rewrites to
+    WindowGroupLimit on BOTH sides of the shuffle (locked by
+    tests/test_plans.py), so every task holds at most 50 rows per
+    token and the collect_list state is O(50), never O(df). (The r5
+    form collected the FULL posting list and discarded it after the
+    df≤100 test — an agg-buffer OOM on stopword-grade tokens, flagged
+    by the r5 advisor.) Stopword-grade tokens (df > 100) keep their
     exact df but an empty posting list — the standard posting-list
-    elision for non-selective terms."""
+    elision for non-selective terms. The count and sample branches
+    are both hash-partitioned by token, so the final join adds no
+    exchange; the explode is computed twice, which at scale beats
+    materializing the full posting frame."""
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     posting = docs.select(
         "doc_id", F.explode(F.array_distinct(TX.T.tokens(F.col("text")))).alias("token")
     )
-    sorted_ids = F.sort_array(F.collect_list("doc_id"))
-    return posting.groupBy("token").agg(
-        F.count("*").alias("df"),
-        F.when(F.count("*") <= 100,
-               F.concat_ws(",", F.transform(F.slice(sorted_ids, 1, 50),
+    counts = posting.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("token").orderBy(F.asc("doc_id"))
+    sample = (
+        posting.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .groupBy("token")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__ids"))
+    )
+    return counts.join(sample, "token", "left").select(
+        "token",
+        "df",
+        F.when(F.col("df") <= 100,
+               F.concat_ws(",", F.transform(F.col("__ids"),
                                             lambda x: x.cast("string"))))
         .otherwise(F.lit(""))
         .alias("postings_csv"),

@@ -220,22 +220,29 @@ def test_pii_and_repetition_are_narrow_maps(spark, sf_dir):
     assert X.n_exchanges(TX.repetition_stats(docs)) == 0
 
 
-def test_inverted_index_one_shuffle_no_single_partition(spark, sf_dir):
-    """Inverted-index build: exactly one Exchange (hash by token) and
-    never an Exchange SinglePartition — the index never funnels
-    through one task. The per-doc array_distinct runs before the
-    explode (pre-shuffle dedup), visible as explode over
-    array_distinct in the plan."""
+def test_inverted_index_bounded_state_no_single_partition(spark, sf_dir):
+    """Inverted-index build: never an Exchange SinglePartition (the
+    index never funnels through one task), the per-doc array_distinct
+    runs before the explode (pre-shuffle dedup), and — the r5 advisor's
+    OOM finding — the posting sample is bounded BEFORE aggregation:
+    the row_number(≤50) rank filter must compile to WindowGroupLimit
+    on BOTH sides of its shuffle (Partial = map-side top-50 per
+    token), so no agg buffer ever holds a stopword-grade full posting
+    list. Both agg branches hash-partition by token, so the final
+    join adds no extra data Exchange (2 hash Exchanges total; the
+    small sample side broadcasts)."""
     from apachebeamkmeans_spark.queries_text import q_inverted_index
 
     q = q_inverted_index(spark, sf_dir)
-    assert X.n_exchanges(q) == 1
     plan = X.formatted_plan(q)
     assert "SinglePartition" not in plan
     # the explode consumes the deduped array directly: array_distinct
     # sits inside the generator's child expression, i.e. BEFORE the
     # shuffle, so repeated tokens never ship
     assert "explode(array_distinct(" in plan
+    exec_plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in exec_plan and "Partial" in exec_plan
+    assert X.n_exchanges(q) <= 3  # 2 hash-by-token + 1 broadcast
 
 
 def test_quartiles_window_is_type_partitioned(spark, sf_dir):
