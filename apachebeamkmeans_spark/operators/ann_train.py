@@ -232,6 +232,44 @@ def pq_train_np(ids: np.ndarray, mat: np.ndarray, m: int, ksub: int,
     return books
 
 
+# ------------------------------------------------- residual PQ training
+
+
+def coarse_residuals(vecs: DataFrame, centers: list[list[float]],
+                     id_col: str = "id",
+                     features_col: str = "features") -> DataFrame:
+    """(id, features = x − nearest_center(x)): the training input for
+    RESIDUAL PQ codebooks (FAISS IndexIVFPQ's default encoding).
+    Assignment is the same shuffle-free literal-center argmin map as
+    K-Means (J1); the subtraction is a narrow zip_with against one
+    nested center literal. Centers should be the ROUNDED trained
+    literals so the Spark frame, the numpy twin, and the generated
+    oracle all subtract identical doubles."""
+    lit_centers = F.lit([[float(v) for v in c] for c in centers])
+    assigned = lloyd.assign(
+        vecs.select(F.col(id_col).alias("id"), F.col(features_col).alias("features")),
+        [[float(v) for v in c] for c in centers], 2.0, mode="hof",
+    )
+    return assigned.select(
+        "id",
+        F.zip_with(
+            F.col("features"),
+            F.element_at(lit_centers, F.col("center_id") + 1),
+            lambda x, c: x - c,
+        ).alias("features"),
+    )
+
+
+def residuals_np(mat: np.ndarray, centers: list[list[float]]) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy twin of `coarse_residuals`: (residual matrix, assignment).
+    np.argmin returns the FIRST minimum, matching the engine's
+    lowest-id argmin tie-break."""
+    c = np.asarray(centers, dtype=np.float64)
+    d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    code = d.argmin(axis=1)
+    return mat - c[code], code
+
+
 def round_param(v: float, nd: int = 4) -> float:
     """Round a trained parameter to the fixed-decimal literal form both
     engines embed. `+ 0.0` folds IEEE -0.0 to 0.0 — str(-0.0) and

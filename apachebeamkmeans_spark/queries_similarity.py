@@ -481,6 +481,133 @@ def _oracle_ivfpq_trained() -> str:
 ORACLE_SIM_IVFPQ_TRAINED = _oracle_ivfpq_trained()
 
 
+# ------------------------------------------------- residual IVF-PQ (r6)
+
+
+def _res_train_np() -> list[list[list[float]]]:
+    """Numpy-twin RESIDUAL codebooks at TRAIN_SF_DIR: assign to the
+    rounded trained coarse centers, subtract, train PQ on the
+    residuals (seed "pqres")."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    ids, mat = ANN.normalized_embeddings_np(TRAIN_SF_DIR)
+    res, _ = ANN.residuals_np(mat, TRAINED_CENTERS)
+    return [
+        ANN.round_mat(b)
+        for b in ANN.pq_train_np(ids, res, IVFPQ_M, IVFPQ_KSUB, IVFPQ_ITERS, "pqres")
+    ]
+
+
+try:
+    TRAINED_RES_CODEBOOKS = _res_train_np()
+except (FileNotFoundError, OSError) as _e:
+    import sys
+
+    print(
+        f"[queries_similarity] WARNING: numpy residual-PQ training fell "
+        f"back to fixture literals ({_e!r})",
+        file=sys.stderr,
+    )
+    TRAINED_RES_CODEBOOKS = PQ_CODEBOOKS
+
+
+def q_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ serving (FAISS IndexIVFPQ's default encoding,
+    vs `sim_ivfpq_trained`'s raw-vector codes): codes quantize
+    x − coarse_center(x) with codebooks trained on those residuals,
+    ADC uses per-(query, probed-cell) shifted lookup tables, then the
+    same exact-cosine refine. Certifies the residual plumbing end to
+    end (encode, LUT shift, refine) against a DuckDB twin. See
+    operators/similarity.ivfpq_residual_topk for the measured
+    raw-vs-residual comparison on this corpus."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    _warn_if_not_train_sf(sf_dir, "sim_ivfpq_residual")
+    return SIM.ivfpq_residual_topk(
+        ANN.l2_normalize(io.load_points(spark, sf_dir)),
+        NQUERY_VECS, TRAINED_CENTERS, TRAINED_RES_CODEBOOKS,
+        IVFPQ_TOPK, IVFPQ_NPROBE, refine=IVFPQ_REFINE,
+    )
+
+
+def _oracle_ivfpq_residual() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    dists = [f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)]
+    argmin = OG.sql_argmin_case([f"d{i}" for i in range(IVFPQ_K)], "coarse_id")
+    dsub = DIM // IVFPQ_M
+    # residual columns: r{idx} = e[idx] − (per-dim center list)[coarse_id+1]
+    rcols = []
+    for j in range(DIM):
+        dimlist = ", ".join(repr(float(c[j])) for c in TRAINED_CENTERS)
+        rcols.append(f"e[{j + 1}] - ([{dimlist}])[coarse_id + 1] AS r{j + 1}")
+    dcols = []
+    for s in range(IVFPQ_M):
+        for c in range(IVFPQ_KSUB):
+            terms = " + ".join(
+                f"(r{s * dsub + j + 1} - ({float(v)!r}))"
+                f"*(r{s * dsub + j + 1} - ({float(v)!r}))"
+                for j, v in enumerate(TRAINED_RES_CODEBOOKS[s][c])
+            )
+            dcols.append(f"({terms}) AS d_{s}_{c}")
+    argmins = [
+        OG.sql_argmin_case([f"d_{s}_{c}" for c in range(IVFPQ_KSUB)], f"c{s}")
+        for s in range(IVFPQ_M)
+    ]
+    probe_cells = [
+        SIM.nearest_centers(q, TRAINED_CENTERS, IVFPQ_NPROBE) for q in NQUERY_VECS
+    ]
+    all_cells = ", ".join(str(c) for c in sorted({c for p in probe_cells for c in p}))
+    parts = []
+    for qid, q in enumerate(NQUERY_VECS):
+        # per-cell LUT shift: the s-th term indexes cell-major lists by
+        # coarse_id, mirroring the Spark side's element_at(lut_q,
+        # probe_cell+1) — literals generated by the same Python call
+        luts = [
+            SIM.pq_adc_lut(
+                [float(qj) - float(cj) for qj, cj in zip(q, c)],
+                TRAINED_RES_CODEBOOKS,
+            )
+            for c in TRAINED_CENTERS
+        ]
+        adc_terms = []
+        for s in range(IVFPQ_M):
+            cell_lists = ", ".join(OG.dlist(luts[c][s]) for c in range(IVFPQ_K))
+            adc_terms.append(f"(([{cell_lists}])[coarse_id + 1])[c{s} + 1]")
+        adc = " + ".join(adc_terms)
+        in_list = ", ".join(str(p) for p in probe_cells[qid])
+        dot = OG.sql_dot("en.e", q)
+        parts.append(
+            f"SELECT {qid} AS qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM ("
+            f"  SELECT probe_cell, vec_id, c,"
+            f"    CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank"
+            f"  FROM ("
+            f"    SELECT sl.probe_cell, sl.vec_id, {dot} AS c"
+            f"    FROM ("
+            f"      SELECT coarse_id AS probe_cell, vec_id,"
+            f"        row_number() OVER (ORDER BY d ASC, vec_id ASC) AS adc_rank"
+            f"      FROM (SELECT vec_id, coarse_id, ({adc}) AS d FROM codes"
+            f"            WHERE coarse_id IN ({in_list}))"
+            f"    ) sl JOIN en ON en.vec_id = sl.vec_id"
+            f"    WHERE sl.adc_rank <= {IVFPQ_REFINE}"
+            f"  )"
+            f") WHERE rank <= {IVFPQ_TOPK}"
+        )
+    return (
+        f"WITH en AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e"
+        f" FROM {_E2} t WHERE {nsq} > 0), "
+        f"ca AS MATERIALIZED (SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}"
+        f" FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))"
+        f" WHERE coarse_id IN ({all_cells})), "
+        "res AS MATERIALIZED (SELECT vec_id, coarse_id, " + ", ".join(rcols) + " FROM ca), "
+        "d AS MATERIALIZED (SELECT vec_id, coarse_id, " + ", ".join(dcols) + " FROM res), "
+        "codes AS MATERIALIZED (SELECT vec_id, coarse_id, " + ", ".join(argmins) + " FROM d) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_SIM_IVFPQ_RESIDUAL = _oracle_ivfpq_residual()
+
+
 KNN_K = 3
 # Cell count and probe width are DERIVED from the corpus size — the r5
 # verdict's one scale flag was the fixed 8-cell quantizer, which made
@@ -710,5 +837,6 @@ QUERIES = {
     "sim_ivf_train": (q_sim_ivf_train, ORACLE_IVF_TRAIN),
     "sim_pq_train": (q_sim_pq_train, ORACLE_PQ_TRAIN),
     "sim_ivfpq_trained": (q_sim_ivfpq_trained, ORACLE_SIM_IVFPQ_TRAINED),
+    "sim_ivfpq_residual": (q_sim_ivfpq_residual, ORACLE_SIM_IVFPQ_RESIDUAL),
     "sim_ivf_trained_indexed": (q_sim_ivf_trained_indexed, ORACLE_SIM_IVF_TRAINED_INDEXED),
 }

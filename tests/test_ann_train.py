@@ -153,6 +153,40 @@ def test_fit_fixed_trainer_matches_numpy_at_oracle_sf(spark):
     assert a == b
 
 
+def test_residual_pq_trainer_matches_numpy_at_oracle_config(spark, serving, norm_points_train):
+    """The sim_ivfpq_residual oracle premise: Spark PQ training on the
+    coarse-residual frame (x − rounded trained center) reproduces the
+    numpy-twin codebooks the oracle embeds."""
+    QS = serving
+    res = ANN.coarse_residuals(norm_points_train, QS.TRAINED_CENTERS)
+    got = [
+        ANN.round_mat(b)
+        for b in ANN.pq_train(res, QS.IVFPQ_M, QS.IVFPQ_KSUB, QS.IVFPQ_ITERS, "pqres")
+    ]
+    assert got == QS.TRAINED_RES_CODEBOOKS
+
+
+def test_ivfpq_residual_recall_at_5(spark, serving, norm_points_train):
+    """Residual-encoded serving must match the raw path's recall floor
+    at the same m/ksub/nprobe/refine (measured: both reach 0.88 at
+    refine=100 on this corpus — see ivfpq_residual_topk's docstring
+    for why residuals don't WIN here)."""
+    QS = serving
+    k = QS.IVFPQ_TOPK
+    truth = _topk_sets(SIM.cosine_topk(norm_points_train, QS.NQUERY_VECS, k).collect())
+    got = _topk_sets(
+        SIM.ivfpq_residual_topk(
+            norm_points_train, QS.NQUERY_VECS,
+            QS.TRAINED_CENTERS, QS.TRAINED_RES_CODEBOOKS,
+            k=k, nprobe=QS.IVFPQ_NPROBE, refine=QS.IVFPQ_REFINE,
+        ).collect()
+    )
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.8, f"recall@5 = {recall:.2f} ({hits}/{total})"
+
+
 def test_knn_trainer_matches_numpy_at_oracle_config(spark):
     """The sim_knn_graph oracle premise: the Spark trainer at EXACTLY
     the oracle's config — TRAIN_SF_DIR corpus, k = knn_cells(n), seed
