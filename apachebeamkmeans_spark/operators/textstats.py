@@ -230,8 +230,9 @@ def repetition_stats(docs: DataFrame, max_top_frac: float = 0.2,
     2-gram fraction — plus the keep verdict at the standard-ish
     thresholds. One narrow map over the documents scan, no shuffle.
     The top-token count rescans the token list per distinct token
-    (O(u·L) per row) — the right trade below ~10k tokens/doc; beyond
-    that an explode+groupBy formulation amortizes better."""
+    (O(u·L) per row) — the right trade below ~10k tokens/doc; for
+    book-length docs `repetition_stats_exploded` below amortizes
+    better, and `repetition_stats_auto` picks per row."""
     # Each expensive array (tokens, distinct tokens, 2-gram shingles)
     # is staged into its own projection so it evaluates exactly once —
     # HOF expressions get no CSE, and inlining them into every
@@ -269,6 +270,89 @@ def repetition_stats(docs: DataFrame, max_top_frac: float = 0.2,
         F.round(top_frac, 6).alias("top_token_frac"),
         F.round(dup2, 6).alias("dup_2gram_frac"),
         keep.alias("keep"),
+    )
+
+
+def repetition_stats_exploded(docs: DataFrame, max_top_frac: float = 0.2,
+                              max_dup2_frac: float = 0.4) -> DataFrame:
+    """The same Gopher repetition stats via explode + groupBy — the
+    long-document form (r5 verdict item 4): the narrow map above
+    rescans the token list per distinct token (O(u·L) per row), which
+    inverts for book-length docs; here tokens and 2-gram shingles
+    explode to rows and two map-side-combined aggregations count
+    them, O(L log L) per doc spread across the cluster. Zero-token
+    docs survive via a left join back to the doc-id spine. Output is
+    row-for-row identical to `repetition_stats` (property-tested)."""
+    t = F.col("__t")
+    staged = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("__t")
+    ).select("doc_id", t, T.token_shingles(t, 2).alias("__g2"))
+    staged = staged.localCheckpoint(eager=False)  # both branches read it
+    tok_counts = (
+        staged.select("doc_id", F.explode("__t").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(
+            F.sum("c").cast("int").alias("__n"),
+            F.count(F.lit(1)).cast("int").alias("__nd"),
+            F.max("c").cast("int").alias("__top"),
+        )
+    )
+    g2_counts = (
+        staged.select("doc_id", F.explode("__g2").alias("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(
+            F.sum("c").cast("int").alias("__n2"),
+            F.count(F.lit(1)).cast("int").alias("__d2"),
+        )
+    )
+    joined = (
+        staged.select("doc_id")
+        .join(tok_counts, "doc_id", "left")
+        .join(g2_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__n", F.lit(0)).alias("__n"),
+            F.coalesce("__nd", F.lit(0)).alias("__nd"),
+            F.coalesce("__top", F.lit(0)).alias("__top"),
+            F.coalesce("__n2", F.lit(0)).alias("__n2"),
+            F.coalesce("__d2", F.lit(0)).alias("__d2"),
+        )
+    )
+    n, n2 = F.col("__n"), F.col("__n2")
+    distinct_ratio = F.when(n > 0, F.col("__nd").cast("double") / n).otherwise(F.lit(0.0))
+    top_frac = F.when(n > 0, F.col("__top").cast("double") / n).otherwise(F.lit(0.0))
+    dup2 = F.when(
+        n2 > 0, F.lit(1.0) - F.col("__d2").cast("double") / n2
+    ).otherwise(F.lit(0.0))
+    keep = (top_frac <= max_top_frac) & (dup2 <= max_dup2_frac)
+    return joined.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(dup2, 6).alias("dup_2gram_frac"),
+        keep.alias("keep"),
+    )
+
+
+# Above this token count the narrow map's O(u·L) top-token rescan
+# loses to the exploded aggregation.
+LONG_DOC_TOKENS = 10_000
+
+
+def repetition_stats_auto(docs: DataFrame, max_top_frac: float = 0.2,
+                          max_dup2_frac: float = 0.4,
+                          long_doc_tokens: int = LONG_DOC_TOKENS) -> DataFrame:
+    """Per-row physical-form choice: short docs take the shuffle-free
+    narrow map, book-length docs (> `long_doc_tokens` tokens) take the
+    exploded aggregation; one union, identical output either way. The
+    split predicate is a cheap size(tokens) — no full stats computed
+    twice."""
+    ntok = F.size(T.tokens(F.col("text")))
+    short = docs.filter(ntok <= long_doc_tokens)
+    long_ = docs.filter(ntok > long_doc_tokens)
+    return repetition_stats(short, max_top_frac, max_dup2_frac).unionByName(
+        repetition_stats_exploded(long_, max_top_frac, max_dup2_frac)
     )
 
 

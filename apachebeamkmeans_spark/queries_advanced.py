@@ -435,6 +435,97 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_T0, SCD2_T1, SCD2_T2 = 100, 200, 300
+SCD2_OPEN = 9999999  # open-interval sentinel (NULL would hash-differ)
+
+
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 MERGE — the history-keeping half of warehouse MERGE
+    (`cdc_merge` above is the overwrite half): the same deterministic
+    changeset applied as versioned rows with [valid_from, valid_to)
+    intervals instead of in-place overwrite. Three logical batches —
+    initial load at t=100, the update/delete wave at t=200, a second
+    update wave plus inserts at t=300 (docs divisible by both 7 and 5
+    accrue three versions). Set-based plan, not per-batch iteration:
+    ONE union of open/close change events and ONE per-key window —
+    `lead(ts)` closes each version at the next change, `row_number`
+    numbers versions, delete events contribute only their closing
+    timestamp. At 100 TB that is a union of narrow column-pruned
+    scans and a single shuffle on doc_id, the same shape table
+    formats use to rebuild SCD2 snapshots."""
+    from pyspark.sql import Window
+
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    base = docs.select(
+        "doc_id", F.lit(SCD2_T0).alias("ts"), F.col("text"),
+        F.lit("open").alias("kind"),
+    )
+    upd1 = docs.filter((d % 7 == 0) & (d % 13 != 0)).select(
+        "doc_id", F.lit(SCD2_T1).alias("ts"),
+        F.upper("text").alias("text"), F.lit("open").alias("kind"),
+    )
+    del1 = docs.filter(d % 13 == 0).select(
+        "doc_id", F.lit(SCD2_T1).alias("ts"),
+        F.lit(None).cast("string").alias("text"), F.lit("close").alias("kind"),
+    )
+    upd2 = docs.filter((d % 5 == 0) & (d % 13 != 0)).select(
+        "doc_id", F.lit(SCD2_T2).alias("ts"),
+        F.concat(F.lit("v3:"), F.lower("text")).alias("text"),
+        F.lit("open").alias("kind"),
+    )
+    ins2 = docs.filter(d < 5).select(
+        (d + 100000).alias("doc_id"), F.lit(SCD2_T2).alias("ts"),
+        F.concat(F.lit("new:"), F.col("text")).alias("text"),
+        F.lit("open").alias("kind"),
+    )
+    ev = base.unionByName(upd1).unionByName(del1).unionByName(upd2).unionByName(ins2)
+    w = Window.partitionBy("doc_id").orderBy(F.asc("ts"))
+    hist = ev.select(
+        "doc_id", "ts", "text", "kind",
+        F.coalesce(F.lead("ts").over(w), F.lit(SCD2_OPEN)).alias("valid_to"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+    return hist.filter(F.col("kind") == "open").select(
+        "doc_id",
+        "version",
+        F.col("ts").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        (F.col("valid_to") == SCD2_OPEN).alias("is_current"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+ORACLE_CDC_SCD2 = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+ev AS (
+  SELECT doc_id, {SCD2_T0} AS ts, text, 'open' AS kind FROM docs
+  UNION ALL SELECT doc_id, {SCD2_T1}, upper(text), 'open' FROM docs
+    WHERE doc_id % 7 = 0 AND doc_id % 13 != 0
+  UNION ALL SELECT doc_id, {SCD2_T1}, NULL, 'close' FROM docs
+    WHERE doc_id % 13 = 0
+  UNION ALL SELECT doc_id, {SCD2_T2}, 'v3:' || lower(text), 'open' FROM docs
+    WHERE doc_id % 5 = 0 AND doc_id % 13 != 0
+  UNION ALL SELECT doc_id + 100000, {SCD2_T2}, 'new:' || text, 'open' FROM docs
+    WHERE doc_id < 5
+),
+h AS (
+  SELECT doc_id, ts, text, kind,
+         coalesce(lead(ts) OVER (PARTITION BY doc_id ORDER BY ts ASC),
+                  {SCD2_OPEN}) AS valid_to,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ts ASC)
+              AS INTEGER) AS version
+  FROM ev
+)
+SELECT doc_id, version,
+       CAST(ts AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to,
+       valid_to = {SCD2_OPEN} AS is_current,
+       md5(text) AS text_md5
+FROM h WHERE kind = 'open'
+"""
+
+
 ORACLE_CDC_MERGE = """
 WITH changes AS (
   SELECT doc_id, 'U' AS op, upper(text) AS new_text FROM documents
@@ -459,6 +550,7 @@ QUERIES = {
     "events_zorder_layout": (q_events_zorder_layout, ORACLE_EVENTS_ZORDER_LAYOUT),
     "bloom_prune_revenue": (q_bloom_prune_revenue, ORACLE_BLOOM_PRUNE_REVENUE),
     "cdc_merge": (q_cdc_merge, ORACLE_CDC_MERGE),
+    "cdc_scd2": (q_cdc_scd2, ORACLE_CDC_SCD2),
     "orders_grouping_sets": (q_orders_grouping_sets, ORACLE_ORDERS_GROUPING_SETS),
     "udaf_gmean": (q_udaf_gmean, ORACLE_UDAF_GMEAN),
     "udtf_tokens": (q_udtf_tokens, ORACLE_UDTF_TOKENS),

@@ -232,15 +232,90 @@ GROUP BY event_type
 """
 
 
+# HLL++ default rsd is 0.05; 3σ = 0.15 relative error. Measured on the
+# synthetic events (deterministic sketch): 0.0067 at sf0.01, 0.067 at
+# sf0.1 — both far inside the bound.
+HLL_REL_BOUND = 0.15
+
+
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct users per event type, next to
-    the exact count (rows-only: sketch internals differ per engine —
-    the approximate-aggregate surface at 100 TB where exact distinct
-    is a full shuffle)."""
-    return _events(spark, sf_dir).groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    """HyperLogLog++ approximate distinct users per event type — the
+    approximate-aggregate surface at 100 TB where exact distinct is a
+    full shuffle. Certified via a BOUNDED-ERROR verdict (r5 verdict
+    item 7, replacing the old rows-only contract): the sketch bits are
+    engine-specific, but |approx − exact| ≤ 3·rsd·exact is a
+    deterministic boolean the driver can hash; the oracle asserts the
+    exact counts and TRUE."""
+    g = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("__approx"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= F.lit(HLL_REL_BOUND) * F.col("exact_users")
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_EVENTS_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+# percentile_approx rank error is 1/accuracy; the verdict brackets each
+# approximate pXX between the EXACT percentiles at p ± 2/accuracy (one
+# slack step for the sketch bound, one for interpolation off-by-one).
+APPROX_Q_ACC = 1000
+APPROX_Q_EPS = 2.0 / APPROX_Q_ACC
+
+
+def q_events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile surface: `percentile_approx` — a
+    single-pass, mergeable bounded-rank-error sketch (map-side partial
+    sketches combine, no per-group sort), vs the exact sort-based
+    `percentile` certified by events_quantiles. Certification is an
+    IN-PLAN error-bound verdict: each approximate pXX must lie inside
+    the exact [p−ε, p+ε] rank envelope (ε = 2/accuracy); the driver
+    hashes the booleans plus the exact group counts, the oracle
+    asserts TRUE. Sketch values themselves are engine-specific and
+    never leave the plan."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in (50, 90, 99):
+        frac = p / 100.0
+        lo = max(0.0, frac - APPROX_Q_EPS)
+        hi = min(1.0, frac + APPROX_Q_EPS)
+        aggs += [
+            F.expr(f"percentile_approx(value, {frac!r}, {APPROX_Q_ACC})").alias(f"__a{p}"),
+            F.expr(f"percentile(value, {lo!r})").alias(f"__lo{p}"),
+            F.expr(f"percentile(value, {hi!r})").alias(f"__hi{p}"),
+        ]
+    g = _events(spark, sf_dir).groupBy("event_type").agg(*aggs)
+    verdicts = [
+        (
+            (F.col(f"__a{p}") >= F.col(f"__lo{p}"))
+            & (F.col(f"__a{p}") <= F.col(f"__hi{p}"))
+        ).alias(f"p{p}_in_bound")
+        for p in (50, 90, 99)
+    ]
+    return g.select("event_type", "n", *verdicts)
+
+
+ORACLE_EVENTS_QUANTILES_APPROX = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_in_bound,
+       TRUE AS p90_in_bound,
+       TRUE AS p99_in_bound
+FROM events
+GROUP BY event_type
+"""
 
 
 # ------------------------------------------- deterministic hash sampling
@@ -687,7 +762,8 @@ QUERIES = {
     "events_asof_purchase": (q_events_asof_purchase, ORACLE_EVENTS_ASOF_PURCHASE),
     "events_quantiles": (q_events_quantiles, ORACLE_EVENTS_QUANTILES),
     "events_props_json": (q_events_props_json, ORACLE_EVENTS_PROPS_JSON),
-    "events_approx_distinct": (q_events_approx_distinct, None),
+    "events_approx_distinct": (q_events_approx_distinct, ORACLE_EVENTS_APPROX_DISTINCT),
+    "events_quantiles_approx": (q_events_quantiles_approx, ORACLE_EVENTS_QUANTILES_APPROX),
     "events_deterministic_sample": (
         q_events_deterministic_sample,
         ORACLE_EVENTS_DETERMINISTIC_SAMPLE,

@@ -231,6 +231,36 @@ WHERE {_MIX_H} <= CASE lang_pred WHEN 'en' THEN {MIX_RATES['en']!r}
 
 # ------------------------------------------------ JSONL source round-trip
 
+# Scratch dirs from other Spark applications older than this are
+# abandoned (the owning session is long gone); younger ones may belong
+# to a live concurrent session and must not be touched.
+_SCRATCH_TTL_SEC = 24 * 3600
+
+
+def _reap_scratch(scratch_root: str, keep: str) -> None:
+    """Delete stale sibling scratch dirs (r5 advisor: one abandoned
+    applicationId-suffixed dir per run, growing without bound). Our
+    own dir (`keep`) and anything younger than the TTL survive;
+    deletion races with another reaper are benign (ignore errors)."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    try:
+        entries = _os.listdir(scratch_root)
+    except FileNotFoundError:
+        return
+    cutoff = _time.time() - _SCRATCH_TTL_SEC
+    for name in entries:
+        p = _os.path.join(scratch_root, name)
+        if p == keep or not name.startswith("docs_jsonl_"):
+            continue
+        try:
+            if _os.path.getmtime(p) < cutoff:
+                _shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
 
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → JSON-lines sink → explicit-schema JSONL source →
@@ -250,6 +280,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _os.path.join(
         repo, ".scratch", f"docs_jsonl_{sfx}_{spark.sparkContext.applicationId}"
     )
+    _reap_scratch(_os.path.dirname(path), keep=path)
     io.write_jsonl(_docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"), path)
     schema = T.StructType(
         [
@@ -327,8 +358,11 @@ MAX_DUP2_FRAC = 0.4
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition ratios + keep verdict per document."""
-    return TX.repetition_stats(_docs(spark, sf_dir), MAX_TOP_FRAC, MAX_DUP2_FRAC)
+    """Gopher-style repetition ratios + keep verdict per document —
+    via the auto dispatcher: short docs take the shuffle-free narrow
+    map, book-length docs (> 10k tokens) the explode+groupBy form
+    (identical output, property-tested in tests/test_dedup_text.py)."""
+    return TX.repetition_stats_auto(_docs(spark, sf_dir), MAX_TOP_FRAC, MAX_DUP2_FRAC)
 
 
 _G2 = OG.sql_token_shingles("toks", 2)

@@ -161,6 +161,40 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert rows[2]["keep"] is True and rows[2]["distinct_token_ratio"] == 1.0
 
 
+def test_repetition_exploded_equals_narrow_on_long_docs(spark):
+    """The explode+groupBy repetition form must agree row-for-row with
+    the narrow map, including a >10k-token book-length doc (the case
+    the exploded form exists for), a zero-token doc, and ordinary
+    docs; the auto dispatcher must equal both on the mixed frame."""
+    import random
+
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(300)]
+    long_text = " ".join(rng.choice(vocab) for _ in range(12_000))
+    docs = spark.createDataFrame(
+        [
+            (1, long_text),                                   # > 10k tokens
+            (2, "buy now buy now buy now buy now"),
+            (3, "the quick brown fox jumps over dogs"),
+            (4, ""),                                          # zero tokens
+            (5, "solo"),                                      # no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    narrow = snap(TX.repetition_stats(docs))
+    exploded = snap(TX.repetition_stats_exploded(docs))
+    auto = snap(TX.repetition_stats_auto(docs))
+    assert exploded == narrow
+    assert auto == narrow
+    assert any(r[1] > 10_000 for r in narrow)  # the long doc is real
+
+
 def test_incremental_lsh_equals_full_join_cross_pairs(spark):
     """lsh_pairs_against(corpus, new) must equal the (new, corpus)
     cross-pairs of the full self-join — no pair lost or invented by

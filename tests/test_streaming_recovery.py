@@ -69,6 +69,16 @@ def test_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     q1.awaitTermination(60)
     assert batches["phase1"], "phase 1 never started a micro-batch"
 
+    # Stage LATE files before the restart: on a fast machine all
+    # N_FILES batches can commit between the poll exiting and stop()
+    # landing, which would leave phase 2 with no new batch and fail
+    # the resume assertions vacuously (r5 advisor race). Two files
+    # arriving only after the restart guarantee phase 2 real work —
+    # and make the recovery claim stronger: the final answer must
+    # merge checkpointed state with genuinely new data.
+    late = io.read_table(spark, sf_dir, "events").limit(500)
+    late.repartition(2).write.mode("append").parquet(src_dir)
+
     # Phase 2: a NEW query object, same checkpoint — must RESUME, not
     # restart. stop() may have interrupted one in-flight batch whose
     # commit never landed; exactly-once says that batch (and only that
@@ -98,5 +108,6 @@ def test_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
     # State survived the restart only if phase 2 processed fewer files
-    # than the total — i.e. the final answer NEEDED checkpointed state.
-    assert len(set(p2)) < N_FILES
+    # than the total (N_FILES + the 2 late ones) — i.e. the final
+    # answer NEEDED checkpointed state.
+    assert len(set(p2)) < N_FILES + 2
