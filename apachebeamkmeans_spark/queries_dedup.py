@@ -515,8 +515,63 @@ edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
 ORACLE_DOC_PAGERANK = _pagerank_oracle()
 
 
+def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle membership count per document over the verified
+    near-dup pair graph — the third graph primitive next to connected
+    components and PageRank: triangle density separates genuine
+    duplicate cliques (template families re-crawled many times) from
+    chain-shaped false-positive paths that components alone cannot
+    tell apart. Canonical a < b < c enumeration on the (doc_a < doc_b)
+    edge table counts each triangle exactly once in two equi-joins —
+    the standard distributed node-iterator shape: no direction-doubled
+    edges, no post-hoc /6 division. At web scale the same plan runs
+    with degree-ordering instead of id-ordering so hub nodes don't
+    own every wedge; the joins shuffle on single node keys and AQE's
+    skew split applies. Output: (doc_id, n_triangles) for every doc
+    in at least one triangle."""
+    from pyspark.sql import functions as F
+
+    e = _verified_pairs(spark, sf_dir)
+    ab = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def _triangles_oracle() -> str:
+    return f"""
+WITH {_CAND},
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+jp AS (SELECT doc_a, doc_b FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS j
+  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+            JOIN sets b ON cand.doc_b = b.doc_id)
+  WHERE round(j, 6) >= 0.5),
+tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, ac.doc_b AS c
+        FROM jp ab
+        JOIN jp bc ON ab.doc_b = bc.doc_a
+        JOIN jp ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+GROUP BY doc_id
+"""
+
+
+ORACLE_DOC_TRIANGLES = _triangles_oracle()
+
+
 QUERIES = {
     "doc_pagerank": (q_doc_pagerank, ORACLE_DOC_PAGERANK),
+    "doc_triangles": (q_doc_triangles, ORACLE_DOC_TRIANGLES),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_purge": (q_dedup_purge, ORACLE_DEDUP_PURGE),
     "corpus_pipeline": (q_corpus_pipeline, ORACLE_CORPUS_PIPELINE),

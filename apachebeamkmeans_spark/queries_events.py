@@ -318,6 +318,75 @@ GROUP BY event_type
 """
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill — the time-series resample
+    every metrics/feature pipeline needs and sparse event data never
+    gives for free: per event type, EVERY hour between its first and
+    last event becomes a row (`sequence` + `explode` builds the spine
+    from the per-type bounds — two tiny rows per type drive it, the
+    raw events never re-shuffle), missing hours join as zero-count
+    gap rows, and the hourly average carries forward with
+    `last(ignorenulls)` over an UNBOUNDED PRECEDING frame. Scale
+    shape: the hourly aggregation is the only event-sized shuffle
+    (map-side combined); the spine is |types| · |hours| rows; the
+    fill window sorts spine rows only, partitioned by the series key
+    (per-user series would partition by user the same way)."""
+    from pyspark.sql import Window
+
+    hourly = _events(spark, sf_dir).groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    joined = spine.join(hourly, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.unix_micros("bucket").alias("bucket_us"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("ffill_avg"),
+    )
+
+
+ORACLE_EVENTS_GAPFILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n, round(sum(value), 4) AS sv, round(avg(value), 6) AS av
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+           FROM hourly GROUP BY 1),
+spine AS (SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds)
+SELECT s.event_type, epoch_us(s.bucket) AS bucket_us,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+       coalesce(h.sv, 0.0) AS sum_value,
+       h.n IS NULL AS is_gap,
+       last_value(h.av IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.bucket ASC
+               ROWS UNBOUNDED PRECEDING) AS ffill_avg
+FROM spine s LEFT JOIN hourly h
+  ON s.event_type = h.event_type AND s.bucket = h.bucket
+"""
+
+
 # ------------------------------------------- deterministic hash sampling
 
 
@@ -764,6 +833,7 @@ QUERIES = {
     "events_props_json": (q_events_props_json, ORACLE_EVENTS_PROPS_JSON),
     "events_approx_distinct": (q_events_approx_distinct, ORACLE_EVENTS_APPROX_DISTINCT),
     "events_quantiles_approx": (q_events_quantiles_approx, ORACLE_EVENTS_QUANTILES_APPROX),
+    "events_gapfill": (q_events_gapfill, ORACLE_EVENTS_GAPFILL),
     "events_deterministic_sample": (
         q_events_deterministic_sample,
         ORACLE_EVENTS_DETERMINISTIC_SAMPLE,

@@ -105,6 +105,14 @@ HEADLINE = [
     "events_value_quartiles",
     "events_ab_metrics",
     "sim_knn_graph",
+    # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
+    # approximate aggregates, calendar gap-fill, triangle counting
+    "sim_ivfpq_residual",
+    "cdc_scd2",
+    "events_quantiles_approx",
+    "events_approx_distinct",
+    "events_gapfill",
+    "doc_triangles",
 ]
 
 

@@ -76,3 +76,59 @@ def test_pagerank_matches_numpy_on_random_graphs(spark, pairs):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r["doc_id"]: r["rank"] for r in pagerank(df).collect()}
     assert got == _numpy_twin(pairs)
+
+
+def _triangles_of(spark, pairs):
+    """Run the doc_triangles join plan on an explicit edge list."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    ab = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    out = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return {r["doc_id"]: r["n_triangles"] for r in out.collect()}
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4: every node sits in C(3,2)=3 triangles; a chain has none; a
+    single triangle with a pendant edge counts each member once and
+    excludes the pendant."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _triangles_of(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    chain = [(0, 1), (1, 2), (2, 3)]
+    assert _triangles_of(spark, chain) == {}
+    tri_pendant = [(0, 1), (0, 2), (1, 2), (2, 9)]
+    assert _triangles_of(spark, tri_pendant) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
+    """Join-plan triangle counts equal the O(n^3) reference on a few
+    seeded random graphs."""
+    import itertools
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        nodes = list(range(8))
+        pairs = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.choice(nodes), rng.choice(nodes)) for _ in range(16)
+                )
+                if a != b
+            }
+        )
+        es = set(pairs)
+        want: dict[int, int] = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if (a, b) in es and (b, c) in es and (a, c) in es:
+                for v in (a, b, c):
+                    want[v] = want.get(v, 0) + 1
+        assert _triangles_of(spark, pairs) == want, seed
