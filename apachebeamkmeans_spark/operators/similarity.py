@@ -367,34 +367,37 @@ def ivfpq_residual_topk(vecs: DataFrame, queries: list[list[float]],
     encoded = pq_encode(
         res, codebooks, id_col="vec_id", features_col="r", carry=("probe_cell",)
     )
-    # per-(query, cell) LUTs: ||q − x||² ≈ ||(q − c) − r_code||²
-    luts = [
-        [
-            pq_adc_lut([float(qj) - float(cj) for qj, cj in zip(q, c)], codebooks)
-            for c in coarse_centers
-        ]
-        for q in queries
-    ]
-    codes = F.col("codes")
-
-    def _adc(lut_q):
-        lut_c = F.element_at(lut_q, F.col("probe_cell") + 1)
-        t = None
-        for s in range(m):
-            term = F.element_at(F.element_at(lut_c, s + 1),
-                                F.element_at(codes, s + 1) + 1)
-            t = term if t is None else t + term
-        return t
-
-    adc_arr = F.transform(F.lit(luts), _adc)
-    exploded = encoded.select(
-        "vec_id", "probe_cell", F.posexplode(adc_arr).alias("qid", "_d")
-    )
-    hits = exploded.filter(
-        F.array_contains(
-            F.element_at(F.lit(probe_cells), F.col("qid") + 1), F.col("probe_cell")
+    # per-(query, probed-cell) LUTs ride as a BROADCAST TABLE, not a
+    # plan literal: nq·nprobe rows of (qid, cell, m×ksub doubles). The
+    # literal form (tried first) put 5120 doubles in the expression
+    # tree — plan/codegen cost grows with cells·queries, and at scale
+    # the LUT count grows with the cell count, which is exactly what
+    # belongs in data. The broadcast inner join on probe_cell is ALSO
+    # the probe-membership filter and the per-query fan-out in one
+    # step (a row joins only the qids that probed its cell).
+    lut_rows = [
+        (
+            qid,
+            int(c),
+            pq_adc_lut(
+                [float(qj) - float(cj) for qj, cj in zip(q, coarse_centers[c])],
+                codebooks,
+            ),
         )
+        for qid, q in enumerate(queries)
+        for c in probe_cells[qid]
+    ]
+    lut_df = vecs.sparkSession.createDataFrame(
+        lut_rows, "qid INT, probe_cell INT, lut ARRAY<ARRAY<DOUBLE>>"
     )
+    hits_wide = encoded.join(F.broadcast(lut_df), "probe_cell")
+    codes = F.col("codes")
+    d = None
+    for s in range(m):
+        term = F.element_at(F.element_at(F.col("lut"), s + 1),
+                            F.element_at(codes, s + 1) + 1)
+        d = term if d is None else d + term
+    hits = hits_wide.select("vec_id", "probe_cell", "qid", d.alias("_d"))
     wa = Window.partitionBy("qid").orderBy(F.asc("_d"), F.asc("vec_id"))
     shortlist = (
         hits.withColumn("adc_rank", F.row_number().over(wa))

@@ -629,6 +629,10 @@ KNN_K = 3
 # cells — the same rule prunes asymptotically, exactly like IVF probe
 # search.
 KNN_CAND_FRAC = 0.5
+# Lloyd iterations for the KNN quantizer: recall is iteration-
+# insensitive on this corpus (measured 0.874-0.907 across 2/3/5
+# iters at every sf), so the graph build pays for 3, not 5.
+KNN_TRAIN_ITERS = 3
 
 
 def knn_cells(n: int) -> int:
@@ -693,7 +697,7 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-query quantizer training (raises the documented ValueError on
     # an empty corpus — no centers of no points); rounded to the same
     # 4-decimal literal form the numpy-twin oracle embeds
-    centers = ANN.round_mat(ANN.ivf_train(base, k, IVFPQ_ITERS, "knn"))
+    centers = ANN.round_mat(ANN.ivf_train(base, k, KNN_TRAIN_ITERS, "knn"))
     pts = base.select(F.col("id").alias("vec_id"), F.col("features").alias("f"))
     # nprobe nearest trained cells per vector: sort (distance, cell)
     # structs — ties break toward the lower cell id, matching the
@@ -769,7 +773,7 @@ def _knn_train_np() -> tuple[list[list[float]], int]:
 
     ids, mat = ANN.normalized_embeddings_np(TRAIN_SF_DIR)
     k = knn_cells(len(ids))
-    return ANN.round_mat(ANN.ivf_train_np(ids, mat, k, IVFPQ_ITERS, "knn")), k
+    return ANN.round_mat(ANN.ivf_train_np(ids, mat, k, KNN_TRAIN_ITERS, "knn")), k
 
 
 try:

@@ -307,6 +307,55 @@ GROUP BY lang, source
 """
 
 
+# ------------------------------------------- overlapping doc chunking
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking — the step that turns documents
+    into the unit RAG indexing and pretraining actually consume:
+    chunk starts at 1, 1+stride, … (stride < width ⇒ consecutive
+    chunks overlap so no boundary context is lost), each chunk a
+    `substring` of the original. Pure codegen narrow map + explode —
+    `sequence` builds the start offsets from the char count, zero
+    shuffle, output rows ∝ total chars / stride. Rows stay narrow:
+    the chunk ships as md5 + length, never the text payload (the
+    downstream embed/index stage reads chunks by (doc_id, start) from
+    the source, the standard at 100 TB where chunk text would 1.3× the
+    corpus). Empty docs produce zero chunks."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(CHUNK_STRIDE))
+    ex = docs.filter(F.length("text") > 0).select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_id", "start_pos")
+    )
+    chunk = F.substring(F.col("text"), F.col("start_pos"), CHUNK_CHARS)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_pos").cast("int").alias("start_pos"),
+        F.length(chunk).cast("int").alias("n_chunk_chars"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+ORACLE_DOC_CHUNKS = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s ASC) - 1
+            AS INTEGER) AS chunk_id,
+       CAST(s AS INTEGER) AS start_pos,
+       CAST(length(substr(text, s, {CHUNK_CHARS})) AS INTEGER) AS n_chunk_chars,
+       md5(substr(text, s, {CHUNK_CHARS})) AS chunk_md5
+FROM (
+  SELECT doc_id, text, unnest(generate_series(1, length(text), {CHUNK_STRIDE})) AS s
+  FROM documents WHERE length(text) > 0
+)
+"""
+
+
 # ----------------------------------------- stratified exact-k sampling
 
 K_PER_STRATUM = 20
@@ -557,6 +606,7 @@ QUERIES = {
     "text_pii_scrub": (q_text_pii_scrub, ORACLE_TEXT_PII_SCRUB),
     "source_caps": (q_source_caps, ORACLE_SOURCE_CAPS),
     "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
+    "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "text_contamination": (q_text_contamination, ORACLE_TEXT_CONTAMINATION),

@@ -113,6 +113,7 @@ HEADLINE = [
     "events_approx_distinct",
     "events_gapfill",
     "doc_triangles",
+    "doc_chunks",
 ]
 
 

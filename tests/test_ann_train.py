@@ -196,7 +196,7 @@ def test_knn_trainer_matches_numpy_at_oracle_config(spark):
 
     pts = ANN.l2_normalize(io.load_points(spark, QS.TRAIN_SF_DIR))
     got = ANN.round_mat(
-        ANN.ivf_train(pts, QS.KNN_TRAIN_CELLS, QS.IVFPQ_ITERS, "knn")
+        ANN.ivf_train(pts, QS.KNN_TRAIN_CELLS, QS.KNN_TRAIN_ITERS, "knn")
     )
     assert got == QS.KNN_TRAINED_CENTERS
 
