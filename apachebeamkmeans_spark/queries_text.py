@@ -356,6 +356,67 @@ FROM (
 """
 
 
+
+
+# ----------------------------------- weighted sampling w/o replacement
+
+WSAMPLE_K = 50
+WSAMPLE_SEED = "wsample"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling WITHOUT replacement via the
+    Efraimidis-Spirakis exponential race — the curation step that
+    picks a fixed-size training subset with probability proportional
+    to per-doc quality: each doc draws r = -ln(u)/w with
+    u = hash01(doc_id, seed) and w = its quality score (floored at
+    1e-3 so zero-quality docs stay drawable), and the k smallest r
+    ARE a w-weighted draw without replacement. One TakeOrdered pass
+    (orderBy+limit never global-sorts), no RNG state, identical
+    subset on any cluster size — the same race the k-means++ seeding
+    operator runs (SURVEY §2 C7), surfaced as a standalone sampling
+    operator. The final rank window orders k rows, not the corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.functions.hashing import hash01
+
+    scored = _docs(spark, sf_dir).select("doc_id", TX.quality_expr().alias("__q"))
+    r = -F.log(hash01(F.col("doc_id"), WSAMPLE_SEED)) / F.greatest(
+        F.col("__q"), F.lit(1e-3)
+    )
+    top = (
+        scored.select("doc_id", "__q", r.alias("__r"))
+        .orderBy(F.asc("__r"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+    w = Window.orderBy(F.asc("__r"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.round("__q", 6).alias("quality"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def _oracle_weighted_sample() -> str:
+    h = OG.sql_hash01("doc_id", WSAMPLE_SEED)
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SCORE} AS q FROM t),
+r AS (SELECT doc_id, q, -ln({h}) / greatest(q, 0.001) AS rk FROM s)
+SELECT doc_id, quality, rank FROM (
+  SELECT doc_id, round(q, 6) AS quality,
+         CAST(row_number() OVER (ORDER BY rk ASC, doc_id ASC) AS INTEGER) AS rank
+  FROM r
+) WHERE rank <= {WSAMPLE_K}
+"""
+
+
+ORACLE_WEIGHTED_SAMPLE = _oracle_weighted_sample()
+
+
+
+
 # ----------------------------------------- stratified exact-k sampling
 
 K_PER_STRATUM = 20
@@ -607,6 +668,7 @@ QUERIES = {
     "source_caps": (q_source_caps, ORACLE_SOURCE_CAPS),
     "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
     "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
+    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "text_contamination": (q_text_contamination, ORACLE_TEXT_CONTAMINATION),

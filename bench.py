@@ -114,6 +114,7 @@ HEADLINE = [
     "events_gapfill",
     "doc_triangles",
     "doc_chunks",
+    "weighted_sample",
 ]
 
 
