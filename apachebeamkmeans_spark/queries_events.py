@@ -387,6 +387,40 @@ FROM spine s LEFT JOIN hourly h
 """
 
 
+def q_events_rank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window sweep not yet certified elsewhere —
+    percent_rank, cume_dist, ntile(4) and the lag/lead value deltas,
+    all over ONE per-type window (single hash Exchange, sort inside
+    event_type partitions only; row_number/rank variants are covered
+    by other queries). Deterministic total order (value, event_id)
+    makes every rank function reproducible cross-engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value", 1).over(w) - F.col("value"), 4).alias("delta_next"),
+    )
+
+
+ORACLE_EVENTS_RANK_SWEEP = """
+SELECT event_id, event_type, round(value, 4) AS value,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(value - lag(value, 1) OVER w, 4) AS delta_prev,
+       round(lead(value, 1) OVER w - value, 4) AS delta_next
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
+
+
 # ------------------------------------------- deterministic hash sampling
 
 
@@ -834,6 +868,7 @@ QUERIES = {
     "events_approx_distinct": (q_events_approx_distinct, ORACLE_EVENTS_APPROX_DISTINCT),
     "events_quantiles_approx": (q_events_quantiles_approx, ORACLE_EVENTS_QUANTILES_APPROX),
     "events_gapfill": (q_events_gapfill, ORACLE_EVENTS_GAPFILL),
+    "events_rank_sweep": (q_events_rank_sweep, ORACLE_EVENTS_RANK_SWEEP),
     "events_deterministic_sample": (
         q_events_deterministic_sample,
         ORACLE_EVENTS_DETERMINISTIC_SAMPLE,

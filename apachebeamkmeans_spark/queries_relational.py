@@ -644,6 +644,62 @@ GROUP BY o_orderpriority
 """
 
 
+# ----------------------------------------------- optimizer stats collection
+
+
+def q_lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics over the fact table in ONE
+    pass — the stats collection that powers cost-based optimization
+    (join reordering, broadcast decisions, skew detection) at 100 TB:
+    min/max/null-count plus exact distinct per column, unpivoted to
+    one row per column so new columns are rows, not schema changes.
+    All aggregates combine map-side; a production ANALYZE swaps the
+    exact distincts for HLL sketches (certified separately by
+    events_approx_distinct) when ndv precision isn't worth the
+    shuffle width."""
+    from pyspark.sql import functions as F
+
+    li = io.read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+        ]
+    g = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("ndv"),
+            F.col("__n").alias("n_rows"),
+        )
+        for c in cols
+    ]
+    return g.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def _oracle_column_stats() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = [
+        f"SELECT '{c}' AS \"column\", round(CAST(min({c}) AS DOUBLE), 6) AS min_value,"
+        f" round(CAST(max({c}) AS DOUBLE), 6) AS max_value,"
+        f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,"
+        f" CAST(count(*) AS BIGINT) AS n_rows FROM lineitem"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+ORACLE_LINEITEM_COLUMN_STATS = _oracle_column_stats()
+
+
 QUERIES = {
     "q1_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "bucketed_join_revenue": (q_bucketed_join_revenue, ORACLE_BUCKETED_JOIN_REVENUE),
@@ -651,6 +707,7 @@ QUERIES = {
     "lineitem_unpivot": (q_lineitem_unpivot, ORACLE_LINEITEM_UNPIVOT),
     "orders_above_avg": (q_orders_above_avg, ORACLE_ORDERS_ABOVE_AVG),
     "scalar_functions": (q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
+    "lineitem_column_stats": (q_lineitem_column_stats, ORACLE_LINEITEM_COLUMN_STATS),
     "q3_top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
     "q5_region_nation_revenue": (q_region_nation_revenue, ORACLE_REGION_NATION_REVENUE),
     "top_orders_per_customer": (q_top_orders_per_customer, ORACLE_TOP_ORDERS_PER_CUSTOMER),

@@ -115,6 +115,8 @@ HEADLINE = [
     "doc_triangles",
     "doc_chunks",
     "weighted_sample",
+    "lineitem_column_stats",
+    "events_rank_sweep",
 ]
 
 

@@ -211,3 +211,33 @@ def test_incremental_lsh_equals_full_property(spark, docs_tokens):
             n, c = (a, b) if a % 2 == 0 else (b, a)
             cross.add((n, c))
     assert inc == cross
+
+
+def test_weighted_sample_overrepresents_high_quality():
+    """Semantic guard the value-oracle cannot give (both engines share
+    the formula, so a direction error would match): across many seeds,
+    the Efraimidis-Spirakis race (-ln(u)/w, smallest k win) must pick
+    high-weight items far more often than low-weight ones, and the
+    inclusion-rate ratio should approximate the weight ratio for
+    k << n. Pure-python twin of the query's arithmetic."""
+    import math
+
+    from apachebeamkmeans_spark.operators.ann_train import py_hash01
+
+    n, k = 400, 20
+    weights = {i: (4.0 if i % 10 == 0 else 0.5) for i in range(n)}
+    picked_hi = picked_lo = 0
+    for seed in range(30):
+        keys = sorted(
+            (-math.log(py_hash01(i, f"ws-{seed}")) / weights[i], i) for i in range(n)
+        )[:k]
+        for _, i in keys:
+            if i % 10 == 0:
+                picked_hi += 1
+            else:
+                picked_lo += 1
+    # 40 items at w=4.0 vs 360 at w=0.5: expected inclusion ratio ~8x
+    rate_hi = picked_hi / (30 * 40)
+    rate_lo = picked_lo / (30 * 360)
+    assert rate_hi > 4 * rate_lo, (rate_hi, rate_lo)
+    assert picked_hi + picked_lo == 30 * k
