@@ -38,6 +38,119 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io.read_table(spark, sf_dir, "documents")
 
 
+# ------------------------------------- cross-doc repeated substrings
+
+SUBSTR_W = 64   # window width (chars)
+SUBSTR_STRIDE = 32
+
+
+def q_cross_doc_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate exact-substring dedup (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" family): hash every
+    64-char window at stride 32 across the corpus, keep window hashes
+    occurring in MORE THAN ONE document — verbatim cross-document
+    repetition (licenses, boilerplate, quoted spam) that token-level
+    near-dup misses when the surrounding document differs. Plan:
+    sequence+posexplode narrow map (windows ship as md5, never text),
+    one map-side-combined agg keyed by hash; count(distinct doc_id)
+    uses the two-level agg Spark plans for distinct-under-group. A
+    full suffix-array pass is the exact-match endgame; windowed
+    hashing is the distributed approximation whose stride/width trade
+    recall for row volume (rows = chars/stride)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.length("text") >= SUBSTR_W
+    )
+    starts = F.sequence(
+        F.lit(1), F.length("text") - F.lit(SUBSTR_W - 1), F.lit(SUBSTR_STRIDE)
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(starts).alias("s"),
+        "text",
+    ).select(
+        "doc_id", F.md5(F.substring(F.col("text"), F.col("s"), SUBSTR_W)).alias("h")
+    )
+    return (
+        wins.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+ORACLE_CROSS_DOC_SUBSTRINGS = f"""
+WITH w AS (
+  SELECT doc_id, md5(substr(text, s, {SUBSTR_W})) AS h
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - {SUBSTR_W - 1}, {SUBSTR_STRIDE})) AS s
+    FROM documents WHERE length(text) >= {SUBSTR_W}
+  )
+)
+SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(doc_id) AS first_doc
+FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+# --------------------------------------------- directional containment
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment |A∩B|/|A| and |A∩B|/|B| for the
+    LSH candidate pairs — the asymmetry Jaccard hides: a short doc
+    quoted verbatim inside a long one has low Jaccard (union is big)
+    but containment ≈ 1 on the short side. This is the
+    quote/subset-detection verdict curation pipelines use to keep the
+    superset document and drop the contained one. Same
+    candidates-only discipline as jaccard_verify: exact set math runs
+    on LSH survivors, never n²."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.functions import text as T
+
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    sets = docs.select(
+        "doc_id", F.array_distinct(T.token_shingles(toks, SHINGLE)).alias("sh")
+    ).localCheckpoint(eager=False)
+    pairs = DD.lsh_candidate_pairs(docs, BANDS, SHINGLE).select("doc_a", "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.size("sh_a"), 6).alias("containment_a"),
+            F.round(inter / F.size("sh_b"), 6).alias("containment_b"),
+        )
+    )
+
+
+def _containment_oracle() -> str:
+    return f"""
+WITH {_CAND},
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s)
+SELECT cand.doc_a, cand.doc_b,
+       round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             / len(a.sh), 6) AS containment_a,
+       round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             / len(b.sh), 6) AS containment_b
+FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+          JOIN sets b ON cand.doc_b = b.doc_id
+"""
+
+
+ORACLE_DEDUP_CONTAINMENT = _containment_oracle()
+
+
 # ------------------------------------------------------------------- exact
 
 
@@ -572,6 +685,8 @@ ORACLE_DOC_TRIANGLES = _triangles_oracle()
 QUERIES = {
     "doc_pagerank": (q_doc_pagerank, ORACLE_DOC_PAGERANK),
     "doc_triangles": (q_doc_triangles, ORACLE_DOC_TRIANGLES),
+    "cross_doc_substrings": (q_cross_doc_substrings, ORACLE_CROSS_DOC_SUBSTRINGS),
+    "dedup_containment": (q_dedup_containment, ORACLE_DEDUP_CONTAINMENT),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_purge": (q_dedup_purge, ORACLE_DEDUP_PURGE),
     "corpus_pipeline": (q_corpus_pipeline, ORACLE_CORPUS_PIPELINE),

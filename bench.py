@@ -117,6 +117,8 @@ HEADLINE = [
     "weighted_sample",
     "lineitem_column_stats",
     "events_rank_sweep",
+    "cross_doc_substrings",
+    "dedup_containment",
 ]
 
 
