@@ -700,6 +700,110 @@ def _oracle_column_stats() -> str:
 ORACLE_LINEITEM_COLUMN_STATS = _oracle_column_stats()
 
 
+# ------------------------------------------ TPC-H Q14/Q19-shaped queries
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of 1996 revenue
+    coming from PROMO-type parts — conditional aggregation over one
+    fact⨝dim join. Plan: the shipdate range pushes to the lineitem
+    scan, `part` broadcasts, and the CASE-sum/sum pair folds into one
+    partial-aggregated pass; a single scalar row leaves the cluster."""
+    from pyspark.sql import functions as F
+
+    li = io.read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = io.read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
+    predicate): three disjoint (brand, size-range, quantity-range)
+    branches over the same join — the classic disjunctive-pushdown
+    case. Catalyst extracts the common `p_partkey` join and pushes
+    the OR predicate below it; each branch alone is selective, and
+    the union of branches never rescans. Revenue per branch, so the
+    result shows which arm contributed what."""
+    from pyspark.sql import functions as F
+
+    li = io.read_table(spark, sf_dir, "lineitem")
+    part = io.read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (
+        F.col("l_quantity") >= 20
+    )
+    b2 = (F.col("p_brand") == "Brand#7") & F.col("p_size").between(11, 25) & (
+        F.col("l_quantity") < 15
+    )
+    b3 = (F.col("p_brand") == "Brand#13") & (F.col("p_size") > 25) & (
+        F.col("l_quantity").between(10, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    branch = (
+        F.when(b1, "brand1_small_bulk")
+        .when(b2, "brand7_mid_light")
+        .when(b3, "brand13_large_mid")
+    )
+    return (
+        j.filter(b1 | b2 | b3)
+        .groupBy(branch.alias("branch"))
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_DISJUNCTIVE_REVENUE = """
+WITH j AS (
+  SELECT CASE
+           WHEN p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 20
+             THEN 'brand1_small_bulk'
+           WHEN p_brand = 'Brand#7' AND p_size BETWEEN 11 AND 25 AND l_quantity < 15
+             THEN 'brand7_mid_light'
+           WHEN p_brand = 'Brand#13' AND p_size > 25 AND l_quantity BETWEEN 10 AND 30
+             THEN 'brand13_large_mid'
+         END AS branch,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 20)
+     OR (p_brand = 'Brand#7' AND p_size BETWEEN 11 AND 25 AND l_quantity < 15)
+     OR (p_brand = 'Brand#13' AND p_size > 25 AND l_quantity BETWEEN 10 AND 30)
+)
+SELECT branch, round(sum(rev), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM j GROUP BY branch
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "bucketed_join_revenue": (q_bucketed_join_revenue, ORACLE_BUCKETED_JOIN_REVENUE),
@@ -708,6 +812,8 @@ QUERIES = {
     "orders_above_avg": (q_orders_above_avg, ORACLE_ORDERS_ABOVE_AVG),
     "scalar_functions": (q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
     "lineitem_column_stats": (q_lineitem_column_stats, ORACLE_LINEITEM_COLUMN_STATS),
+    "promo_revenue_share": (q_promo_revenue_share, ORACLE_PROMO_REVENUE_SHARE),
+    "disjunctive_revenue": (q_disjunctive_revenue, ORACLE_DISJUNCTIVE_REVENUE),
     "q3_top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
     "q5_region_nation_revenue": (q_region_nation_revenue, ORACLE_REGION_NATION_REVENUE),
     "top_orders_per_customer": (q_top_orders_per_customer, ORACLE_TOP_ORDERS_PER_CUSTOMER),

@@ -119,6 +119,8 @@ HEADLINE = [
     "events_rank_sweep",
     "cross_doc_substrings",
     "dedup_containment",
+    "promo_revenue_share",
+    "disjunctive_revenue",
 ]
 
 

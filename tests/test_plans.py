@@ -266,3 +266,21 @@ def test_zorder_morton_is_codegen_narrow_map(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert X.n_exchanges(q) == 1
     assert X.has_partial_aggregate(q)
+
+
+def test_disjunctive_predicates_split_per_scan(spark, sf_dir):
+    """Q19 shape: Catalyst must decompose the OR-of-ANDs filter into
+    per-table disjunctions pushed to BOTH scans — the quantity arm
+    reaches the lineitem parquet scan and the brand/size arm the part
+    scan (an engine that evaluates the whole OR post-join rescans
+    everything). Also the dimension side must broadcast."""
+    from apachebeamkmeans_spark.queries_relational import q_disjunctive_revenue
+
+    q = q_disjunctive_revenue(spark, sf_dir)
+    plan = X.formatted_plan(q)
+    assert X.has_broadcast_join(q)
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+    assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
