@@ -238,6 +238,43 @@ GROUP BY event_type
 HLL_REL_BOUND = 0.15
 
 
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema JSON via the VARIANT type (Spark 4): `parse_json`
+    ingests the props payload with NO up-front schema — the
+    semi-structured answer when event payloads evolve faster than
+    DDL — and `variant_get` extracts typed paths at query time. Same
+    rollup as the schema-full `events_props_json` (from_json struct),
+    so the two queries certify both semi-structured strategies
+    against one oracle shape. VARIANT stores a parsed binary form:
+    repeated path extraction skips re-tokenizing the JSON text, which
+    is the 100 TB difference between variant columns and
+    get_json_object over strings."""
+    ev = _events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_EVENTS_VARIANT_EXTRACT = """
+SELECT event_type,
+       round(avg(k), 6) AS avg_k,
+       CAST(max(k) AS INTEGER) AS max_k,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+GROUP BY event_type
+"""
+
+
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the
     approximate-aggregate surface at 100 TB where exact distinct is a
@@ -869,6 +906,7 @@ QUERIES = {
     "events_quantiles_approx": (q_events_quantiles_approx, ORACLE_EVENTS_QUANTILES_APPROX),
     "events_gapfill": (q_events_gapfill, ORACLE_EVENTS_GAPFILL),
     "events_rank_sweep": (q_events_rank_sweep, ORACLE_EVENTS_RANK_SWEEP),
+    "events_variant_extract": (q_events_variant_extract, ORACLE_EVENTS_VARIANT_EXTRACT),
     "events_deterministic_sample": (
         q_events_deterministic_sample,
         ORACLE_EVENTS_DETERMINISTIC_SAMPLE,

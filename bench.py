@@ -121,6 +121,7 @@ HEADLINE = [
     "dedup_containment",
     "promo_revenue_share",
     "disjunctive_revenue",
+    "events_variant_extract",
 ]
 
 
