@@ -804,6 +804,51 @@ FROM j GROUP BY branch
 """
 
 
+# --------------------------------------------------- recursive CTE surface
+
+
+def q_doc_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE execution (Spark 4's WITH RECURSIVE): resolve
+    every document's ancestor chain in the implicit balanced hierarchy
+    parent(id) = id DIV 2 — depth, ancestor count, and the ancestor
+    id sum as a path checksum. The recursion is the engine surface
+    under test (per-round self-join until the working set empties);
+    rounds = tree height = O(log max_id), and each round's frontier
+    SHRINKS (every node halves), so at 100 TB the per-iteration join
+    stays bounded by the previous frontier — the same loop discipline
+    as the connected-components operator, here driven by the SQL
+    dialect instead of the driver."""
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(doc_id, node, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents
+          UNION ALL
+          SELECT doc_id, node DIV 2, depth + 1 FROM anc WHERE node > 1
+        )
+        SELECT doc_id,
+               CAST(max(depth) AS INTEGER) AS depth,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(node) AS BIGINT) AS path_sum
+        FROM anc GROUP BY doc_id
+        """
+    )
+
+
+ORACLE_DOC_TREE_DEPTH = """
+WITH RECURSIVE anc(doc_id, node, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT doc_id, node // 2, depth + 1 FROM anc WHERE node > 1
+)
+SELECT doc_id,
+       CAST(max(depth) AS INTEGER) AS depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS path_sum
+FROM anc GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "bucketed_join_revenue": (q_bucketed_join_revenue, ORACLE_BUCKETED_JOIN_REVENUE),
@@ -814,6 +859,7 @@ QUERIES = {
     "lineitem_column_stats": (q_lineitem_column_stats, ORACLE_LINEITEM_COLUMN_STATS),
     "promo_revenue_share": (q_promo_revenue_share, ORACLE_PROMO_REVENUE_SHARE),
     "disjunctive_revenue": (q_disjunctive_revenue, ORACLE_DISJUNCTIVE_REVENUE),
+    "doc_tree_depth": (q_doc_tree_depth, ORACLE_DOC_TREE_DEPTH),
     "q3_top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
     "q5_region_nation_revenue": (q_region_nation_revenue, ORACLE_REGION_NATION_REVENUE),
     "top_orders_per_customer": (q_top_orders_per_customer, ORACLE_TOP_ORDERS_PER_CUSTOMER),

@@ -122,6 +122,7 @@ HEADLINE = [
     "promo_revenue_share",
     "disjunctive_revenue",
     "events_variant_extract",
+    "doc_tree_depth",
 ]
 
 
