@@ -69,3 +69,47 @@ def test_asof_tie_inclusive(spark):
         probe_ts=F.col("ts"), update_ts=F.col("ts"), update_val="event_id",
     ).collect()
     assert out[0]["asof_event_id"] == 20  # same-instant update counts
+
+
+def test_scd2_version_chains(spark, sf_dir):
+    """SCD2 semantic invariants the value-hash can't articulate:
+    a doc updated at both waves carries 3 versions whose validity
+    intervals chain without gaps (100->200->300->open); a deleted doc
+    has exactly one CLOSED version and no current row; an inserted
+    doc opens at t=300 and is current; and every doc has exactly one
+    current version unless deleted."""
+    from apachebeamkmeans_spark.queries_advanced import (
+        SCD2_OPEN,
+        SCD2_T0,
+        SCD2_T1,
+        SCD2_T2,
+        q_cdc_scd2,
+    )
+
+    rows = q_cdc_scd2(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc in by_doc.values():
+        doc.sort(key=lambda r: r["version"])
+        # intervals chain: each valid_to equals the next valid_from
+        for a, b in zip(doc, doc[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert sum(r["is_current"] for r in doc) <= 1
+        assert doc[-1]["is_current"] == (doc[-1]["valid_to"] == SCD2_OPEN)
+
+    both_waves = next(
+        d for d in by_doc if d % 7 == 0 and d % 5 == 0 and d % 13 != 0
+    )
+    chain = by_doc[both_waves]
+    assert [r["valid_from"] for r in chain] == [SCD2_T0, SCD2_T1, SCD2_T2]
+    assert chain[-1]["valid_to"] == SCD2_OPEN and chain[-1]["is_current"]
+
+    deleted = next(d for d in by_doc if d % 13 == 0 and d < 100000)
+    assert len(by_doc[deleted]) == 1
+    assert by_doc[deleted][0]["valid_to"] == SCD2_T1
+    assert not by_doc[deleted][0]["is_current"]
+
+    inserted = next(d for d in by_doc if d >= 100000)
+    assert [r["valid_from"] for r in by_doc[inserted]] == [SCD2_T2]
+    assert by_doc[inserted][0]["is_current"]
