@@ -203,6 +203,45 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 256, n_shards: int = 8) -> Da
     )
 
 
+def pack_with_split(docs: DataFrame, ctx_len: int = 256,
+                    n_shards: int = 8) -> DataFrame:
+    """Sequence packing WITH long-document splitting — the other half
+    of `pack_sequences` above (which places whole documents): a doc
+    longer than `ctx_len` tokens first splits into ceil(n/ctx) pieces
+    (all full-length except the tail), then pieces pack by cumulative
+    token count within their shard, ordered (doc_id, piece_id) so a
+    document's pieces stay adjacent. This is how pretraining data
+    actually reaches fixed context windows: no sequence exceeds the
+    budget, boundaries land between pieces. Zero-token docs drop (no
+    pieces to place). Same scale shape as pack_sequences: narrow map
+    + posexplode for pieces, one per-shard window cumsum, integer
+    arithmetic throughout."""
+    toks = F.size(T.tokens(F.col("text")))
+    shard = F.floor(H.hash01(F.col("doc_id"), "pack") * n_shards).cast("int")
+    base = docs.select(
+        "doc_id", shard.alias("shard"), toks.alias("__n")
+    ).filter(F.col("__n") > 0)
+    n_pieces = F.expr(f"CAST((__n + {ctx_len - 1}) DIV {ctx_len} AS INT)")
+    pieces = base.select(
+        "doc_id", "shard", "__n",
+        F.posexplode(F.sequence(F.lit(1), n_pieces)).alias("piece_id", "__one"),
+    ).select(
+        "doc_id", "shard",
+        F.col("piece_id").cast("int").alias("piece_id"),
+        F.least(
+            F.lit(ctx_len), F.col("__n") - F.col("piece_id") * ctx_len
+        ).cast("int").alias("piece_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id", "piece_id")
+    return (
+        pieces.withColumn("__cum", F.sum("piece_tokens").over(w))
+        .select(
+            "doc_id", "piece_id", "shard", "piece_tokens",
+            F.expr(f"CAST((__cum - piece_tokens) DIV {ctx_len} AS INT)").alias("bin_id"),
+        )
+    )
+
+
 def sample_mixture(docs: DataFrame, rates: dict[str, float],
                    default_rate: float = 0.0, seed: str = "mix") -> DataFrame:
     """Data-mixture downsampling: keep each document with a per-class

@@ -205,6 +205,36 @@ FROM c
 """
 
 
+def q_pack_with_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token packing WITH long-document splitting (ceil(n/ctx) pieces
+    per doc, then per-shard cumulative binning) — see
+    textstats.pack_with_split; the whole-doc layout is certified by
+    pack_sequences."""
+    return TX.pack_with_split(_docs(spark, sf_dir), CTX_LEN, N_SHARDS)
+
+
+ORACLE_PACK_WITH_SPLIT = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(floor({_PACK_H} * {N_SHARDS}) AS INTEGER) AS shard,
+         CAST(len({_TOKS}) AS INTEGER) AS n
+  FROM documents),
+p AS (SELECT doc_id, shard, n,
+             CAST(unnest(generate_series(0, (n + {CTX_LEN - 1}) // {CTX_LEN} - 1))
+                  AS INTEGER) AS piece_id
+      FROM base WHERE n > 0),
+pt AS (SELECT doc_id, shard, piece_id,
+              CAST(least({CTX_LEN}, n - piece_id * {CTX_LEN}) AS INTEGER) AS piece_tokens
+       FROM p),
+c AS (SELECT *, sum(piece_tokens) OVER (PARTITION BY shard
+                                        ORDER BY doc_id, piece_id) AS cum
+      FROM pt)
+SELECT doc_id, piece_id, shard, piece_tokens,
+       CAST((cum - piece_tokens) // {CTX_LEN} AS INTEGER) AS bin_id
+FROM c
+"""
+
+
 # ------------------------------------------------- data-mixture sampling
 
 MIX_RATES = {"en": 0.9, "und": 0.3}
@@ -673,6 +703,7 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "text_contamination": (q_text_contamination, ORACLE_TEXT_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "pack_with_split": (q_pack_with_split, ORACLE_PACK_WITH_SPLIT),
     "sample_mixture": (q_sample_mixture, ORACLE_SAMPLE_MIXTURE),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),

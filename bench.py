@@ -123,6 +123,7 @@ HEADLINE = [
     "disjunctive_revenue",
     "events_variant_extract",
     "doc_tree_depth",
+    "pack_with_split",
 ]
 
 

@@ -219,3 +219,34 @@ def test_incremental_lsh_equals_full_join_cross_pairs(spark):
             n, c = (a, b) if a % 10 == 0 else (b, a)
             cross.add((n, c))
     assert inc == cross
+
+
+def test_pack_with_split_splits_long_docs(spark):
+    """A 600-token doc must yield pieces (256, 256, 88); no piece ever
+    exceeds the budget; a doc's pieces are ordered and their bins are
+    non-decreasing; totals conserve the token count."""
+    from apachebeamkmeans_spark.operators.textstats import pack_with_split
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(600))),
+            (2, "short doc here"),
+            (3, ""),  # zero tokens -> dropped
+            (4, " ".join(f"x{i}" for i in range(256))),  # exactly one ctx
+        ],
+        "doc_id long, text string",
+    )
+    rows = pack_with_split(docs, ctx_len=256, n_shards=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert sorted(r["piece_tokens"] for r in by_doc[1]) == [88, 256, 256]
+    assert [r["piece_tokens"] for r in by_doc[4]] == [256]
+    assert [r["piece_tokens"] for r in by_doc[2]] == [3]
+    for doc, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r["piece_id"])
+        assert [r["piece_id"] for r in pieces] == list(range(len(pieces)))
+        assert all(r["piece_tokens"] <= 256 for r in pieces)
+        bins = [r["bin_id"] for r in pieces]
+        assert bins == sorted(bins)
