@@ -114,6 +114,27 @@ def token_frequencies(docs: DataFrame, top_n: int = 20) -> DataFrame:
     )
 
 
+def bpe_pair_stats(docs: DataFrame, top_n: int = 30) -> DataFrame:
+    """Adjacent-token-pair frequencies — the counting step of one BPE
+    merge round (the most frequent pair is the pair a tokenizer trainer
+    would merge next). Pair construction is `token_shingles(n=2)` — a
+    zip of two shifted slices, one O(len) narrow codegen pass per
+    document — so the only shuffle is the map-side-combined global pair
+    count, and the top-N is a TakeOrdered with a lexicographic
+    tie-break (no full sort). At 100 TB this is the same plan as
+    `token_frequencies`: explode → partial-agg → exchange on the pair
+    key → TakeOrdered; a full BPE trainer would iterate it with the
+    merged vocabulary re-broadcast per round."""
+    pairs = T.token_shingles(T.tokens(F.col("text")), n=2)
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
     """Per-document top-N TF-IDF terms — the standard relevance /
     keyword-extraction primitive of a text pipeline.

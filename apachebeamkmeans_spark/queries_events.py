@@ -424,6 +424,103 @@ FROM spine s LEFT JOIN hourly h
 """
 
 
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gap hours — the other half of time-series
+    resampling (`events_gapfill` carries the last value forward; feature
+    pipelines for continuous signals want the line between the
+    neighbors instead). Same spine as gapfill (per-type bounds →
+    `sequence` + `explode`, the raw events shuffle once into the hourly
+    agg), then ONE window node computes all four neighbor columns —
+    prev/next known value and its timestamp — because the two frames
+    (UNBOUNDED PRECEDING and UNBOUNDED FOLLOWING) share the partition
+    key and sort order, so Spark evaluates them in a single sort pass.
+    The lerp `pv + (nv − pv)·((t − pt)/(nt − pt))` runs on values
+    ROUNDED to 6 decimals first and is parenthesized identically in the
+    oracle, so IEEE evaluation matches bit-for-bit; leading/trailing
+    gaps fall back to the nearest known side."""
+    from pyspark.sql import Window
+
+    hourly = _events(spark, sf_dir).groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("av"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    j = spine.join(hourly, ["event_type", "bucket"], "left")
+    t = F.unix_micros(F.col("bucket")).cast("double")
+    known_t = F.when(F.col("av").isNotNull(), t)
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("bucket"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pv = F.last("av", ignorenulls=True).over(w_prev)
+    pt = F.last(known_t, ignorenulls=True).over(w_prev)
+    nv = F.first("av", ignorenulls=True).over(w_next)
+    nt = F.first(known_t, ignorenulls=True).over(w_next)
+    interp = (
+        F.when(F.col("av").isNotNull(), F.col("av"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * ((t - pt) / (nt - pt)))
+    )
+    return j.select(
+        "event_type",
+        F.unix_micros("bucket").alias("bucket_us"),
+        F.col("av").isNull().alias("is_gap"),
+        F.round(interp, 6).alias("interp_avg"),
+    )
+
+
+ORACLE_EVENTS_INTERPOLATE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(avg(value), 6) AS av
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+           FROM hourly GROUP BY 1),
+spine AS (SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds),
+j AS (SELECT s.event_type, s.bucket, h.av
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.bucket = h.bucket),
+f AS (
+  SELECT event_type, bucket, av,
+         last_value(av IGNORE NULLS) OVER wprev AS pv,
+         last_value(CASE WHEN av IS NOT NULL
+                         THEN CAST(epoch_us(bucket) AS DOUBLE) END
+                    IGNORE NULLS) OVER wprev AS pt,
+         first_value(av IGNORE NULLS) OVER wnext AS nv,
+         first_value(CASE WHEN av IS NOT NULL
+                          THEN CAST(epoch_us(bucket) AS DOUBLE) END
+                     IGNORE NULLS) OVER wnext AS nt
+  FROM j
+  WINDOW wprev AS (PARTITION BY event_type ORDER BY bucket ASC
+                   ROWS UNBOUNDED PRECEDING),
+         wnext AS (PARTITION BY event_type ORDER BY bucket ASC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, epoch_us(bucket) AS bucket_us, av IS NULL AS is_gap,
+       round(CASE WHEN av IS NOT NULL THEN av
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv)
+                       * ((CAST(epoch_us(bucket) AS DOUBLE) - pt) / (nt - pt))
+             END, 6) AS interp_avg
+FROM f
+"""
+
+
 def q_events_rank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The analytic-window sweep not yet certified elsewhere —
     percent_rank, cume_dist, ntile(4) and the lag/lead value deltas,
@@ -905,6 +1002,7 @@ QUERIES = {
     "events_approx_distinct": (q_events_approx_distinct, ORACLE_EVENTS_APPROX_DISTINCT),
     "events_quantiles_approx": (q_events_quantiles_approx, ORACLE_EVENTS_QUANTILES_APPROX),
     "events_gapfill": (q_events_gapfill, ORACLE_EVENTS_GAPFILL),
+    "events_interpolate": (q_events_interpolate, ORACLE_EVENTS_INTERPOLATE),
     "events_rank_sweep": (q_events_rank_sweep, ORACLE_EVENTS_RANK_SWEEP),
     "events_variant_extract": (q_events_variant_extract, ORACLE_EVENTS_VARIANT_EXTRACT),
     "events_deterministic_sample": (

@@ -92,6 +92,23 @@ LIMIT 20
 """
 
 
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent token pairs — one BPE merge-round count."""
+    return TX.bpe_pair_stats(_docs(spark, sf_dir), top_n=30)
+
+
+ORACLE_BPE_PAIR_STATS = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                     for i in generate_series(1, len(toks) - 1)]) AS pair
+      FROM t)
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 30
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style min-md5 character-5-gram fingerprint per document."""
     return TX.fingerprint(_docs(spark, sf_dir), n=5)
@@ -709,5 +726,6 @@ QUERIES = {
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, ORACLE_TEXT_LANG_ID),
     "token_frequencies": (q_token_frequencies, ORACLE_TOKEN_FREQUENCIES),
+    "bpe_pair_stats": (q_bpe_pair_stats, ORACLE_BPE_PAIR_STATS),
     "doc_fingerprints": (q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS),
 }
