@@ -114,6 +114,47 @@ def token_frequencies(docs: DataFrame, top_n: int = 20) -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame, threshold: float = -3.42) -> DataFrame:
+    """Corpus-trained unigram LM fluency score — the CCNet-style
+    language-model quality filter, self-trained: per-doc average
+    log-probability of its tokens under the corpus's own unigram
+    distribution, plus a keep verdict against `threshold` (docs whose
+    token mix is improbable under the corpus — boilerplate, noise,
+    wrong-language — score low). Two aggregations and one join over
+    the exploded token-instance table:
+
+      instances (doc_id, token)  →  counts (token, n)  →  Σn scalar
+      instances ⋈ counts ⋈ Σn    →  per-doc avg(ln(n/N))
+
+    Scale shape: the instance table is corpus-token-sized but the
+    probability table is VOCABULARY-sized, so the attach join
+    broadcasts the small side (AQE) and the stopword hot keys that
+    would skew a shuffle join never shuffle at all; Σn attaches as a
+    1-row scalar. The verdict compares the ROUNDED score so the
+    boundary cannot flap between engines (ln agrees cross-engine at
+    round-6 — the `udaf_gmean` precedent)."""
+    toks = T.tokens(F.col("text"))
+    inst = docs.select("doc_id", F.explode(toks).alias("token"))
+    counts = inst.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("nn"))
+    lp = F.log(F.col("n").cast("double") / F.col("nn").cast("double"))
+    scored = (
+        inst.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        (F.col("avg_logprob") >= threshold).alias("keep"),
+    )
+
+
 def bpe_pair_stats(docs: DataFrame, top_n: int = 30) -> DataFrame:
     """Adjacent-token-pair frequencies — the counting step of one BPE
     merge round (the most frequent pair is the pair a tokenizer trainer

@@ -92,6 +92,25 @@ LIMIT 20
 """
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-trained unigram LM fluency score + verdict."""
+    return TX.unigram_logprob(_docs(spark, sf_dir), threshold=-3.42)
+
+
+ORACLE_TEXT_UNIGRAM_LOGPROB = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+tot AS (SELECT sum(n) AS nn FROM c),
+s AS (SELECT doc_id, ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) AS lp
+      FROM t JOIN c USING (token) CROSS JOIN tot),
+d AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+             round(avg(lp), 6) AS avg_logprob
+      FROM s GROUP BY doc_id)
+SELECT doc_id, n_tokens, avg_logprob, avg_logprob >= -3.42 AS keep
+FROM d
+"""
+
+
 def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 adjacent token pairs — one BPE merge-round count."""
     return TX.bpe_pair_stats(_docs(spark, sf_dir), top_n=30)
@@ -727,5 +746,6 @@ QUERIES = {
     "text_lang_id": (q_text_lang_id, ORACLE_TEXT_LANG_ID),
     "token_frequencies": (q_token_frequencies, ORACLE_TOKEN_FREQUENCIES),
     "bpe_pair_stats": (q_bpe_pair_stats, ORACLE_BPE_PAIR_STATS),
+    "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
     "doc_fingerprints": (q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS),
 }
