@@ -831,7 +831,130 @@ SELECT vec_id, nbr_id, cosine, rank FROM (
 ORACLE_SIM_KNN_GRAPH = _oracle_knn_graph()
 
 
+# ---------------------------------------------------- semantic dedup
+
+# Within-cluster cosine above which the higher-id vector is pruned.
+# Picked from the measured within-nearest-cell cosine distribution of
+# the synthetic embeddings (q90 ≈ 0.356 at every sf): prunes ~11% with
+# no rounded value within 2e-6 of the boundary at any sf, so the
+# verdict cannot flap cross-engine.
+SEMDEDUP_TAU = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic near-duplicate pruning for training data. Cluster the
+    embedding corpus with k-means (the reference's own algorithm doing
+    curation work: the in-query distributed Lloyd trainer,
+    `ann_train.ivf_train`, same (k=√n, iters, seed) config as
+    `sim_knn_graph`, so one numpy-twin assert covers both), assign
+    every vector its NEAREST cell, and inside each cluster prune a
+    vector when some LOWER-id vector sits above cosine `SEMDEDUP_TAU`
+    — the deterministic greedy-by-id variant of the paper's
+    keep-one-per-ε-ball rule. Output is a per-vector verdict table
+    (cell, max cosine to a lower-id cluster-mate, pruned flag) — the
+    shape a curation pipeline joins back against the corpus.
+
+    Scale shape: pairwise work never leaves a cluster — candidate
+    volume is Σ m_c² ≈ n²/k = n^1.5 at k=√n (vs the KNN graph's
+    multi-probe fraction, 1-probe here is the paper's semantics), the
+    self-join runs through `salted_self_pairs` so a hot cluster
+    grid-splits across the fleet, and the per-vector reduction is a
+    map-side-combined max. Training cost dominates at bench scale —
+    the honest price of clustering inside the query (a pipeline would
+    reuse a persisted quantizer, as `sim_ivf_trained_indexed` shows)."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.functions import distance as D
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators.dedup import salted_self_pairs
+
+    _warn_if_not_train_sf(sf_dir, "semantic_dedup")
+    base = ANN.l2_normalize(io.load_points(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    n = base.count()
+    k = knn_cells(n)
+    centers = ANN.round_mat(ANN.ivf_train(base, k, KNN_TRAIN_ITERS, "knn"))
+    pts = base.select(F.col("id").alias("vec_id"), F.col("features").alias("f"))
+    dfn = lambda c: F.aggregate(  # noqa: E731 — same fold as l2_sq_unrolled
+        F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    cells = F.array_sort(
+        F.transform(
+            F.lit([[float(v) for v in c] for c in centers]),
+            lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
+        )
+    )
+    # same codegen trap as the KNN graph: cut the assign tree out of
+    # the plan before the self-join fans it out to both sides
+    assigned = pts.select(
+        "vec_id", "f", F.element_at(cells, 1)["i"].alias("cell")
+    ).localCheckpoint(eager=True)
+    half = salted_self_pairs(assigned, ["cell"], "vec_id").select(
+        # canonical order is (least, greatest) id: b is the pruning
+        # CANDIDATE, a the lower-id vector that can shadow it
+        F.col("b.vec_id").alias("vec_id"),
+        F.round(
+            D.dot_cols_unrolled(F.col("a.f"), F.col("b.f"), DIM), 6
+        ).alias("cosine"),
+    )
+    shadow = half.groupBy("vec_id").agg(
+        F.max("cosine").alias("max_cos_lower")
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(shadow, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "max_cos_lower",
+            F.coalesce(
+                F.col("max_cos_lower") >= SEMDEDUP_TAU, F.lit(False)
+            ).alias("pruned"),
+        )
+    )
+
+
+def _oracle_semantic_dedup() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    structs = ", ".join(
+        f"struct_pack(d := {OG.sql_l2_sq('e', c)}, c := {i})"
+        for i, c in enumerate(KNN_TRAINED_CENTERS)
+    )
+    cos = OG.sql_dot_cols("x.e", "y.e")
+    return f"""
+WITH en AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
+  FROM {_E2} t WHERE {nsq} > 0
+),
+ds AS MATERIALIZED (
+  SELECT vec_id, e, unnest([{structs}]) AS s FROM en
+),
+m AS MATERIALIZED (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, CAST(s.c AS INTEGER) AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s.d ASC, s.c ASC) AS rk
+    FROM ds
+  ) WHERE rk = 1
+),
+shadow AS (
+  SELECT x.vec_id, max(round({cos}, 6)) AS max_cos_lower
+  FROM m x JOIN m y ON x.cell = y.cell AND y.vec_id < x.vec_id
+  GROUP BY x.vec_id
+)
+SELECT m.vec_id, m.cell, s.max_cos_lower,
+       coalesce(s.max_cos_lower >= {SEMDEDUP_TAU}, FALSE) AS pruned
+FROM m LEFT JOIN shadow s ON m.vec_id = s.vec_id
+"""
+
+
+ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
+
+
 QUERIES = {
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "sim_knn_graph": (q_sim_knn_graph, ORACLE_SIM_KNN_GRAPH),
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, ORACLE_SIM_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, ORACLE_SIM_IVF),

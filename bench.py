@@ -124,6 +124,12 @@ HEADLINE = [
     "events_variant_extract",
     "doc_tree_depth",
     "pack_with_split",
+    # round 6 second wave: BPE pair counts, linear interpolation,
+    # unigram LM scoring, SemDeDup semantic pruning
+    "bpe_pair_stats",
+    "events_interpolate",
+    "text_unigram_logprob",
+    "semantic_dedup",
 ]
 
 

@@ -1,0 +1,150 @@
+"""Property tests for the round-6 training-pipeline additions:
+BPE pair statistics, linear time-series interpolation, unigram LM
+scoring, and SemDeDup semantic pruning — each on hand-built frames
+where the right answer is computable by eye."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from apachebeamkmeans_spark.operators import textstats as TX
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ------------------------------------------------------- bpe_pair_stats
+
+
+def test_bpe_pair_counts_adjacent_only(spark):
+    out = TX.bpe_pair_stats(
+        _docs(spark, ["a b a b c", "b c"]), top_n=10
+    ).collect()
+    got = {r["pair"]: r["n"] for r in out}
+    # doc0 pairs: (a b) (b a) (a b) (b c); doc1: (b c)
+    assert got == {"a b": 2, "b c": 2, "b a": 1}
+
+
+def test_bpe_pair_short_docs_yield_nothing(spark):
+    # 0- and 1-token docs must not error (slice length would go
+    # negative without the shifted-zip construction) and contribute no
+    # pairs
+    out = TX.bpe_pair_stats(_docs(spark, ["", "  ", "solo"]), top_n=5).collect()
+    assert out == []
+
+
+def test_bpe_pair_tie_break_and_limit(spark):
+    out = TX.bpe_pair_stats(_docs(spark, ["z y x w"]), top_n=2).collect()
+    # all pairs count 1 → lexicographic ties: 'x w' < 'y x' < 'z y'
+    assert [r["pair"] for r in out] == ["x w", "y x"]
+
+
+# -------------------------------------------------- events_interpolate
+
+
+def _interp(spark, rows):
+    from apachebeamkmeans_spark.queries_events import q_events_interpolate
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import apachebeamkmeans_spark.queries_events as QE
+
+    orig = QE._events
+    QE._events = lambda _s, _d: df
+    try:
+        return {
+            (r["event_type"], r["bucket_us"]): r
+            for r in q_events_interpolate(spark, "unused").collect()
+        }
+    finally:
+        QE._events = orig
+
+
+def test_interpolate_lerps_interior_gap(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 1, "a", 10.0, None),
+        (2, datetime(2024, 1, 1, 3, 15), 1, "a", 40.0, None),
+    ]
+    out = _interp(spark, rows)
+    us = lambda h: int(datetime(2024, 1, 1, h).timestamp() * 1_000_000)  # noqa: E731
+    assert len(out) == 4  # hours 0..3
+    # known endpoints pass through
+    assert out[("a", us(0))]["interp_avg"] == 10.0
+    assert out[("a", us(3))]["interp_avg"] == 40.0
+    # interior gaps lerp on the hour grid: 10 + (40-10) * (h/3)
+    assert out[("a", us(1))]["is_gap"] is True
+    assert out[("a", us(1))]["interp_avg"] == 20.0
+    assert out[("a", us(2))]["interp_avg"] == 30.0
+
+
+def test_interpolate_edge_gaps_clamp_to_nearest(spark):
+    # gaps BEFORE the first / AFTER the last known hour can't exist
+    # (the spine spans known bounds), so clamping shows up only via a
+    # single-known-hour series: every spine row is that value
+    rows = [
+        (1, datetime(2024, 1, 1, 5, 0), 1, "b", 7.0, None),
+        (2, datetime(2024, 1, 1, 5, 40), 1, "b", 9.0, None),
+    ]
+    out = _interp(spark, rows)
+    assert len(out) == 1
+    (_, r), = out.items()
+    assert r["interp_avg"] == 8.0 and r["is_gap"] is False
+
+
+# ----------------------------------------------------- unigram_logprob
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    import math
+
+    # 4 tokens total, each unique → every doc's avg logprob = ln(1/4)
+    out = TX.unigram_logprob(_docs(spark, ["a b", "c d"])).collect()
+    want = round(math.log(0.25), 6)
+    assert [r["avg_logprob"] for r in out] == [want, want]
+    assert all(r["n_tokens"] == 2 for r in out)
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    out = {
+        r["doc_id"]: r
+        for r in TX.unigram_logprob(
+            _docs(spark, ["the the the the", "zebra quux"])
+        ).collect()
+    }
+    # doc0 is all high-probability tokens, doc1 all hapaxes
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+
+
+# ------------------------------------------------------ semantic_dedup
+
+
+def test_semantic_dedup_verdicts(spark, sf_dir):
+    from apachebeamkmeans_spark.queries_similarity import (
+        SEMDEDUP_TAU,
+        q_semantic_dedup,
+    )
+
+    rows = q_semantic_dedup(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    pruned = [r for r in rows if r["pruned"]]
+    # the verdict is exactly the threshold rule
+    for r in rows:
+        if r["max_cos_lower"] is None:
+            assert not r["pruned"]
+        else:
+            assert r["pruned"] == (r["max_cos_lower"] >= SEMDEDUP_TAU)
+    # per cluster, the lowest-id vector can never be pruned (it has no
+    # lower-id shadow)
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for members in by_cell.values():
+        survivor = min(members, key=lambda r: r["vec_id"])
+        assert not survivor["pruned"]
+    # the measured distribution prunes a meaningful, minority fraction
+    assert 0 < len(pruned) < n / 2
