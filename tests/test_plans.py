@@ -284,3 +284,27 @@ def test_disjunctive_predicates_split_per_scan(spark, sf_dir):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
     assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The vocabulary-sized probability table must BROADCAST onto the
+    token-instance join — a shuffle join on `token` would put every
+    stopword's instances on one task (the hot-key trap the operator
+    is designed around)."""
+    q = TX.unigram_logprob(io.read_table(spark, sf_dir, "documents"))
+    assert X.has_broadcast_join(q)
+    plan = X.formatted_plan(q)
+    assert "SortMergeJoin" not in plan
+
+
+def test_interpolate_single_window_node(spark, sf_dir):
+    """Both lerp neighbor frames (UNBOUNDED PRECEDING / FOLLOWING)
+    share the partition key and sort order, so Spark must evaluate all
+    four neighbor columns in ONE Window node over one sort — a second
+    window would double the spine shuffle."""
+    from apachebeamkmeans_spark.queries_events import q_events_interpolate
+
+    plan = X.formatted_plan(q_events_interpolate(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
