@@ -264,7 +264,7 @@ def _warn_if_not_train_sf(sf_dir: str, name: str) -> None:
         )
 
 
-_KNN_QUANTIZER_MEMO: dict[tuple[str, int, int], list[list[float]]] = {}
+_KNN_QUANTIZER_MEMO: dict[tuple[str, int, int, str], list[list[float]]] = {}
 
 
 def _knn_quantizer(base, sf_dir: str, k: int) -> list[list[float]]:
@@ -280,7 +280,7 @@ def _knn_quantizer(base, sf_dir: str, k: int) -> list[list[float]]:
     Training cost itself stays measured by `sim_ivf_train`."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
-    key = (os.path.abspath(sf_dir), k, KNN_TRAIN_ITERS)
+    key = (os.path.abspath(sf_dir), k, KNN_TRAIN_ITERS, "knn")
     if key not in _KNN_QUANTIZER_MEMO:
         _KNN_QUANTIZER_MEMO[key] = ANN.round_mat(
             ANN.ivf_train(base, k, KNN_TRAIN_ITERS, "knn")
