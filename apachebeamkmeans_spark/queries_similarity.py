@@ -977,8 +977,108 @@ FROM m LEFT JOIN shadow s ON m.vec_id = s.vec_id
 ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
 
 
+# ------------------------------------------------- coverage sampling
+
+# Vectors kept per learned cluster — the coreset budget.
+COVERAGE_PER_CELL = 2
+
+
+def q_sim_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-coverage (coreset) sampling — the selection half of the
+    curation triad (`semantic_dedup` removes redundancy, this keeps
+    diversity): stratify over the LEARNED √n-cell clustering and keep
+    the COVERAGE_PER_CELL vectors FARTHEST from their assigned
+    centroid per cell — the boundary/edge examples a diversity-seeking
+    subset wants (SemDeDup's keep-far rule, the greedy k-center
+    intuition), chosen deterministically (distance desc, id asc).
+
+    Scale shape: assignment is the same narrow argmin map as every
+    consumer of the shared memoized quantizer (`_knn_quantizer` —
+    built once per corpus snapshot), and per-cell selection is a
+    row_number window partitioned by cell, which WindowGroupLimit
+    bounds map-side to COVERAGE_PER_CELL rows per cell per task — no
+    cell's full membership ever buffers. Output is k·per_cell rows:
+    a coreset whose size follows the √n clustering, not the corpus.
+
+    Ordering note: both engines rank by the UNROUNDED assigned-cell
+    distance computed from the identical rounded-center literals with
+    the identical left-associated fold, so the rank order cannot
+    diverge; the distance is rounded only for output."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    _warn_if_not_train_sf(sf_dir, "sim_coverage_sample")
+    base = ANN.l2_normalize(io.load_points(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    n = base.count()
+    k = knn_cells(n)
+    centers = _knn_quantizer(base, sf_dir, k)
+    pts = base.select(F.col("id").alias("vec_id"), F.col("features").alias("f"))
+    dfn = lambda c: F.aggregate(  # noqa: E731 — same fold as l2_sq_unrolled
+        F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    cells = F.array_sort(
+        F.transform(
+            F.lit([[float(v) for v in c] for c in centers]),
+            lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
+        )
+    )
+    # cut the assign tree (same codegen-size discipline as the KNN
+    # probe assignment) before the window stage
+    assigned = pts.select(
+        "vec_id",
+        F.element_at(cells, 1).alias("s"),
+    ).select(
+        "vec_id", F.col("s")["i"].alias("cell"), F.col("s")["d"].alias("d2")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("cell").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        assigned.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= COVERAGE_PER_CELL)
+        .select("vec_id", "cell", F.round("d2", 6).alias("dist_sq"), "rank")
+    )
+
+
+def _oracle_coverage_sample() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    structs = ", ".join(
+        f"struct_pack(d := {OG.sql_l2_sq('e', c)}, c := {i})"
+        for i, c in enumerate(KNN_TRAINED_CENTERS)
+    )
+    return f"""
+WITH en AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
+  FROM {_E2} t WHERE {nsq} > 0
+),
+ds AS MATERIALIZED (
+  SELECT vec_id, e, unnest([{structs}]) AS s FROM en
+),
+m AS MATERIALIZED (
+  SELECT vec_id, cell, d FROM (
+    SELECT vec_id, CAST(s.c AS INTEGER) AS cell, s.d AS d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s.d ASC, s.c ASC) AS rk
+    FROM ds
+  ) WHERE rk = 1
+)
+SELECT vec_id, cell, round(d, 6) AS dist_sq, rank FROM (
+  SELECT vec_id, cell, d,
+         CAST(row_number() OVER (PARTITION BY cell
+                                 ORDER BY d DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM m
+) WHERE rank <= {COVERAGE_PER_CELL}
+"""
+
+
+ORACLE_SIM_COVERAGE_SAMPLE = _oracle_coverage_sample()
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    "sim_coverage_sample": (q_sim_coverage_sample, ORACLE_SIM_COVERAGE_SAMPLE),
     "sim_knn_graph": (q_sim_knn_graph, ORACLE_SIM_KNN_GRAPH),
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, ORACLE_SIM_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, ORACLE_SIM_IVF),

@@ -130,6 +130,7 @@ HEADLINE = [
     "events_interpolate",
     "text_unigram_logprob",
     "semantic_dedup",
+    "sim_coverage_sample",
 ]
 
 

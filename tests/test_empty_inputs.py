@@ -31,8 +31,10 @@ NEEDS_DATA = {
     # r6: the KNN graph trains its coarse quantizer in-query (cells
     # derived from n), so it inherits the trainer contract.
     "sim_knn_graph",
-    # r6: SemDeDup clusters in-query with the same trainer.
+    # r6: SemDeDup and coverage sampling cluster in-query with the
+    # same trainer.
     "semantic_dedup",
+    "sim_coverage_sample",
 }
 
 QUERIES = all_queries()

@@ -148,3 +148,41 @@ def test_semantic_dedup_verdicts(spark, sf_dir):
         assert not survivor["pruned"]
     # the measured distribution prunes a meaningful, minority fraction
     assert 0 < len(pruned) < n / 2
+
+
+# -------------------------------------------------- sim_coverage_sample
+
+
+def test_coverage_sample_keeps_farthest_per_cell(spark, sf_dir):
+    from apachebeamkmeans_spark.queries_similarity import (
+        COVERAGE_PER_CELL,
+        q_sim_coverage_sample,
+        q_semantic_dedup,
+    )
+
+    rows = q_sim_coverage_sample(spark, sf_dir).collect()
+    assert rows
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for members in by_cell.values():
+        # at most the budget per cell, ranks contiguous from 1,
+        # distances non-increasing with rank
+        assert len(members) <= COVERAGE_PER_CELL
+        members.sort(key=lambda r: r["rank"])
+        assert [m["rank"] for m in members] == list(range(1, len(members) + 1))
+        ds = [m["dist_sq"] for m in members]
+        assert ds == sorted(ds, reverse=True)
+    # the sample covers every non-empty cell of the same clustering
+    cells = {r["cell"] for r in q_semantic_dedup(spark, sf_dir).collect()}
+    assert {r["cell"] for r in rows} == cells
+
+
+def test_coverage_sample_window_is_group_limited(spark, sf_dir):
+    """Per-cell selection must bound state map-side (WindowGroupLimit),
+    never buffer a cell's full membership through the shuffle."""
+    from apachebeamkmeans_spark.plans import explain as X
+    from apachebeamkmeans_spark.queries_similarity import q_sim_coverage_sample
+
+    plan = X.formatted_plan(q_sim_coverage_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
