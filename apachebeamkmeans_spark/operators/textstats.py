@@ -323,6 +323,57 @@ def sample_mixture(docs: DataFrame, rates: dict[str, float],
     )
 
 
+def temperature_sample(docs: DataFrame, group_col: str = "lang",
+                       budget: float = 0.5, seed: str = "temp") -> DataFrame:
+    """Temperature-based multinomial source rebalancing (α = 0.5) —
+    the Pile/ROOTS/mC4 mixture rule: per group g, sampling weight
+    w_g = n_g^α, so dominant groups are downsampled and small groups
+    kept nearly whole; `budget` is the target fraction of the corpus.
+    rate_g = min(1, budget·N·(w_g/Σw)/n_g), applied with the seeded
+    hash01 coin. Unlike `sample_mixture` (operator-supplied fixed
+    rates), the rates here are DERIVED from the corpus's own counts —
+    two tiny aggregates (|groups| rows + 1 scalar row) broadcast back
+    onto the scan, so the corpus-sized side never shuffles. α is fixed
+    at 0.5 via `sqrt`, which is IEEE-correctly-rounded on both engines
+    (a general `pow(x, α)` is not), and the rate is rounded to 6
+    decimals BEFORE the coin comparison so both engines threshold the
+    same literal. Output is the per-group audit table (count, rate,
+    kept) a mixture pipeline records."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_tot"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("w_tot"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.lit(budget)
+                    * F.col("n_tot").cast("double")
+                    * (F.sqrt(F.col("n_docs").cast("double")) / F.col("w_tot"))
+                )
+                / F.col("n_docs").cast("double"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select(group_col, "rate")), group_col)
+        .filter(H.hash01(F.col("doc_id"), seed) <= F.col("rate"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, group_col, "left").select(
+        group_col,
+        "n_docs",
+        "rate",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
 def repetition_stats(docs: DataFrame, max_top_frac: float = 0.2,
                      max_dup2_frac: float = 0.4) -> DataFrame:
     """Gopher-style repetition filters: the pre-training quality rules

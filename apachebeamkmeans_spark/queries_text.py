@@ -92,6 +92,31 @@ LIMIT 20
 """
 
 
+def q_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature rebalancing over the lang column (Pile/ROOTS
+    mixture rule): per-lang audit of derived rate and kept count."""
+    return TX.temperature_sample(_docs(spark, sf_dir), group_col="lang", budget=0.5)
+
+
+_TEMP_H = OG.sql_hash01("d.doc_id", "temp")
+
+ORACLE_LANG_TEMPERATURE_SAMPLE = f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT sum(n_docs) AS n_tot, sum(sqrt(CAST(n_docs AS DOUBLE))) AS w_tot FROM c),
+r AS (SELECT lang, n_docs,
+             round(least(1.0, (0.5 * CAST(n_tot AS DOUBLE)
+                               * (sqrt(CAST(n_docs AS DOUBLE)) / w_tot))
+                              / CAST(n_docs AS DOUBLE)), 6) AS rate
+      FROM c CROSS JOIN tot),
+k AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE {_TEMP_H} <= r.rate
+      GROUP BY d.lang)
+SELECT r.lang, r.n_docs, r.rate, coalesce(k.n_kept, 0) AS n_kept
+FROM r LEFT JOIN k ON r.lang = k.lang
+"""
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style self-trained unigram LM fluency score + verdict."""
     return TX.unigram_logprob(_docs(spark, sf_dir), threshold=-3.42)
@@ -747,5 +772,6 @@ QUERIES = {
     "token_frequencies": (q_token_frequencies, ORACLE_TOKEN_FREQUENCIES),
     "bpe_pair_stats": (q_bpe_pair_stats, ORACLE_BPE_PAIR_STATS),
     "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
+    "lang_temperature_sample": (q_lang_temperature_sample, ORACLE_LANG_TEMPERATURE_SAMPLE),
     "doc_fingerprints": (q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS),
 }

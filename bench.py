@@ -131,6 +131,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "semantic_dedup",
     "sim_coverage_sample",
+    "lang_temperature_sample",
 ]
 
 

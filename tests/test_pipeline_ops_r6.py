@@ -186,3 +186,31 @@ def test_coverage_sample_window_is_group_limited(spark, sf_dir):
 
     plan = X.formatted_plan(q_sim_coverage_sample(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+# -------------------------------------------- lang_temperature_sample
+
+
+def test_temperature_sample_flattens_skew(spark):
+    # 80/16/4 split: α=0.5 must give the dominant group the LOWEST
+    # rate and the rare group the highest (capped at 1.0)
+    rows = [(i, "x", "big" if i < 80 else ("mid" if i < 96 else "rare"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in TX.temperature_sample(df, budget=0.5).collect()}
+    assert set(out) == {"big", "mid", "rare"}
+    assert out["big"]["rate"] < out["mid"]["rate"] <= out["rare"]["rate"] <= 1.0
+    for r in out.values():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+    # the derived rates target the budget: expected kept ≈ 50 (the
+    # hash coin adds binomial noise; bound loosely)
+    exp = sum(out[g]["rate"] * out[g]["n_docs"] for g in out)
+    assert abs(exp - 50) < 1.0 or out["rare"]["rate"] == 1.0
+
+
+def test_temperature_sample_uniform_groups_equal_rates(spark):
+    rows = [(i, "x", f"g{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = TX.temperature_sample(df, budget=0.4).collect()
+    rates = {r["rate"] for r in out}
+    assert rates == {0.4}
