@@ -234,3 +234,37 @@ def test_knn_graph_recall(spark, sf_dir):
     hits = sum(len(exact[v] & got.get(v, set())) for v in exact)
     recall = hits / (len(ids) * KNN_K)
     assert recall >= 0.8, recall
+
+
+def test_knn_quantizer_memo_is_transparent(spark, sf_dir):
+    """The session memo must return exactly what a fresh training run
+    returns (reuse may never change results), and must short-circuit
+    the second call (no re-training)."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.queries_similarity import (
+        _KNN_QUANTIZER_MEMO,
+        _knn_quantizer,
+        KNN_TRAIN_ITERS,
+        knn_cells,
+    )
+
+    base = ANN.l2_normalize(io.load_points(spark, sf_dir))
+    k = knn_cells(base.count())
+    fresh = ANN.round_mat(ANN.ivf_train(base, k, KNN_TRAIN_ITERS, "knn"))
+    first = _knn_quantizer(base, sf_dir, k)
+    assert first == fresh
+    # second call must come from the memo, not a re-train: poison the
+    # trainer and confirm the cached value is returned untouched
+    import apachebeamkmeans_spark.operators.ann_train as ann_mod
+
+    orig = ann_mod.ivf_train
+    ann_mod.ivf_train = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("memo missed")
+    )
+    try:
+        again = _knn_quantizer(base, sf_dir, k)
+    finally:
+        ann_mod.ivf_train = orig
+    assert again == first
+    assert any(key[0] == __import__("os").path.abspath(sf_dir)
+               for key in _KNN_QUANTIZER_MEMO)

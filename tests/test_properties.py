@@ -241,3 +241,55 @@ def test_weighted_sample_overrepresents_high_quality():
     rate_lo = picked_lo / (30 * 360)
     assert rate_hi > 4 * rate_lo, (rate_hi, rate_lo)
     assert picked_hi + picked_lo == 30 * k
+
+
+# ------------------------------- linear interpolation (events_interpolate)
+
+# Random sparse hourly series: known hours pass through exactly; every
+# gap hour lies within [min, max] of its two bracketing known values
+# (the lerp can never overshoot), and no spine hour is missing.
+_series = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=47),  # hour offset
+              st.floats(min_value=-50, max_value=50, allow_nan=False, width=16)),
+    min_size=1, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_series)
+def test_interpolate_bounded_and_exact_at_knowns(spark, series):
+    from datetime import datetime, timedelta
+
+    import apachebeamkmeans_spark.queries_events as QE
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (i, base + timedelta(hours=h, minutes=30), 1, "t", float(v), None)
+        for i, (h, v) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = QE._events
+    QE._events = lambda _s, _d: df
+    try:
+        out = {r["bucket_us"]: r for r in QE.q_events_interpolate(spark, "x").collect()}
+    finally:
+        QE._events = orig
+
+    us = lambda h: int((base + timedelta(hours=h)).timestamp() * 1_000_000)  # noqa: E731
+    known = dict(sorted(series))
+    hours = sorted(known)
+    lo, hi = hours[0], hours[-1]
+    assert set(out) == {us(h) for h in range(lo, hi + 1)}
+    for h in range(lo, hi + 1):
+        got = out[us(h)]["interp_avg"]
+        if h in known:
+            assert out[us(h)]["is_gap"] is False
+            assert got == pytest.approx(round(known[h], 6), abs=1e-6)
+        else:
+            prev_v = known[max(k for k in hours if k < h)]
+            next_v = known[min(k for k in hours if k > h)]
+            lo_v, hi_v = sorted((round(prev_v, 6), round(next_v, 6)))
+            assert lo_v - 1e-6 <= got <= hi_v + 1e-6
