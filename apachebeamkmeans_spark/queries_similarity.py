@@ -1076,9 +1076,125 @@ SELECT vec_id, cell, round(d, 6) AS dist_sq, rank FROM (
 ORACLE_SIM_COVERAGE_SAMPLE = _oracle_coverage_sample()
 
 
+def q_sim_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-curation capstone — the whole SemDeDup-style flow
+    in ONE declarative plan (the embedding twin of the text side's
+    `corpus_pipeline`): cluster (shared memoized √n-cell quantizer) →
+    prune semantic near-dups (within-cluster cosine ≥ SEMDEDUP_TAU,
+    greedy-by-id) → coverage-select the COVERAGE_PER_CELL survivors
+    farthest from their centroid per cell. Output is the final curated
+    subset with provenance (cell, distance, rank) — what a training
+    run would actually read.
+
+    Scale shape is the union of its stages' (each argued at its own
+    query): one assignment map, one salted within-cell pair join, one
+    WindowGroupLimit selection — Catalyst pipelines them without
+    materializing intermediate tables, and the quantizer artifact is
+    shared with every other curation consumer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.functions import distance as D
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators.dedup import salted_self_pairs
+
+    _warn_if_not_train_sf(sf_dir, "sim_curation_pipeline")
+    base = ANN.l2_normalize(io.load_points(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    n = base.count()
+    k = knn_cells(n)
+    centers = _knn_quantizer(base, sf_dir, k)
+    pts = base.select(F.col("id").alias("vec_id"), F.col("features").alias("f"))
+    dfn = lambda c: F.aggregate(  # noqa: E731 — same fold as l2_sq_unrolled
+        F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    cells = F.array_sort(
+        F.transform(
+            F.lit([[float(v) for v in c] for c in centers]),
+            lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
+        )
+    )
+    assigned = pts.select(
+        "vec_id", "f", F.element_at(cells, 1).alias("s")
+    ).select(
+        "vec_id", "f", F.col("s")["i"].alias("cell"), F.col("s")["d"].alias("d2")
+    ).localCheckpoint(eager=True)
+    shadow = (
+        salted_self_pairs(assigned, ["cell"], "vec_id")
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.round(
+                D.dot_cols_unrolled(F.col("a.f"), F.col("b.f"), DIM), 6
+            ).alias("cosine"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cosine").alias("max_cos_lower"))
+    )
+    kept = (
+        assigned.join(shadow, "vec_id", "left")
+        .filter(
+            ~F.coalesce(F.col("max_cos_lower") >= SEMDEDUP_TAU, F.lit(False))
+        )
+        .select("vec_id", "cell", "d2")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= COVERAGE_PER_CELL)
+        .select("vec_id", "cell", F.round("d2", 6).alias("dist_sq"), "rank")
+    )
+
+
+def _oracle_curation_pipeline() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    structs = ", ".join(
+        f"struct_pack(d := {OG.sql_l2_sq('e', c)}, c := {i})"
+        for i, c in enumerate(KNN_TRAINED_CENTERS)
+    )
+    cos = OG.sql_dot_cols("x.e", "y.e")
+    return f"""
+WITH en AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
+  FROM {_E2} t WHERE {nsq} > 0
+),
+ds AS MATERIALIZED (
+  SELECT vec_id, e, unnest([{structs}]) AS s FROM en
+),
+m AS MATERIALIZED (
+  SELECT vec_id, e, cell, d FROM (
+    SELECT vec_id, e, CAST(s.c AS INTEGER) AS cell, s.d AS d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s.d ASC, s.c ASC) AS rk
+    FROM ds
+  ) WHERE rk = 1
+),
+shadow AS (
+  SELECT x.vec_id, max(round({cos}, 6)) AS max_cos_lower
+  FROM m x JOIN m y ON x.cell = y.cell AND y.vec_id < x.vec_id
+  GROUP BY x.vec_id
+),
+kept AS (
+  SELECT m.vec_id, m.cell, m.d
+  FROM m LEFT JOIN shadow s ON m.vec_id = s.vec_id
+  WHERE NOT coalesce(s.max_cos_lower >= {SEMDEDUP_TAU}, FALSE)
+)
+SELECT vec_id, cell, round(d, 6) AS dist_sq, rank FROM (
+  SELECT vec_id, cell, d,
+         CAST(row_number() OVER (PARTITION BY cell
+                                 ORDER BY d DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM kept
+) WHERE rank <= {COVERAGE_PER_CELL}
+"""
+
+
+ORACLE_SIM_CURATION_PIPELINE = _oracle_curation_pipeline()
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "sim_coverage_sample": (q_sim_coverage_sample, ORACLE_SIM_COVERAGE_SAMPLE),
+    "sim_curation_pipeline": (q_sim_curation_pipeline, ORACLE_SIM_CURATION_PIPELINE),
     "sim_knn_graph": (q_sim_knn_graph, ORACLE_SIM_KNN_GRAPH),
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, ORACLE_SIM_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, ORACLE_SIM_IVF),

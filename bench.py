@@ -132,6 +132,7 @@ HEADLINE = [
     "semantic_dedup",
     "sim_coverage_sample",
     "lang_temperature_sample",
+    "sim_curation_pipeline",
 ]
 
 

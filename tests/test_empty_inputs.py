@@ -35,6 +35,7 @@ NEEDS_DATA = {
     # same trainer.
     "semantic_dedup",
     "sim_coverage_sample",
+    "sim_curation_pipeline",
 }
 
 QUERIES = all_queries()

@@ -214,3 +214,33 @@ def test_temperature_sample_uniform_groups_equal_rates(spark):
     out = TX.temperature_sample(df, budget=0.4).collect()
     rates = {r["rate"] for r in out}
     assert rates == {0.4}
+
+
+# ------------------------------------------------ sim_curation_pipeline
+
+
+def test_curation_pipeline_composes_stages(spark, sf_dir):
+    """The one-plan capstone must agree with its stage queries: every
+    selected vector is an unpruned survivor of semantic_dedup, and
+    per-cell selection obeys the coverage budget with the same
+    farthest-first order among survivors."""
+    from apachebeamkmeans_spark.queries_similarity import (
+        COVERAGE_PER_CELL,
+        q_semantic_dedup,
+        q_sim_curation_pipeline,
+    )
+
+    sel = q_sim_curation_pipeline(spark, sf_dir).collect()
+    assert sel
+    verdicts = {r["vec_id"]: r for r in q_semantic_dedup(spark, sf_dir).collect()}
+    by_cell: dict[int, list] = {}
+    for r in sel:
+        v = verdicts[r["vec_id"]]
+        assert not v["pruned"]
+        assert v["cell"] == r["cell"]
+        by_cell.setdefault(r["cell"], []).append(r)
+    for members in by_cell.values():
+        assert len(members) <= COVERAGE_PER_CELL
+        members.sort(key=lambda r: r["rank"])
+        ds = [m["dist_sq"] for m in members]
+        assert ds == sorted(ds, reverse=True)
