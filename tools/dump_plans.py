@@ -53,6 +53,7 @@ SHOWCASE = {
     "text_unigram_logprob": "self-trained unigram LM score: vocab-sized probability table BROADCAST onto the token-instance join (stopword hot keys never shuffle), total count attached as a 1-row scalar",
     "events_interpolate": "linear lerp resample: ONE Window node evaluates both neighbor frames (UNBOUNDED PRECEDING + FOLLOWING share key and sort), spine exploded from per-type bound rows",
     "bpe_pair_stats": "BPE merge-round count: shifted-slice zip builds pairs in one narrow codegen pass, map-side-combined count, TakeOrdered top-30",
+    "sim_curation_pipeline": "embedding-curation capstone in ONE plan: shared memoized quantizer assign -> salted within-cell shadow pairs -> anti-prune filter -> WindowGroupLimit coverage selection",
 }
 
 
