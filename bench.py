@@ -146,16 +146,23 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn, _ = queries[name]
-        # warmup pass: JIT/codegen compilation is a per-JVM one-time
-        # cost, not query cost; data caches are cleared so the timed
-        # pass still reads cold data
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # one failing query must not void the whole round's bench
+        # record — isolate it, keep timing the rest
+        try:
+            # warmup pass: JIT/codegen compilation is a per-JVM one-time
+            # cost, not query cost; data caches are cleared so the timed
+            # pass still reads cold data
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"[bench] ERROR {name}: {errors[name]}", file=sys.stderr)
         spark.catalog.clearCache()
         # release accumulated localCheckpoint/broadcast blocks: the
         # ContextCleaner frees them only after driver GC, and 40 queries
@@ -171,6 +178,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            **({"errors": errors} if errors else {}),
         }
     )
     # stdout is the driver contract; the file copy exists because the
