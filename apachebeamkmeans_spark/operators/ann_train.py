@@ -97,22 +97,47 @@ def seed_rows(vecs: DataFrame, n: int, seed,
 def ivf_train(vecs: DataFrame, k: int, n_iters: int = 5, seed="ivf",
               id_col: str = "id", features_col: str = "features") -> list[list[float]]:
     """k coarse centers by Lloyd: literal-center argmin assign (zero
-    shuffle) → per-dim avg recenter (map-side partial agg, k rows to
+    shuffle) → vector-mean recenter (map-side partial agg, k rows to
     the driver per iteration). Fixed iteration count; empty clusters
-    keep their previous centroid."""
+    keep their previous centroid.
+
+    Iteration physical strategy borrowed from `lloyd.lloyd_fit` (its
+    measured ~3× loop speedup): assign via `sql_assign_expr` — ONE
+    parsed expression whose generated code is structurally identical
+    across iterations (the center literals land in the codegen
+    reference array), so whole-stage codegen compiles once per
+    training run instead of once per iteration, which matters when k
+    is data-derived (√n cells) — and recenter via MLlib
+    `Summarizer.mean`, one vector aggregate instead of `dim` scalar
+    avgs. The assign arithmetic is the identical zip_with fold, so
+    assignments are bit-equal to the hof form; the mean's summation
+    order differs only at ulp level, absorbed by the `round_param`
+    rounding the numpy-twin contract already relies on (asserted in
+    tests/test_ann_train.py)."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
     # dimensionality comes from the seed rows — no separate probe job
     centers = seed_rows(vecs, k, seed, id_col, features_col)
     if not centers:
         raise ValueError("ivf_train requires a non-empty points frame")
     if len(centers) < k:
         raise ValueError(f"ivf_train: need >= {k} rows, got {len(centers)}")
-    dim = len(centers[0])
-    base = vecs.select(F.col(id_col).alias("id"), F.col(features_col).alias("features"))
+    base = vecs.select(
+        F.col(id_col).alias("id"), F.col(features_col).alias("features")
+    ).withColumn("__fvec", array_to_vector("features"))
     base = base.localCheckpoint(eager=False)
+    mean_agg = Summarizer.mean(F.col("__fvec")).alias("mean")
     for _ in range(n_iters):
-        assigned = lloyd.assign(base, centers, p=2.0, mode="hof")
-        rows = lloyd.recenter(assigned, dim).collect()
-        by_id = {r["center_id"]: [r[f"c{j}"] for j in range(dim)] for r in rows}
+        rows = (
+            base.withColumn(
+                "center_id", lloyd.sql_assign_expr(centers, 2.0, "features")
+            )
+            .groupBy("center_id")
+            .agg(mean_agg)
+            .collect()
+        )
+        by_id = {r["center_id"]: list(r["mean"]) for r in rows}
         centers = [by_id.get(i, centers[i]) for i in range(k)]
     return centers
 
@@ -189,19 +214,28 @@ def pq_train(vecs: DataFrame, m: int, ksub: int, n_iters: int = 5, seed="pq",
     subs = F.array(*[F.slice(f, s * dsub + 1, dsub) for s in range(m)])
     ex = vecs.select(F.posexplode(subs).alias("s", "sub"))
     ex = ex.localCheckpoint(eager=False)  # reused every iteration
+    aggs = [F.avg(F.col("sub")[j]).alias(f"c{j}") for j in range(dsub)] + [
+        F.count(F.lit(1)).alias("n")
+    ]
     for _ in range(n_iters):
-        cb_s = F.element_at(F.lit(codebooks), F.col("s") + 1)
-        dists = F.transform(
-            cb_s,
-            lambda cent: F.aggregate(
-                F.zip_with(F.col("sub"), cent, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda a, v: a + v,
-            ),
-        )
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        aggs = [F.avg(F.col("sub")[j]).alias(f"c{j}") for j in range(dsub)] + [
-            F.count(F.lit(1)).alias("n")
-        ]
+        # ONE parsed expression per iteration (the `sql_assign_expr`
+        # discipline): the nested codebook literal lands in the codegen
+        # reference array, so the generated code is structurally
+        # identical across iterations and compiles once; the struct
+        # argmin is the same first-minimum tie-break as
+        # array_position(dists, array_min(dists)).
+        cb_sql = "array(" + ", ".join(
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in cent) + ")"
+                for cent in book
+            ) + ")"
+            for book in codebooks
+        ) + ")"
+        code = F.expr(
+            f"array_min(transform(element_at({cb_sql}, s + 1), (cent, i) -> "
+            "struct(aggregate(zip_with(sub, cent, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (a, v) -> a + v) AS dist, CAST(i AS INT) AS idx)))"
+        )["idx"]
         rows = ex.withColumn("code", code).groupBy("s", "code").agg(*aggs).collect()
         by_key = {(r["s"], r["code"]): [r[f"c{j}"] for j in range(dsub)] for r in rows}
         codebooks = [
