@@ -521,6 +521,60 @@ FROM f
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by FIRST active week, then for every (cohort, week-N)
+    cell the distinct returning users and the retention fraction
+    against the cohort's size. Plan: distinct (user, week) pairs
+    (one dedup shuffle bounded by users×weeks, not events), per-user
+    min-week cohort (map-side-combined), join back on user_id, then
+    ONE distinct-count aggregate on (cohort, week_n); cohort sizes
+    are the week-0 diagonal re-joined from the same aggregate — no
+    second scan of the events. Week arithmetic stays integer-exact
+    (week-truncated timestamps differ by exact multiples of 7 days),
+    so the only float is the final rounded ratio."""
+    ev = _events(spark, sf_dir)
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    j = weeks.join(first, "user_id")
+    cells = j.groupBy(
+        "cohort",
+        F.floor(F.datediff(F.col("week"), F.col("cohort")) / 7)
+        .cast("int")
+        .alias("week_n"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+    sizes = cells.filter(F.col("week_n") == 0).select(
+        "cohort", F.col("n_users").alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort").select(
+        F.unix_micros("cohort").alias("cohort_us"),
+        "week_n",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+f AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id),
+j AS (SELECT w.user_id, f.cohort, w.week FROM w JOIN f USING (user_id)),
+o AS (SELECT cohort,
+             CAST(date_diff('day', cohort, week) // 7 AS INTEGER) AS week_n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM j GROUP BY 1, 2),
+s AS (SELECT cohort, n_users AS cohort_size FROM o WHERE week_n = 0)
+SELECT epoch_us(o.cohort) AS cohort_us, o.week_n, o.n_users,
+       round(CAST(o.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6)
+         AS retention
+FROM o JOIN s ON o.cohort = s.cohort
+"""
+
+
 def q_events_rank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The analytic-window sweep not yet certified elsewhere —
     percent_rank, cume_dist, ntile(4) and the lag/lead value deltas,
@@ -1003,6 +1057,7 @@ QUERIES = {
     "events_quantiles_approx": (q_events_quantiles_approx, ORACLE_EVENTS_QUANTILES_APPROX),
     "events_gapfill": (q_events_gapfill, ORACLE_EVENTS_GAPFILL),
     "events_interpolate": (q_events_interpolate, ORACLE_EVENTS_INTERPOLATE),
+    "events_retention": (q_events_retention, ORACLE_EVENTS_RETENTION),
     "events_rank_sweep": (q_events_rank_sweep, ORACLE_EVENTS_RANK_SWEEP),
     "events_variant_extract": (q_events_variant_extract, ORACLE_EVENTS_VARIANT_EXTRACT),
     "events_deterministic_sample": (

@@ -133,6 +133,7 @@ HEADLINE = [
     "sim_coverage_sample",
     "lang_temperature_sample",
     "sim_curation_pipeline",
+    "events_retention",
 ]
 
 

@@ -244,3 +244,42 @@ def test_curation_pipeline_composes_stages(spark, sf_dir):
         members.sort(key=lambda r: r["rank"])
         ds = [m["dist_sq"] for m in members]
         assert ds == sorted(ds, reverse=True)
+
+
+# ---------------------------------------------------- events_retention
+
+
+def test_retention_cohorts_hand_built(spark):
+    from datetime import datetime
+
+    import apachebeamkmeans_spark.queries_events as QE
+
+    # user 1: weeks 0,1,2 of cohort A; user 2: weeks 0,2; user 3 joins
+    # a week later (cohort B), active that week only
+    mk = lambda d, u: (u * 100 + d.day, d, u, "click", 1.0, None)  # noqa: E731
+    rows = [
+        mk(datetime(2024, 1, 1), 1), mk(datetime(2024, 1, 8), 1),
+        mk(datetime(2024, 1, 15), 1),
+        mk(datetime(2024, 1, 2), 2), mk(datetime(2024, 1, 16), 2),
+        mk(datetime(2024, 1, 10), 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = QE._events
+    QE._events = lambda _s, _d: df
+    try:
+        out = {
+            (r["cohort_us"], r["week_n"]): r
+            for r in QE.q_events_retention(spark, "x").collect()
+        }
+    finally:
+        QE._events = orig
+    us = lambda d: int(datetime(2024, 1, d).timestamp() * 1_000_000)  # noqa: E731
+    a, b = us(1), us(8)  # Mondays: cohort A = Jan 1, cohort B = Jan 8
+    assert out[(a, 0)]["n_users"] == 2 and out[(a, 0)]["retention"] == 1.0
+    assert out[(a, 1)]["n_users"] == 1 and out[(a, 1)]["retention"] == 0.5
+    assert out[(a, 2)]["n_users"] == 2 and out[(a, 2)]["retention"] == 1.0
+    assert out[(b, 0)]["n_users"] == 1 and out[(b, 0)]["retention"] == 1.0
+    assert set(out) == {(a, 0), (a, 1), (a, 2), (b, 0)}
