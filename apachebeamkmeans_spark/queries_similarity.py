@@ -264,7 +264,7 @@ def _warn_if_not_train_sf(sf_dir: str, name: str) -> None:
         )
 
 
-_KNN_QUANTIZER_MEMO: dict[tuple[str, int, int, str], list[list[float]]] = {}
+_KNN_QUANTIZER_MEMO: dict[tuple[str, int, int, str, float], list[list[float]]] = {}
 
 
 def _knn_quantizer(base, sf_dir: str, k: int) -> list[list[float]]:
@@ -280,7 +280,14 @@ def _knn_quantizer(base, sf_dir: str, k: int) -> list[list[float]]:
     Training cost itself stays measured by `sim_ivf_train`."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
-    key = (os.path.abspath(sf_dir), k, KNN_TRAIN_ITERS, "knn")
+    # the data's mtime joins the key so regenerated data at a reused
+    # path cannot serve a stale quantizer (r6 review finding); missing
+    # path → 0 keys the synthetic-frame/test case harmlessly
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        mtime = 0.0
+    key = (os.path.abspath(sf_dir), k, KNN_TRAIN_ITERS, "knn", mtime)
     if key not in _KNN_QUANTIZER_MEMO:
         _KNN_QUANTIZER_MEMO[key] = ANN.round_mat(
             ANN.ivf_train(base, k, KNN_TRAIN_ITERS, "knn")
@@ -917,9 +924,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "f", F.element_at(cells, 1)["i"].alias("cell")
     ).localCheckpoint(eager=True)
     half = salted_self_pairs(assigned, ["cell"], "vec_id").select(
-        # canonical order is (least, greatest) id: b is the pruning
-        # CANDIDATE, a the lower-id vector that can shadow it
-        F.col("b.vec_id").alias("vec_id"),
+        # the pruning CANDIDATE is the GREATER id of the pair — taken
+        # explicitly with `greatest` (the salted join does NOT orient
+        # cross-salt-group pairs by id; every other caller
+        # canonicalizes the same way, dedup.py:182,311,492)
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id"),
         F.round(
             D.dot_cols_unrolled(F.col("a.f"), F.col("b.f"), DIM), 6
         ).alias("cosine"),
@@ -1124,7 +1133,9 @@ def q_sim_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shadow = (
         salted_self_pairs(assigned, ["cell"], "vec_id")
         .select(
-            F.col("b.vec_id").alias("vec_id"),
+            # greatest(): the salted join does not orient cross-group
+            # pairs by id (see q_semantic_dedup)
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id"),
             F.round(
                 D.dot_cols_unrolled(F.col("a.f"), F.col("b.f"), DIM), 6
             ).alias("cosine"),

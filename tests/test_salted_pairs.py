@@ -60,3 +60,46 @@ def test_salted_split_factor_covers_all_cross_group_pairs(spark):
     pairs = _collect_salted(spark, rows, target=5)
     assert len(pairs) == 40 * 39 // 2
     assert set(pairs) == _naive_pairs(rows)
+
+
+def test_salted_pairs_shadow_attribution_under_salting(spark):
+    """The SemDeDup shadow aggregation (max cosine from any LOWER-id
+    cell-mate, attributed to the HIGHER id) must survive salting: the
+    salted join does NOT orient cross-salt-group pairs by id, so the
+    consumer must take greatest(a.id, b.id) — r6 review finding. Force
+    multiple salt groups with a tiny target and compare against a
+    brute-force numpy truth."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators.dedup import salted_self_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, 4
+    mat = rng.normal(size=(n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, 0, [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, cell int, f array<double>")
+
+    # target=4 forces ~n/4 salt groups for the single hot cell
+    half = salted_self_pairs(df, ["cell"], "vec_id", target=4).select(
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("a.f"), F.col("b.f"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    got = {
+        r["vec_id"]: r["m"]
+        for r in half.groupBy("vec_id").agg(F.max("cosine").alias("m")).collect()
+    }
+    cos = np.round(mat @ mat.T, 6)
+    want = {
+        i: max(cos[i, j] for j in range(i))
+        for i in range(1, n)
+    }
+    assert got == {i: round(v, 6) for i, v in want.items()}
