@@ -912,16 +912,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda a, v: a + v,
     )
-    cells = F.array_sort(
+    nearest = F.array_min(
         F.transform(
             F.lit([[float(v) for v in c] for c in centers]),
             lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
         )
     )
-    # same codegen trap as the KNN graph: cut the assign tree out of
+    # array_min of (d, i) structs = first-minimum with the oracle's
+    # (d, c) tie-break, O(k) per row vs array_sort's O(k log k) — the
+    # 1-probe consumers never need the sorted tail (r6 review).
+    # Same codegen trap as the KNN graph: cut the assign tree out of
     # the plan before the self-join fans it out to both sides
     assigned = pts.select(
-        "vec_id", "f", F.element_at(cells, 1)["i"].alias("cell")
+        "vec_id", "f", nearest["i"].alias("cell")
     ).localCheckpoint(eager=True)
     half = salted_self_pairs(assigned, ["cell"], "vec_id").select(
         # the pruning CANDIDATE is the GREATER id of the pair — taken
@@ -1030,17 +1033,18 @@ def q_sim_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda a, v: a + v,
     )
-    cells = F.array_sort(
+    nearest = F.array_min(
         F.transform(
             F.lit([[float(v) for v in c] for c in centers]),
             lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
         )
     )
+    # array_min = first-min with the oracle's (d, c) tie-break, O(k);
     # cut the assign tree (same codegen-size discipline as the KNN
     # probe assignment) before the window stage
     assigned = pts.select(
         "vec_id",
-        F.element_at(cells, 1).alias("s"),
+        nearest.alias("s"),
     ).select(
         "vec_id", F.col("s")["i"].alias("cell"), F.col("s")["d"].alias("d2")
     ).localCheckpoint(eager=True)
@@ -1119,14 +1123,14 @@ def q_sim_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda a, v: a + v,
     )
-    cells = F.array_sort(
+    nearest = F.array_min(
         F.transform(
             F.lit([[float(v) for v in c] for c in centers]),
             lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
         )
     )
     assigned = pts.select(
-        "vec_id", "f", F.element_at(cells, 1).alias("s")
+        "vec_id", "f", nearest.alias("s")
     ).select(
         "vec_id", "f", F.col("s")["i"].alias("cell"), F.col("s")["d"].alias("d2")
     ).localCheckpoint(eager=True)

@@ -24,16 +24,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import duckdb
-import pandas as pd
 
 from apachebeamkmeans_spark.registry import all_queries
 from apachebeamkmeans_spark.sources.io import TABLES
 
-
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    s = df.astype(str)
-    return s.sort_values(by=list(s.columns)).reset_index(drop=True)
+# one canonicalization contract for both gates — a fix to selfcheck's
+# _canon must reach this gate too (r6 review)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from selfcheck import _canon  # noqa: E402
 
 
 def main() -> int:
