@@ -503,8 +503,12 @@ def repetition_stats_auto(docs: DataFrame, max_top_frac: float = 0.2,
     and chars ≤ 2·T guarantees ≤ T tokens — the narrow branch never
     re-tokenizes just to route (doing so measured 1.7× on the whole
     query). Long-by-chars-but-short-by-tokens docs merely take the
-    exploded path, which is equally correct."""
-    nchars = F.length(F.col("text"))
+    exploded path, which is equally correct. NULL text would make
+    both branch predicates NULL and silently drop the row (r6 ADVICE)
+    — coalesce to 0 chars routes NULLs through the narrow branch,
+    keeping the dispatcher row-for-row identical to
+    `repetition_stats(docs)`."""
+    nchars = F.coalesce(F.length(F.col("text")), F.lit(0))
     short = docs.filter(nchars <= 2 * long_doc_tokens)
     long_ = docs.filter(nchars > 2 * long_doc_tokens)
     return repetition_stats(short, max_top_frac, max_dup2_frac).unionByName(

@@ -373,10 +373,23 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is still measured."""
     import os
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from apachebeamkmeans_spark import scratch
+
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    # parameters in the name: changing bands/shingle/threshold must miss
-    path = os.path.join(repo, ".scratch", f"dedup_pairs_b{BANDS}_s{SHINGLE}_j50_{sfx}")
+    # parameters in the name: changing bands/shingle/threshold must miss.
+    # documents.parquet's mtime joins the name too (r6 ADVICE): the
+    # oracle recomputes pairs from live parquet, so regenerated data at
+    # a reused sf path must invalidate this cache exactly like the
+    # _knn_quantizer memo — otherwise triangles/pagerank silently read
+    # a stale edge table. Superseded generations are reaped on entry.
+    mt = scratch.data_mtime(sf_dir, "documents")
+    path = os.path.join(
+        scratch.repo_root(), ".scratch",
+        f"dedup_pairs_b{BANDS}_s{SHINGLE}_j50_{sfx}_m{mt}",
+    )
+    # broad prefix: stale generations under ANY (params, sf, mtime) key
+    # are rebuildable caches, safe to reap past the TTL
+    scratch.reap(os.path.dirname(path), "dedup_pairs_", keep=path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = _docs(spark, sf_dir)
         pairs = DD.jaccard_verify(

