@@ -276,17 +276,80 @@ def _warn_if_not_train_sf(sf_dir: str, name: str) -> None:
 _KNN_QUANTIZER_MEMO: dict[tuple[str, int, int, str, float], list[list[float]]] = {}
 
 
+def _quantizer_artifact_path(sf_dir: str, k: int, mtime: float) -> str:
+    """On-disk home of the trained quantizer: one parquet FILE per
+    (sf, k, iters, embeddings mtime) under `.scratch/`. The mtime in
+    the name is the staleness key — regenerated data at a reused path
+    misses and retrains (same rule as the dedup pair cache); stale
+    generations are reaped on entry."""
+    import hashlib
+
+    from apachebeamkmeans_spark import scratch
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # abspath hash disambiguates same-basename dirs (tmp test trees)
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        scratch.repo_root(), ".scratch",
+        f"knn_quantizer_{sfx}_{ph}_k{k}_i{KNN_TRAIN_ITERS}_m{int(mtime)}.parquet",
+    )
+    scratch.reap(os.path.dirname(path), "knn_quantizer_", keep=path)
+    return path
+
+
+def _read_quantizer_artifact(path: str, k: int) -> list[list[float]] | None:
+    """Driver-side read of the k×dim center matrix (k rows — tiny, no
+    Spark job). None on any miss/corruption → caller retrains."""
+    import pyarrow.parquet as pq
+
+    try:
+        tbl = pq.read_table(path)
+    except Exception:
+        return None
+    rows = sorted(
+        zip(tbl.column("center_id").to_pylist(), tbl.column("center").to_pylist())
+    )
+    centers = [[float(v) for v in c] for _, c in rows]
+    return centers if len(centers) == k else None
+
+
+def _write_quantizer_artifact(path: str, centers: list[list[float]]) -> None:
+    """Atomic publish (temp file + rename): a concurrent session reading
+    mid-write sees either nothing or the full artifact, and two writers
+    racing is benign — training is deterministic, so last-writer-wins
+    rewrites identical bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table(
+        {"center_id": list(range(len(centers))), "center": centers},
+        schema=pa.schema(
+            [("center_id", pa.int32()), ("center", pa.list_(pa.float64()))]
+        ),
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
 def _knn_quantizer(base, sf_dir: str, k: int) -> list[list[float]]:
-    """Trained √n-cell coarse quantizer for the corpus at `sf_dir`,
-    memoized per (sf_dir, k, iters) within the session: `sim_knn_graph`
-    and `semantic_dedup` consume the IDENTICAL trained artifact, and in
-    a production pipeline the quantizer is a persisted table built once
-    (the `_verified_pairs` pattern), not retrained per consumer. The
-    memo is semantically transparent — `ann_train.ivf_train` is
+    """Trained √n-cell coarse quantizer for the corpus at `sf_dir` —
+    a PERSISTED build-once artifact: read-through from a parquet file
+    keyed by (sf, k, iters, embeddings mtime), with a session memo in
+    front. `sim_knn_graph`, `semantic_dedup`, `sim_coverage_sample`,
+    and `sim_curation_pipeline` consume the IDENTICAL trained artifact;
+    in a production pipeline the quantizer is a table built once (the
+    `_verified_pairs` pattern), not retrained per consumer — and since
+    r7 a COLD session reuses the previous session's training too (r6
+    verdict item 3: the memo alone died with the process, so every cold
+    session paid ~7 s of Lloyd before the first consumer). Both layers
+    are semantically transparent — `ann_train.ivf_train` is
     deterministic (bit-equal to its numpy twin at this config, asserted
-    in tests/test_ann_train.py) — so the first consumer pays the
-    distributed Lloyd cost and later ones reuse the O(k·dim) literal.
-    Training cost itself stays measured by `sim_ivf_train`."""
+    in tests/test_ann_train.py) and the artifact stores the same
+    rounded O(k·dim) matrix the memo held. Training cost itself stays
+    measured by `sim_ivf_train`; staleness invalidation is tested in
+    tests/test_quantizer_artifact.py."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
     # the data's mtime joins the key so regenerated data at a reused
@@ -298,9 +361,12 @@ def _knn_quantizer(base, sf_dir: str, k: int) -> list[list[float]]:
         mtime = 0.0
     key = (os.path.abspath(sf_dir), k, KNN_TRAIN_ITERS, "knn", mtime)
     if key not in _KNN_QUANTIZER_MEMO:
-        _KNN_QUANTIZER_MEMO[key] = ANN.round_mat(
-            ANN.ivf_train(base, k, KNN_TRAIN_ITERS, "knn")
-        )
+        art = _quantizer_artifact_path(sf_dir, k, mtime)
+        centers = _read_quantizer_artifact(art, k)
+        if centers is None:
+            centers = ANN.round_mat(ANN.ivf_train(base, k, KNN_TRAIN_ITERS, "knn"))
+            _write_quantizer_artifact(art, centers)
+        _KNN_QUANTIZER_MEMO[key] = centers
     return _KNN_QUANTIZER_MEMO[key]
 
 

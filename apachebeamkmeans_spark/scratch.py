@@ -59,6 +59,9 @@ def reap(root: str, prefix: str, keep: str | tuple[str, ...] = ()) -> None:
             continue
         try:
             if os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
         except OSError:
             continue
