@@ -99,6 +99,49 @@ def test_live_window_is_all_oracle_backed():
     assert all(sql is not None for _n, (_f, sql) in window)
 
 
+def test_rotation_staleness_bound_under_simulation():
+    """The rotation's whole-registry guarantee (r6 verdict item 7):
+    certifying the first CERT_WINDOW entries of `certification_order`
+    every round keeps EVERY oracled query's last green within
+    ceil(N/W)+1 rounds — window starvation can never silently recur.
+    Simulated over enough rounds to cycle a 137-query registry several
+    times."""
+    import math
+
+    W = registry.CERT_WINDOW
+    N = 137
+    queries = {f"q{i:03d}": _spec(True) for i in range(N)}
+    green: dict[str, int] = {}
+    seen: dict[str, int] = {}
+    bound = math.ceil(N / W) + 1
+    warmup = math.ceil(N / W)
+    for rnd in range(1, 4 * warmup + 2):
+        ordered = list(registry.certification_order(queries, (green, seen)))
+        for name in ordered[:W]:
+            green[name] = rnd
+            seen[name] = rnd
+        if rnd > warmup:  # past warm-up every query has a green row
+            stalest = min(green.get(n, 0) for n in queries)
+            assert rnd - stalest < bound, (rnd, stalest)
+
+
+def test_live_history_staleness_within_rotation_bound():
+    """With the REAL correctness history and the CURRENT registry: no
+    oracle-backed query that has ever been value-green is staler than
+    the rotation bound allows. (Never-green queries are new this round
+    — the ordering already puts them first.)"""
+    import math
+
+    green, seen = registry.correctness_history()
+    qs = registry.all_queries()
+    oracled = [n for n, (_f, sql) in qs.items() if sql is not None]
+    latest = max(seen.values(), default=0)
+    bound = math.ceil(len(oracled) / registry.CERT_WINDOW) + 1
+    for n in oracled:
+        if n in green:
+            assert latest - green[n] <= bound, (n, green[n], latest, bound)
+
+
 def test_live_window_prioritizes_stalest():
     """With the real history: no currently-green query inside the
     window has a green row newer than any currently-green oracle-backed
