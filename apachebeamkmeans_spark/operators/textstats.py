@@ -176,6 +176,69 @@ def bpe_pair_stats(docs: DataFrame, top_n: int = 30) -> DataFrame:
     )
 
 
+def bpe_train_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+    """Iterated BPE training — `n_merges` rounds of count-adjacent-pairs
+    → merge-the-argmax, the loop `bpe_pair_stats`'s docstring sketches
+    (r6 verdict item 5). Returns the merge table: one row per round
+    with the newly merged token and its pre-merge frequency.
+
+    Token sequences ride as ONE string per doc with whitespace sentinels
+    (`\\t token \\n` per token — tokens are whitespace-split, so the
+    sentinels can never occur inside one), which turns the merge step
+    into a literal `replace()` of `\\ta\\n\\tb\\n` with `\\ta b\\n`:
+    left-to-right non-overlapping replacement IS the greedy BPE merge
+    order, and both Spark's `replace` and DuckDB's scan the same way,
+    so the oracle replays the identical rounds. Per round: one narrow
+    split/zip pass rebuilds the pair view, one map-side-combined count
+    on the pair key, and ONE row (the argmax, tie-broken by pair text)
+    comes to the driver — the merged vocabulary is re-broadcast as the
+    next round's replace literal. The tokenized base is
+    lineage-truncated once (`localCheckpoint`); each round is a full
+    corpus pass, which is what BPE costs at any scale — the sequences
+    themselves never move, only pair COUNTS shuffle.
+    """
+    from apachebeamkmeans_spark.functions import text as TXT
+
+    spark = docs.sparkSession
+    seq0 = F.concat_ws(
+        "",
+        F.transform(
+            TXT.tokens(F.col("text")),
+            lambda t: F.concat(F.lit("\t"), t, F.lit("\n")),
+        ),
+    )
+    cur = docs.select(seq0.alias("seq")).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        tk = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "\n\t")
+        m = F.greatest(F.size(tk) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(tk, 1, m),
+            F.slice(tk, 2, m),
+            lambda a, b: F.concat(
+                F.lit("\t"), a, F.lit("\n"), F.lit("\t"), b, F.lit("\n")
+            ),
+        )
+        best = (
+            cur.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pat, n = best[0]["pair"], best[0]["n"]
+        merges.append((rnd, pat.replace("\n\t", " ").strip("\t\n"), int(n)))
+        cur = cur.select(
+            F.replace(
+                F.col("seq"), F.lit(pat), F.lit(pat.replace("\n\t", " "))
+            ).alias("seq")
+        )
+    return spark.createDataFrame(merges, "round int, merged string, freq long")
+
+
 def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
     """Per-document top-N TF-IDF terms — the standard relevance /
     keyword-extraction primitive of a text pipeline.

@@ -153,6 +153,53 @@ LIMIT 30
 """
 
 
+BPE_MERGES = 3
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE trainer — 3 count→merge rounds over the corpus,
+    merged vocabulary re-broadcast (as the next round's replace
+    literal) each round; returns the merge table."""
+    return TX.bpe_train_merges(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _oracle_bpe_train(n_merges: int = BPE_MERGES) -> str:
+    """Replays the identical rounds in DuckDB, statically unrolled:
+    same whitespace-sentinel sequence encoding, same literal
+    left-to-right `replace` merge, same (n DESC, pair ASC) argmax —
+    each round's winner is a 1-row CTE cross-joined onto the corpus."""
+    TB, NL = "chr(9)", "chr(10)"
+    junc = f"{NL} || {TB}"
+    parts = [
+        f"WITH t AS (SELECT {_TOKS} AS toks FROM documents), ",
+        f"d0 AS (SELECT array_to_string(list_transform(toks, "
+        f"tk -> {TB} || tk || {NL}), '') AS seq FROM t)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"d{r - 1}"
+        parts.append(
+            f", p{r} AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM ("
+            f"SELECT unnest([{TB} || tk[i] || {NL} || {TB} || tk[i + 1] || {NL}"
+            f" for i in generate_series(1, len(tk) - 1)]) AS pair"
+            f" FROM (SELECT string_split(trim(seq, {TB} || {NL}), {junc}) AS tk"
+            f" FROM {prev})) GROUP BY pair)"
+            f", b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1)"
+            f", d{r} AS (SELECT replace({prev}.seq, b{r}.pair,"
+            f" replace(b{r}.pair, {junc}, ' ')) AS seq FROM {prev}, b{r})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round,"
+        f" trim(replace(pair, {junc}, ' '), {TB} || {NL}) AS merged,"
+        f" n AS freq FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f" SELECT round, merged, freq FROM ({sel}) ORDER BY round")
+    return "".join(parts)
+
+
+ORACLE_BPE_TRAIN = _oracle_bpe_train()
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style min-md5 character-5-gram fingerprint per document."""
     return TX.fingerprint(_docs(spark, sf_dir), n=5)
@@ -756,6 +803,7 @@ QUERIES = {
     "text_lang_id": (q_text_lang_id, ORACLE_TEXT_LANG_ID),
     "token_frequencies": (q_token_frequencies, ORACLE_TOKEN_FREQUENCIES),
     "bpe_pair_stats": (q_bpe_pair_stats, ORACLE_BPE_PAIR_STATS),
+    "bpe_train": (q_bpe_train, ORACLE_BPE_TRAIN),
     "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
     "lang_temperature_sample": (q_lang_temperature_sample, ORACLE_LANG_TEMPERATURE_SAMPLE),
     "doc_fingerprints": (q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS),

@@ -134,6 +134,8 @@ HEADLINE = [
     "lang_temperature_sample",
     "sim_curation_pipeline",
     "events_retention",
+    # round 7 additions: iterated BPE trainer, kNN label propagation
+    "bpe_train",
 ]
 
 

@@ -42,6 +42,37 @@ def test_bpe_pair_tie_break_and_limit(spark):
     assert [r["pair"] for r in out] == ["x w", "y x"]
 
 
+# ------------------------------------------------------ bpe_train_merges
+
+
+def test_bpe_train_merges_known_corpus(spark):
+    out = TX.bpe_train_merges(
+        _docs(spark, ["the cat sat", "the cat ran", "the cat sat"]), n_merges=3
+    ).collect()
+    # r1: 'the cat' x3 beats 'cat sat' x2; r2: merged token pairs with
+    # 'sat' twice; r3: only ('the cat', 'ran') remains
+    assert [(r["round"], r["merged"], r["freq"]) for r in out] == [
+        (1, "the cat", 3),
+        (2, "the cat sat", 2),
+        (3, "the cat ran", 1),
+    ]
+
+
+def test_bpe_train_merge_is_greedy_left_to_right(spark):
+    # counting sees both (1,2) and (2,3) in 'a a a' (freq 4 over two
+    # docs), but the REWRITE is greedy left-to-right: tokens 1-2 merge
+    # and the result never re-merges with token 3
+    out = TX.bpe_train_merges(_docs(spark, ["a a a", "a a a"]), n_merges=2).collect()
+    assert (out[0]["round"], out[0]["merged"], out[0]["freq"]) == (1, "a a", 4)
+    # after the greedy rewrite each doc is ['a a', 'a'] → pair
+    # ('a a', 'a') twice
+    assert (out[1]["round"], out[1]["merged"], out[1]["freq"]) == (2, "a a a", 2)
+
+
+def test_bpe_train_empty_and_short_docs(spark):
+    assert TX.bpe_train_merges(_docs(spark, ["", "solo"]), n_merges=3).collect() == []
+
+
 # -------------------------------------------------- events_interpolate
 
 
