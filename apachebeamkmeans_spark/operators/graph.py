@@ -73,6 +73,92 @@ def pagerank(
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
 
 
+LP_ROUNDS = 3
+
+
+def label_propagation(
+    edges: DataFrame, seeds: DataFrame, rounds: int = LP_ROUNDS
+) -> DataFrame:
+    """Semi-supervised label spread over a directed weighted graph —
+    the kNN-graph consumer (r6 verdict item 6): a small labeled subset
+    seeds the corpus, and for `rounds` fixed rounds every still-
+    unlabeled node takes the label with the largest total edge weight
+    among its already-labeled neighbors (ties → smaller label). Labels
+    never change once assigned — seeds are frozen, and each round only
+    extends the frontier, so the fixed-round unroll is deterministic
+    and a DuckDB twin replays it exactly (the `pagerank`/`ann_train`
+    discipline).
+
+    Inputs: `edges` (vec_id, nbr_id, wt BIGINT — integer weights, so
+    the vote sums are exact and order-independent across engines) and
+    `seeds` (vec_id, label). Output: (vec_id, label, rnd) with rnd = 0
+    for seeds, r for round-r assignments.
+
+    Scale shape: per round one shuffle join of the edge list against
+    the label state on `nbr_id`, one anti-join to restrict to the
+    unlabeled frontier, one (vec_id, label) hash-agg with map-side
+    partial, and a per-node window over ≤ distinct-labels rows; label
+    state is one row per labeled node, lineage truncated per round.
+    Nothing is ever collected to the driver."""
+    from pyspark.sql import Window
+
+    labels = seeds.select(
+        "vec_id", "label", F.lit(0).alias("rnd")
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("twt"), F.asc("label"))
+    for r in range(1, rounds + 1):
+        votes = (
+            edges.join(
+                labels.select(F.col("vec_id").alias("nbr_id"), "label"), "nbr_id"
+            )
+            .join(labels.select("vec_id"), "vec_id", "left_anti")
+            .groupBy("vec_id", "label")
+            .agg(F.sum("wt").alias("twt"))
+        )
+        new = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "label", F.lit(r).alias("rnd"))
+        )
+        labels = labels.unionByName(new).localCheckpoint(eager=False)
+    return labels.select("vec_id", "label", F.col("rnd").cast("int").alias("rnd"))
+
+
+def label_propagation_oracle_ctes(
+    edges_cte: str, seeds_cte: str, rounds: int = LP_ROUNDS
+) -> tuple[str, str]:
+    """DuckDB twin of `label_propagation`, statically unrolled over an
+    `edges`(vec_id, nbr_id, wt) CTE and a `seeds`(vec_id, label) CTE.
+    Integer wt keeps every vote sum exact, so the (twt DESC, label ASC)
+    argmax can never flap between engines. Returns (cte_body,
+    final_cte_name) so callers can join the propagated labels onward."""
+    its = [f"l0 AS (SELECT vec_id, label, 0 AS rnd FROM {seeds_cte})"]
+    for r in range(1, rounds + 1):
+        its.append(
+            f"""v{r} AS (
+  SELECT e.vec_id, l.label, sum(e.wt) AS twt
+  FROM {edges_cte} e
+  JOIN l{r - 1} l ON e.nbr_id = l.vec_id
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM l{r - 1})
+  GROUP BY e.vec_id, l.label),
+a{r} AS (
+  SELECT vec_id, label, {r} AS rnd FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY twt DESC, label ASC) AS rk
+    FROM v{r}) WHERE rk = 1),
+l{r} AS (SELECT * FROM l{r - 1} UNION ALL SELECT * FROM a{r})"""
+        )
+    return ",\n".join(its), f"l{rounds}"
+
+
+def label_propagation_oracle_sql(
+    edges_cte: str, seeds_cte: str, rounds: int = LP_ROUNDS
+) -> str:
+    ctes, last = label_propagation_oracle_ctes(edges_cte, seeds_cte, rounds)
+    return f"{ctes}\nSELECT vec_id, label, CAST(rnd AS INTEGER) AS rnd FROM {last}"
+
+
 def pagerank_oracle_sql(
     edges_cte: str,
     damping: float = DAMPING,

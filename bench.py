@@ -136,6 +136,7 @@ HEADLINE = [
     "events_retention",
     # round 7 additions: iterated BPE trainer, kNN label propagation
     "bpe_train",
+    "sim_label_propagation",
 ]
 
 

@@ -132,3 +132,79 @@ def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
                 for v in (a, b, c):
                     want[v] = want.get(v, 0) + 1
         assert _triangles_of(spark, pairs) == want, seed
+
+
+# ------------------------------------------------- label propagation
+
+
+def _lp(spark, edges, seeds, rounds=3):
+    from apachebeamkmeans_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(edges, "vec_id long, nbr_id long, wt long")
+    s = spark.createDataFrame(seeds, "vec_id long, label int")
+    out = label_propagation(e, s, rounds=rounds).collect()
+    return {r["vec_id"]: (r["label"], r["rnd"]) for r in out}
+
+
+def test_label_propagation_known_chain(spark):
+    # chain 0->1->2->3 (each node's only neighbor is the previous one);
+    # seed node 0 with label 7: the label walks one hop per round
+    edges = [(1, 0, 10), (2, 1, 10), (3, 2, 10)]
+    got = _lp(spark, edges, [(0, 7)], rounds=3)
+    assert got == {0: (7, 0), 1: (7, 1), 2: (7, 2), 3: (7, 3)}
+
+
+def test_label_propagation_weighted_majority_and_tie_break(spark):
+    # node 10 hears label 1 with total weight 5 and label 2 with
+    # weight 9 -> takes 2; node 11 hears both with equal weight ->
+    # smaller label wins
+    edges = [
+        (10, 0, 5), (10, 1, 4), (10, 2, 5),
+        (11, 0, 6), (11, 1, 6),
+    ]
+    seeds = [(0, 1), (1, 2), (2, 2)]
+    got = _lp(spark, edges, seeds, rounds=1)
+    assert got[10] == (2, 1)
+    assert got[11] == (1, 1)
+
+
+def test_label_propagation_seeds_frozen_and_unreached_absent(spark):
+    # seed 0 keeps its label even though its neighbor votes otherwise;
+    # node 99 has no labeled neighbor within 1 round and stays absent
+    edges = [(0, 1, 100), (99, 98, 100)]
+    got = _lp(spark, edges, [(0, 5), (1, 6)], rounds=1)
+    assert got[0] == (5, 0)
+    assert got[1] == (6, 0)
+    assert 99 not in got
+
+
+def test_label_propagation_matches_oracle_sql_on_random_graph(spark):
+    """Cross-engine twin on a random-ish literal graph: the DuckDB
+    replay of the unrolled rounds equals the Spark loop exactly."""
+    import duckdb
+
+    from apachebeamkmeans_spark.operators.graph import (
+        label_propagation_oracle_sql,
+    )
+
+    rng = __import__("random").Random(7)
+    nodes = list(range(30))
+    edges = []
+    for v in nodes:
+        for u in rng.sample([x for x in nodes if x != v], 3):
+            edges.append((v, u, rng.randint(1, 20)))
+    seeds = [(v, v % 4) for v in nodes if v % 5 == 0]
+    got = _lp(spark, edges, seeds, rounds=3)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(vec_id BIGINT, nbr_id BIGINT, wt BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", edges)
+    con.execute("CREATE TABLE s(vec_id BIGINT, label INTEGER)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", seeds)
+    want = {
+        v: (lab, rnd)
+        for v, lab, rnd in con.execute(
+            "WITH " + label_propagation_oracle_sql("e", "s", 3)
+        ).fetchall()
+    }
+    assert got == want
