@@ -214,17 +214,60 @@ def lsh_pairs_against(corpus: DataFrame, new: DataFrame, bands: int = 8,
     )
 
 
-def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
-                   threshold: float = 0.0) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs only."""
-    toks = T.tokens(F.col("text"))
-    sets = docs.select(
-        "doc_id", F.array_distinct(T.token_shingles(toks, shingle)).alias("sh")
+def ingest_gate_verdicts(corpus: DataFrame, new: DataFrame, bands: int = 8,
+                         shingle: int = 3,
+                         max_jaccard: float = 0.5) -> DataFrame:
+    """Per-arriving-doc accept/reject verdict against a standing
+    corpus: LSH candidates (`lsh_pairs_against` — batch side broadcast,
+    no corpus×corpus work) → exact Jaccard verification on candidates
+    only → per-new-doc aggregate → left join back so docs with zero
+    candidates auto-accept. Output: (doc_id, n_candidates, max_jaccard,
+    accept). The single gate body shared by the batch query
+    (`queries_dedup.q_ingest_gate`) and the streaming ingest gate
+    (`streaming/ingest.py`), so the two surfaces can never diverge."""
+    cand = lsh_pairs_against(corpus, new, bands, shingle)
+    pairs = cand.select(
+        F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
     )
-    sets = _materialize(sets)  # read twice (doc_a side + doc_b side)
+    # two-sided verification: a re-ingested doc_id may exist on BOTH
+    # sides, so the sides must resolve against their own frames
+    verified = jaccard_verify(
+        new.select("doc_id", "text"), pairs, shingle, threshold=0.0,
+        docs_b=corpus.select("doc_id", "text"),
+    )
+    per_new = verified.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("__n"), F.max("jaccard").alias("__mj")
+    )
+    new_ids = new.select("doc_id")
+    return new_ids.join(per_new, new_ids.doc_id == per_new.doc_a, "left").select(
+        "doc_id",
+        F.coalesce("__n", F.lit(0)).alias("n_candidates"),
+        F.coalesce("__mj", F.lit(0.0)).alias("max_jaccard"),
+        (F.coalesce("__mj", F.lit(0.0)) < max_jaccard).alias("accept"),
+    )
+
+
+def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
+                   threshold: float = 0.0,
+                   docs_b: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only. With
+    `docs_b`, the `doc_a` side resolves against `docs` and the `doc_b`
+    side against `docs_b` — required when the two sides can share
+    doc_ids (a re-ingested doc vs the standing corpus): a single
+    union'd sets table would join the duplicate id TWICE and inflate
+    downstream candidate counts (caught by the streaming-ingest twin
+    test)."""
+    def _sets(d: DataFrame) -> DataFrame:
+        toks = T.tokens(F.col("text"))
+        return _materialize(d.select(
+            "doc_id", F.array_distinct(T.token_shingles(toks, shingle)).alias("sh")
+        ))
+
+    sets_a = _sets(docs)  # materialized: read twice when docs_b is None
+    sets_b = sets_a if docs_b is None else _sets(docs_b)
     return (
-        pairs.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        pairs.join(sets_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .select(
             "doc_a",
             "doc_b",

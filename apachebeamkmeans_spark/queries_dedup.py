@@ -220,29 +220,16 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification → per-new-doc aggregate → left join back (docs with
     zero candidates auto-accept). End product of continuous corpus
     hygiene: candidate work is bounded by LSH, verification by the
-    candidate count, nothing is corpus×corpus."""
+    candidate count, nothing is corpus×corpus. The gate body lives in
+    `dedup.ingest_gate_verdicts`, shared verbatim with the streaming
+    ingest gate (`streaming/ingest.py`)."""
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
-    new = docs.filter(F.col("doc_id") % 10 == 0)
-    corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    cand = DD.lsh_pairs_against(corpus, new, BANDS, SHINGLE)
-    pairs = cand.select(
-        F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
-    )
-    verified = DD.jaccard_verify(docs, pairs, SHINGLE, threshold=0.0)
-    per_new = verified.groupBy("doc_a").agg(
-        F.count(F.lit(1)).alias("__n"), F.max("jaccard").alias("__mj")
-    )
-    return (
-        new.select("doc_id")
-        .join(per_new, new.doc_id == per_new.doc_a, "left")
-        .select(
-            "doc_id",
-            F.coalesce("__n", F.lit(0)).alias("n_candidates"),
-            F.coalesce("__mj", F.lit(0.0)).alias("max_jaccard"),
-            (F.coalesce("__mj", F.lit(0.0)) < INGEST_MAX_JACCARD).alias("accept"),
-        )
+    return DD.ingest_gate_verdicts(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        BANDS, SHINGLE, INGEST_MAX_JACCARD,
     )
 
 

@@ -1,0 +1,150 @@
+"""Streaming ingest gate (r6 verdict item 4): the stream's verdicts
+must equal the batch gate over the same documents (within-stream
+re-sends dropped by the watermark-bounded dedup), and a checkpointed
+restart must RESUME — no committed micro-batch replays, the recovered
+run finishes the remaining files, and the merged sink still equals the
+batch twin."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.operators import dedup as DD
+from apachebeamkmeans_spark.sources import io
+from apachebeamkmeans_spark.streaming.ingest import run_ingest_gate_stream
+
+BANDS, SHINGLE, MAXJ = 8, 3, 0.5
+TS = "2025-01-01 00:00:00"
+
+
+def _split(spark, sf_dir):
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    return corpus, new
+
+
+def _with_ts(df):
+    return df.withColumn("ts", F.to_timestamp(F.lit(TS)))
+
+
+def _read_verdicts(spark, out_dir):
+    df = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    rows = df.drop("batch").collect()
+    got = {
+        r["doc_id"]: (r["n_candidates"], r["max_jaccard"], r["accept"])
+        for r in rows
+    }
+    # one verdict ROW per doc across all batch dirs — a re-sent doc
+    # slipping past the dedup state would produce a second (identical)
+    # row in a later batch and hide in the dict
+    assert len(rows) == len(got)
+    return got
+
+
+def _batch_twin(corpus, new):
+    return {
+        r["doc_id"]: (r["n_candidates"], r["max_jaccard"], r["accept"])
+        for r in DD.ingest_gate_verdicts(
+            corpus, new, BANDS, SHINGLE, MAXJ
+        ).collect()
+    }
+
+
+def test_stream_verdicts_equal_batch_twin_with_resends(spark, sf_dir, tmp_path):
+    src_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "ckpt")
+    )
+    corpus, new = _split(spark, sf_dir)
+    staged = _with_ts(new)
+    schema = staged.schema
+
+    # two first-arrival files, then a RE-SEND of the first slice (the
+    # re-crawl case): the watermark-bounded dedup must gate each doc
+    # exactly once
+    half_a = staged.filter(F.col("doc_id") % 20 == 0)
+    half_b = staged.filter(F.col("doc_id") % 20 != 0)
+    half_a.coalesce(1).write.mode("append").parquet(src_dir)
+    half_b.coalesce(1).write.mode("append").parquet(src_dir)
+    half_a.coalesce(1).write.mode("append").parquet(src_dir)
+
+    q = run_ingest_gate_stream(
+        spark, corpus, src_dir, schema, out_dir, ckpt,
+        BANDS, SHINGLE, MAXJ, name="ingate_twin",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _read_verdicts(spark, out_dir)
+    want = _batch_twin(corpus, new)
+    assert got == want and len(want) == new.count()
+    # sanity on the fixture: the gate actually discriminates
+    assert {v[2] for v in want.values()} == {True, False}
+
+
+def test_ingest_gate_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    src_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "ckpt")
+    )
+    corpus, new = _split(spark, sf_dir)
+    staged = _with_ts(new)
+    schema = staged.schema
+
+    # 4 single-doc-group files so maxFilesPerTrigger=1 yields a real
+    # mid-stream to kill in
+    for m in range(4):
+        staged.filter(F.col("doc_id") % 40 == 10 * m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    batches: dict[str, list[int]] = {"p1": [], "p2": []}
+
+    def start(phase, name):
+        return run_ingest_gate_stream(
+            spark, corpus, src_dir, schema, out_dir, ckpt,
+            BANDS, SHINGLE, MAXJ, max_files_per_trigger=1, name=name,
+            on_batch=lambda bid: batches[phase].append(bid),
+        )
+
+    q1 = start("p1", "ingate_rec1")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p is not None and p["batchId"] >= 1:
+            break
+        time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination(60)
+    assert batches["p1"], "phase 1 never started a micro-batch"
+
+    # late files staged only after the stop (the r5 advisor race):
+    # phase 2 is guaranteed real work — re-sends of already-gated docs
+    # (must be dropped by recovered dedup STATE, proving state
+    # survived) plus a genuinely new slice
+    _with_ts(new.filter(F.col("doc_id") % 40 == 0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    late_new = corpus.filter(F.col("doc_id") % 10 == 5)
+    _with_ts(late_new).coalesce(1).write.mode("append").parquet(src_dir)
+
+    q2 = start("p2", "ingate_rec2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    p1, p2 = batches["p1"], batches["p2"]
+    assert p2, "restart processed nothing"
+    assert min(p2) >= max(p1)  # no committed batch replays
+    all_ids = sorted(set(p1) | set(p2))
+    assert all_ids == list(range(0, max(all_ids) + 1))  # no gaps either
+
+    # merged sink = batch twin over all DISTINCT staged docs; the
+    # re-sent slice appears once, so the recovered dedup state held
+    got = _read_verdicts(spark, out_dir)
+    want = _batch_twin(corpus, new.unionByName(late_new))
+    assert got == want and len(want) == new.count() + late_new.count()
