@@ -134,9 +134,16 @@ HEADLINE = [
     "lang_temperature_sample",
     "sim_curation_pipeline",
     "events_retention",
-    # round 7 additions: iterated BPE trainer, kNN label propagation
+    # round 7 additions: iterated BPE trainer, kNN label propagation,
+    # the Q7/Q9/Q10/Q13/Q18/Q22 TPC-H shapes
     "bpe_train",
     "sim_label_propagation",
+    "q7_nation_trade",
+    "q9_parttype_profit",
+    "q10_returned_revenue",
+    "q13_order_count_distribution",
+    "q18_large_orders",
+    "q22_idle_customers",
 ]
 
 

@@ -36,6 +36,8 @@ NEEDS_DATA = {
     "semantic_dedup",
     "sim_coverage_sample",
     "sim_curation_pipeline",
+    # r7: consumes the kNN graph, so it inherits the same contract.
+    "sim_label_propagation",
 }
 
 QUERIES = all_queries()
