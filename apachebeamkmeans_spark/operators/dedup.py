@@ -187,7 +187,8 @@ def lsh_candidate_pairs(docs: DataFrame, bands: int = 8, shingle: int = 3) -> Da
 
 
 def lsh_pairs_against(corpus: DataFrame, new: DataFrame, bands: int = 8,
-                      shingle: int = 3) -> DataFrame:
+                      shingle: int = 3,
+                      corpus_sigs: DataFrame | None = None) -> DataFrame:
     """Incremental near-dup check: (new_id, corpus_id) candidate pairs
     between a NEW document batch and the EXISTING corpus — the shape
     continuous ingestion actually needs (is this incoming doc a
@@ -198,8 +199,12 @@ def lsh_pairs_against(corpus: DataFrame, new: DataFrame, bands: int = 8,
     bucket skew — each corpus partition probes the in-memory batch
     table independently. At cluster scale the corpus signatures are a
     persisted table (`minhash_signatures` stage 1) and only the new
-    batch is sketched per arrival."""
-    cs = _materialize(minhash_signatures(corpus, bands, shingle))
+    batch is sketched per arrival (pass it as `corpus_sigs`)."""
+    cs = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else _materialize(minhash_signatures(corpus, bands, shingle))
+    )
     ns = _materialize(minhash_signatures(new, bands, shingle))
     cb = cs.select(
         F.col("doc_id").alias("corpus_id"), F.posexplode("mh").alias("band", "mh_val")
@@ -214,9 +219,38 @@ def lsh_pairs_against(corpus: DataFrame, new: DataFrame, bands: int = 8,
     )
 
 
+def corpus_gate_state(corpus: DataFrame, bands: int = 8,
+                      shingle: int = 3) -> tuple[DataFrame, DataFrame]:
+    """The standing corpus's precomputed gate artifacts — banded
+    MinHash signatures and exact shingle sets — materialized EAGERLY so
+    a continuous ingest stream sketches the corpus once, not once per
+    micro-batch (at cluster scale these are the persisted
+    `minhash_signatures` / shingle tables the module docstring
+    promises; here they are checkpointed frames shared across
+    `ingest_gate_verdicts` calls). The signatures derive FROM the
+    distinct-shingle sets — MinHash is invariant to duplicate shingles
+    (min of an affine hash family), so the corpus is tokenized once,
+    not once per artifact, and md5 runs only over distinct shingles."""
+    sets = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            T.token_shingles(T.tokens(F.col("text")), shingle)
+        ).alias("sh"),
+    ).localCheckpoint(eager=True)
+    hashed = sets.select(
+        "doc_id", T.shingle_hashes(F.col("sh")).alias("__h")
+    ).localCheckpoint(eager=False)
+    sigs = hashed.select(
+        "doc_id", T.minhash_signature(F.col("__h"), bands).alias("mh")
+    ).localCheckpoint(eager=True)
+    return sigs, sets
+
+
 def ingest_gate_verdicts(corpus: DataFrame, new: DataFrame, bands: int = 8,
                          shingle: int = 3,
-                         max_jaccard: float = 0.5) -> DataFrame:
+                         max_jaccard: float = 0.5,
+                         corpus_state: tuple[DataFrame, DataFrame] | None = None,
+                         ) -> DataFrame:
     """Per-arriving-doc accept/reject verdict against a standing
     corpus: LSH candidates (`lsh_pairs_against` — batch side broadcast,
     no corpus×corpus work) → exact Jaccard verification on candidates
@@ -224,8 +258,15 @@ def ingest_gate_verdicts(corpus: DataFrame, new: DataFrame, bands: int = 8,
     candidates auto-accept. Output: (doc_id, n_candidates, max_jaccard,
     accept). The single gate body shared by the batch query
     (`queries_dedup.q_ingest_gate`) and the streaming ingest gate
-    (`streaming/ingest.py`), so the two surfaces can never diverge."""
-    cand = lsh_pairs_against(corpus, new, bands, shingle)
+    (`streaming/ingest.py`), so the two surfaces can never diverge.
+    Pass `corpus_state` (from `corpus_gate_state`) to amortize the
+    corpus sketching across many batches."""
+    sigs, sets = (
+        corpus_state
+        if corpus_state is not None
+        else (None, None)
+    )
+    cand = lsh_pairs_against(corpus, new, bands, shingle, corpus_sigs=sigs)
     pairs = cand.select(
         F.col("new_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
     )
@@ -233,7 +274,7 @@ def ingest_gate_verdicts(corpus: DataFrame, new: DataFrame, bands: int = 8,
     # sides, so the sides must resolve against their own frames
     verified = jaccard_verify(
         new.select("doc_id", "text"), pairs, shingle, threshold=0.0,
-        docs_b=corpus.select("doc_id", "text"),
+        docs_b=corpus.select("doc_id", "text"), sets_b=sets,
     )
     per_new = verified.groupBy("doc_a").agg(
         F.count(F.lit(1)).alias("__n"), F.max("jaccard").alias("__mj")
@@ -249,14 +290,16 @@ def ingest_gate_verdicts(corpus: DataFrame, new: DataFrame, bands: int = 8,
 
 def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
                    threshold: float = 0.0,
-                   docs_b: DataFrame | None = None) -> DataFrame:
+                   docs_b: DataFrame | None = None,
+                   sets_b: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only. With
     `docs_b`, the `doc_a` side resolves against `docs` and the `doc_b`
     side against `docs_b` — required when the two sides can share
     doc_ids (a re-ingested doc vs the standing corpus): a single
     union'd sets table would join the duplicate id TWICE and inflate
     downstream candidate counts (caught by the streaming-ingest twin
-    test)."""
+    test). `sets_b` supplies the b-side as an already-materialized
+    (doc_id, sh) frame (`corpus_gate_state`) instead."""
     def _sets(d: DataFrame) -> DataFrame:
         toks = T.tokens(F.col("text"))
         return _materialize(d.select(
@@ -264,7 +307,8 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
         ))
 
     sets_a = _sets(docs)  # materialized: read twice when docs_b is None
-    sets_b = sets_a if docs_b is None else _sets(docs_b)
+    if sets_b is None:
+        sets_b = sets_a if docs_b is None else _sets(docs_b)
     return (
         pairs.join(sets_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sets_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")

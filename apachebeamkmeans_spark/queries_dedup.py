@@ -252,6 +252,75 @@ LEFT JOIN p ON d.doc_id = p.new_id
 """
 
 
+def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING ingest gate driven to completion and certified by
+    the exact batch oracle (`ORACLE_INGEST_GATE`): the arriving docs
+    (every 10th, same split as the batch query) are staged as three
+    micro-batch files — two first-arrival slices plus a RE-SEND of the
+    first, which the watermark-bounded `dropDuplicatesWithinWatermark`
+    state must drop — and each micro-batch is gated against the
+    standing corpus via the shared `ingest_gate_verdicts` body
+    (`streaming/ingest.py`). Equality with the batch gate is exactly
+    the claim: same verdicts, each doc gated once, re-sends absorbed.
+    Scratch is per-(sf, applicationId), reaped past the TTL."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark import scratch
+    from apachebeamkmeans_spark.streaming.ingest import run_ingest_gate_stream
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "ts", F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+    )
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # out/ckpt are per-session (a restarted stream must not share a
+    # live session's checkpoint); the STAGED SOURCE is per data
+    # generation and published atomically, so later sessions skip the
+    # three staging writes entirely
+    root = os.path.join(
+        scratch.repo_root(), ".scratch",
+        f"ingest_stream_{sfx}_{spark.sparkContext.applicationId}",
+    )
+    scratch.reap(os.path.dirname(root), "ingest_stream_", keep=root)
+    out, ckpt = (os.path.join(root, d) for d in ("out", "ckpt"))
+    mt = scratch.data_mtime(sf_dir, "documents")
+    src = os.path.join(
+        scratch.repo_root(), ".scratch", f"ingest_src_{sfx}_m{mt}"
+    )
+    scratch.reap(os.path.dirname(src), "ingest_src_", keep=src)
+    if not os.path.exists(src):
+        import shutil
+
+        tmp = f"{src}.tmp{os.getpid()}"
+        first = new.filter(F.col("doc_id") % 20 == 0)
+        rest = new.filter(F.col("doc_id") % 20 != 0)
+        for batch in (first, rest, first):  # third = the re-send
+            batch.coalesce(1).write.mode("append").parquet(tmp)
+        try:
+            os.rename(tmp, src)
+        except OSError:  # a concurrent session won the publish race
+            shutil.rmtree(tmp, ignore_errors=True)
+    # two micro-batches: (first+rest), then the re-send alone — the
+    # re-send still crosses a batch boundary, so dropping it needs the
+    # STATE store, not just within-batch dedup; one fewer gate pass
+    # than one-file-per-trigger (each pass LSH-scans the corpus)
+    q = run_ingest_gate_stream(
+        spark, corpus, src, new.schema, out, ckpt,
+        BANDS, SHINGLE, INGEST_MAX_JACCARD,
+        max_files_per_trigger=2, name=f"ingate_q_{sfx}",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.option("basePath", out).parquet(f"{out}/batch=*").drop(
+        "batch"
+    )
+
+
 ORACLE_DEDUP_MINHASH_PAIRS = f"WITH {_CAND} SELECT doc_a, doc_b FROM cand"
 
 
@@ -695,6 +764,7 @@ QUERIES = {
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "ingest_gate": (q_ingest_gate, ORACLE_INGEST_GATE),
+    "stream_ingest_gate": (q_stream_ingest_gate, ORACLE_INGEST_GATE),
     "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, ORACLE_DEDUP_SIMHASH_PAIRS),

@@ -67,11 +67,18 @@ def run_ingest_gate_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = ingest_gate_stream(reader.parquet(src_dir), watermark)
 
+    # the standing corpus is sketched ONCE (eager checkpoint) and every
+    # micro-batch probes the same signature/set frames — without this
+    # each trigger re-sketched the whole corpus, and the gap grows
+    # linearly with batch count
+    state = DD.corpus_gate_state(corpus, bands, shingle)
+
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch_id)
         verdicts = DD.ingest_gate_verdicts(
-            corpus, batch_df.select("doc_id", "text"), bands, shingle, max_jaccard
+            corpus, batch_df.select("doc_id", "text"), bands, shingle,
+            max_jaccard, corpus_state=state,
         )
         verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 

@@ -144,6 +144,7 @@ HEADLINE = [
     "q13_order_count_distribution",
     "q18_large_orders",
     "q22_idle_customers",
+    "stream_ingest_gate",
 ]
 
 
