@@ -197,17 +197,39 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     corpus pass, which is what BPE costs at any scale — the sequences
     themselves never move, only pair COUNTS shuffle.
     """
+    spark = docs.sparkSession
+    merges, _final = _bpe_fit(
+        docs.select(bpe_seq_expr().alias("seq")), n_merges
+    )
+    return spark.createDataFrame(merges, "round int, merged string, freq long")
+
+
+def bpe_seq_expr() -> Column:
+    """The sentinel-delimited sequence encoding of `text`'s tokens."""
     from apachebeamkmeans_spark.functions import text as TXT
 
-    spark = docs.sparkSession
-    seq0 = F.concat_ws(
+    return F.concat_ws(
         "",
         F.transform(
             TXT.tokens(F.col("text")),
             lambda t: F.concat(F.lit("\t"), t, F.lit("\n")),
         ),
     )
-    cur = docs.select(seq0.alias("seq")).localCheckpoint(eager=False)
+
+
+def bpe_token_count(seq: Column) -> Column:
+    """Token count of a sentinel-delimited sequence (0 for empty/null)."""
+    return F.when(F.coalesce(seq, F.lit("")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.regexp_replace(seq, "^\t|\n$", ""), "\n\t"))
+    )
+
+
+def _bpe_fit(seq_df: DataFrame, n_merges: int):
+    """The shared BPE loop over a frame with a `seq` column (any other
+    columns ride through untouched): per round count adjacent wrapped
+    pairs, collect the 1-row argmax, rewrite every sequence with a
+    literal greedy replace. Returns (merge list, final merged frame)."""
+    cur = seq_df.localCheckpoint(eager=False)
     merges: list[tuple[int, str, int]] = []
     for rnd in range(1, n_merges + 1):
         tk = F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "\n\t")
@@ -231,12 +253,47 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
             break
         pat, n = best[0]["pair"], best[0]["n"]
         merges.append((rnd, pat.replace("\n\t", " ").strip("\t\n"), int(n)))
-        cur = cur.select(
-            F.replace(
-                F.col("seq"), F.lit(pat), F.lit(pat.replace("\n\t", " "))
-            ).alias("seq")
+        cur = cur.withColumn(
+            "seq",
+            F.replace(F.col("seq"), F.lit(pat), F.lit(pat.replace("\n\t", " "))),
         )
-    return spark.createDataFrame(merges, "round int, merged string, freq long")
+    return merges, cur
+
+
+def bpe_encode_stats(docs: DataFrame, n_merges: int = 3,
+                     group_col: str = "source") -> DataFrame:
+    """Tokenizer-compression readout — the CONSUMER of the iterated BPE
+    trainer: fit `n_merges` merges on the corpus, apply them (the same
+    greedy literal rewrites the trainer used, since `_bpe_fit` returns
+    the final merged sequences), and report per-`group_col` token
+    counts before/after with the compression ratio. This is the number
+    a tokenizer-training pipeline actually ships: how much sequence
+    length the learned vocabulary buys per source. The pre-merge count
+    rides through the fit as a passthrough column, so the readout is
+    ONE map-side-combined aggregate over the final merged frame."""
+    base = docs.select(group_col, bpe_seq_expr().alias("seq")).withColumn(
+        "__before", bpe_token_count(F.col("seq"))
+    )
+    _merges, merged = _bpe_fit(base, n_merges)
+    return (
+        merged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__before").alias("tokens_before"),
+            F.sum(bpe_token_count(F.col("seq"))).alias("tokens_after"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "tokens_before",
+            "tokens_after",
+            F.round(
+                F.col("tokens_after").cast("double")
+                / F.greatest(F.col("tokens_before"), F.lit(1)).cast("double"),
+                6,
+            ).alias("compression"),
+        )
+    )
 
 
 def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:

@@ -163,20 +163,46 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_train_merges(_docs(spark, sf_dir), n_merges=BPE_MERGES)
 
 
-def _oracle_bpe_train(n_merges: int = BPE_MERGES) -> str:
-    """Replays the identical rounds in DuckDB, statically unrolled:
+_BPE_TB, _BPE_NL = "chr(9)", "chr(10)"
+_BPE_JUNC = f"{_BPE_NL} || {_BPE_TB}"
+
+
+def _bpe_cnt_sql(seq: str) -> str:
+    """DuckDB token count of a sentinel sequence (0 for empty/null) —
+    the twin of `textstats.bpe_token_count`."""
+    TB, NL, junc = _BPE_TB, _BPE_NL, _BPE_JUNC
+    return (
+        f"CASE WHEN {seq} IS NULL OR {seq} = '' THEN 0 "
+        f"ELSE len(string_split(trim({seq}, {TB} || {NL}), {junc})) END"
+    )
+
+
+def _oracle_bpe_chain(n_merges: int, carry: list[str],
+                      derived: list[tuple[str, str]] = ()) -> str:
+    """The shared DuckDB replay of the BPE fit, statically unrolled:
     same whitespace-sentinel sequence encoding, same literal
     left-to-right `replace` merge, same (n DESC, pair ASC) argmax —
-    each round's winner is a 1-row CTE cross-joined onto the corpus."""
-    TB, NL = "chr(9)", "chr(10)"
-    junc = f"{NL} || {TB}"
-    parts = [
-        f"WITH t AS (SELECT {_TOKS} AS toks FROM documents), ",
-        f"d0 AS (SELECT array_to_string(list_transform(toks, "
-        f"tk -> {TB} || tk || {NL}), '') AS seq FROM t)",
-    ]
+    each round's winner is a 1-row CTE cross-joined onto the corpus.
+    `carry` columns from `documents` ride through every d CTE (the
+    `_bpe_fit` passthrough contract); `derived` adds (name, expr over
+    `seq`) columns computed on the PRE-merge sequences, e.g. the
+    original token count. Ends after d{n_merges}; callers append their
+    own final SELECT."""
+    TB, NL, junc = _BPE_TB, _BPE_NL, _BPE_JUNC
+    cols = "".join(f"{c}, " for c in carry)
+    d0name = "d0r" if derived else "d0"
+    d0 = (
+        f"{d0name} AS (SELECT {cols}array_to_string(list_transform(toks, "
+        f"tk -> {TB} || tk || {NL}), '') AS seq FROM t)"
+    )
+    if derived:
+        dcols = "".join(f"{expr} AS {name}, " for name, expr in derived)
+        d0 += f", d0 AS (SELECT {cols}{dcols}seq FROM d0r)"
+    carry = list(carry) + [name for name, _ in derived]
+    parts = [f"WITH t AS (SELECT {cols}{_TOKS} AS toks FROM documents), ", d0]
     for r in range(1, n_merges + 1):
         prev = f"d{r - 1}"
+        pcols = "".join(f"{prev}.{c}, " for c in carry)
         parts.append(
             f", p{r} AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM ("
             f"SELECT unnest([{TB} || tk[i] || {NL} || {TB} || tk[i + 1] || {NL}"
@@ -184,20 +210,119 @@ def _oracle_bpe_train(n_merges: int = BPE_MERGES) -> str:
             f" FROM (SELECT string_split(trim(seq, {TB} || {NL}), {junc}) AS tk"
             f" FROM {prev})) GROUP BY pair)"
             f", b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1)"
-            f", d{r} AS (SELECT replace({prev}.seq, b{r}.pair,"
+            f", d{r} AS (SELECT {pcols}replace({prev}.seq, b{r}.pair,"
             f" replace(b{r}.pair, {junc}, ' ')) AS seq FROM {prev}, b{r})"
         )
+    return "".join(parts)
+
+
+def _oracle_bpe_train(n_merges: int = BPE_MERGES) -> str:
+    TB, NL, junc = _BPE_TB, _BPE_NL, _BPE_JUNC
     sel = " UNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS round,"
         f" trim(replace(pair, {junc}, ' '), {TB} || {NL}) AS merged,"
         f" n AS freq FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    parts.append(f" SELECT round, merged, freq FROM ({sel}) ORDER BY round")
-    return "".join(parts)
+    return (
+        _oracle_bpe_chain(n_merges, [])
+        + f" SELECT round, merged, freq FROM ({sel}) ORDER BY round"
+    )
 
 
 ORACLE_BPE_TRAIN = _oracle_bpe_train()
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 3 learned BPE merges back to the corpus and report
+    per-source compression — the trainer's consumer."""
+    return TX.bpe_encode_stats(
+        _docs(spark, sf_dir), n_merges=BPE_MERGES, group_col="source"
+    )
+
+
+def _oracle_bpe_encode(n_merges: int = BPE_MERGES) -> str:
+    cnt = _bpe_cnt_sql
+    # __before is computed on d0's sequences and carried through the
+    # merge rounds, mirroring the _bpe_fit passthrough
+    chain = _oracle_bpe_chain(
+        n_merges, ["source"], derived=[("__before", cnt("seq"))]
+    )
+    return chain + f"""
+ SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(__before) AS BIGINT) AS tokens_before,
+        CAST(sum({cnt('seq')}) AS BIGINT) AS tokens_after,
+        round(CAST(sum({cnt('seq')}) AS DOUBLE)
+              / greatest(CAST(sum(__before) AS BIGINT), 1), 6) AS compression
+ FROM d{n_merges}
+ GROUP BY source
+"""
+
+
+ORACLE_BPE_ENCODE = _oracle_bpe_encode()
+
+
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard — the roll-up a data-curation
+    team reads every morning: document count, exact-duplicate count and
+    rate (docs whose md5(text) appears more than once ANYWHERE in the
+    corpus, so cross-source duplication is charged to every source
+    holding a copy), mean quality score, language diversity, and total
+    token volume. One global hash-count aggregate broadcast back onto
+    the scan, then one grouped aggregate — no row ever leaves the
+    executor twice."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.functions import text as TXT
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    scored = docs.select(
+        "source",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("__h"),
+        TX.quality_expr().alias("__q"),
+        F.size(TXT.tokens(F.col("text"))).alias("__nt"),
+    ).join(counts, "__h")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__c") > 1).cast("long")).alias("n_exact_dups"),
+            F.round(
+                F.sum((F.col("__c") > 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(F.avg("__q"), 6).alias("avg_quality"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("__nt").alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_CORPUS_HEALTH = f"""
+WITH t AS (SELECT doc_id, text, source, lang, {_TOKS} AS toks FROM documents),
+c AS (SELECT md5(text) AS h, count(*) AS cnt FROM documents GROUP BY 1),
+s AS (SELECT t.source, t.lang, {_SCORE} AS q, len(toks) AS nt,
+             (c.cnt > 1) AS isdup
+      FROM t JOIN c ON md5(t.text) = c.h)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       round(CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+       round(avg(q), 6) AS avg_quality,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens
+FROM s
+GROUP BY source
+"""
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,6 +929,8 @@ QUERIES = {
     "token_frequencies": (q_token_frequencies, ORACLE_TOKEN_FREQUENCIES),
     "bpe_pair_stats": (q_bpe_pair_stats, ORACLE_BPE_PAIR_STATS),
     "bpe_train": (q_bpe_train, ORACLE_BPE_TRAIN),
+    "bpe_encode": (q_bpe_encode, ORACLE_BPE_ENCODE),
+    "corpus_health": (q_corpus_health, ORACLE_CORPUS_HEALTH),
     "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
     "lang_temperature_sample": (q_lang_temperature_sample, ORACLE_LANG_TEMPERATURE_SAMPLE),
     "doc_fingerprints": (q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS),

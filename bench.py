@@ -145,6 +145,8 @@ HEADLINE = [
     "q18_large_orders",
     "q22_idle_customers",
     "stream_ingest_gate",
+    "bpe_encode",
+    "corpus_health",
 ]
 
 
