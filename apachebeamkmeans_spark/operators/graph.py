@@ -100,28 +100,39 @@ def label_propagation(
     partial, and a per-node window over ≤ distinct-labels rows; label
     state is one row per labeled node, lineage truncated per round.
     Nothing is ever collected to the driver."""
-    from pyspark.sql import Window
-
     labels = seeds.select(
         "vec_id", "label", F.lit(0).alias("rnd")
     ).localCheckpoint(eager=False)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("twt"), F.asc("label"))
     for r in range(1, rounds + 1):
-        votes = (
-            edges.join(
-                labels.select(F.col("vec_id").alias("nbr_id"), "label"), "nbr_id"
-            )
-            .join(labels.select("vec_id"), "vec_id", "left_anti")
-            .groupBy("vec_id", "label")
-            .agg(F.sum("wt").alias("twt"))
-        )
-        new = (
-            votes.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "label", F.lit(r).alias("rnd"))
+        new = propagation_round(edges, labels).select(
+            "vec_id", "label", F.lit(r).alias("rnd")
         )
         labels = labels.unionByName(new).localCheckpoint(eager=False)
     return labels.select("vec_id", "label", F.col("rnd").cast("int").alias("rnd"))
+
+
+def propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One propagation round: edge⋈state join, unlabeled-frontier
+    anti-join, map-side-combined (node, label) vote sum, per-node
+    argmax window. Exposed so the plan shape is lockable in
+    tests/test_plans.py (the loop's localCheckpoint truncates the
+    visible plan to an RDD scan)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("twt"), F.asc("label"))
+    votes = (
+        edges.join(
+            labels.select(F.col("vec_id").alias("nbr_id"), "label"), "nbr_id"
+        )
+        .join(labels.select("vec_id"), "vec_id", "left_anti")
+        .groupBy("vec_id", "label")
+        .agg(F.sum("wt").alias("twt"))
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label")
+    )
 
 
 def label_propagation_oracle_ctes(

@@ -308,3 +308,64 @@ def test_interpolate_single_window_node(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_q7_all_dims_broadcast_no_sortmerge(spark, sf_dir):
+    """Q7's two nation paths (supplier side, customer side) and both
+    dim joins must all be broadcast — the only permissible shuffle is
+    the final aggregate (plus AQE's fact-fact key exchange); a
+    SortMergeJoin anywhere means a dimension lost its broadcast and
+    the fact table would shuffle per dim at 100 TB."""
+    from apachebeamkmeans_spark.queries_relational import q_nation_trade
+
+    plan = X.formatted_plan(q_nation_trade(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert X.has_pushed_filter(q_nation_trade(spark, sf_dir), "n_name")
+
+
+def test_q18_having_aggregate_then_broadcast_back(spark, sf_dir):
+    """The qualifying order keys (a HAVING-filtered aggregate, a
+    handful of rows) must broadcast back onto orders — re-shuffling
+    orders against lineitem to apply a tiny filter is the anti-plan."""
+    from apachebeamkmeans_spark.queries_relational import q_large_orders
+
+    plan = X.formatted_plan(q_large_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pair_count_is_partially_aggregated(spark, sf_dir):
+    """Each BPE round's only shuffle is the map-side-combined pair
+    count; the merge rewrite itself must stay a narrow map (zero
+    exchanges below the replace projection)."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators.textstats import (
+        bpe_seq_expr,
+        bpe_token_count,
+    )
+
+    docs = io.read_table(spark, sf_dir, "documents")
+    seqs = docs.select(bpe_seq_expr().alias("seq"))
+    rewritten = seqs.select(
+        F.replace(F.col("seq"), F.lit("\ta\n\tb\n"), F.lit("\ta b\n")).alias("seq")
+    ).select(bpe_token_count(F.col("seq")).alias("n"))
+    assert X.n_exchanges(rewritten) == 0
+
+
+def test_label_propagation_round_is_one_join_one_agg(spark):
+    """One propagation round = edge⋈state join + vote aggregate +
+    argmax window; the vote count must be partially aggregated (the
+    map-side combine is what keeps hot nodes from shipping every
+    incident edge to one task)."""
+    from apachebeamkmeans_spark.operators.graph import propagation_round
+
+    edges = spark.createDataFrame(
+        [(1, 0, 10), (2, 1, 5)], "vec_id long, nbr_id long, wt long"
+    )
+    labels = spark.createDataFrame(
+        [(0, 7, 0)], "vec_id long, label int, rnd int"
+    )
+    out = propagation_round(edges, labels)
+    assert X.has_partial_aggregate(out)
