@@ -273,15 +273,17 @@ def _warn_if_not_train_sf(sf_dir: str, name: str) -> None:
         )
 
 
-_KNN_QUANTIZER_MEMO: dict[tuple[str, int, int, str, float], list[list[float]]] = {}
+_KNN_QUANTIZER_MEMO: dict[tuple[str, int, int, str, str], list[list[float]]] = {}
 
 
-def _quantizer_artifact_path(sf_dir: str, k: int, mtime: float) -> str:
+def _quantizer_artifact_path(sf_dir: str, k: int, fp: str) -> str:
     """On-disk home of the trained quantizer: one parquet FILE per
-    (sf, k, iters, embeddings mtime) under `.scratch/`. The mtime in
-    the name is the staleness key — regenerated data at a reused path
-    misses and retrains (same rule as the dedup pair cache); stale
-    generations are reaped on entry."""
+    (sf, k, iters, embeddings CONTENT fingerprint) under `.scratch/`.
+    The fingerprint in the name is the staleness key — regenerated data
+    with identical bytes reads through (r7 verdict item 2: the mtime
+    key made every driver round's first consumer retrain ~6 s for
+    nothing), while any real data change still misses and retrains;
+    stale generations are reaped on entry."""
     import hashlib
 
     from apachebeamkmeans_spark import scratch
@@ -291,7 +293,7 @@ def _quantizer_artifact_path(sf_dir: str, k: int, mtime: float) -> str:
     ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     path = os.path.join(
         scratch.repo_root(), ".scratch",
-        f"knn_quantizer_{sfx}_{ph}_k{k}_i{KNN_TRAIN_ITERS}_m{int(mtime)}.parquet",
+        f"knn_quantizer_{sfx}_{ph}_k{k}_i{KNN_TRAIN_ITERS}_f{fp}.parquet",
     )
     scratch.reap(os.path.dirname(path), "knn_quantizer_", keep=path)
     return path
@@ -350,18 +352,18 @@ def _knn_quantizer(base, sf_dir: str, k: int) -> list[list[float]]:
     rounded O(k·dim) matrix the memo held. Training cost itself stays
     measured by `sim_ivf_train`; staleness invalidation is tested in
     tests/test_quantizer_artifact.py."""
+    from apachebeamkmeans_spark import scratch
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
-    # the data's mtime joins the key so regenerated data at a reused
-    # path cannot serve a stale quantizer (r6 review finding); missing
-    # path → 0 keys the synthetic-frame/test case harmlessly
-    try:
-        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
-    except OSError:
-        mtime = 0.0
-    key = (os.path.abspath(sf_dir), k, KNN_TRAIN_ITERS, "knn", mtime)
+    # the data's CONTENT fingerprint joins the key so regenerated data
+    # at a reused path cannot serve a stale quantizer (r6 review
+    # finding) while byte-identical regeneration reads through (r7
+    # verdict item 2); missing path → "0" keys the synthetic-frame/test
+    # case harmlessly
+    fp = scratch.data_fingerprint(sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), k, KNN_TRAIN_ITERS, "knn", fp)
     if key not in _KNN_QUANTIZER_MEMO:
-        art = _quantizer_artifact_path(sf_dir, k, mtime)
+        art = _quantizer_artifact_path(sf_dir, k, fp)
         centers = _read_quantizer_artifact(art, k)
         if centers is None:
             centers = ANN.round_mat(ANN.ivf_train(base, k, KNN_TRAIN_ITERS, "knn"))
@@ -950,22 +952,36 @@ def _knn_edges(spark: SparkSession, sf_dir: str):
     and consumed by many downstream jobs (label spread, link-based
     dedup, recommendation), so consumers read the staged parquet
     instead of re-running the LSH-cell self-join per consumer. Keyed by
-    the embeddings mtime (regenerated data rebuilds), reaped past the
-    TTL; `sim_knn_graph` itself stays live so the join cost is still
-    measured every round."""
+    the embeddings CONTENT fingerprint (real data changes rebuild,
+    byte-identical regeneration reads through — r7 verdict item 2),
+    reaped past the TTL; `sim_knn_graph` itself stays live so the join
+    cost is still measured every round. Published ATOMICALLY (write to
+    a pid-suffixed tmp dir, os.rename into place — the quantizer-
+    artifact pattern, r7 advice): concurrent sessions sharing the
+    checkout can both miss, but a reader can never observe a
+    partially-written stage, and the losing writer's rename failure is
+    a benign lost race."""
     import hashlib
+    import shutil
 
     from apachebeamkmeans_spark import scratch
 
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    mt = scratch.data_mtime(sf_dir, "embeddings")
+    fp = scratch.data_fingerprint(sf_dir, "embeddings")
     path = os.path.join(
-        scratch.repo_root(), ".scratch", f"knn_edges_{sfx}_{ph}_m{mt}"
+        scratch.repo_root(), ".scratch", f"knn_edges_{sfx}_{ph}_f{fp}"
     )
     scratch.reap(os.path.dirname(path), "knn_edges_", keep=path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        io.write_parquet(q_sim_knn_graph(spark, sf_dir), path)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        io.write_parquet(q_sim_knn_graph(spark, sf_dir), tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # concurrent session won the publish race; its stage is
+            # complete (rename is atomic) — discard ours and read theirs
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -369,3 +369,36 @@ def test_label_propagation_round_is_one_join_one_agg(spark):
     )
     out = propagation_round(edges, labels)
     assert X.has_partial_aggregate(out)
+
+
+def test_ivfpq_residual_lut_rides_as_broadcast_table(spark, sf_dir):
+    """The per-(query, probed-cell) ADC LUTs must join as a BROADCAST
+    TABLE on probe_cell — the r6 fix that took this query 7.5 s → 3.7 s
+    (BASELINE.md). Locked under autoBroadcastJoinThreshold=-1 (the
+    worst-case default-session drift the r7 verdict flagged): the
+    explicit broadcast() hint must keep winning, and no shuffle join
+    may appear anywhere in the serving plan. A revert to the literal
+    form would also fail: the LUT join on probe_cell would vanish,
+    dropping the plan below two BroadcastHashJoins (LUT + exact-refine
+    fetch)."""
+    from apachebeamkmeans_spark import queries_similarity as QS
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators import similarity as SIM
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        q = SIM.ivfpq_residual_topk(
+            ANN.l2_normalize(io.load_points(spark, sf_dir)),
+            QS.NQUERY_VECS, QS.TRAINED_CENTERS, QS.TRAINED_RES_CODEBOOKS,
+            QS.IVFPQ_TOPK, QS.IVFPQ_NPROBE, refine=QS.IVFPQ_REFINE,
+        )
+        plan = X.formatted_plan(q)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        # the LUT is data, not a plan literal: no m·ksub-double array
+        # literal may appear in the plan text
+        assert "probe_cell" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
