@@ -246,6 +246,24 @@ def corpus_gate_state(corpus: DataFrame, bands: int = 8,
     return sigs, sets
 
 
+def gate_state_append(state: tuple[DataFrame, DataFrame], accepted: DataFrame,
+                      bands: int = 8, shingle: int = 3
+                      ) -> tuple[DataFrame, DataFrame]:
+    """Fold an ACCEPTED batch into the standing gate state — the
+    dedup-signature analog of the ANN index's append path (r7 verdict
+    item 4: a continuous-crawl gate must check batch N+1 against what
+    batch N admitted, not only the day-one corpus). Only the INCREMENT
+    is sketched and checkpointed (batch-sized, via
+    `corpus_gate_state`); the standing frames are reused as-is, so the
+    fold is an O(batch) plan-union, never an O(corpus) rewrite — at
+    cluster scale this is an append to the persisted
+    signature/shingle tables. The union plan deepens by one node per
+    fold, bounded by the trigger count between restarts."""
+    sigs, sets = state
+    add_sigs, add_sets = corpus_gate_state(accepted, bands, shingle)
+    return sigs.unionByName(add_sigs), sets.unionByName(add_sets)
+
+
 def ingest_gate_verdicts(corpus: DataFrame, new: DataFrame, bands: int = 8,
                          shingle: int = 3,
                          max_jaccard: float = 0.5,

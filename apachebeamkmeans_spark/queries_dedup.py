@@ -7,6 +7,8 @@ Hamming≤2 SimHash pairs, ~170 cosine≥0.2 embedding pairs).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from apachebeamkmeans_spark import oraclegen as OG
@@ -252,6 +254,47 @@ LEFT JOIN p ON d.doc_id = p.new_id
 """
 
 
+def _stream_scratch_roots(spark: SparkSession, sf_dir: str, tag: str,
+                          batches) -> tuple[str, str, str]:
+    """Scratch plumbing shared by the streaming-gate queries: returns
+    (src, out, ckpt). The STAGED SOURCE is keyed by the documents
+    CONTENT fingerprint and published atomically (tmp + rename), so
+    later sessions skip the staging writes and regenerated-identical
+    data reads through; out/ckpt are keyed by the SAME fingerprint
+    plus the applicationId — r7 advice (medium): a root keyed only by
+    applicationId survives a mid-session data regeneration, and the
+    restarted stream would ingest the new src dir's files as extra
+    batches on top of the old checkpoint, unioning stale verdict rows
+    into the batch=* read. Fingerprint in both names keeps src and
+    out/ckpt generations in lockstep."""
+    import os
+    import shutil
+
+    from apachebeamkmeans_spark import scratch
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    fp = scratch.data_fingerprint(sf_dir, "documents")
+    root = os.path.join(
+        scratch.repo_root(), ".scratch",
+        f"ingest_stream_{tag}_{sfx}_f{fp}_{spark.sparkContext.applicationId}",
+    )
+    scratch.reap(os.path.dirname(root), "ingest_stream_", keep=root)
+    out, ckpt = (os.path.join(root, d) for d in ("out", "ckpt"))
+    src = os.path.join(
+        scratch.repo_root(), ".scratch", f"ingest_src_{tag}_{sfx}_f{fp}"
+    )
+    scratch.reap(os.path.dirname(src), "ingest_src_", keep=src)
+    if not os.path.exists(src):
+        tmp = f"{src}.tmp{os.getpid()}"
+        for batch in batches:
+            batch.coalesce(1).write.mode("append").parquet(tmp)
+        try:
+            os.rename(tmp, src)
+        except OSError:  # a concurrent session won the publish race
+            shutil.rmtree(tmp, ignore_errors=True)
+    return src, out, ckpt
+
+
 def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING ingest gate driven to completion and certified by
     the exact batch oracle (`ORACLE_INGEST_GATE`): the arriving docs
@@ -262,12 +305,10 @@ def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing corpus via the shared `ingest_gate_verdicts` body
     (`streaming/ingest.py`). Equality with the batch gate is exactly
     the claim: same verdicts, each doc gated once, re-sends absorbed.
-    Scratch is per-(sf, applicationId), reaped past the TTL."""
-    import os
-
+    Scratch is per-(sf, data fingerprint, applicationId), reaped past
+    the TTL."""
     from pyspark.sql import functions as F
 
-    from apachebeamkmeans_spark import scratch
     from apachebeamkmeans_spark.streaming.ingest import run_ingest_gate_stream
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -275,38 +316,16 @@ def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "ts", F.to_timestamp(F.lit("2025-01-01 00:00:00"))
     )
-    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    # out/ckpt are per-session (a restarted stream must not share a
-    # live session's checkpoint); the STAGED SOURCE is per data
-    # generation and published atomically, so later sessions skip the
-    # three staging writes entirely
-    root = os.path.join(
-        scratch.repo_root(), ".scratch",
-        f"ingest_stream_{sfx}_{spark.sparkContext.applicationId}",
+    first = new.filter(F.col("doc_id") % 20 == 0)
+    rest = new.filter(F.col("doc_id") % 20 != 0)
+    src, out, ckpt = _stream_scratch_roots(
+        spark, sf_dir, "gate", (first, rest, first)  # third = the re-send
     )
-    scratch.reap(os.path.dirname(root), "ingest_stream_", keep=root)
-    out, ckpt = (os.path.join(root, d) for d in ("out", "ckpt"))
-    mt = scratch.data_mtime(sf_dir, "documents")
-    src = os.path.join(
-        scratch.repo_root(), ".scratch", f"ingest_src_{sfx}_m{mt}"
-    )
-    scratch.reap(os.path.dirname(src), "ingest_src_", keep=src)
-    if not os.path.exists(src):
-        import shutil
-
-        tmp = f"{src}.tmp{os.getpid()}"
-        first = new.filter(F.col("doc_id") % 20 == 0)
-        rest = new.filter(F.col("doc_id") % 20 != 0)
-        for batch in (first, rest, first):  # third = the re-send
-            batch.coalesce(1).write.mode("append").parquet(tmp)
-        try:
-            os.rename(tmp, src)
-        except OSError:  # a concurrent session won the publish race
-            shutil.rmtree(tmp, ignore_errors=True)
     # two micro-batches: (first+rest), then the re-send alone — the
     # re-send still crosses a batch boundary, so dropping it needs the
     # STATE store, not just within-batch dedup; one fewer gate pass
     # than one-file-per-trigger (each pass LSH-scans the corpus)
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     q = run_ingest_gate_stream(
         spark, corpus, src, new.schema, out, ckpt,
         BANDS, SHINGLE, INGEST_MAX_JACCARD,
@@ -319,6 +338,116 @@ def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("basePath", out).parquet(f"{out}/batch=*").drop(
         "batch"
     )
+
+
+# doc_id offset for the third (copy) batch of the folding stream —
+# far above any testdata doc_id, so copy ids never collide with the
+# corpus or the first-arrival batches.
+FOLD_OFFSET = 10_000_000
+
+
+def q_stream_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS-CRAWL streaming gate (r7 verdict item 4): like
+    `stream_ingest_gate`, but each committed micro-batch's ACCEPTED
+    docs fold their MinHash signatures and shingle sets into the
+    standing gate state (`fold_accepted=True` →
+    `dedup.gate_state_append`), so later batches are gated against
+    everything earlier batches admitted — not just the day-one corpus.
+    Three single-file triggers: batch 1 = every 20th doc, batch 2 =
+    the other half of the arriving set, batch 3 = verbatim COPIES of
+    batch 1 under fresh doc_ids (+`FOLD_OFFSET`). Without the fold,
+    batch 3's copies would sail through wherever their originals did;
+    with it, every copy of an ACCEPTED batch-1 doc must be rejected
+    at Jaccard 1.0. Certified against a DuckDB oracle that replays
+    the identical arrival order batch by batch (state_k = corpus ∪
+    accepted batches < k)."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.streaming.ingest import run_ingest_gate_stream
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "ts", F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+    )
+    b1 = new.filter(F.col("doc_id") % 20 == 0)
+    b2 = new.filter(F.col("doc_id") % 20 != 0)
+    b3 = b1.withColumn("doc_id", F.col("doc_id") + F.lit(FOLD_OFFSET))
+    src, out, ckpt = _stream_scratch_roots(spark, sf_dir, "fold", (b1, b2, b3))
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    q = run_ingest_gate_stream(
+        spark, corpus, src, new.schema, out, ckpt,
+        BANDS, SHINGLE, INGEST_MAX_JACCARD,
+        max_files_per_trigger=1, name=f"infold_q_{sfx}",
+        fold_accepted=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.option("basePath", out).parquet(f"{out}/batch=*").drop(
+        "batch"
+    )
+
+
+def _oracle_ingest_fold() -> str:
+    """DuckDB replay of the folding gate in arrival order: per batch k,
+    candidates come from banded-MinHash matches between batch-k docs
+    and state_k = corpus ∪ accepted(batch<k), verified by exact
+    Jaccard, aggregated per arriving doc. Batch membership and state
+    membership are doc_id predicates over one union relation `u`
+    (copies live above FOLD_OFFSET, so the predicates are disjoint)."""
+    jac = (
+        "round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)"
+        " / (len(a.sh) + len(b.sh)"
+        " - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6)"
+    )
+    p_corpus = f"doc_id % 10 <> 0 AND doc_id < {FOLD_OFFSET}"
+    p_b = {
+        1: f"doc_id % 20 = 0 AND doc_id < {FOLD_OFFSET}",
+        2: f"doc_id % 10 = 0 AND doc_id % 20 <> 0 AND doc_id < {FOLD_OFFSET}",
+        3: f"doc_id >= {FOLD_OFFSET}",
+    }
+    parts = [f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {FOLD_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 20 = 0
+),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM u),
+s AS (SELECT doc_id, {_SH} AS sh FROM t),
+m AS MATERIALIZED (SELECT doc_id, {_MH} FROM s),
+sets AS MATERIALIZED (SELECT doc_id, list_distinct(sh) AS sh FROM s)"""]
+    acc_terms: list[str] = []
+    for k in (1, 2, 3):
+        state = f"({p_corpus.replace('doc_id', 'a.doc_id')})"
+        for j in range(1, k):
+            state += f" OR a.doc_id IN (SELECT doc_id FROM acc{j})"
+        parts.append(f""",
+c{k} AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
+        FROM m a JOIN m b
+        ON ({state}) AND ({p_b[k].replace('doc_id', 'b.doc_id')})
+           AND ({_MH_MATCH})),
+vv{k} AS (SELECT c.new_id, {jac} AS j
+         FROM c{k} c JOIN sets a ON c.new_id = a.doc_id
+                     JOIN sets b ON c.corpus_id = b.doc_id),
+p{k} AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n, max(j) AS mj
+        FROM vv{k} GROUP BY 1),
+v{k} AS MATERIALIZED (SELECT d.doc_id,
+        coalesce(p.n, 0) AS n_candidates,
+        coalesce(p.mj, 0.0) AS max_jaccard,
+        coalesce(p.mj, 0.0) < {INGEST_MAX_JACCARD} AS accept
+        FROM (SELECT doc_id FROM u WHERE {p_b[k]}) d
+        LEFT JOIN p{k} p ON d.doc_id = p.new_id),
+acc{k} AS (SELECT doc_id FROM v{k} WHERE accept)""")
+    parts.append(
+        "\nSELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3"
+    )
+    return "".join(parts)
+
+
+ORACLE_STREAM_INGEST_FOLD = _oracle_ingest_fold()
 
 
 ORACLE_DEDUP_MINHASH_PAIRS = f"WITH {_CAND} SELECT doc_a, doc_b FROM cand"
@@ -765,6 +894,7 @@ QUERIES = {
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "ingest_gate": (q_ingest_gate, ORACLE_INGEST_GATE),
     "stream_ingest_gate": (q_stream_ingest_gate, ORACLE_INGEST_GATE),
+    "stream_ingest_fold": (q_stream_ingest_fold, ORACLE_STREAM_INGEST_FOLD),
     "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, ORACLE_DEDUP_SIMHASH_PAIRS),

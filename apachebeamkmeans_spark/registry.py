@@ -30,6 +30,20 @@ QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # oracle-checks per round.
 CERT_WINDOW = 50
 
+# Queries whose SEMANTICS (implementation + oracle together) changed
+# in a given round: until they have a value-green driver row from that
+# round or later, they sort with the never-certified cohort — a green
+# row recorded against the OLD semantics must not let the new form
+# skip re-certification. Entries age out naturally (once re-certified
+# they sort normally) but should be pruned when clearly stale.
+SEMANTICS_CHANGED: dict[str, int] = {
+    # r8: BPE retargeted to the word-frequency table (50 char merges),
+    # corpus_health NULL-text normalization
+    "bpe_train": 8,
+    "bpe_encode": 8,
+    "corpus_health": 8,
+}
+
 
 def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -87,7 +101,11 @@ def certification_order(
         if sql is None:
             return (2, 0, name)
         g = green.get(name)
-        if g is None or seen.get(name, 0) > g:
+        if (
+            g is None
+            or seen.get(name, 0) > g
+            or g < SEMANTICS_CHANGED.get(name, 0)
+        ):
             return (0, 0, name)
         return (1, g, name)
 

@@ -56,12 +56,29 @@ def run_ingest_gate_stream(
     max_files_per_trigger: int | None = None,
     name: str = "ingest_gate_stream",
     on_batch=None,
+    fold_accepted: bool = False,
 ):
     """Start the gate: file stream of new-doc batches → within-stream
     dedup → per-micro-batch verdicts vs `corpus` → one parquet
     directory per batch id under `out_dir`. Returns the running query
     (caller drives/stops it); restart with the same checkpoint resumes
-    without reprocessing committed batches."""
+    without reprocessing committed batches.
+
+    `fold_accepted=True` closes the continuous-crawl loop (r7 verdict
+    item 4): after each micro-batch commits, its ACCEPTED docs'
+    signatures/shingle sets are folded into the standing gate state
+    (`dedup.gate_state_append` — an O(batch) increment), so batch N+1
+    is gated against everything batch ≤N admitted. The accepted set is
+    read back from the batch's own committed sink directory, not from
+    the lazy plan, so a checkpoint-replayed batch folds exactly what
+    it originally wrote. With False (default) the gate stays a static
+    filter against the day-one corpus — the right mode when dedup
+    targets a curated reference set rather than the growing crawl.
+    Restart caveat: the fold state is rebuilt from `corpus` on stream
+    start; at cluster scale the signature/shingle tables are persisted
+    and appended, which survives restarts — here committed batches are
+    not re-folded after a restart (the in-session contract the
+    3-trigger test certifies)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -71,16 +88,26 @@ def run_ingest_gate_stream(
     # micro-batch probes the same signature/set frames — without this
     # each trigger re-sketched the whole corpus, and the gap grows
     # linearly with batch count
-    state = DD.corpus_gate_state(corpus, bands, shingle)
+    state_box = [DD.corpus_gate_state(corpus, bands, shingle)]
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch_id)
+        batch_docs = batch_df.select("doc_id", "text")
         verdicts = DD.ingest_gate_verdicts(
-            corpus, batch_df.select("doc_id", "text"), bands, shingle,
-            max_jaccard, corpus_state=state,
+            corpus, batch_docs, bands, shingle,
+            max_jaccard, corpus_state=state_box[0],
         )
         verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if fold_accepted:
+            accepted_ids = (
+                batch_df.sparkSession.read.parquet(f"{out_dir}/batch={batch_id}")
+                .filter("accept").select("doc_id")
+            )
+            accepted = batch_docs.join(accepted_ids, "doc_id")
+            state_box[0] = DD.gate_state_append(
+                state_box[0], accepted, bands, shingle
+            )
 
     return (
         stream.writeStream.outputMode("append")

@@ -145,6 +145,7 @@ HEADLINE = [
     "q18_large_orders",
     "q22_idle_customers",
     "stream_ingest_gate",
+    "stream_ingest_fold",
     "bpe_encode",
     "corpus_health",
 ]

@@ -40,3 +40,27 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert best == {0: "alpha", 1: "beta", 2: "gamma"}
     r0 = next(r for r in top if r["doc_id"] == 0)
     assert r0["tf"] == 3 and abs(r0["tfidf"] - 9.0) < 1e-9 and r0["rank"] == 1
+
+
+def test_corpus_health_counts_null_text_docs(spark, monkeypatch):
+    """NULL-text documents must appear in every corpus-health counter
+    (r7 advice: md5(NULL) is NULL, and a NULL join key silently dropped
+    exactly the malformed rows a health dashboard exists to surface)."""
+    import apachebeamkmeans_spark.queries_text as QT
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1", "en"),
+            (2, None, "s1", "en"),
+            (3, None, "s1", "de"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    monkeypatch.setattr(QT, "_docs", lambda _s, _d: df)
+    out = {r["source"]: r for r in QT.q_corpus_health(spark, "ignored").collect()}
+    row = out["s1"]
+    assert row["n_docs"] == 3
+    # the two NULL-text docs normalize to '' and are exact dups of each
+    # other — the dashboard counts them, it does not hide them
+    assert row["n_exact_dups"] == 2
+    assert row["n_langs"] == 2

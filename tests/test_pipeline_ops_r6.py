@@ -46,31 +46,51 @@ def test_bpe_pair_tie_break_and_limit(spark):
 
 
 def test_bpe_train_merges_known_corpus(spark):
+    # char-level BPE on the word-frequency table: vocab {the:3, cat:3,
+    # sat:2, ran:1}; r1's best pair is (a,t) — 'cat'×3 + 'sat'×2 = 5;
+    # r2 ties at 3 between (c,'a t'), (t,h), (h,e) → pair-text
+    # tie-break (\tc… < \th… < \tt…) picks (c,'a t')
     out = TX.bpe_train_merges(
-        _docs(spark, ["the cat sat", "the cat ran", "the cat sat"]), n_merges=3
+        _docs(spark, ["the cat sat", "the cat ran", "the cat sat"]), n_merges=2
     ).collect()
-    # r1: 'the cat' x3 beats 'cat sat' x2; r2: merged token pairs with
-    # 'sat' twice; r3: only ('the cat', 'ran') remains
     assert [(r["round"], r["merged"], r["freq"]) for r in out] == [
-        (1, "the cat", 3),
-        (2, "the cat sat", 2),
-        (3, "the cat ran", 1),
+        (1, "a t", 5),
+        (2, "c a t", 3),
     ]
 
 
 def test_bpe_train_merge_is_greedy_left_to_right(spark):
-    # counting sees both (1,2) and (2,3) in 'a a a' (freq 4 over two
-    # docs), but the REWRITE is greedy left-to-right: tokens 1-2 merge
-    # and the result never re-merges with token 3
-    out = TX.bpe_train_merges(_docs(spark, ["a a a", "a a a"]), n_merges=2).collect()
+    # counting sees both (1,2) and (2,3) in 'aaa' (2 positions × cnt 2
+    # = 4), but the REWRITE is greedy left-to-right: chars 1-2 merge
+    # and the result never re-merges with char 3
+    out = TX.bpe_train_merges(_docs(spark, ["aaa", "aaa"]), n_merges=2).collect()
     assert (out[0]["round"], out[0]["merged"], out[0]["freq"]) == (1, "a a", 4)
-    # after the greedy rewrite each doc is ['a a', 'a'] → pair
-    # ('a a', 'a') twice
+    # after the greedy rewrite the word is ['a a', 'a'] → pair
+    # ('a a', 'a') once per vocab entry, weighted by cnt 2
     assert (out[1]["round"], out[1]["merged"], out[1]["freq"]) == (2, "a a a", 2)
 
 
-def test_bpe_train_empty_and_short_docs(spark):
-    assert TX.bpe_train_merges(_docs(spark, ["", "solo"]), n_merges=3).collect() == []
+def test_bpe_train_stops_when_pairs_exhausted(spark):
+    # 'ab' fuses to one symbol in round 1; round 2 finds no pairs and
+    # the loop breaks — n_merges is a cap, not a promise
+    out = TX.bpe_train_merges(_docs(spark, ["ab ab", "ab"]), n_merges=5).collect()
+    assert [(r["round"], r["merged"], r["freq"]) for r in out] == [(1, "a b", 3)]
+
+
+def test_bpe_train_empty_docs(spark):
+    assert TX.bpe_train_merges(_docs(spark, ["", "  "]), n_merges=3).collect() == []
+
+
+def test_bpe_apply_merges_matches_fit(spark):
+    # the encoder path (apply an already-learned merge list, no pair
+    # counting) must reproduce the trainer's final vocab segmentation
+    docs = _docs(spark, ["the cat sat", "the cat ran", "the cat sat"])
+    vocab = TX.bpe_word_vocab(docs)
+    merges, final = TX._bpe_fit_vocab(vocab, 4)
+    applied = TX.bpe_apply_merges(vocab, [p for _r, _m, _f, p in merges])
+    lhs = sorted((r["word"], r["seq"]) for r in final.collect())
+    rhs = sorted((r["word"], r["seq"]) for r in applied.collect())
+    assert lhs == rhs
 
 
 # -------------------------------------------------- events_interpolate

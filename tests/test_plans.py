@@ -335,23 +335,30 @@ def test_q18_having_aggregate_then_broadcast_back(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_bpe_pair_count_is_partially_aggregated(spark, sf_dir):
-    """Each BPE round's only shuffle is the map-side-combined pair
-    count; the merge rewrite itself must stay a narrow map (zero
-    exchanges below the replace projection)."""
+def test_bpe_merge_rewrite_is_narrow_and_encode_applies_without_fit(spark):
+    """The vocab-table BPE shapes (r8): applying a learned merge list
+    is a NARROW vocab rewrite — zero exchanges beyond the one that
+    built the vocab — because the encoder must never re-pay pair
+    counting; and the per-round rewrite (replace projection + token
+    count) adds no exchange of its own."""
     from pyspark.sql import functions as F
 
     from apachebeamkmeans_spark.operators.textstats import (
-        bpe_seq_expr,
+        bpe_apply_merges,
         bpe_token_count,
+        bpe_word_vocab,
     )
 
-    docs = io.read_table(spark, sf_dir, "documents")
-    seqs = docs.select(bpe_seq_expr().alias("seq"))
-    rewritten = seqs.select(
-        F.replace(F.col("seq"), F.lit("\ta\n\tb\n"), F.lit("\ta b\n")).alias("seq")
-    ).select(bpe_token_count(F.col("seq")).alias("n"))
-    assert X.n_exchanges(rewritten) == 0
+    docs = spark.createDataFrame(
+        [(1, "ab ab ba"), (2, "ab ba")], "doc_id long, text string"
+    )
+    vocab = bpe_word_vocab(docs).localCheckpoint(eager=True)
+    applied = bpe_apply_merges(vocab, ["\ta\n\tb\n", "\tb\n\ta\n"]).select(
+        bpe_token_count(F.col("seq")).alias("n")
+    )
+    # the only exchange in scope was the vocab count, already
+    # materialized by the checkpoint — the apply chain is exchange-free
+    assert X.n_exchanges(applied) == 0
 
 
 def test_label_propagation_round_is_one_join_one_agg(spark):

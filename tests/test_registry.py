@@ -156,7 +156,13 @@ def test_live_window_prioritizes_stalest():
 
     def is_current_green(n):
         g = green.get(n)
-        return g is not None and seen.get(n, 0) <= g
+        return (
+            g is not None
+            and seen.get(n, 0) <= g
+            # a green row from before a semantics change does not count
+            # (the query re-sorts with the never-certified cohort)
+            and g >= registry.SEMANTICS_CHANGED.get(n, 0)
+        )
 
     green_in = [n for n in window if is_current_green(n)]
     green_out = [n for n in rest if qs[n][1] is not None and is_current_green(n)]

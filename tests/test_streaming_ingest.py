@@ -148,3 +148,43 @@ def test_ingest_gate_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     got = _read_verdicts(spark, out_dir)
     want = _batch_twin(corpus, new.unionByName(late_new))
     assert got == want and len(want) == new.count() + late_new.count()
+
+
+def test_fold_accepted_rejects_copy_of_earlier_accepted_batch(
+    spark, sf_dir, tmp_path
+):
+    """The continuous-crawl loop (r7 verdict item 4): with
+    fold_accepted=True, a batch-3 verbatim copy (fresh doc_id) of a
+    doc batch 1 ACCEPTED must be rejected at Jaccard 1.0 — the gate
+    state grew by what it admitted. Without the fold the copy would
+    sail through wherever its original did."""
+    src_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "ckpt")
+    )
+    corpus, new = _split(spark, sf_dir)
+    b1 = _with_ts(new.filter(F.col("doc_id") % 20 == 0))
+    b2 = _with_ts(new.filter(F.col("doc_id") % 20 != 0))
+    b3 = b1.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    for b in (b1, b2, b3):
+        b.coalesce(1).write.mode("append").parquet(src_dir)
+
+    q = run_ingest_gate_stream(
+        spark, corpus, src_dir, b1.schema, out_dir, ckpt,
+        BANDS, SHINGLE, MAXJ,
+        max_files_per_trigger=1, name="infold_t", fold_accepted=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _read_verdicts(spark, out_dir)
+    originals = {r["doc_id"] for r in b1.select("doc_id").collect()}
+    assert originals, "empty batch 1 — fixture regression"
+    folded_checked = 0
+    for oid in originals:
+        copy = got[oid + 10_000_000]
+        if got[oid][2]:  # original accepted → copy must hit it exactly
+            assert copy == (copy[0], 1.0, False), (oid, copy)
+            folded_checked += 1
+    assert folded_checked, "no accepted batch-1 doc to verify the fold with"
