@@ -857,15 +857,28 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation PAIR in either direction, by ship year — the same dimension
     (nation) joined twice through two different fact paths (supplier
     side and customer side), both broadcast; the only shuffles are the
-    orders⨝lineitem key exchange and the final 4-row aggregate."""
+    orders⨝lineitem key exchange and the final 4-row aggregate.
+
+    The nation-pair MEMBERSHIP (`n_name IN (N1, N2)`) is pushed into
+    both dim frames BEFORE the broadcast (r7 verdict item 5): the
+    inner joins then prune the fact to the two nations' suppliers/
+    customers early and the broadcast tables shrink to their
+    membership — previously every lineitem row survived both probes
+    before the pair filter dropped ~all of them, harmless at sf0.1
+    and pure waste at 100×. The direction predicate (which nation is
+    on which side) still applies after the joins, on the pre-pruned
+    survivors. Revenue sums in integer CENTS (r7 advice — the q9
+    pattern): order-independent across partitionings, so the oracle
+    can never flap on a partial-sum ulp."""
     n1, n2 = "NATION_1", "NATION_2"
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair_nations = nation.filter(F.col("n_name").isin(n1, n2))
     supp = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+        F.broadcast(pair_nations.withColumnRenamed("n_name", "supp_nation")),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", "supp_nation")
     cust = _t(spark, sf_dir, "customer").join(
-        F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+        F.broadcast(pair_nations.withColumnRenamed("n_name", "cust_nation")),
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).select("c_custkey", "cust_nation")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -875,18 +888,17 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         (F.col("supp_nation") == n1) & (F.col("cust_nation") == n2)
     ) | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            (F.sum(F.round(rev * 100).cast("long")) / 100.0).alias("revenue")
         )
     )
 
@@ -894,7 +906,8 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NATION_TRADE = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -967,7 +980,9 @@ GROUP BY 1, 2
 def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers who returned the most revenue in
     1996H1 — fact⨝fact on orderkey, customer/nation broadcast, top-20
-    TakeOrdered on the rounded measure with the key tie-break."""
+    TakeOrdered on the rounded measure with the key tie-break. Revenue
+    sums in integer cents (r7 advice — the q9 pattern), so neither the
+    values nor the ranking can flap on partial-sum order."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -981,8 +996,14 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 100
+                    ).cast("long")
+                )
+                / 100.0
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -992,7 +1013,8 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RETURNED_REVENUE = """
 SELECT c_custkey, c_name, n_name, c_acctbal,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1109,14 +1131,17 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            # integer cents (r7 advice, the q9 pattern): exact and
+            # order-independent across partitionings
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0
+             ).alias("totacctbal"),
         )
     )
 
 
 ORACLE_IDLE_CUSTOMERS = """
 SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
