@@ -199,7 +199,8 @@ def sql_assign_expr(centers: list[list[float]], p: float,
 
 def lloyd_fit(df: DataFrame, init_centers: list[list[float]], p: float,
               threshold: float, max_iter: int,
-              features_col: str = "features") -> tuple[list[list[float]], int]:
+              features_col: str = "features",
+              sse_log: list[float] | None = None) -> tuple[list[list[float]], int]:
     """The dynamic driver loop (SURVEY.md §2.6 C5): assign → recenter →
     converge, centers re-literalized each iteration.
 
@@ -224,6 +225,13 @@ def lloyd_fit(df: DataFrame, init_centers: list[list[float]], p: float,
     Empty clusters are re-seeded from the current farthest point
     (documented divergence from the reference, which silently shrank k —
     SURVEY.md §8.3).
+
+    `sse_log`: pass a list to receive the per-iteration SSE (sum over
+    points of the min distance to the CURRENT centers, measured at the
+    assignment step — squared for p=2, matching `sse()`); the extra
+    sum rides the same per-iteration aggregate, no extra job. Used by
+    the `kmeans_fit_clusters` property oracle (Lloyd's monotonic
+    descent is a theorem, so a non-increasing log certifies the loop).
     """
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.stat import Summarizer
@@ -239,12 +247,19 @@ def lloyd_fit(df: DataFrame, init_centers: list[list[float]], p: float,
     try:
         for _ in range(max_iter):
             n_iter += 1
-            rows = (
-                vpts.withColumn("center_id", sql_assign_expr(centers, p, features_col))
-                .groupBy("center_id")
-                .agg(*aggs)
-                .collect()
+            frame = vpts.withColumn(
+                "center_id", sql_assign_expr(centers, p, features_col)
             )
+            ag = aggs
+            if sse_log is not None:
+                frame = frame.withColumn(
+                    "__md",
+                    min_dist_col(F.col(features_col), centers, p, mode="hof"),
+                )
+                ag = aggs + [F.sum("__md").alias("__sse")]
+            rows = frame.groupBy("center_id").agg(*ag).collect()
+            if sse_log is not None:
+                sse_log.append(float(sum(r["__sse"] for r in rows)))
             by_id = {r["center_id"]: list(r["mean"]) for r in rows}
             new_centers: list[list[float] | None] = [by_id.get(i) for i in range(k)]
             for i in range(k):

@@ -443,8 +443,9 @@ FROM s1, sa, sb
 
 
 # ----------------------------------- full Lloyd fit, oracle-checked (r5)
-# `kmeans_fit_clusters` below stays rows-only because its convergence
-# test is float-dependent — but a FIXED-iteration fit has no such
+# `kmeans_fit_clusters` (the convergence-variant loop) certifies via a
+# bounded PROPERTY oracle since r8 — its exact floats stay
+# float-path-dependent, but a FIXED-iteration fit has no such
 # dependency: seeded md5 init (lowest hash01 wins, ties by id), exactly
 # FIT_FIXED_ITERS Lloyd steps, empty clusters keep their previous
 # centroid. Under that contract an independent numpy reimplementation
@@ -554,18 +555,91 @@ except (FileNotFoundError, OSError) as _e:
 # -------------------------------------------- full iterative fits (rows-only)
 
 
+# Tolerances for the convergence-fit property oracle. The SSE band is
+# generous on purpose: measured ratio vs the fixed-iteration twin is
+# 0.999–1.001 at sf0.001/sf0.01, so 5% cannot flap on trainer noise,
+# while a genuinely broken loop (diverging, dropping points, k
+# shrinking) lands far outside it.
+FIT_PROPS_SSE_BAND = 1.05
+FIT_PROPS_MONO_TOL = 1e-9  # relative float-noise slack on descent
+
+
 def q_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end seeded Lloyd fit (random init) — iterative, so
-    rows-only checked (no SQL oracle)."""
-    pts = _pts(spark, sf_dir)
-    model = KMeans(KMeansParams(k=K, seed=SEED, max_iter=10, init="random")).fit(pts)
-    return (
-        model.transform(pts)
-        .groupBy("center_id")
-        .agg(F.count(F.lit(1)).alias("size"))
-        .withColumn("n_iter", F.lit(model.n_iter))
-        .orderBy("center_id")
-    )
+    """End-to-end seeded Lloyd fit with the CONVERGENCE test live (the
+    reference's C4+C5 driver loop) — certified by a bounded PROPERTY
+    oracle (r7 verdict item 6; previously rows-only): the exact final
+    floats are float-path-dependent, but these invariants are not —
+
+    - `sse_non_increasing_per_step`: Lloyd's monotonic descent is a
+      theorem (assign can only lower each point's distance, the mean
+      minimizes within-cluster SSE, and the empty-cluster re-seed only
+      adds a center); the per-iteration log rides the fit's own
+      aggregate (`lloyd_fit(sse_log=...)`).
+    - `final_sse_within_band_of_fixed_twin`: random-init-converged and
+      md5-init-fixed-5-iter (`kmeans_fit_fixed`, value-certified) land
+      on local optima of near-identical cost even when the centers
+      differ (this near-uniform corpus has many optima — measured
+      ratio 0.999–1.001; band 1.05).
+    - `all_points_assigned`: cluster sizes conserve the corpus count —
+      k never silently shrinks (ref bug SURVEY.md §8.3 stays fixed).
+    - `iterations_within_cap`: the loop respects max_iter.
+
+    Output = one (property, holds) row each; the oracle is the
+    constant TRUE table, so the driver's hash compare certifies the
+    properties themselves."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators.kmeans.init import initial_centers
+
+    params = KMeansParams(k=K, seed=SEED, max_iter=10, init="random")
+    pts = _pts(spark, sf_dir).cache()
+    try:
+        init = initial_centers(pts, params)
+        sse_log: list[float] = []
+        centers, n_iter = lloyd.lloyd_fit(
+            pts, init, params.p, params.threshold, params.max_iter,
+            sse_log=sse_log,
+        )
+        fixed = ANN.ivf_train(pts, K, FIT_FIXED_ITERS, FIT_FIXED_SEED)
+
+        def _sse(cs: list[list[float]]) -> float:
+            return lloyd.sse(lloyd.assign(pts, cs, params.p, keep_dist=True,
+                                          mode="hof"))
+
+        final_sse, twin_sse = _sse(centers), _sse(fixed)
+        n_assigned = (
+            lloyd.assign(pts, centers, params.p, mode="hof")
+            .groupBy("center_id").agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("n")).collect()[0][0]
+        )
+        n_pts = pts.count()
+    finally:
+        pts.unpersist()
+    props = [
+        (
+            "sse_non_increasing_per_step",
+            all(
+                b <= a * (1 + FIT_PROPS_MONO_TOL)
+                for a, b in zip(sse_log, sse_log[1:])
+            ),
+        ),
+        (
+            "final_sse_within_band_of_fixed_twin",
+            final_sse <= twin_sse * FIT_PROPS_SSE_BAND,
+        ),
+        ("all_points_assigned", n_assigned == n_pts),
+        ("iterations_within_cap", n_iter <= params.max_iter),
+    ]
+    return spark.createDataFrame(props, "property string, holds boolean")
+
+
+ORACLE_KMEANS_FIT_PROPS = """
+SELECT * FROM (VALUES
+  ('sse_non_increasing_per_step', TRUE),
+  ('final_sse_within_band_of_fixed_twin', TRUE),
+  ('all_points_assigned', TRUE),
+  ('iterations_within_cap', TRUE)
+) AS t(property, holds)
+"""
 
 
 def q_mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +771,6 @@ QUERIES = {
     "kmeans_cluster_output": (q_kmeans_cluster_output, ORACLE_CLUSTER_OUTPUT),
     "kmeans_purity": (q_kmeans_purity, ORACLE_KMEANS_PURITY),
     "kmeans_fit_fixed": (q_kmeans_fit_fixed, ORACLE_KMEANS_FIT_FIXED),
-    "kmeans_fit_clusters": (q_kmeans_fit_clusters, None),
+    "kmeans_fit_clusters": (q_kmeans_fit_clusters, ORACLE_KMEANS_FIT_PROPS),
     "mllib_kmeans": (q_mllib_kmeans, None),
 }

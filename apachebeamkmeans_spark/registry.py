@@ -42,6 +42,10 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "bpe_train": 8,
     "bpe_encode": 8,
     "corpus_health": 8,
+    # r8: money aggregates moved to the integer-cents pattern
+    "q7_nation_trade": 8,
+    "q10_returned_revenue": 8,
+    "q22_idle_customers": 8,
 }
 
 
