@@ -42,7 +42,9 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "bpe_train": 8,
     "bpe_encode": 8,
     "corpus_health": 8,
-    # r8: money aggregates moved to the integer-cents pattern
+    # r8: money aggregates moved to the integer-cents pattern; q9
+    # joined to the derived partsupp with the real TPC-H cost
+    "q9_parttype_profit": 8,
     "q7_nation_trade": 8,
     "q10_returned_revenue": 8,
     "q22_idle_customers": 8,

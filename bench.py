@@ -140,6 +140,7 @@ HEADLINE = [
     "sim_label_propagation",
     "q7_nation_trade",
     "q9_parttype_profit",
+    "q11_important_stock",
     "q10_returned_revenue",
     "q13_order_count_distribution",
     "q18_large_orders",
