@@ -147,6 +147,7 @@ HEADLINE = [
     "q22_idle_customers",
     "stream_ingest_gate",
     "stream_ingest_fold",
+    "exact_substring_runs",
     "bpe_encode",
     "corpus_health",
 ]

@@ -250,3 +250,46 @@ def test_pack_with_split_splits_long_docs(spark):
         assert all(r["piece_tokens"] <= 256 for r in pieces)
         bins = [r["bin_id"] for r in pieces]
         assert bins == sorted(bins)
+
+
+def test_exact_substring_runs_cover_stride_window_hits(spark):
+    """The exact pass must CONTAIN the windowed approximation (r7
+    verdict item 7): every stride-32 repeated 64-char window is a
+    verbatim cross-doc run ≥ 64 ≥ L, so each of its per-doc positions
+    must lie inside some exact maximal run. sf0.01 — the smallest sf
+    with planted cross-doc repeats."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.queries_dedup import (
+        SUBSTR_STRIDE,
+        SUBSTR_W,
+        q_cross_doc_substrings,
+        q_exact_substring_runs,
+    )
+    from apachebeamkmeans_spark.sources import io
+
+    sf = "/root/testdata/sf0.01"
+    runs: dict[int, list[tuple[int, int]]] = {}
+    for r in q_exact_substring_runs(spark, sf).collect():
+        runs.setdefault(r["doc_id"], []).append(
+            (r["run_start"], r["run_start"] + r["run_len"] - 1)
+        )
+    docs = io.read_table(spark, sf, "documents").select("doc_id", "text").filter(
+        F.length("text") >= SUBSTR_W
+    )
+    starts = F.sequence(
+        F.lit(1), F.length("text") - F.lit(SUBSTR_W - 1), F.lit(SUBSTR_STRIDE)
+    )
+    wins = docs.select("doc_id", F.explode(starts).alias("s"), "text").select(
+        "doc_id", "s",
+        F.md5(F.substring(F.col("text"), F.col("s"), SUBSTR_W)).alias("h"),
+    )
+    hits = wins.join(
+        q_cross_doc_substrings(spark, sf).select("h"), "h"
+    ).collect()
+    assert hits, "no planted cross-doc repeats at sf0.01 — fixture regression"
+    for r in hits:
+        lo, hi = r["s"], r["s"] + SUBSTR_W - 1
+        assert any(a <= lo and hi <= b for a, b in runs.get(r["doc_id"], [])), (
+            r["doc_id"], lo, hi,
+        )
