@@ -1101,6 +1101,429 @@ ORDER BY value DESC, ps_partkey ASC
 ORACLE_IMPORTANT_STOCK = _oracle_important_stock()
 
 
+# -------------------------------------------- Q8 national market share
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): of all PROMO-part revenue sold
+    to ASIA customers in 1996-1997, the share supplied by NATION_1's
+    suppliers, per order year — the conditional-aggregate-ratio shape
+    (CASE inside sum over the same join). All dims broadcast; both the
+    numerator and denominator sum in integer cents, so the final ratio
+    divides two identical longs and can never flap cross-engine."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust_nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(cust_nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", cents).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(cents).cast("double")
+            ).alias("mkt_share")
+        )
+        .select("o_year", F.round("mkt_share", 6).alias("mkt_share"))
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE),
+             6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND year(o_orderdate) IN (1996, 1997)
+GROUP BY 1
+"""
+
+
+# ------------------------------------------ Q12 late-shipment priority
+
+
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority analysis; the schema has
+    no l_shipmode, so the grouping dimension is l_returnflag): per
+    flag, how many LATE lineitems (shipped > 90 days after the order
+    date) carried high (1-URGENT/2-HIGH) vs lower order priority — the
+    CASE-count shape over one fact-fact join."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_LATE_SHIPMENTS = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------- Q14 promotion effect
+
+
+def q_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), per month of 1996: the percentage
+    of revenue from PROMO-type parts — conditional share over a
+    broadcast part join, integer-cents numerator/denominator."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").alias("l_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(cents).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_PROMO_EFFECT = """
+SELECT CAST(month(l_shipdate) AS INTEGER) AS l_month,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE),
+             6) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1996
+GROUP BY 1
+"""
+
+
+# ----------------------------------------------- Q15 top supplier(s)
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): suppliers whose 1996-Q1 revenue equals
+    the global maximum — the view + scalar-max shape. Revenue in exact
+    integer cents, so the equality against the max is on identical
+    longs (the TPC-H spec's own note about ties applies: all tied
+    suppliers return)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("__cents")
+        )
+    )
+    best = rev.agg(F.max("__cents").alias("__best"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("__cents") == F.col("__best"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("__cents") / 100.0).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, cents / 100.0 AS total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE cents = (SELECT max(cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------- Q17 small-quantity revenue
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    Brand#1 orders below 50% of the part's average quantity were not
+    filled — the correlated-aggregate-subquery shape, decorrelated as
+    a per-part aggregate joined back. l_quantity is integer-valued, so
+    avg is exact in any summation order and the 0.5·avg threshold
+    cannot flap cross-engine; the final sum is integer cents / 7."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY 1) pa ON l_partkey = pa.pk
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty
+"""
+
+
+# ------------------------------------ Q16 parts/supplier relationship
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) over the derived
+    partsupp: distinct supplier count per (brand, type, size) for
+    non-Brand#1 parts, excluding suppliers in bad standing (negative
+    account balance plays the spec's complaint-comment filter — the
+    schema ships no comments). The NOT-IN is a left_anti join (keys
+    are non-null by construction); the distinct-under-group is
+    Spark's two-level aggregate."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = derived_partsupp(spark, sf_dir)
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _oracle_supplier_part_counts() -> str:
+    return f"""
+WITH partsupp AS MATERIALIZED {_sql_partsupp()}
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+ORACLE_SUPPLIER_PART_COUNTS = _oracle_supplier_part_counts()
+
+
+# ------------------------------------- Q20 potential part promotion
+
+
+def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) over the derived partsupp:
+    suppliers holding excess stock of ECONOMY parts — ps_availqty
+    greater than 50% of the quantity that (part, supplier) pair
+    shipped in 1996. The correlated quantity subquery decorrelates to
+    a pair-keyed aggregate joined back (inner join reproduces the
+    spec's NULL-comparison exclusion of pairs with no 1996
+    shipments); the supplier projection is a semi join. Quantities
+    are integer-valued, so the 0.5·sum threshold is exact."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1996)
+        .groupBy(
+            F.col("l_partkey").alias("__pk"), F.col("l_suppkey").alias("__sk")
+        )
+        .agg(F.sum("l_quantity").alias("__qty"))
+    )
+    ps = derived_partsupp(spark, sf_dir)
+    excess = (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("__pk"))
+            & (F.col("ps_suppkey") == F.col("__sk")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("__qty"))
+        .select("ps_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        excess, supp.s_suppkey == excess.ps_suppkey, "left_semi"
+    ).orderBy("s_suppkey")
+
+
+def _oracle_promotion_suppliers() -> str:
+    return f"""
+WITH partsupp AS MATERIALIZED {_sql_partsupp()}
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps_suppkey
+  FROM partsupp
+  JOIN part ON ps_partkey = p_partkey
+  JOIN (SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+        FROM lineitem WHERE year(l_shipdate) = 1996
+        GROUP BY 1, 2) sh ON ps_partkey = sh.pk AND ps_suppkey = sh.sk
+  WHERE p_type = 'ECONOMY' AND ps_availqty > 0.5 * qty
+)
+ORDER BY s_suppkey
+"""
+
+
+ORACLE_PROMOTION_SUPPLIERS = _oracle_promotion_suppliers()
+
+
+# -------------------------------------- Q21 sole-returner suppliers
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; the schema
+    has no commit/receipt dates, so "kept waiting" is played by the
+    return flag): per supplier, how many finalized multi-supplier
+    orders had THIS supplier as the sole returner — an EXISTS (another
+    supplier participated) plus a NOT EXISTS (no other supplier
+    returned) over lineitem self-correlations, the dual-correlated-
+    EXISTS shape. Both decorrelate to semi/anti joins on the orderkey
+    with an inequality residual; lineitem shuffles once per side on
+    the key it already joins orders on."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    waiting = (
+        l1.join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        # a supplier may appear on several lines of the same order —
+        # one wait per (order, supplier)
+        .select("l1.l_orderkey", "l1.l_suppkey")
+        .distinct()
+    )
+    return (
+        waiting.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+WITH waiting AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1
+  JOIN orders ON l1.l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------- Q10 returned-item ranking
 
 
@@ -1283,6 +1706,14 @@ QUERIES = {
     "q7_nation_trade": (q_nation_trade, ORACLE_NATION_TRADE),
     "q9_parttype_profit": (q_parttype_profit, ORACLE_PARTTYPE_PROFIT),
     "q11_important_stock": (q_important_stock, ORACLE_IMPORTANT_STOCK),
+    "q8_market_share": (q_market_share, ORACLE_MARKET_SHARE),
+    "q12_late_shipments": (q_late_shipments, ORACLE_LATE_SHIPMENTS),
+    "q14_promo_effect": (q_promo_effect, ORACLE_PROMO_EFFECT),
+    "q15_top_supplier": (q_top_supplier, ORACLE_TOP_SUPPLIER),
+    "q17_small_quantity_revenue": (q_small_quantity_revenue, ORACLE_SMALL_QUANTITY_REVENUE),
+    "q16_supplier_part_counts": (q_supplier_part_counts, ORACLE_SUPPLIER_PART_COUNTS),
+    "q20_promotion_suppliers": (q_promotion_suppliers, ORACLE_PROMOTION_SUPPLIERS),
+    "q21_waiting_suppliers": (q_waiting_suppliers, ORACLE_WAITING_SUPPLIERS),
     "q10_returned_revenue": (q_returned_revenue, ORACLE_RETURNED_REVENUE),
     "q13_order_count_distribution": (
         q_order_count_distribution,

@@ -141,6 +141,14 @@ HEADLINE = [
     "q7_nation_trade",
     "q9_parttype_profit",
     "q11_important_stock",
+    "q8_market_share",
+    "q12_late_shipments",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
     "q10_returned_revenue",
     "q13_order_count_distribution",
     "q18_large_orders",
