@@ -409,3 +409,31 @@ def test_ivfpq_residual_lut_rides_as_broadcast_table(spark, sf_dir):
         assert "probe_cell" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q9_partsupp_join_no_cartesian_no_sortmerge(spark, sf_dir):
+    """Real-Q9 invariants: the derived-partsupp composite-key join and
+    every dim join stay hash joins (dims broadcast), never a cartesian
+    or a per-dim fact shuffle; profit aggregate is partially
+    aggregated."""
+    from apachebeamkmeans_spark.queries_relational import q_parttype_profit
+
+    plan = X.formatted_plan(q_parttype_profit(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert X.has_partial_aggregate(q_parttype_profit(spark, sf_dir))
+
+
+def test_q21_exists_decorrelates_to_semi_anti_hash_joins(spark, sf_dir):
+    """Q21's dual correlated EXISTS/NOT EXISTS must run as semi/anti
+    HASH joins on the orderkey with the supplier inequality as a
+    residual — a nested-loop or cartesian fallback here is the
+    O(order²) anti-plan."""
+    from apachebeamkmeans_spark.queries_relational import q_waiting_suppliers
+
+    plan = X.formatted_plan(q_waiting_suppliers(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
