@@ -66,7 +66,9 @@ def data_fingerprint(sf_dir: str, table: str) -> str:
         st = os.stat(path)
     except OSError:
         return "0"
-    key = (os.path.abspath(path), int(st.st_mtime), st.st_size)
+    # nanosecond mtime: a same-size rewrite within the same second must
+    # not serve the previous generation's hash from the memo
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     if key not in _FP_MEMO:
         h = hashlib.md5()
         if os.path.isdir(path):

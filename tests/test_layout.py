@@ -148,3 +148,39 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     ):
         pruned = sorted(map(tuple, q_bloom_prune_revenue(spark, sf_dir).collect()))
     assert base == pruned
+
+
+def test_data_fingerprint_content_keyed(tmp_path):
+    """scratch.data_fingerprint: same bytes → same key even after an
+    mtime bump (the r8 artifact-freshness contract); different bytes →
+    different key; missing table → '0'; directory-of-parts hashed by
+    sorted relative name + content, markers ignored."""
+    import os
+    import time
+
+    from apachebeamkmeans_spark import scratch
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    p = d / "documents.parquet"
+    p.write_bytes(b"abc123")
+    f1 = scratch.data_fingerprint(str(d), "documents")
+    t = time.time() + 30
+    os.utime(p, (t, t))
+    assert scratch.data_fingerprint(str(d), "documents") == f1
+    p.write_bytes(b"abc124")
+    assert scratch.data_fingerprint(str(d), "documents") != f1
+    assert scratch.data_fingerprint(str(d), "missing") == "0"
+
+    dd = d / "events.parquet"
+    dd.mkdir()
+    (dd / "part-0").write_bytes(b"x")
+    (dd / "_SUCCESS").write_bytes(b"")
+    g1 = scratch.data_fingerprint(str(d), "events")
+    # marker files don't key the content
+    (dd / "_committed").write_bytes(b"zzz")
+    os.utime(dd, (t, t))
+    assert scratch.data_fingerprint(str(d), "events") == g1
+    (dd / "part-1").write_bytes(b"y")
+    os.utime(dd, (t + 5, t + 5))
+    assert scratch.data_fingerprint(str(d), "events") != g1
