@@ -105,6 +105,7 @@ GROUP BY 1, 2
 
 from apachebeamkmeans_spark.queries_events import (
     ORACLE_EVENTS_SESSION_WINDOW as _SW_ORACLE,
+    ORACLE_USER_SESSION_COUNTS,
 )
 
 
@@ -118,12 +119,32 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState
-    per-user session tracking) — rows-only: arbitrary state updates are
-    not SQL-expressible (the driver records the weaker check; the
-    batch-equivalence proof lives in tests/test_cli_stateful.py)."""
+    per-user session tracking), CERTIFIED by the exact batch oracle
+    since r8 (previously rows-only): the update-mode memory sink holds
+    one row per (user, trigger-update), and because `n_events` grows
+    monotonically with every state update, the FINAL state per user is
+    simply its max-`n_events` row (ties broken by `last_ts_us` — a
+    later update can only move it forward). That projection must equal
+    the batch sessionization twin (`user_session_counts`) row for row
+    — the same drive-to-completion-and-compare contract
+    `stream_ingest_gate` certifies; multi-trigger recovery behavior
+    stays covered by tests/test_cli_stateful.py."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from apachebeamkmeans_spark.streaming.stateful import run_session_counts_to_table
 
-    return run_session_counts_to_table(spark, sf_dir, name="q_stream_sessions_out")
+    updates = run_session_counts_to_table(
+        spark, sf_dir, name="q_stream_sessions_out"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("last_ts_us")
+    )
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_sessions", "n_events", "last_ts_us")
+    )
 
 
 def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,5 +340,5 @@ QUERIES = {
     "stream_dedup_events": (q_stream_dedup_events, ORACLE_STREAM_DEDUP_EVENTS),
     "stream_enriched_nation": (q_stream_enriched_nation, ORACLE_STREAM_ENRICHED_NATION),
     "stream_click_attribution": (q_stream_click_attribution, ORACLE_STREAM_CLICK_ATTRIBUTION),
-    "stream_session_counts": (q_stream_session_counts, None),
+    "stream_session_counts": (q_stream_session_counts, ORACLE_USER_SESSION_COUNTS),
 }
