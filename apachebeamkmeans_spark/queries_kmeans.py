@@ -663,6 +663,10 @@ def q_mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _pts(spark, sf_dir)
     _, assigned = mllib_kmeans_fit(pts, k=K, seed=SEED, max_iter=20)
     sizes = assigned.groupBy("center_id").agg(F.count(F.lit(1)).alias("size"))
+    # global-order window over a K-ROW frame (cluster sizes) — the
+    # WindowExec single-partition warning is about this bounded input,
+    # not the corpus; a per-key window would be wrong here (the rank is
+    # global by definition) and the data is k rows at any sf
     w = Window.orderBy(F.desc("size"), F.asc("center_id"))
     return sizes.select(F.row_number().over(w).alias("rank"), "size")
 

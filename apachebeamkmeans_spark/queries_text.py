@@ -708,6 +708,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("__r"), F.asc("doc_id"))
         .limit(WSAMPLE_K)
     )
+    # global-order window over the WSAMPLE_K-row TakeOrdered result —
+    # bounded input, not a corpus-wide sort (the WindowExec warning
+    # refers to these k rows)
     w = Window.orderBy(F.asc("__r"), F.asc("doc_id"))
     return top.select(
         "doc_id",
