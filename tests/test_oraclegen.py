@@ -142,3 +142,30 @@ def test_argmin_case_matches_array_position(spark, duck):
         for a, b, c, d in cases
     ]
     assert got_spark == got_duck == [0, 1, 0]
+
+
+def test_bpe_chain_exhausted_round_is_noop_cross_engine(spark, duck):
+    """The r8 BPE oracle chain's empty-round guard (LEFT JOIN ON TRUE +
+    coalesce): when every word fuses to one symbol before the merge cap,
+    the remaining oracle rounds must be no-ops exactly like the Spark
+    loop's break — the merge tables must match row-for-row on a corpus
+    whose pairs exhaust in round 1 ('ab' is a single merged symbol
+    after one round; rounds 2..5 find nothing)."""
+    from apachebeamkmeans_spark import queries_text as QT
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    got_spark = sorted(
+        (r["round"], r["merged"], r["freq"])
+        for r in TX.bpe_train_merges(docs, n_merges=5).collect()
+    )
+    duck.execute("CREATE OR REPLACE TABLE documents AS "
+                 "SELECT * FROM (VALUES (1, 'ab ab'), (2, 'ab')) t(doc_id, text)")
+    got_duck = sorted(
+        (int(r[0]), r[1], int(r[2]))
+        for r in duck.execute(QT._oracle_bpe_train(5)).fetchall()
+    )
+    duck.execute("DROP TABLE documents")
+    assert got_spark == got_duck == [(1, "a b", 3)]
