@@ -54,6 +54,11 @@ SHOWCASE = {
     "events_interpolate": "linear lerp resample: ONE Window node evaluates both neighbor frames (UNBOUNDED PRECEDING + FOLLOWING share key and sort), spine exploded from per-type bound rows",
     "bpe_pair_stats": "BPE merge-round count: shifted-slice zip builds pairs in one narrow codegen pass, map-side-combined count, TakeOrdered top-30",
     "sim_curation_pipeline": "embedding-curation capstone in ONE plan: shared memoized quantizer assign -> salted within-cell shadow pairs -> anti-prune filter -> WindowGroupLimit coverage selection",
+    # round 8
+    "q9_parttype_profit": "real TPC-H Q9: derived-partsupp composite-key join (distinct pair backfill), all dims broadcast, integer-cents partial agg",
+    "q21_waiting_suppliers": "dual correlated EXISTS/NOT EXISTS as semi/anti HASH joins on orderkey with supplier-inequality residuals",
+    "exact_substring_runs": "exact cross-doc substrings: stride-1 window hashes checkpointed once, dup-hash set broadcast back, islands-and-gaps run consolidation per doc",
+    "q8_market_share": "Q8 conditional share: every dim broadcast, CASE-cents numerator and denominator in one partial agg",
 }
 
 
