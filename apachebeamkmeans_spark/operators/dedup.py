@@ -161,18 +161,23 @@ def minhash_signatures(docs: DataFrame, bands: int = 8, shingle: int = 3,
     return hashed.select("doc_id", T.minhash_signature(F.col("__h"), bands).alias("mh"))
 
 
-def lsh_candidate_pairs(docs: DataFrame, bands: int = 8, shingle: int = 3) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, bands: int = 8, shingle: int = 3,
+                        sigs: DataFrame | None = None) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs agreeing on ≥1 band. The join key
     is (band_idx, band_value) — each band's buckets joined
     independently, so skew is limited to genuinely-identical shingle
-    sets."""
+    sets. Pass `sigs` (e.g. from `corpus_gate_state`) to reuse an
+    already-materialized signature frame — verification queries that
+    also need the shingle SETS then tokenize the corpus once, not
+    twice."""
     # cache the signatures BEFORE the explode: (a) both self-join sides
     # reuse one materialization instead of recomputing the tokenize→
     # shingle→md5 lineage, and (b) whole-stage codegen would otherwise
     # inline the signature expression into every exploded output row
     # (measured 4× slower). At cluster scale this cache is a persisted
     # signature table.
-    sigs = _materialize(minhash_signatures(docs, bands, shingle))
+    if sigs is None:
+        sigs = _materialize(minhash_signatures(docs, bands, shingle))
     banded = sigs.select("doc_id", F.posexplode("mh").alias("band", "mh_val")).filter(
         F.col("mh_val").isNotNull()
     )
@@ -309,7 +314,8 @@ def ingest_gate_verdicts(corpus: DataFrame, new: DataFrame, bands: int = 8,
 def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
                    threshold: float = 0.0,
                    docs_b: DataFrame | None = None,
-                   sets_b: DataFrame | None = None) -> DataFrame:
+                   sets_b: DataFrame | None = None,
+                   sets_a: DataFrame | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only. With
     `docs_b`, the `doc_a` side resolves against `docs` and the `doc_b`
     side against `docs_b` — required when the two sides can share
@@ -324,9 +330,15 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
             "doc_id", F.array_distinct(T.token_shingles(toks, shingle)).alias("sh")
         ))
 
-    sets_a = _sets(docs)  # materialized: read twice when docs_b is None
+    if sets_a is None:
+        sets_a = _sets(docs)  # materialized: read twice when docs_b is None
     if sets_b is None:
         sets_b = sets_a if docs_b is None else _sets(docs_b)
+    # |A∪B| = |A| + |B| − |A∩B| on the distinct shingle sets — one
+    # intersect pass per pair instead of intersect + a materialized
+    # union array (array_union rebuilds a deduped array per pair; the
+    # identity is what the DuckDB oracle always computed)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         pairs.join(sets_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sets_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
@@ -334,8 +346,8 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
             "doc_a",
             "doc_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter),
                 6,
             ).alias("jaccard"),
         )

@@ -158,6 +158,46 @@ HEADLINE = [
     "exact_substring_runs",
     "bpe_encode",
     "corpus_health",
+    # round 8: complete anchor coverage — every registered query benched
+    "customers_with_without_orders",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_purge",
+    "dedup_simhash",
+    "events_deterministic_sample",
+    "events_props_json",
+    "events_quantiles",
+    "events_value_histogram",
+    "kmeans_cluster_output",
+    "kmeans_gonzalez_seeds",
+    "kmeans_init_extremes",
+    "kmeans_lineitem_assign",
+    "kmeans_norms",
+    "kmeans_plusplus_seeds_dweight",
+    "kmeans_sse",
+    "lineitem_unpivot",
+    "mm_binary_meta",
+    "mm_resize_features",
+    "order_status_pivot",
+    "orders_above_avg",
+    "orders_by_month",
+    "orders_cube",
+    "orders_rollup",
+    "repeat_buyers_set_ops",
+    "scalar_functions",
+    "segment_stats",
+    "sim_ivf_topk",
+    "stream_click_attribution",
+    "stream_session_counts",
+    "stream_session_window",
+    "text_lang_id",
+    "text_quality",
+    "token_frequencies",
+    "top_parts_per_brand",
+    "udaf_gmean",
+    "udtf_tokens",
+    "user_running_value",
+    "user_trailing_hour",
 ]
 
 
