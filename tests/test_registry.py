@@ -168,3 +168,20 @@ def test_live_window_prioritizes_stalest():
     green_out = [n for n in rest if qs[n][1] is not None and is_current_green(n)]
     if green_in and green_out:
         assert max(green[n] for n in green_in) <= min(green[n] for n in green_out)
+
+
+def test_bench_headline_covers_whole_registry():
+    """r8 contract: every registered query is benched (full anchor
+    coverage), every benched name exists, and there are no duplicates —
+    a renamed or dropped query must fail here, not silently lose its
+    anchor."""
+    import os
+    import re
+
+    src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
+    names = re.findall(r'^\s+"([a-z0-9_]+)",$', src, re.M)
+    qs = set(registry.all_queries())
+    assert len(names) == len(set(names)), "duplicate bench entries"
+    assert set(names) == qs, (
+        sorted(qs - set(names)), sorted(set(names) - qs),
+    )
