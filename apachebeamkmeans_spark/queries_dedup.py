@@ -194,6 +194,122 @@ FROM i GROUP BY doc_id, grp
 """
 
 
+def q_substring_purged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring pipeline's END PRODUCT (Lee et al.'s actual
+    deliverable): each document with every flagged verbatim run CUT
+    OUT — the text a curation pipeline would actually train on.
+    Policy: conservative removal (every flagged span in every doc is
+    cut; keep-one-copy layering belongs to the dedup keeper policies
+    this module already provides). Output per doc: runs cut, chars
+    cut, retained length, and the md5 of the purged text — the hash
+    stands in for shipping the surgery result while still
+    value-proving it byte-for-byte cross-engine.
+
+    Plan: complement intervals via one lag window over the (tiny) runs
+    table (maximal runs are disjoint, so the kept segments are
+    head-gaps plus one tail), segment text sliced from a broadcast-
+    joined scan, and the purged text rebuilt with an order-explicit
+    concat (sort_array over (seg_start, piece) structs — never relying
+    on row order through the shuffle). Docs with no runs pass through
+    untouched via the left join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    runs = q_exact_substring_runs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy("run_start")
+    b = runs.withColumn(
+        "prev_end", F.lag(F.col("run_start") + F.col("run_len")).over(w)
+    )
+    head = b.select(
+        "doc_id",
+        F.coalesce("prev_end", F.lit(1)).alias("seg_start"),
+        (F.col("run_start") - F.coalesce("prev_end", F.lit(1))).alias("seg_len"),
+    ).filter(F.col("seg_len") > 0)
+    per_doc = runs.groupBy("doc_id").agg(
+        F.max(F.col("run_start") + F.col("run_len")).alias("last_end"),
+        F.count(F.lit(1)).alias("n_runs_cut"),
+        F.sum("run_len").cast("long").alias("chars_cut"),
+    )
+    tail = per_doc.join(docs, "doc_id").select(
+        "doc_id",
+        F.col("last_end").alias("seg_start"),
+        (F.length("text") - F.col("last_end") + 1).alias("seg_len"),
+    ).filter(F.col("seg_len") > 0)
+    pieces = head.unionByName(tail).join(docs, "doc_id").select(
+        "doc_id",
+        "seg_start",
+        F.substring(F.col("text"), F.col("seg_start"), F.col("seg_len")).alias(
+            "piece"
+        ),
+    )
+    purged = pieces.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_start", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("__ptext")
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .join(purged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_runs_cut", F.lit(0)).alias("n_runs_cut"),
+            F.coalesce("chars_cut", F.lit(0)).alias("chars_cut"),
+            F.when(F.col("n_runs_cut").isNull(), F.col("text"))
+            .otherwise(F.coalesce("__ptext", F.lit("")))
+            .alias("__out"),
+        )
+        .select(
+            "doc_id",
+            "n_runs_cut",
+            "chars_cut",
+            F.length("__out").cast("long").alias("retained_chars"),
+            F.md5(F.col("__out")).alias("purged_md5"),
+        )
+    )
+
+
+ORACLE_SUBSTRING_PURGED_DOCS = f"""
+WITH runs AS MATERIALIZED ({ORACLE_EXACT_SUBSTRING_RUNS}),
+b AS (SELECT doc_id, run_start, run_len,
+             lag(run_start + run_len) OVER (PARTITION BY doc_id
+                                            ORDER BY run_start) AS prev_end
+      FROM runs),
+head AS (SELECT doc_id, coalesce(prev_end, 1) AS seg_start,
+                run_start - coalesce(prev_end, 1) AS seg_len
+         FROM b WHERE run_start - coalesce(prev_end, 1) > 0),
+pd AS (SELECT doc_id, max(run_start + run_len) AS last_end,
+              CAST(count(*) AS BIGINT) AS n_runs_cut,
+              CAST(sum(run_len) AS BIGINT) AS chars_cut
+       FROM runs GROUP BY doc_id),
+tl AS (SELECT pd.doc_id, last_end AS seg_start,
+              length(d.text) - last_end + 1 AS seg_len
+       FROM pd JOIN documents d USING (doc_id)
+       WHERE length(d.text) - last_end + 1 > 0),
+segs AS (SELECT * FROM head UNION ALL SELECT * FROM tl),
+pieces AS (SELECT s.doc_id, s.seg_start,
+                  substr(d.text, s.seg_start, s.seg_len) AS piece
+           FROM segs s JOIN documents d USING (doc_id)),
+purged AS (SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS ptext
+           FROM pieces GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_runs_cut, 0) AS n_runs_cut,
+       coalesce(pd.chars_cut, 0) AS chars_cut,
+       CAST(length(CASE WHEN pd.doc_id IS NULL THEN d.text
+                        ELSE coalesce(purged.ptext, '') END) AS BIGINT)
+         AS retained_chars,
+       md5(CASE WHEN pd.doc_id IS NULL THEN d.text
+                ELSE coalesce(purged.ptext, '') END) AS purged_md5
+FROM documents d
+LEFT JOIN pd ON d.doc_id = pd.doc_id
+LEFT JOIN purged ON d.doc_id = purged.doc_id
+"""
+
+
 # --------------------------------------------- directional containment
 
 
@@ -985,6 +1101,7 @@ QUERIES = {
     "doc_triangles": (q_doc_triangles, ORACLE_DOC_TRIANGLES),
     "cross_doc_substrings": (q_cross_doc_substrings, ORACLE_CROSS_DOC_SUBSTRINGS),
     "exact_substring_runs": (q_exact_substring_runs, ORACLE_EXACT_SUBSTRING_RUNS),
+    "substring_purged_docs": (q_substring_purged_docs, ORACLE_SUBSTRING_PURGED_DOCS),
     "dedup_containment": (q_dedup_containment, ORACLE_DEDUP_CONTAINMENT),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_purge": (q_dedup_purge, ORACLE_DEDUP_PURGE),
