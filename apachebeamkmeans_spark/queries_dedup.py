@@ -106,6 +106,42 @@ FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
 SUBSTR_EXACT_L = 50  # minimum verbatim run length (chars)
 
 
+def _window_hashes(docs: DataFrame, L: int) -> DataFrame:
+    """(doc_id, s, h): md5 of every L-char window at stride 1 — the
+    shared first stage of the exact-substring family. O(total chars)
+    narrow rows; windows ship as hashes, never text."""
+    from pyspark.sql import functions as F
+
+    filtered = docs.select("doc_id", "text").filter(F.length("text") >= L)
+    starts = F.sequence(F.lit(1), F.length("text") - F.lit(L - 1))
+    return filtered.select(
+        "doc_id", F.explode(starts).alias("s"), "text"
+    ).select(
+        "doc_id",
+        "s",
+        F.md5(F.substring(F.col("text"), F.col("s"), L)).alias("h"),
+    )
+
+
+def _runs_from_positions(hits: DataFrame, L: int) -> DataFrame:
+    """Consolidate flagged stride-1 positions (doc_id, s) into maximal
+    runs via islands-and-gaps (s − row_number per doc): every returned
+    (doc_id, run_start, run_len) covers ≥ L chars by construction."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("doc_id").orderBy("s")
+    return (
+        hits.withColumn("__grp", F.col("s") - F.row_number().over(w))
+        .groupBy("doc_id", "__grp")
+        .agg(
+            F.min("s").cast("int").alias("run_start"),
+            (F.max("s") - F.min("s") + L).cast("int").alias("run_len"),
+        )
+        .select("doc_id", "run_start", "run_len")
+    )
+
+
 def q_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT cross-document substring pass (r7 verdict item 7 — the
     endgame `cross_doc_substrings`' stride-32 windowed hashing
@@ -130,25 +166,14 @@ def q_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and at 100 TB the first exchange is the bottleneck either way).
     Containment of the stride-32 approximation is asserted in
     tests/test_dedup_text.py."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     L = SUBSTR_EXACT_L
-    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
-        F.length("text") >= L
-    )
-    starts = F.sequence(F.lit(1), F.length("text") - F.lit(L - 1))
     # materialized once: the window frame feeds BOTH the dup count and
     # the position join — without the checkpoint the explode+md5 of
     # every character position runs twice (measured 10.2 s → 4.4 s at
     # sf0.1)
-    wins = docs.select(
-        "doc_id", F.explode(starts).alias("s"), "text"
-    ).select(
-        "doc_id",
-        "s",
-        F.md5(F.substring(F.col("text"), F.col("s"), L)).alias("h"),
-    ).localCheckpoint(eager=False)
+    wins = _window_hashes(_docs(spark, sf_dir), L).localCheckpoint(eager=False)
     dup = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("__nd"))
@@ -161,16 +186,7 @@ def q_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE would fall back to a key shuffle, which is then the honest
     # cost
     hits = wins.join(F.broadcast(dup), "h").select("doc_id", "s")
-    w = Window.partitionBy("doc_id").orderBy("s")
-    return (
-        hits.withColumn("__grp", F.col("s") - F.row_number().over(w))
-        .groupBy("doc_id", "__grp")
-        .agg(
-            F.min("s").cast("int").alias("run_start"),
-            (F.max("s") - F.min("s") + L).cast("int").alias("run_len"),
-        )
-        .select("doc_id", "run_start", "run_len")
-    )
+    return _runs_from_positions(hits, L)
 
 
 ORACLE_EXACT_SUBSTRING_RUNS = f"""
@@ -191,6 +207,106 @@ SELECT doc_id,
        CAST(min(s) AS INTEGER) AS run_start,
        CAST(max(s) - min(s) + {SUBSTR_EXACT_L} AS INTEGER) AS run_len
 FROM i GROUP BY doc_id, grp
+"""
+
+
+# Reject an arriving doc when verbatim-copied chars exceed this share
+# of its length (strict enough that partial quoting passes, wholesale
+# template reuse does not).
+SUBSTR_CONTAM_MAX_SHARE = 0.2
+
+
+def q_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level CONTAMINATION gate — the exact-match analog of
+    the token-overlap `text_contamination` check, and the benchmark-
+    leak detector a training pipeline runs on every arriving batch:
+    per NEW document (every 10th doc plays the batch, the
+    `dedup_incremental` split), find every maximal run of ≥
+    `SUBSTR_EXACT_L` chars copied VERBATIM from the standing corpus,
+    and reject docs whose copied share exceeds
+    `SUBSTR_CONTAM_MAX_SHARE`. Plan: the corpus's distinct window
+    hashes (one column-pruned pass, stride 1 — at cluster scale a
+    persisted hash table the batch probes) inner-join the batch's
+    windows on the hash; flagged batch positions consolidate into
+    runs (`_runs_from_positions`); one aggregate per doc. Batch-side
+    work is batch-sized; the corpus is scanned once, never joined
+    pairwise."""
+    from pyspark.sql import functions as F
+
+    L = SUBSTR_EXACT_L
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_hashes = _window_hashes(corpus, L).select("h").distinct()
+    batch_wins = _window_hashes(batch, L).localCheckpoint(eager=False)
+    hits = batch_wins.join(corpus_hashes, "h").select("doc_id", "s")
+    runs = _runs_from_positions(hits, L)
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_copied_runs"),
+        F.sum("run_len").cast("long").alias("copied_chars"),
+        F.max("run_len").alias("longest_run"),
+    )
+    return (
+        batch.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_copied_runs", F.lit(0)).alias("n_copied_runs"),
+            F.coalesce("copied_chars", F.lit(0)).alias("copied_chars"),
+            F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
+            F.round(
+                F.coalesce("copied_chars", F.lit(0)).cast("double")
+                / F.greatest(F.length("text"), F.lit(1)),
+                6,
+            ).alias("copied_share"),
+        )
+        .withColumn(
+            "accept", F.col("copied_share") <= SUBSTR_CONTAM_MAX_SHARE
+        )
+    )
+
+
+ORACLE_SUBSTRING_CONTAMINATION = f"""
+WITH cw AS (
+  SELECT DISTINCT md5(substr(text, s, {SUBSTR_EXACT_L})) AS h
+  FROM (
+    SELECT text,
+           unnest(generate_series(1, length(text) - {SUBSTR_EXACT_L - 1})) AS s
+    FROM documents
+    WHERE doc_id % 10 <> 0 AND length(text) >= {SUBSTR_EXACT_L}
+  )
+),
+bw AS (
+  SELECT doc_id, s, md5(substr(text, s, {SUBSTR_EXACT_L})) AS h
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - {SUBSTR_EXACT_L - 1})) AS s
+    FROM documents
+    WHERE doc_id % 10 = 0 AND length(text) >= {SUBSTR_EXACT_L}
+  )
+),
+p AS (SELECT bw.doc_id, bw.s FROM bw JOIN cw USING (h)),
+i AS (SELECT doc_id, s,
+             s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
+      FROM p),
+runs AS (SELECT doc_id, min(s) AS run_start,
+                max(s) - min(s) + {SUBSTR_EXACT_L} AS run_len
+         FROM i GROUP BY doc_id, grp),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_copied_runs,
+              CAST(sum(run_len) AS BIGINT) AS copied_chars,
+              CAST(max(run_len) AS INTEGER) AS longest_run
+       FROM runs GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_copied_runs, 0) AS n_copied_runs,
+       coalesce(pd.copied_chars, 0) AS copied_chars,
+       coalesce(pd.longest_run, 0) AS longest_run,
+       round(CAST(coalesce(pd.copied_chars, 0) AS DOUBLE)
+             / greatest(length(d.text), 1), 6) AS copied_share,
+       round(CAST(coalesce(pd.copied_chars, 0) AS DOUBLE)
+             / greatest(length(d.text), 1), 6)
+         <= {SUBSTR_CONTAM_MAX_SHARE} AS accept
+FROM documents d
+LEFT JOIN pd ON d.doc_id = pd.doc_id
+WHERE d.doc_id % 10 = 0
 """
 
 
@@ -1102,6 +1218,7 @@ QUERIES = {
     "cross_doc_substrings": (q_cross_doc_substrings, ORACLE_CROSS_DOC_SUBSTRINGS),
     "exact_substring_runs": (q_exact_substring_runs, ORACLE_EXACT_SUBSTRING_RUNS),
     "substring_purged_docs": (q_substring_purged_docs, ORACLE_SUBSTRING_PURGED_DOCS),
+    "substring_contamination": (q_substring_contamination, ORACLE_SUBSTRING_CONTAMINATION),
     "dedup_containment": (q_dedup_containment, ORACLE_DEDUP_CONTAINMENT),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_purge": (q_dedup_purge, ORACLE_DEDUP_PURGE),

@@ -157,6 +157,7 @@ HEADLINE = [
     "stream_ingest_fold",
     "exact_substring_runs",
     "substring_purged_docs",
+    "substring_contamination",
     "bpe_encode",
     "corpus_health",
     # round 8: complete anchor coverage — every registered query benched
