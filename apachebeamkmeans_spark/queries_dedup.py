@@ -133,7 +133,11 @@ def _window_hashes(docs: DataFrame, L: int) -> DataFrame:
 def _runs_from_positions(hits: DataFrame, L: int) -> DataFrame:
     """Consolidate flagged stride-1 positions (doc_id, s) into maximal
     runs via islands-and-gaps (s − row_number per doc): every returned
-    (doc_id, run_start, run_len) covers ≥ L chars by construction."""
+    (doc_id, run_start, run_len) covers ≥ L chars by construction.
+    PRECONDITION: (doc_id, s) rows are distinct — a duplicate would
+    shift the row_number island key; every caller joins against a
+    distinct hash set, so one row per flagged window holds by
+    construction (property-locked in tests/test_properties.py)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

@@ -311,3 +311,53 @@ def test_interpolate_bounded_and_exact_at_knowns(spark, series):
                 (_round6_half_up(prev_v), _round6_half_up(next_v))
             )
             assert lo_v - 1e-6 <= got <= hi_v + 1e-6
+
+
+# ------------------------------ exact-substring helpers (r8)
+
+_pos_sets = st.lists(
+    st.tuples(st.integers(0, 2), st.sets(st.integers(1, 40), max_size=15)),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(_pos_sets)
+@settings(max_examples=20, deadline=None)
+def test_runs_from_positions_partitions_flagged_positions(spark, docs_pos):
+    """For ANY flagged stride-1 position set: the consolidated runs are
+    disjoint, maximal (no two runs are adjacent or overlapping), each
+    ≥ L chars, and together they cover exactly the flagged windows —
+    position p is inside some run's window span iff p was flagged."""
+    from apachebeamkmeans_spark.queries_dedup import _runs_from_positions
+
+    L = 5
+    # precondition (documented on the helper): DISTINCT (doc_id, s) —
+    # all three production callers produce one row per flagged window
+    rows = sorted({(doc_id, int(s)) for doc_id, ss in docs_pos for s in ss})
+    if not rows:
+        return
+    hits = spark.createDataFrame(rows, "doc_id long, s int")
+    runs = _runs_from_positions(hits, L).collect()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in runs:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["run_start"], r["run_len"])
+        )
+    flagged: dict[int, set[int]] = {}
+    for doc_id, s in rows:
+        flagged.setdefault(doc_id, set()).add(s)
+    for doc_id, rs in by_doc.items():
+        rs.sort()
+        covered: set[int] = set()
+        prev_end = None
+        for start, ln in rs:
+            assert ln >= L
+            # maximality: a gap of at least one unflagged position
+            # separates consecutive runs (runs never touch or overlap)
+            if prev_end is not None:
+                assert start > prev_end
+            prev_end = start + ln - L + 1  # last flagged position + 1
+            covered |= set(range(start, start + ln - L + 1))
+        assert covered == flagged[doc_id], doc_id
+    assert set(by_doc) == set(flagged)
