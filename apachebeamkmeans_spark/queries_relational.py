@@ -1403,7 +1403,12 @@ def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pair-keyed aggregate joined back (inner join reproduces the
     spec's NULL-comparison exclusion of pairs with no 1996
     shipments); the supplier projection is a semi join. Quantities
-    are integer-valued, so the 0.5·sum threshold is exact."""
+    are integer-valued, so the 0.5·sum threshold is exact. On this
+    fixture the predicate saturates (synthetic availqty spans 1-9999
+    vs ~26 units/yr demand, and any-pair-over-~90-pairs semantics
+    admit every supplier) — faithful TPC-H shape, value-checked
+    threshold; the decorrelation, not the selectivity, is what the
+    query certifies."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
         "p_partkey"
     )
