@@ -87,11 +87,6 @@ class KMeansModel:
             assigned = assigned.withColumn("dist", sq)
         return lloyd.sse(assigned)
 
-    def centers_df(self, spark) -> DataFrame:
-        dim = len(self.centers[0])
-        rows = [(i, self.centers[i]) for i in range(len(self.centers))]
-        return spark.createDataFrame(rows, "center_id INT, center ARRAY<DOUBLE>")
-
     def format_clusters(self, df: DataFrame, features_col: str = "features") -> DataFrame:
         """One line per cluster: `center_id:id1;id2;...;` — the
         reference's grouped text output with member identity by stable
