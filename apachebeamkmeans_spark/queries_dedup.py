@@ -132,8 +132,19 @@ def _window_hashes(docs: DataFrame, L: int) -> DataFrame:
 
 def _runs_from_positions(hits: DataFrame, L: int) -> DataFrame:
     """Consolidate flagged stride-1 positions (doc_id, s) into maximal
-    runs via islands-and-gaps (s − row_number per doc): every returned
-    (doc_id, run_start, run_len) covers ≥ L chars by construction.
+    DISJOINT covered spans: islands-and-gaps (s − row_number per doc)
+    turns consecutive positions into candidate runs, then a second
+    interval-merge pass coalesces runs whose L-char spans overlap —
+    two islands with position gap g in [2, L) cover overlapping char
+    ranges ([s, s+L) extends L−1 past the start), so without the merge
+    `sum(run_len)` double-counts the overlap and a doc's copied_chars
+    can exceed its length (r8 advice). After the merge every returned
+    (doc_id, run_start, run_len) is a maximal covered interval, spans
+    are pairwise disjoint, and run_len ≥ L by construction.
+    The merge is one lag comparison, not a cummax: island starts AND
+    ends are strictly increasing per doc (island i+1's min position
+    exceeds island i's max), so overlap chains are caught by comparing
+    each run to its immediate predecessor's end.
     PRECONDITION: (doc_id, s) rows are distinct — a duplicate would
     shift the row_number island key; every caller joins against a
     distinct hash set, so one row per flagged window holds by
@@ -142,15 +153,33 @@ def _runs_from_positions(hits: DataFrame, L: int) -> DataFrame:
     from pyspark.sql import functions as F
 
     w = Window.partitionBy("doc_id").orderBy("s")
-    return (
+    islands = (
         hits.withColumn("__grp", F.col("s") - F.row_number().over(w))
         .groupBy("doc_id", "__grp")
         .agg(
             F.min("s").cast("int").alias("run_start"),
-            (F.max("s") - F.min("s") + L).cast("int").alias("run_len"),
+            (F.max("s") + F.lit(L)).cast("int").alias("__end"),
         )
-        .select("doc_id", "run_start", "run_len")
     )
+    wr = Window.partitionBy("doc_id").orderBy("run_start")
+    merged = (
+        islands.withColumn("__pe", F.lag("__end").over(wr))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__pe").isNull()
+                | (F.col("run_start") > F.col("__pe")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__mg", F.sum("__new").over(wr))
+        .groupBy("doc_id", "__mg")
+        .agg(
+            F.min("run_start").cast("int").alias("run_start"),
+            (F.max("__end") - F.min("run_start")).cast("int").alias("run_len"),
+        )
+    )
+    return merged.select("doc_id", "run_start", "run_len")
 
 
 def q_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,9 +197,11 @@ def q_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff some stride-1 window repeats cross-doc, so this is exact, not
     an approximation; windows ship as md5, never text. (2) One
     map-side-combined count over the hash key keeps hashes seen in ≥2
-    distinct docs. (3) Join positions back and merge consecutive
-    repeated positions into maximal runs with the islands-and-gaps
-    window trick (s − row_number per doc). Cost is the honest exact
+    distinct docs. (3) Join positions back and consolidate
+    repeated positions into maximal DISJOINT covered spans —
+    islands-and-gaps (s − row_number per doc), then an interval merge
+    for islands whose L-char spans overlap (`_runs_from_positions`,
+    r9). Cost is the honest exact
     price: O(total chars) narrow rows through one exchange — the
     suffix-array construction is the memory-optimal variant of the
     same pass; stride-1 hashing is its shuffle-friendly equivalent
@@ -213,11 +244,23 @@ dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
 p AS (SELECT doc_id, s FROM w JOIN dup USING (h)),
 i AS (SELECT doc_id, s,
              s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
-      FROM p)
+      FROM p),
+r0 AS (SELECT doc_id, min(s) AS run_start,
+              max(s) + {SUBSTR_EXACT_L} AS run_end
+       FROM i GROUP BY doc_id, grp),
+m AS (SELECT doc_id, run_start, run_end,
+             CASE WHEN run_start > coalesce(lag(run_end) OVER
+                    (PARTITION BY doc_id ORDER BY run_start), -1)
+                  THEN 1 ELSE 0 END AS nw
+      FROM r0),
+g AS (SELECT doc_id, run_start, run_end,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY run_start
+                           ROWS UNBOUNDED PRECEDING) AS mg
+      FROM m)
 SELECT doc_id,
-       CAST(min(s) AS INTEGER) AS run_start,
-       CAST(max(s) - min(s) + {SUBSTR_EXACT_L} AS INTEGER) AS run_len
-FROM i GROUP BY doc_id, grp
+       CAST(min(run_start) AS INTEGER) AS run_start,
+       CAST(max(run_end) - min(run_start) AS INTEGER) AS run_len
+FROM g GROUP BY doc_id, mg
 """
 
 
@@ -237,8 +280,11 @@ def _substring_runs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     fp = scratch.data_fingerprint(sf_dir, "documents")
+    # v2: r9 interval-merge semantics — the version tag invalidates any
+    # staged table built by the pre-merge generator (the fingerprint
+    # alone only tracks DATA changes, not generator semantics)
     path = os.path.join(
-        scratch.repo_root(), ".scratch", f"substr_runs_{sfx}_{ph}_f{fp}"
+        scratch.repo_root(), ".scratch", f"substr_runs_v2_{sfx}_{ph}_f{fp}"
     )
     scratch.reap(os.path.dirname(path), "substr_runs_", keep=path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -329,9 +375,21 @@ p AS (SELECT bw.doc_id, bw.s FROM bw JOIN cw USING (h)),
 i AS (SELECT doc_id, s,
              s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
       FROM p),
-runs AS (SELECT doc_id, min(s) AS run_start,
-                max(s) - min(s) + {SUBSTR_EXACT_L} AS run_len
-         FROM i GROUP BY doc_id, grp),
+r0 AS (SELECT doc_id, min(s) AS run_start,
+              max(s) + {SUBSTR_EXACT_L} AS run_end
+       FROM i GROUP BY doc_id, grp),
+m AS (SELECT doc_id, run_start, run_end,
+             CASE WHEN run_start > coalesce(lag(run_end) OVER
+                    (PARTITION BY doc_id ORDER BY run_start), -1)
+                  THEN 1 ELSE 0 END AS nw
+      FROM r0),
+g AS (SELECT doc_id, run_start, run_end,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY run_start
+                           ROWS UNBOUNDED PRECEDING) AS mg
+      FROM m),
+runs AS (SELECT doc_id, min(run_start) AS run_start,
+                max(run_end) - min(run_start) AS run_len
+         FROM g GROUP BY doc_id, mg),
 pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_copied_runs,
               CAST(sum(run_len) AS BIGINT) AS copied_chars,
               CAST(max(run_len) AS INTEGER) AS longest_run
@@ -363,8 +421,10 @@ def q_substring_purged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-proving it byte-for-byte cross-engine.
 
     Plan: complement intervals via one lag window over the (tiny) runs
-    table (maximal runs are disjoint, so the kept segments are
-    head-gaps plus one tail), segment text sliced from a broadcast-
+    table (runs are disjoint BY CONSTRUCTION since the r9 interval
+    merge in `_runs_from_positions`, so the kept segments are
+    head-gaps plus one tail and chars_cut = len − retained exactly),
+    segment text sliced from a broadcast-
     joined scan, and the purged text rebuilt with an order-explicit
     concat (sort_array over (seg_start, piece) structs — never relying
     on row order through the shuffle). Docs with no runs pass through
@@ -658,8 +718,20 @@ def _stream_scratch_roots(spark: SparkSession, sf_dir: str, tag: str,
     scratch.reap(os.path.dirname(src), "ingest_src_", keep=src)
     if not os.path.exists(src):
         tmp = f"{src}.tmp{os.getpid()}"
-        for batch in batches:
+        staged: set[str] = set()
+        for i, batch in enumerate(batches):
             batch.coalesce(1).write.mode("append").parquet(tmp)
+            # FileStreamSource orders files by MTIME; the quick-
+            # succession appends can tie on a coarse-mtime filesystem
+            # and reorder the replay (r8 advice) — stamp each batch's
+            # new part files with a strictly increasing timestamp
+            # before publishing.
+            for fn in os.listdir(tmp):
+                p = os.path.join(tmp, fn)
+                if fn.startswith(("_", ".")) or p in staged:
+                    continue
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+                staged.add(p)
         try:
             os.rename(tmp, src)
         except OSError:  # a concurrent session won the publish race

@@ -48,6 +48,12 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "q7_nation_trade": 8,
     "q10_returned_revenue": 8,
     "q22_idle_customers": 8,
+    # r9: exact-substring runs now merge span-OVERLAPPING islands
+    # (gap < L) into disjoint maximal covered intervals — run counts /
+    # copied_chars / chars_cut change wherever overlaps exist
+    "exact_substring_runs": 9,
+    "substring_contamination": 9,
+    "substring_purged_docs": 9,
 }
 
 

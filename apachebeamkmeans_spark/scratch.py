@@ -67,8 +67,25 @@ def data_fingerprint(sf_dir: str, table: str) -> str:
     except OSError:
         return "0"
     # nanosecond mtime: a same-size rewrite within the same second must
-    # not serve the previous generation's hash from the memo
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    # not serve the previous generation's hash from the memo. For a
+    # directory of part files the DIRECTORY stat is blind to an
+    # in-place rewrite of a same-named part (r8 advice), so the memo
+    # key aggregates the parts themselves: newest part mtime + total
+    # part bytes.
+    if os.path.isdir(path):
+        # parts ONLY — the directory's own stat must not participate
+        # (a pinned/futured dir mtime would mask a part rewrite)
+        mt, size = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                pst = os.stat(os.path.join(root, fn))
+                mt = max(mt, pst.st_mtime_ns)
+                size += pst.st_size
+        key = (os.path.abspath(path), mt, size)
+    else:
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     if key not in _FP_MEMO:
         h = hashlib.md5()
         if os.path.isdir(path):

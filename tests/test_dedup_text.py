@@ -293,3 +293,114 @@ def test_exact_substring_runs_cover_stride_window_hits(spark):
         assert any(a <= lo and hi <= b for a, b in runs.get(r["doc_id"], [])), (
             r["doc_id"], lo, hi,
         )
+
+
+def _uniq(tag: str, n: int) -> str:
+    """Deterministic filler text: md5-chained hex keyed by tag, so two
+    different tags can never share a 50-char substring (the planted
+    fixture's 'unique padding' guarantee)."""
+    import hashlib
+
+    out: list[str] = []
+    h = tag
+    while sum(len(x) for x in out) < n:
+        h = hashlib.md5((tag + h).encode()).hexdigest()
+        out.append(h)
+    return "".join(out)[:n]
+
+
+def test_exact_substring_planted_ground_truth(spark, tmp_path):
+    """Planted-duplicate fixture with EXACTLY known cut spans (r8
+    verdict item 7): the generator writes the ground truth, the
+    queries must reproduce it byte-for-byte — including the r9
+    overlap-merge case (two flagged islands with position gap 8 < L
+    whose spans must come back as ONE disjoint run, not two
+    double-counting ones).
+
+    Construction (L=50): shared block M of 60 chars; doc X carries
+    M[:52], doc W carries M[8:], doc Z carries all of M, doc V is
+    fully unique. In Z the X-matching windows flag positions
+    {51,52,53} and the W-matching windows {59,60,61} — two islands,
+    overlapping spans [51,103) and [59,111) — so the only correct
+    answer is the single merged run (51, 60)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apachebeamkmeans_spark.queries_dedup import (
+        SUBSTR_EXACT_L,
+        q_exact_substring_runs,
+        q_substring_contamination,
+        q_substring_purged_docs,
+    )
+
+    assert SUBSTR_EXACT_L == 50, "fixture spans are hand-derived for L=50"
+    M = _uniq("shared-block", 60)
+    x_head, x_tail = _uniq("x-head", 60), _uniq("x-tail", 60)
+    w_head, w_tail = _uniq("w-head", 55), _uniq("w-tail", 55)
+    z_head, z_tail = _uniq("z-head", 50), _uniq("z-tail", 40)
+    docs = {
+        1: x_head + M[:52] + x_tail,
+        2: w_head + M[8:] + w_tail,
+        3: _uniq("v-solo", 200),
+        10: z_head + M + z_tail,
+    }
+    ids = sorted(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([docs[i] for i in ids], pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["planted"] * len(ids), pa.string()),
+                "n_chars": pa.array([len(docs[i]) for i in ids], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    sf = str(tmp_path)
+
+    runs: dict[int, list[tuple[int, int]]] = {}
+    for r in q_exact_substring_runs(spark, sf).collect():
+        runs.setdefault(r["doc_id"], []).append((r["run_start"], r["run_len"]))
+    for v in runs.values():
+        v.sort()
+    assert runs == {
+        1: [(61, 52)],   # X's copy of M[:52] after its 60-char head
+        2: [(56, 52)],   # W's copy of M[8:] after its 55-char head
+        10: [(51, 60)],  # Z: the two overlapping islands, merged
+    }
+
+    purged_want = {
+        1: (1, 52, x_head + x_tail),
+        2: (1, 52, w_head + w_tail),
+        3: (0, 0, docs[3]),
+        10: (1, 60, z_head + z_tail),
+    }
+    got = {
+        r["doc_id"]: r for r in q_substring_purged_docs(spark, sf).collect()
+    }
+    assert set(got) == set(purged_want)
+    for doc_id, (n_runs, cut, text) in purged_want.items():
+        r = got[doc_id]
+        assert r["n_runs_cut"] == n_runs, doc_id
+        assert r["chars_cut"] == cut, doc_id
+        assert r["retained_chars"] == len(text), doc_id
+        assert r["purged_md5"] == hashlib.md5(text.encode()).hexdigest(), doc_id
+        # the span-disjointness accounting identity the r8 advice
+        # showed pre-merge code could violate:
+        assert r["chars_cut"] + r["retained_chars"] == len(docs[doc_id])
+
+    # contamination gate: Z (doc_id % 10 == 0) is the arriving batch,
+    # X/W/V the corpus; Z's copied region is the merged 60-char span
+    contam = {
+        r["doc_id"]: r for r in q_substring_contamination(spark, sf).collect()
+    }
+    assert set(contam) == {10}
+    z = contam[10]
+    assert z["n_copied_runs"] == 1
+    assert z["copied_chars"] == 60
+    assert z["longest_run"] == 60
+    assert z["copied_share"] == round(60 / 150, 6)
+    assert z["accept"] is False  # 0.4 > SUBSTR_CONTAM_MAX_SHARE

@@ -183,4 +183,13 @@ def test_data_fingerprint_content_keyed(tmp_path):
     assert scratch.data_fingerprint(str(d), "events") == g1
     (dd / "part-1").write_bytes(b"y")
     os.utime(dd, (t + 5, t + 5))
-    assert scratch.data_fingerprint(str(d), "events") != g1
+    g2 = scratch.data_fingerprint(str(d), "events")
+    assert g2 != g1
+    # in-place rewrite of a SAME-NAMED part with the directory stat
+    # pinned (r8 advice): the directory's own (mtime, size) is blind
+    # to this, so the memo key must aggregate the parts themselves
+    os.utime(dd, (t + 5, t + 5))
+    dir_stat = os.stat(dd)
+    (dd / "part-1").write_bytes(b"z")
+    os.utime(dd, (dir_stat.st_mtime, dir_stat.st_mtime))
+    assert scratch.data_fingerprint(str(d), "events") != g2

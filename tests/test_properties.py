@@ -324,11 +324,15 @@ _pos_sets = st.lists(
 
 @given(_pos_sets)
 @settings(max_examples=20, deadline=None)
-def test_runs_from_positions_partitions_flagged_positions(spark, docs_pos):
+def test_runs_from_positions_are_maximal_covered_intervals(spark, docs_pos):
     """For ANY flagged stride-1 position set: the consolidated runs are
-    disjoint, maximal (no two runs are adjacent or overlapping), each
-    ≥ L chars, and together they cover exactly the flagged windows —
-    position p is inside some run's window span iff p was flagged."""
+    exactly the MAXIMAL COVERED CHAR INTERVALS — pairwise disjoint and
+    non-adjacent (an uncovered char separates consecutive runs), each
+    ≥ L chars, and their union of char ranges [start, start+len)
+    equals the union of flagged windows' char ranges [s, s+L). This is
+    the r9 semantics: islands whose spans overlap OR touch (position
+    gap ≤ L) merge into one run, so sum(run_len) never double-counts
+    a char (chars_cut ≤ doc length always holds)."""
     from apachebeamkmeans_spark.queries_dedup import _runs_from_positions
 
     L = 5
@@ -344,20 +348,21 @@ def test_runs_from_positions_partitions_flagged_positions(spark, docs_pos):
         by_doc.setdefault(r["doc_id"], []).append(
             (r["run_start"], r["run_len"])
         )
-    flagged: dict[int, set[int]] = {}
+    want_chars: dict[int, set[int]] = {}
     for doc_id, s in rows:
-        flagged.setdefault(doc_id, set()).add(s)
+        want_chars.setdefault(doc_id, set()).update(range(s, s + L))
     for doc_id, rs in by_doc.items():
         rs.sort()
         covered: set[int] = set()
-        prev_end = None
+        prev_char_end = None
         for start, ln in rs:
             assert ln >= L
-            # maximality: a gap of at least one unflagged position
-            # separates consecutive runs (runs never touch or overlap)
-            if prev_end is not None:
-                assert start > prev_end
-            prev_end = start + ln - L + 1  # last flagged position + 1
-            covered |= set(range(start, start + ln - L + 1))
-        assert covered == flagged[doc_id], doc_id
-    assert set(by_doc) == set(flagged)
+            # disjoint AND non-adjacent: at least one uncovered char
+            # between consecutive runs (touching spans would have
+            # merged), so sum(run_len) == |union of flagged windows|
+            if prev_char_end is not None:
+                assert start > prev_char_end  # prev end is EXCLUSIVE
+            prev_char_end = start + ln
+            covered |= set(range(start, start + ln))
+        assert covered == want_chars[doc_id], doc_id
+    assert set(by_doc) == set(want_chars)

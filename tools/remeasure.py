@@ -1,6 +1,7 @@
 """Quiet re-measure of specific bench queries, N repetitions each,
 bench-identical methodology (warmup pass, clearCache, noop sink).
-Usage: python tools/remeasure.py [reps] query [query...]
+Usage: python tools/remeasure.py [reps=3] query [query...]
+(reps may be omitted; a non-integer first arg is taken as a query name)
 """
 from __future__ import annotations
 
@@ -17,8 +18,15 @@ from apachebeamkmeans_spark.session import get_spark
 
 
 def main() -> None:
-    reps = int(sys.argv[1])
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    if not args:
+        sys.exit(__doc__.strip())
+    try:
+        reps, names = int(args[0]), args[1:]
+    except ValueError:  # first arg is a query name — default reps
+        reps, names = 3, args
+    if not names:
+        sys.exit(__doc__.strip())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("remeasure")
     queries = all_queries()
