@@ -54,6 +54,9 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "exact_substring_runs": 9,
     "substring_contamination": 9,
     "substring_purged_docs": 9,
+    # r9: q20's part filter moved to the spec-shaped name-prefix+size
+    # form so the semi-join actually prunes (r8 fixture saturation)
+    "q20_promotion_suppliers": 9,
 }
 
 
