@@ -613,3 +613,72 @@ def embedding_near_pairs(vecs: DataFrame, planes: list[list[float]],
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+# ------------------------------------------- exact-substring surgery
+
+
+def substring_purge(docs: DataFrame, runs: DataFrame) -> DataFrame:
+    """Cut every (run_start, run_len) span out of each document's text
+    — the surgery step of Lee et al.'s exact substring dedup
+    (arXiv:2107.06499): the output text is what a curation pipeline
+    actually trains on. `docs` needs (doc_id, text); `runs` needs
+    (doc_id, run_start, run_len) with per-doc spans DISJOINT (the
+    `_runs_from_positions` postcondition). Returns one row per input
+    doc: (doc_id, n_runs_cut, chars_cut, text) — docs with no runs
+    pass through untouched via the left join, and chars_cut =
+    len(original) − len(purged) exactly because spans are disjoint.
+
+    Plan: complement intervals via one lag window over the (tiny) runs
+    table — kept segments are head-gaps plus one tail — segment text
+    sliced from a join against the docs scan, and the purged text
+    rebuilt with an order-explicit concat (sort_array over
+    (seg_start, piece) structs — never relying on row order through
+    the shuffle)."""
+    w = Window.partitionBy("doc_id").orderBy("run_start")
+    b = runs.withColumn(
+        "prev_end", F.lag(F.col("run_start") + F.col("run_len")).over(w)
+    )
+    head = b.select(
+        "doc_id",
+        F.coalesce("prev_end", F.lit(1)).alias("seg_start"),
+        (F.col("run_start") - F.coalesce("prev_end", F.lit(1))).alias("seg_len"),
+    ).filter(F.col("seg_len") > 0)
+    per_doc = runs.groupBy("doc_id").agg(
+        F.max(F.col("run_start") + F.col("run_len")).alias("last_end"),
+        F.count(F.lit(1)).alias("n_runs_cut"),
+        F.sum("run_len").cast("long").alias("chars_cut"),
+    )
+    tail = per_doc.join(docs, "doc_id").select(
+        "doc_id",
+        F.col("last_end").alias("seg_start"),
+        (F.length("text") - F.col("last_end") + 1).alias("seg_len"),
+    ).filter(F.col("seg_len") > 0)
+    pieces = head.unionByName(tail).join(docs, "doc_id").select(
+        "doc_id",
+        "seg_start",
+        F.substring(F.col("text"), F.col("seg_start"), F.col("seg_len")).alias(
+            "piece"
+        ),
+    )
+    purged = pieces.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_start", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("__ptext")
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .join(purged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_runs_cut", F.lit(0)).alias("n_runs_cut"),
+            F.coalesce("chars_cut", F.lit(0)).cast("long").alias("chars_cut"),
+            F.when(F.col("n_runs_cut").isNull(), F.col("text"))
+            .otherwise(F.coalesce("__ptext", F.lit("")))
+            .alias("text"),
+        )
+    )

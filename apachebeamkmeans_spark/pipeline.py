@@ -1,0 +1,181 @@
+"""User-facing curation-pipeline facade (r8 verdict item 8): the
+engine's dedup / gating / packing operators compose today inside query
+functions; this module exposes the same composition as a small builder
+API so the engine is usable as a LIBRARY — load → dedup → purge →
+gate → pack in a handful of lines:
+
+    from apachebeamkmeans_spark.pipeline import CurationPipeline
+
+    packed = (
+        CurationPipeline(docs)            # any (doc_id, text, ...) frame
+        .exact_dedup()
+        .near_dedup(threshold=0.5)
+        .purge_substrings()
+        .quality_gate(min_chars=30, langs=("en",))
+        .contamination_gate(bench_docs)
+        .pack(ctx_len=256, n_shards=8)
+    )
+
+Every stage delegates to the operator the engine already certifies
+individually (`operators/dedup.py`, `operators/textstats.py`,
+`queries_dedup._runs_from_positions`) and composes LAZILY: nothing
+executes until the caller acts on `.df()` (or the frame a terminal
+stage returns), so Catalyst sees the whole pipeline as one plan and
+prunes/pushes across stage boundaries. The builder is immutable —
+each stage returns a new pipeline — so partial pipelines can fan out.
+
+Scale posture is inherited from the operators: exact dedup shuffles a
+32-char hash, LSH bounds candidates to O(n·bands), the substring pass
+is one O(total chars) exchange with a broadcast-back, the benchmark
+side of the contamination gate broadcasts, and packing is one window
+cumsum per shard. No stage collects data to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.operators import dedup as DD
+from apachebeamkmeans_spark.operators import textstats as TX
+
+
+class CurationPipeline:
+    """Lazy builder over a documents DataFrame with at least
+    (doc_id, text). Columns beyond the required ones ride along
+    untouched except where a stage documents otherwise."""
+
+    def __init__(self, docs: DataFrame):
+        for c in ("doc_id", "text"):
+            if c not in docs.columns:
+                raise ValueError(f"CurationPipeline input needs a '{c}' column")
+        self._df = docs
+
+    def _with(self, df: DataFrame) -> "CurationPipeline":
+        p = object.__new__(CurationPipeline)
+        p._df = df
+        return p
+
+    def df(self) -> DataFrame:
+        """The composed (still-lazy) DataFrame."""
+        return self._df
+
+    # ------------------------------------------------------- dedup stages
+
+    def exact_dedup(self) -> "CurationPipeline":
+        """Keep one copy per exact text hash (keeper = min doc_id)."""
+        losers = (
+            DD.exact_dedup(self._df)
+            .filter(F.col("is_dup"))
+            .select("doc_id")
+        )
+        return self._with(
+            self._df.join(F.broadcast(losers), "doc_id", "left_anti")
+        )
+
+    def near_dedup(
+        self, threshold: float = 0.5, bands: int = 8, shingle: int = 3
+    ) -> "CurationPipeline":
+        """MinHash-LSH near-duplicate purge: candidates from banded
+        signatures, exact-Jaccard verified at `threshold`, connected
+        components collapsed to their min-id keeper. The duplicate id
+        set is duplicate-volume-sized, so it broadcasts into the
+        anti-join — document payloads never shuffle."""
+        pairs = DD.lsh_candidate_pairs(self._df, bands, shingle)
+        verified = DD.jaccard_verify(
+            self._df, pairs, shingle, threshold
+        ).select("doc_a", "doc_b")
+        losers = (
+            DD.duplicate_clusters(verified)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+        return self._with(
+            self._df.join(F.broadcast(losers), "doc_id", "left_anti")
+        )
+
+    def purge_substrings(self, min_run: int | None = None) -> "CurationPipeline":
+        """Lee-et-al exact substring dedup as a REWRITE stage: every
+        maximal cross-doc verbatim run of ≥ `min_run` chars (default
+        `queries_dedup.SUBSTR_EXACT_L`) is cut out of every document
+        carrying it; text and n_chars (when present) are replaced,
+        and per-doc n_runs_cut / chars_cut columns are added. The
+        stride-1 window frame is checkpointed once (it feeds both the
+        dup count and the position join)."""
+        from apachebeamkmeans_spark.queries_dedup import (
+            SUBSTR_EXACT_L,
+            _runs_from_positions,
+            _window_hashes,
+        )
+
+        L = SUBSTR_EXACT_L if min_run is None else min_run
+        wins = _window_hashes(self._df, L).localCheckpoint(eager=False)
+        dup = (
+            wins.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("__nd"))
+            .filter(F.col("__nd") >= 2)
+            .select("h")
+        )
+        hits = wins.join(F.broadcast(dup), "h").select("doc_id", "s")
+        runs = _runs_from_positions(hits, L)
+        purged = DD.substring_purge(
+            self._df.select("doc_id", "text"), runs
+        )
+        extra = [c for c in self._df.columns if c not in ("text",)]
+        out = self._df.select(*extra).join(purged, "doc_id")
+        if "n_chars" in out.columns:
+            out = out.withColumn("n_chars", F.length("text").cast("long"))
+        return self._with(out)
+
+    # ------------------------------------------------------- gate stages
+
+    def quality_gate(
+        self,
+        min_chars: int = 30,
+        langs: tuple[str, ...] | None = ("en",),
+    ) -> "CurationPipeline":
+        """Heuristic quality gate: minimum length plus (optionally)
+        predicted language membership (`textstats.lang_id`, the
+        stopword-density n-gram heuristic — one narrow map)."""
+        kept = self._df.filter(F.length("text") >= min_chars)
+        if langs:
+            lid = TX.lang_id(kept).select("doc_id", "lang_pred")
+            kept = (
+                kept.join(lid, "doc_id")
+                .filter(F.col("lang_pred").isin(*langs))
+                .drop("lang_pred")
+            )
+        return self._with(kept)
+
+    def contamination_gate(
+        self, bench: DataFrame, shingle: int = 3, max_shared: int = 0
+    ) -> "CurationPipeline":
+        """Benchmark decontamination: drop any doc sharing more than
+        `max_shared` distinct token n-grams with the (small,
+        broadcast) benchmark set."""
+        bad = (
+            TX.ngram_contamination(self._df, bench, shingle)
+            .filter(F.col("n_shared_ngrams") > max_shared)
+            .select("doc_id")
+        )
+        return self._with(
+            self._df.join(F.broadcast(bad), "doc_id", "left_anti")
+        )
+
+    # ----------------------------------------------------- terminal stages
+
+    def pack(self, ctx_len: int = 256, n_shards: int = 8) -> DataFrame:
+        """Concat-and-chunk sequence packing over whatever survived:
+        returns the (doc_id, shard, n_tokens, bin_id) layout frame
+        (`textstats.pack_sequences`)."""
+        return TX.pack_sequences(self._df, ctx_len, n_shards)
+
+    def summary(self) -> DataFrame:
+        """Corpus accounting: per (lang, source) — when those columns
+        exist, else global — doc count and char volume."""
+        keys = [c for c in ("lang", "source") if c in self._df.columns]
+        g = self._df.groupBy(*keys) if keys else self._df.groupBy()
+        return g.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        )

