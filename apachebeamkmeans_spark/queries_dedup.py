@@ -1192,6 +1192,72 @@ GROUP BY shard
 ORACLE_CORPUS_PIPELINE = _oracle_corpus_pipeline()
 
 
+def q_pipeline_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CurationPipeline facade (`pipeline.py`) certified END TO
+    END through its public builder API: load → exact dedup → MinHash-
+    LSH near-dedup (J ≥ 0.5) → quality gate (≥ 30 chars, predicted
+    English) → per-(lang, source) corpus summary. `corpus_pipeline`
+    proves the operators compose when hand-wired; this query proves
+    the LIBRARY surface a user would actually call preserves those
+    semantics — stage anti-joins, ride-along metadata columns, and
+    the lazy one-plan form included. The oracle replays the chain:
+    window-keeper exact dedup, banded candidates + exact Jaccard over
+    the exact-surviving subset, recursive min-label components,
+    stopword-density gate, grouped accounting."""
+    from apachebeamkmeans_spark.pipeline import CurationPipeline
+
+    return (
+        CurationPipeline(_docs(spark, sf_dir))
+        .exact_dedup()
+        .near_dedup(threshold=0.5, bands=BANDS, shingle=SHINGLE)
+        .quality_gate(min_chars=30, langs=("en",))
+        .summary()
+    )
+
+
+def _oracle_pipeline_facade() -> str:
+    from apachebeamkmeans_spark.queries_text import _DENSITY
+
+    return f"""
+WITH RECURSIVE
+xd AS MATERIALIZED (
+  SELECT doc_id, text, lang, source FROM documents
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM xd),
+s AS (SELECT doc_id, {_SH} AS sh FROM t),
+m AS (SELECT doc_id, {_MH} FROM s),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM m a JOIN m b ON a.doc_id < b.doc_id AND ({_MH_MATCH})),
+sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+jp AS (SELECT doc_a, doc_b FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS j
+  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+            JOIN sets b ON cand.doc_b = b.doc_id)
+  WHERE round(j, 6) >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(doc_id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+cl AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),
+surv AS (SELECT * FROM xd
+         WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+tk AS (SELECT doc_id, lang, source, text, {_TOKS} AS toks FROM surv
+       WHERE length(text) >= 30),
+kept AS (SELECT * FROM tk WHERE {_DENSITY} >= 0.05)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM kept GROUP BY lang, source
+"""
+
+
+ORACLE_PIPELINE_FACADE = _oracle_pipeline_facade()
+
+
 def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the verified near-duplicate pair graph
     (operators/graph.py): centrality in the similarity graph surfaces
@@ -1293,6 +1359,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_purge": (q_dedup_purge, ORACLE_DEDUP_PURGE),
     "corpus_pipeline": (q_corpus_pipeline, ORACLE_CORPUS_PIPELINE),
+    "pipeline_facade": (q_pipeline_facade, ORACLE_PIPELINE_FACADE),
     "dedup_keeper_quality": (q_dedup_keeper_quality, ORACLE_DEDUP_KEEPER_QUALITY),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),

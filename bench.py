@@ -78,6 +78,7 @@ HEADLINE = [
     "user_mad_outliers",
     "stratified_sample",
     "corpus_pipeline",
+    "pipeline_facade",
     "sim_pq_topk",
     "events_session_window",
     # round 5 additions: trained-ANN family + oracle-checked fixed fit
