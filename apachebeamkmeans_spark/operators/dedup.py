@@ -225,7 +225,8 @@ def lsh_pairs_against(corpus: DataFrame, new: DataFrame, bands: int = 8,
 
 
 def corpus_gate_state(corpus: DataFrame, bands: int = 8,
-                      shingle: int = 3) -> tuple[DataFrame, DataFrame]:
+                      shingle: int = 3,
+                      eager: bool = True) -> tuple[DataFrame, DataFrame]:
     """The standing corpus's precomputed gate artifacts — banded
     MinHash signatures and exact shingle sets — materialized EAGERLY so
     a continuous ingest stream sketches the corpus once, not once per
@@ -235,19 +236,23 @@ def corpus_gate_state(corpus: DataFrame, bands: int = 8,
     `ingest_gate_verdicts` calls). The signatures derive FROM the
     distinct-shingle sets — MinHash is invariant to duplicate shingles
     (min of an affine hash family), so the corpus is tokenized once,
-    not once per artifact, and md5 runs only over distinct shingles."""
+    not once per artifact, and md5 runs only over distinct shingles.
+    `eager=False` keeps the same one-tokenize sharing but defers
+    materialization to the first action — for single-plan consumers
+    that promise laziness (the CurationPipeline facade) rather than
+    many-batch amortization."""
     sets = corpus.select(
         "doc_id",
         F.array_distinct(
             T.token_shingles(T.tokens(F.col("text")), shingle)
         ).alias("sh"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=eager)
     hashed = sets.select(
         "doc_id", T.shingle_hashes(F.col("sh")).alias("__h")
     ).localCheckpoint(eager=False)
     sigs = hashed.select(
         "doc_id", T.minhash_signature(F.col("__h"), bands).alias("mh")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=eager)
     return sigs, sets
 
 

@@ -80,10 +80,16 @@ class CurationPipeline:
         signatures, exact-Jaccard verified at `threshold`, connected
         components collapsed to their min-id keeper. The duplicate id
         set is duplicate-volume-sized, so it broadcasts into the
-        anti-join — document payloads never shuffle."""
-        pairs = DD.lsh_candidate_pairs(self._df, bands, shingle)
+        anti-join — document payloads never shuffle. Signatures and
+        shingle sets share ONE tokenize pass (`corpus_gate_state`,
+        lazily checkpointed — the `dedup_jaccard` sharing, minus the
+        eager materialization this facade's laziness promise forbids)."""
+        sigs, sets = DD.corpus_gate_state(
+            self._df.select("doc_id", "text"), bands, shingle, eager=False
+        )
+        pairs = DD.lsh_candidate_pairs(self._df, bands, shingle, sigs=sigs)
         verified = DD.jaccard_verify(
-            self._df, pairs, shingle, threshold
+            self._df, pairs, shingle, threshold, sets_a=sets, sets_b=sets
         ).select("doc_a", "doc_b")
         losers = (
             DD.duplicate_clusters(verified)
