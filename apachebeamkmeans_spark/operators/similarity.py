@@ -536,3 +536,68 @@ def ivf_topk_indexed(spark, index_path: str, queries: list[list[float]],
     still reads as a valid empty frame."""
     return ivf_probe_topk(spark.read.schema(INDEX_SCHEMA).parquet(index_path),
                           queries, centers, k, nprobe)
+
+
+def semantic_prune(normed: DataFrame, centers: list[list[float]], tau: float,
+                   dim: int | None = None, id_col: str = "id",
+                   features_col: str = "features") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) per-vector prune verdicts over an
+    L2-normalized embedding frame: assign every vector its nearest
+    coarse center (plan-time literal argmin — zero shuffle), then
+    inside each cell flag a vector when some LOWER-id cell-mate sits
+    at cosine ≥ `tau` (the deterministic greedy-by-id variant of the
+    paper's keep-one-per-ε-ball rule). Output: (vec_id, cell,
+    max_cos_lower, pruned).
+
+    Extracted (pure code motion) from `queries_similarity.
+    q_semantic_dedup` so the CurationPipeline facade can run the stage
+    over any embedding frame; the certified query delegates here with
+    its memoized trained quantizer. Pairwise work never leaves a cell
+    (Σ m_c² ≈ n^1.5 at k=√n) and hot cells grid-split through
+    `salted_self_pairs`. `dim` unrolls the pair dot product for
+    oracle-exact left-associated summation; None uses the HOF fold
+    (dimension-agnostic — library callers without a static dim).
+    """
+    from apachebeamkmeans_spark.operators.dedup import salted_self_pairs
+
+    pts = normed.select(
+        F.col(id_col).alias("vec_id"), F.col(features_col).alias("f")
+    )
+    dfn = lambda c: F.aggregate(  # noqa: E731 — same fold as l2_sq_unrolled
+        F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    nearest = F.array_min(
+        F.transform(
+            F.lit([[float(v) for v in c] for c in centers]),
+            lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
+        )
+    )
+    # array_min of (d, i) structs = first-minimum with the oracle's
+    # (d, c) tie-break; checkpoint cuts the assign tree out of the
+    # plan before the self-join fans it out to both sides
+    assigned = pts.select(
+        "vec_id", "f", nearest["i"].alias("cell")
+    ).localCheckpoint(eager=True)
+    pair_dot = (
+        D.dot_cols_unrolled(F.col("a.f"), F.col("b.f"), dim)
+        if dim is not None
+        else D.dot(F.col("a.f"), F.col("b.f"))
+    )
+    half = salted_self_pairs(assigned, ["cell"], "vec_id").select(
+        # the pruning CANDIDATE is the GREATER id of the pair — the
+        # salted join does NOT orient cross-salt-group pairs by id
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id"),
+        F.round(pair_dot, 6).alias("cosine"),
+    )
+    shadow = half.groupBy("vec_id").agg(F.max("cosine").alias("max_cos_lower"))
+    return (
+        assigned.select("vec_id", "cell")
+        .join(shadow, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "max_cos_lower",
+            F.coalesce(F.col("max_cos_lower") >= tau, F.lit(False)).alias("pruned"),
+        )
+    )

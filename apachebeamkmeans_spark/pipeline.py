@@ -11,6 +11,7 @@ gate → pack in a handful of lines:
         .exact_dedup()
         .near_dedup(threshold=0.5)
         .purge_substrings()
+        .semantic_dedup(embeddings)       # SemDeDup over an aligned vec frame
         .quality_gate(min_chars=30, langs=("en",))
         .contamination_gate(bench_docs)
         .pack(ctx_len=256, n_shards=8)
@@ -132,6 +133,45 @@ class CurationPipeline:
         if "n_chars" in out.columns:
             out = out.withColumn("n_chars", F.length("text").cast("long"))
         return self._with(out)
+
+    def semantic_dedup(
+        self,
+        embeddings: DataFrame,
+        tau: float = 0.35,
+        k: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "CurationPipeline":
+        """SemDeDup semantic near-duplicate prune (Abbas et al. 2023):
+        drop a doc when its embedding has cosine ≥ `tau` to a LOWER-id
+        doc in the same coarse cell. `embeddings` is any (id_col,
+        vec_col) frame whose ids align with doc_id; a √n-cell coarse
+        quantizer is trained inline (`ann_train.ivf_train` — k-row
+        driver traffic only; pass `k` to override), and the verdicts
+        come from the certified `similarity.semantic_prune` operator
+        (within-cell salted pairs — n^1.5, never n²). Note: training
+        triggers a job at build time, so this stage is the documented
+        exception to the builder's laziness."""
+        from apachebeamkmeans_spark.operators import ann_train as ANN
+        from apachebeamkmeans_spark.operators.similarity import semantic_prune
+        from apachebeamkmeans_spark.queries_similarity import knn_cells
+
+        vecs = ANN.l2_normalize(
+            embeddings.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("features"),
+            )
+        ).localCheckpoint(eager=False)
+        kk = k if k is not None else knn_cells(vecs.count())
+        centers = ANN.ivf_train(vecs, kk)
+        losers = (
+            semantic_prune(vecs, centers, tau)
+            .filter(F.col("pruned"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        return self._with(
+            self._df.join(F.broadcast(losers), "doc_id", "left_anti")
+        )
 
     # ------------------------------------------------------- gate stages
 

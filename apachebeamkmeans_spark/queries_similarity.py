@@ -1102,12 +1102,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid-splits across the fleet, and the per-vector reduction is a
     map-side-combined max. Training cost dominates at bench scale —
     the honest price of clustering inside the query (a pipeline would
-    reuse a persisted quantizer, as `sim_ivf_trained_indexed` shows)."""
-    from pyspark.sql import functions as F
-
-    from apachebeamkmeans_spark.functions import distance as D
+    reuse a persisted quantizer, as `sim_ivf_trained_indexed` shows).
+    The verdict body lives in `operators/similarity.semantic_prune`
+    (r9 extraction for the CurationPipeline facade — pure code motion;
+    this query supplies its memoized trained quantizer + static DIM)."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
-    from apachebeamkmeans_spark.operators.dedup import salted_self_pairs
+    from apachebeamkmeans_spark.operators.similarity import semantic_prune
 
     _warn_if_not_train_sf(sf_dir, "semantic_dedup")
     base = ANN.l2_normalize(io.load_points(spark, sf_dir)).localCheckpoint(
@@ -1116,50 +1116,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = base.count()
     k = knn_cells(n)
     centers = _knn_quantizer(base, sf_dir, k)
-    pts = base.select(F.col("id").alias("vec_id"), F.col("features").alias("f"))
-    dfn = lambda c: F.aggregate(  # noqa: E731 — same fold as l2_sq_unrolled
-        F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda a, v: a + v,
-    )
-    nearest = F.array_min(
-        F.transform(
-            F.lit([[float(v) for v in c] for c in centers]),
-            lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
-        )
-    )
-    # array_min of (d, i) structs = first-minimum with the oracle's
-    # (d, c) tie-break, O(k) per row vs array_sort's O(k log k) — the
-    # 1-probe consumers never need the sorted tail (r6 review).
-    # Same codegen trap as the KNN graph: cut the assign tree out of
-    # the plan before the self-join fans it out to both sides
-    assigned = pts.select(
-        "vec_id", "f", nearest["i"].alias("cell")
-    ).localCheckpoint(eager=True)
-    half = salted_self_pairs(assigned, ["cell"], "vec_id").select(
-        # the pruning CANDIDATE is the GREATER id of the pair — taken
-        # explicitly with `greatest` (the salted join does NOT orient
-        # cross-salt-group pairs by id; every other caller
-        # canonicalizes the same way, dedup.py:182,311,492)
-        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id"),
-        F.round(
-            D.dot_cols_unrolled(F.col("a.f"), F.col("b.f"), DIM), 6
-        ).alias("cosine"),
-    )
-    shadow = half.groupBy("vec_id").agg(
-        F.max("cosine").alias("max_cos_lower")
-    )
-    return (
-        assigned.select("vec_id", "cell")
-        .join(shadow, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            "max_cos_lower",
-            F.coalesce(
-                F.col("max_cos_lower") >= SEMDEDUP_TAU, F.lit(False)
-            ).alias("pruned"),
-        )
-    )
+    return semantic_prune(base, centers, SEMDEDUP_TAU, DIM)
 
 
 def _oracle_semantic_dedup() -> str:

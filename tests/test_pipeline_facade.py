@@ -119,3 +119,35 @@ def test_purge_substrings_ground_truth(spark, tmp_path):
     assert out[3]["chars_cut"] == 0
     for r in out.values():
         assert r["n_chars"] == len(r["text"])
+
+
+def test_semantic_dedup_stage_matches_operator(spark, sf_dir):
+    """semantic_dedup stage == anti-join of semantic_prune verdicts
+    over the same inline-trained √n-cell quantizer (seeded Lloyd —
+    deterministic, so two independent trainings agree)."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators.similarity import semantic_prune
+    from apachebeamkmeans_spark.queries_similarity import knn_cells
+
+    docs = _docs(spark, sf_dir)
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    got = CurationPipeline(docs).semantic_dedup(emb, tau=0.35).df()
+
+    vecs = ANN.l2_normalize(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("features"),
+        )
+    )
+    centers = ANN.ivf_train(vecs, knn_cells(vecs.count()))
+    pruned = {
+        r["vec_id"]
+        for r in semantic_prune(vecs, centers, 0.35)
+        .filter(F.col("pruned"))
+        .collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert (
+        {r["doc_id"] for r in got.select("doc_id").collect()}
+        == all_ids - pruned
+    )
