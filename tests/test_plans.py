@@ -437,3 +437,27 @@ def test_q21_exists_decorrelates_to_semi_anti_hash_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_pipeline_facade_anti_joins_broadcast(spark, sf_dir):
+    """The facade's dedup stages compose into one plan whose loser-id
+    anti-joins BROADCAST (document payloads never shuffle for the
+    purge) and whose pair work never degenerates to a cartesian
+    product."""
+    from apachebeamkmeans_spark.pipeline import CurationPipeline
+
+    docs = io.read_table(spark, sf_dir, "documents")
+    out = (
+        CurationPipeline(docs)
+        .exact_dedup()
+        .near_dedup(threshold=0.5)
+        .quality_gate(min_chars=30, langs=("en",))
+        .summary()
+    )
+    plan = X.formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exact_dedup losers + near_dedup losers, both LeftAnti broadcasts
+    assert plan.count("LeftAnti") >= 2
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert X.has_partial_aggregate(out)
