@@ -151,3 +151,23 @@ def test_semantic_dedup_stage_matches_operator(spark, sf_dir):
         {r["doc_id"] for r in got.select("doc_id").collect()}
         == all_ids - pruned
     )
+
+
+def test_contamination_gate_matches_operator(spark, sf_dir):
+    """contamination_gate == anti-join of the operator's contaminated
+    set; seeding the benchmark with the corpus's own texts guarantees
+    non-trivial overlap (a doc shares every n-gram with itself)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.orderBy("doc_id").limit(5).select("doc_id", "text")
+    got = CurationPipeline(docs).contamination_gate(bench).df()
+    bad = {
+        r["doc_id"]
+        for r in TX.ngram_contamination(docs, bench, 3)
+        .filter(F.col("n_shared_ngrams") > 0)
+        .collect()
+    }
+    assert bad  # self-overlap: the seeded bench docs contaminate
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert {
+        r["doc_id"] for r in got.select("doc_id").collect()
+    } == all_ids - bad
