@@ -59,6 +59,8 @@ SHOWCASE = {
     "q21_waiting_suppliers": "dual correlated EXISTS/NOT EXISTS as semi/anti HASH joins on orderkey with supplier-inequality residuals",
     "exact_substring_runs": "exact cross-doc substrings: stride-1 window hashes checkpointed once, dup-hash set broadcast back, islands-and-gaps run consolidation per doc",
     "q8_market_share": "Q8 conditional share: every dim broadcast, CASE-cents numerator and denominator in one partial agg",
+    # round 9
+    "pipeline_facade": "CurationPipeline library capstone: exact-dedup window + LSH near-dedup + components + lang gate + summary composed into ONE plan — loser sets broadcast into LeftAnti joins, shared one-tokenize signature/set frames, no cartesian anywhere",
 }
 
 
