@@ -19,7 +19,7 @@ gate → pack in a handful of lines:
 
 Every stage delegates to the operator the engine already certifies
 individually (`operators/dedup.py`, `operators/textstats.py`,
-`queries_dedup._runs_from_positions`) and composes LAZILY: nothing
+`queries_dedup.cross_doc_runs`) and composes LAZILY: nothing
 executes until the caller acts on `.df()` (or the frame a terminal
 stage returns), so Catalyst sees the whole pipeline as one plan and
 prunes/pushes across stage boundaries. The builder is immutable —
@@ -108,27 +108,26 @@ class CurationPipeline:
         carrying it; text and n_chars (when present) are replaced,
         and per-doc n_runs_cut / chars_cut columns are added. The
         stride-1 window frame is checkpointed once (it feeds both the
-        dup count and the position join)."""
+        dup count and the position join) — via the same
+        `cross_doc_runs` code path the certified query runs."""
         from apachebeamkmeans_spark.queries_dedup import (
             SUBSTR_EXACT_L,
-            _runs_from_positions,
-            _window_hashes,
+            cross_doc_runs,
         )
 
         L = SUBSTR_EXACT_L if min_run is None else min_run
-        wins = _window_hashes(self._df, L).localCheckpoint(eager=False)
-        dup = (
-            wins.groupBy("h")
-            .agg(F.countDistinct("doc_id").alias("__nd"))
-            .filter(F.col("__nd") >= 2)
-            .select("h")
-        )
-        hits = wins.join(F.broadcast(dup), "h").select("doc_id", "s")
-        runs = _runs_from_positions(hits, L)
+        runs = cross_doc_runs(self._df, L)
         purged = DD.substring_purge(
             self._df.select("doc_id", "text"), runs
         )
-        extra = [c for c in self._df.columns if c not in ("text",)]
+        # exclude any PRIOR purge's accounting columns too — the join
+        # below re-adds fresh ones, and keeping both would leave the
+        # frame with ambiguous duplicate names
+        extra = [
+            c
+            for c in self._df.columns
+            if c not in ("text", "n_runs_cut", "chars_cut")
+        ]
         out = self._df.select(*extra).join(purged, "doc_id")
         if "n_chars" in out.columns:
             out = out.withColumn("n_chars", F.length("text").cast("long"))

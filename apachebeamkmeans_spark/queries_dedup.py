@@ -208,25 +208,32 @@ def q_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and at 100 TB the first exchange is the bottleneck either way).
     Containment of the stride-32 approximation is asserted in
     tests/test_dedup_text.py."""
+    return cross_doc_runs(_docs(spark, sf_dir), SUBSTR_EXACT_L)
+
+
+def cross_doc_runs(docs: DataFrame, L: int) -> DataFrame:
+    """Maximal disjoint cross-doc verbatim runs of ≥ L chars over any
+    (doc_id, text) frame — the single code path behind BOTH
+    `q_exact_substring_runs` and `CurationPipeline.purge_substrings`
+    (one place to reason about the r9 interval merge).
+
+    The window frame is materialized once: it feeds BOTH the dup
+    count and the position join — without the checkpoint the
+    explode+md5 of every character position runs twice (measured
+    10.2 s → 4.4 s at sf0.1). The surviving hash set is
+    duplicate-volume-sized (tiny next to the corpus) — broadcast it
+    so the O(chars) window frame never shuffles for the join; at true
+    boilerplate-heavy 100 TB scale AQE would fall back to a key
+    shuffle, which is then the honest cost."""
     from pyspark.sql import functions as F
 
-    L = SUBSTR_EXACT_L
-    # materialized once: the window frame feeds BOTH the dup count and
-    # the position join — without the checkpoint the explode+md5 of
-    # every character position runs twice (measured 10.2 s → 4.4 s at
-    # sf0.1)
-    wins = _window_hashes(_docs(spark, sf_dir), L).localCheckpoint(eager=False)
+    wins = _window_hashes(docs, L).localCheckpoint(eager=False)
     dup = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("__nd"))
         .filter(F.col("__nd") >= 2)
         .select("h")
     )
-    # the surviving hash set is duplicate-volume-sized (tiny next to
-    # the corpus) — broadcast it so the O(chars) window frame never
-    # shuffles for the join; at true boilerplate-heavy 100 TB scale
-    # AQE would fall back to a key shuffle, which is then the honest
-    # cost
     hits = wins.join(F.broadcast(dup), "h").select("doc_id", "s")
     return _runs_from_positions(hits, L)
 

@@ -72,33 +72,44 @@ def data_fingerprint(sf_dir: str, table: str) -> str:
     # in-place rewrite of a same-named part (r8 advice), so the memo
     # key aggregates the parts themselves: newest part mtime + total
     # part bytes.
-    if os.path.isdir(path):
-        # parts ONLY — the directory's own stat must not participate
-        # (a pinned/futured dir mtime would mask a part rewrite)
-        mt, size = 0, 0
-        for root, _dirs, files in os.walk(path):
-            for fn in files:
-                if fn.startswith(("_", ".")):
-                    continue
-                pst = os.stat(os.path.join(root, fn))
-                mt = max(mt, pst.st_mtime_ns)
-                size += pst.st_size
-        key = (os.path.abspath(path), mt, size)
-    else:
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    try:
+        if os.path.isdir(path):
+            # parts ONLY — the directory's own stat must not participate
+            # (a pinned/futured dir mtime would mask a part rewrite)
+            mt, size = 0, 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    if fn.startswith(("_", ".")):
+                        continue
+                    pst = os.stat(os.path.join(root, fn))
+                    mt = max(mt, pst.st_mtime_ns)
+                    size += pst.st_size
+            key = (os.path.abspath(path), mt, size)
+        else:
+            key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        # a part vanished between walk-listing and stat (concurrent
+        # regeneration/reap) — same degrade as an absent table: no
+        # fingerprint, so consumers rebuild rather than crash
+        return "0"
     if key not in _FP_MEMO:
         h = hashlib.md5()
-        if os.path.isdir(path):
-            for root, _dirs, files in sorted(os.walk(path)):
-                for fn in sorted(files):
-                    if fn.startswith(("_", ".")):  # _SUCCESS, .crc
-                        continue
-                    h.update(os.path.relpath(os.path.join(root, fn), path).encode())
-                    with open(os.path.join(root, fn), "rb") as f:
-                        h.update(f.read())
-        else:
-            with open(path, "rb") as f:
-                h.update(f.read())
+        try:
+            if os.path.isdir(path):
+                for root, _dirs, files in sorted(os.walk(path)):
+                    for fn in sorted(files):
+                        if fn.startswith(("_", ".")):  # _SUCCESS, .crc
+                            continue
+                        h.update(
+                            os.path.relpath(os.path.join(root, fn), path).encode()
+                        )
+                        with open(os.path.join(root, fn), "rb") as f:
+                            h.update(f.read())
+            else:
+                with open(path, "rb") as f:
+                    h.update(f.read())
+        except OSError:
+            return "0"  # same race as above, during the content read
         _FP_MEMO[key] = h.hexdigest()[:12]
     return _FP_MEMO[key]
 

@@ -171,3 +171,12 @@ def test_contamination_gate_matches_operator(spark, sf_dir):
     assert {
         r["doc_id"] for r in got.select("doc_id").collect()
     } == all_ids - bad
+
+
+def test_purge_substrings_repeat_keeps_unique_columns(spark, sf_dir):
+    """A second purge (or a pre-annotated input) must replace the cut-
+    accounting columns, not duplicate them into ambiguous references."""
+    docs = _docs(spark, sf_dir)
+    out = CurationPipeline(docs).purge_substrings().purge_substrings().df()
+    assert len(out.columns) == len(set(out.columns))
+    out.select("n_runs_cut", "chars_cut").collect()  # resolvable

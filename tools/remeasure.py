@@ -25,6 +25,8 @@ def main() -> None:
         reps, names = int(args[0]), args[1:]
     except ValueError:  # first arg is a query name — default reps
         reps, names = 3, args
+    if reps < 1:
+        sys.exit("reps must be >= 1")
     if not names:
         sys.exit(__doc__.strip())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

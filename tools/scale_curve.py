@@ -29,16 +29,22 @@ def parse(raw: str) -> dict[int, dict[str, list[float]]]:
             continue
         line = line.strip()
         if line.startswith("{") and mult is not None:
-            out[mult] = json.loads(line)
+            # MERGE repeated blocks for the same multiplier (the
+            # remeasure loop is often run in per-multiplier chunks) —
+            # overwriting would silently drop earlier queries
+            out.setdefault(mult, {}).update(json.loads(line))
     return out
 
 
-def fit_exponent(points: list[tuple[float, float]]) -> float:
-    """Least-squares slope of log t on log n."""
+def fit_exponent(points: list[tuple[float, float]]) -> float | None:
+    """Least-squares slope of log t on log n; None when every point
+    sits at one multiplier (no curve to fit)."""
     xs = [math.log(n) for n, _ in points]
     ys = [math.log(t) for _, t in points]
     mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
     denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return None
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
@@ -49,7 +55,9 @@ def main() -> None:
     if len(data) < 2:
         sys.exit("need at least two multipliers to fit a curve")
     mults = sorted(data)
-    queries = sorted(data[mults[0]])
+    # union across multipliers: a query missing a scale point (timed
+    # out, chunked run) must surface as incomplete, not vanish
+    queries = sorted({q for m in mults for q in data[m]})
     rows = {}
     print(f"{'query':32s} " + " ".join(f"x{m:<7d}" for m in mults) + " exponent")
     for q in queries:
@@ -64,11 +72,18 @@ def main() -> None:
             if q in data[m]
         }
         b = fit_exponent(pts)
-        rows[q] = {"median_sec": med, "exponent": round(b, 3)}
+        rows[q] = {
+            "median_sec": med,
+            "exponent": round(b, 3) if b is not None else None,
+        }
+        if len(med) < len(mults):
+            missing = [f"x{m}" for m in mults if m not in med]
+            rows[q]["missing"] = missing
         print(
             f"{q:32s} "
             + " ".join(f"{med.get(m, float('nan')):<8.2f}" for m in mults)
-            + f" {b:.3f}"
+            + (f" {b:.3f}" if b is not None else " (single scale point)")
+            + (f"  MISSING {','.join(missing)}" if len(med) < len(mults) else "")
         )
     if "--json" in sys.argv:
         out = sys.argv[sys.argv.index("--json") + 1]
