@@ -601,3 +601,49 @@ def semantic_prune(normed: DataFrame, centers: list[list[float]], tau: float,
             F.coalesce(F.col("max_cos_lower") >= tau, F.lit(False)).alias("pruned"),
         )
     )
+
+
+def coverage_sample(normed: DataFrame, centers: list[list[float]],
+                    per_cell: int, id_col: str = "id",
+                    features_col: str = "features") -> DataFrame:
+    """Cluster-coverage (coreset) selection over an L2-normalized
+    embedding frame: assign each vector its nearest coarse center
+    (plan-time literal argmin) and keep the `per_cell` vectors
+    FARTHEST from their centroid per cell — the boundary/edge
+    examples a diversity-seeking subset wants (SemDeDup's keep-far
+    rule, the greedy k-center intuition), deterministically (distance
+    desc, id asc). Output: (vec_id, cell, dist_sq, rank).
+
+    Extracted (pure code motion) from `queries_similarity.
+    q_sim_coverage_sample` for the CurationPipeline facade; the
+    certified query delegates here with its memoized quantizer.
+    Per-cell selection is a row_number window WindowGroupLimit bounds
+    map-side to `per_cell` rows per cell per task — no cell's full
+    membership ever buffers."""
+    pts = normed.select(
+        F.col(id_col).alias("vec_id"), F.col(features_col).alias("f")
+    )
+    dfn = lambda c: F.aggregate(  # noqa: E731 — same fold as l2_sq_unrolled
+        F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    nearest = F.array_min(
+        F.transform(
+            F.lit([[float(v) for v in c] for c in centers]),
+            lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
+        )
+    )
+    # array_min = first-min with the oracle's (d, c) tie-break, O(k);
+    # cut the assign tree out of the plan before the window stage
+    assigned = pts.select(
+        "vec_id",
+        nearest.alias("s"),
+    ).select(
+        "vec_id", F.col("s")["i"].alias("cell"), F.col("s")["d"].alias("d2")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("cell").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        assigned.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= per_cell)
+        .select("vec_id", "cell", F.round("d2", 6).alias("dist_sq"), "rank")
+    )

@@ -172,6 +172,41 @@ class CurationPipeline:
             self._df.join(F.broadcast(losers), "doc_id", "left_anti")
         )
 
+    def coverage_select(
+        self,
+        embeddings: DataFrame,
+        per_cell: int = 2,
+        k: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "CurationPipeline":
+        """Cluster-coverage (coreset) selection — the diversity half
+        of the curation triad (`semantic_dedup` removes redundancy,
+        this KEEPS the per-cell boundary exemplars): retain only the
+        docs whose embedding ranks among the `per_cell` farthest from
+        its cell centroid under an inline-trained √n-cell quantizer.
+        The keep set is coreset-sized (k·per_cell), so it broadcasts
+        into a semi-join — document payloads never shuffle. Same
+        laziness exception as `semantic_dedup` (inline training)."""
+        from apachebeamkmeans_spark.operators import ann_train as ANN
+        from apachebeamkmeans_spark.operators.similarity import coverage_sample
+        from apachebeamkmeans_spark.queries_similarity import knn_cells
+
+        vecs = ANN.l2_normalize(
+            embeddings.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("features"),
+            )
+        ).localCheckpoint(eager=False)
+        kk = k if k is not None else knn_cells(vecs.count())
+        centers = ANN.ivf_train(vecs, kk)
+        keep = coverage_sample(vecs, centers, per_cell).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        return self._with(
+            self._df.join(F.broadcast(keep), "doc_id", "left_semi")
+        )
+
     # ------------------------------------------------------- gate stages
 
     def quality_gate(

@@ -1181,11 +1181,12 @@ def q_sim_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ordering note: both engines rank by the UNROUNDED assigned-cell
     distance computed from the identical rounded-center literals with
     the identical left-associated fold, so the rank order cannot
-    diverge; the distance is rounded only for output."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
+    diverge; the distance is rounded only for output.
+    The selection body lives in `operators/similarity.coverage_sample`
+    (r9 extraction for the CurationPipeline facade — pure code motion;
+    this query supplies its memoized trained quantizer)."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators.similarity import coverage_sample
 
     _warn_if_not_train_sf(sf_dir, "sim_coverage_sample")
     base = ANN.l2_normalize(io.load_points(spark, sf_dir)).localCheckpoint(
@@ -1194,32 +1195,7 @@ def q_sim_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = base.count()
     k = knn_cells(n)
     centers = _knn_quantizer(base, sf_dir, k)
-    pts = base.select(F.col("id").alias("vec_id"), F.col("features").alias("f"))
-    dfn = lambda c: F.aggregate(  # noqa: E731 — same fold as l2_sq_unrolled
-        F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda a, v: a + v,
-    )
-    nearest = F.array_min(
-        F.transform(
-            F.lit([[float(v) for v in c] for c in centers]),
-            lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
-        )
-    )
-    # array_min = first-min with the oracle's (d, c) tie-break, O(k);
-    # cut the assign tree (same codegen-size discipline as the KNN
-    # probe assignment) before the window stage
-    assigned = pts.select(
-        "vec_id",
-        nearest.alias("s"),
-    ).select(
-        "vec_id", F.col("s")["i"].alias("cell"), F.col("s")["d"].alias("d2")
-    ).localCheckpoint(eager=True)
-    w = Window.partitionBy("cell").orderBy(F.desc("d2"), F.asc("vec_id"))
-    return (
-        assigned.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= COVERAGE_PER_CELL)
-        .select("vec_id", "cell", F.round("d2", 6).alias("dist_sq"), "rank")
-    )
+    return coverage_sample(base, centers, COVERAGE_PER_CELL)
 
 
 def _oracle_coverage_sample() -> str:

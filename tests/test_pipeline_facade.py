@@ -180,3 +180,34 @@ def test_purge_substrings_repeat_keeps_unique_columns(spark, sf_dir):
     out = CurationPipeline(docs).purge_substrings().purge_substrings().df()
     assert len(out.columns) == len(set(out.columns))
     out.select("n_runs_cut", "chars_cut").collect()  # resolvable
+
+
+def test_coverage_select_stage_matches_operator(spark, sf_dir):
+    """coverage_select == semi-join of coverage_sample's keep set over
+    the same inline-trained quantizer (seeded → deterministic)."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators.similarity import coverage_sample
+    from apachebeamkmeans_spark.queries_similarity import knn_cells
+
+    docs = _docs(spark, sf_dir)
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    got = CurationPipeline(docs).coverage_select(emb, per_cell=2).df()
+
+    vecs = ANN.l2_normalize(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("features"),
+        )
+    )
+    k = knn_cells(vecs.count())
+    keep = {
+        r["vec_id"]
+        for r in coverage_sample(vecs, ANN.ivf_train(vecs, k), 2).collect()
+    }
+    assert keep  # non-trivial selection at sf0.001
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert got_ids == keep & {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    # coreset size follows the clustering: at most k * per_cell
+    assert len(got_ids) <= k * 2
