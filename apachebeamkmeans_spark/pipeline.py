@@ -12,6 +12,7 @@ gate → pack in a handful of lines:
         .near_dedup(threshold=0.5)
         .purge_substrings()
         .semantic_dedup(embeddings)       # SemDeDup over an aligned vec frame
+        .coverage_select(embeddings)      # keep per-cell boundary exemplars
         .quality_gate(min_chars=30, langs=("en",))
         .contamination_gate(bench_docs)
         .pack(ctx_len=256, n_shards=8)
