@@ -149,7 +149,26 @@ def generate(mult: int) -> str:
     return out
 
 
+def generate_events_only(mult: int) -> str:
+    """Events-only series for the streaming state-join measurement
+    (SCALE.md §9 addendum): x{mult}ev holds just events.parquet at
+    mult× volume with users scaled alongside (per-user density — and
+    so per-user watermark state — held constant). Separate dirs so
+    the document-family curves never pay for 10M-event generation."""
+    out = os.path.join(OUT_ROOT, f"x{mult}ev")
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42 + mult)
+    pq.write_table(
+        gen_events(BASE_EVENTS * mult, BASE_USERS * mult, rng),
+        os.path.join(out, "events.parquet"),
+    )
+    return out
+
+
 if __name__ == "__main__":
-    mults = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    args = sys.argv[1:]
+    ev_only = "--events-only" in args
+    args = [a for a in args if a != "--events-only"]
+    mults = [int(a) for a in args] or ([30, 100] if ev_only else [1, 3, 10])
     for m in mults:
-        print(generate(m))
+        print(generate_events_only(m) if ev_only else generate(m))
