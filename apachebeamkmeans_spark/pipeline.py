@@ -76,7 +76,11 @@ class CurationPipeline:
         )
 
     def near_dedup(
-        self, threshold: float = 0.5, bands: int = 8, shingle: int = 3
+        self,
+        threshold: float = 0.5,
+        bands: int = 8,
+        shingle: int = 3,
+        verified_pairs: DataFrame | None = None,
     ) -> "CurationPipeline":
         """MinHash-LSH near-duplicate purge: candidates from banded
         signatures, exact-Jaccard verified at `threshold`, connected
@@ -85,14 +89,29 @@ class CurationPipeline:
         anti-join — document payloads never shuffle. Signatures and
         shingle sets share ONE tokenize pass (`corpus_gate_state`,
         lazily checkpointed — the `dedup_jaccard` sharing, minus the
-        eager materialization this facade's laziness promise forbids)."""
-        sigs, sets = DD.corpus_gate_state(
-            self._df.select("doc_id", "text"), bands, shingle, eager=False
-        )
-        pairs = DD.lsh_candidate_pairs(self._df, bands, shingle, sigs=sigs)
-        verified = DD.jaccard_verify(
-            self._df, pairs, shingle, threshold, sets_a=sets, sets_b=sets
-        ).select("doc_a", "doc_b")
+        eager materialization this facade's laziness promise forbids).
+
+        Pass `verified_pairs` — a (doc_a, doc_b) frame of
+        already-confirmed duplicate pairs (a staged verification
+        table, the production shape: candidate generation + verify is
+        its own pipeline stage whose output persists) — to skip the
+        in-plan LSH join entirely; only components + anti-join remain
+        (measured 6.6 s → 1.7 s at sf0.1 on the registered twins).
+        The pair table must have been computed over this stage's
+        input (or a superset whose extra ids are harmless): a cluster
+        whose min-id keeper is absent from the current frame keeps NO
+        representative — stage pairs before id-dropping stages, or
+        recompute them."""
+        if verified_pairs is not None:
+            verified = verified_pairs.select("doc_a", "doc_b")
+        else:
+            sigs, sets = DD.corpus_gate_state(
+                self._df.select("doc_id", "text"), bands, shingle, eager=False
+            )
+            pairs = DD.lsh_candidate_pairs(self._df, bands, shingle, sigs=sigs)
+            verified = DD.jaccard_verify(
+                self._df, pairs, shingle, threshold, sets_a=sets, sets_b=sets
+            ).select("doc_a", "doc_b")
         losers = (
             DD.duplicate_clusters(verified)
             .filter(F.col("doc_id") != F.col("cluster_id"))
@@ -134,6 +153,33 @@ class CurationPipeline:
             out = out.withColumn("n_chars", F.length("text").cast("long"))
         return self._with(out)
 
+    @staticmethod
+    def train_quantizer(
+        embeddings: DataFrame,
+        k: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> list[list[float]]:
+        """Train the √n-cell coarse quantizer both embedding stages
+        use, ONCE — chaining `semantic_dedup` and `coverage_select`
+        over the same embeddings otherwise trains it twice (seeded
+        Lloyd is deterministic, so results are identical either way;
+        sharing just saves the second training). Pass the result as
+        `centers=` to either stage. At cluster scale this is where a
+        persisted quantizer artifact substitutes (the
+        `_knn_quantizer` pattern the registered queries use)."""
+        from apachebeamkmeans_spark.operators import ann_train as ANN
+        from apachebeamkmeans_spark.queries_similarity import knn_cells
+
+        vecs = ANN.l2_normalize(
+            embeddings.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("features"),
+            )
+        ).localCheckpoint(eager=False)
+        kk = k if k is not None else knn_cells(vecs.count())
+        return ANN.ivf_train(vecs, kk)
+
     def semantic_dedup(
         self,
         embeddings: DataFrame,
@@ -141,6 +187,7 @@ class CurationPipeline:
         k: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        centers: list[list[float]] | None = None,
     ) -> "CurationPipeline":
         """SemDeDup semantic near-duplicate prune (Abbas et al. 2023):
         drop a doc when its embedding has cosine ≥ `tau` to a LOWER-id
@@ -151,7 +198,8 @@ class CurationPipeline:
         come from the certified `similarity.semantic_prune` operator
         (within-cell salted pairs — n^1.5, never n²). Note: training
         triggers a job at build time, so this stage is the documented
-        exception to the builder's laziness."""
+        exception to the builder's laziness; pass `centers` (from
+        `train_quantizer`) to share one training across stages."""
         from apachebeamkmeans_spark.operators import ann_train as ANN
         from apachebeamkmeans_spark.operators.similarity import semantic_prune
         from apachebeamkmeans_spark.queries_similarity import knn_cells
@@ -162,8 +210,9 @@ class CurationPipeline:
                 F.col(vec_col).cast("array<double>").alias("features"),
             )
         ).localCheckpoint(eager=False)
-        kk = k if k is not None else knn_cells(vecs.count())
-        centers = ANN.ivf_train(vecs, kk)
+        if centers is None:
+            kk = k if k is not None else knn_cells(vecs.count())
+            centers = ANN.ivf_train(vecs, kk)
         losers = (
             semantic_prune(vecs, centers, tau)
             .filter(F.col("pruned"))
@@ -180,6 +229,7 @@ class CurationPipeline:
         k: int | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        centers: list[list[float]] | None = None,
     ) -> "CurationPipeline":
         """Cluster-coverage (coreset) selection — the diversity half
         of the curation triad (`semantic_dedup` removes redundancy,
@@ -188,7 +238,9 @@ class CurationPipeline:
         its cell centroid under an inline-trained √n-cell quantizer.
         The keep set is coreset-sized (k·per_cell), so it broadcasts
         into a semi-join — document payloads never shuffle. Same
-        laziness exception as `semantic_dedup` (inline training)."""
+        laziness exception as `semantic_dedup` (inline training);
+        pass `centers` (from `train_quantizer`) to share one
+        training across stages."""
         from apachebeamkmeans_spark.operators import ann_train as ANN
         from apachebeamkmeans_spark.operators.similarity import coverage_sample
         from apachebeamkmeans_spark.queries_similarity import knn_cells
@@ -199,8 +251,9 @@ class CurationPipeline:
                 F.col(vec_col).cast("array<double>").alias("features"),
             )
         ).localCheckpoint(eager=False)
-        kk = k if k is not None else knn_cells(vecs.count())
-        centers = ANN.ivf_train(vecs, kk)
+        if centers is None:
+            kk = k if k is not None else knn_cells(vecs.count())
+            centers = ANN.ivf_train(vecs, kk)
         keep = coverage_sample(vecs, centers, per_cell).select(
             F.col("vec_id").alias("doc_id")
         )

@@ -211,3 +211,52 @@ def test_coverage_select_stage_matches_operator(spark, sf_dir):
     }
     # coreset size follows the clustering: at most k * per_cell
     assert len(got_ids) <= k * 2
+
+
+def test_near_dedup_accepts_staged_verified_pairs(spark, sf_dir):
+    """verified_pairs= skips the in-plan LSH join; survivors must
+    equal the inline path's (same pair semantics either way)."""
+    docs = _docs(spark, sf_dir)
+    staged = DD.jaccard_verify(
+        docs, DD.lsh_candidate_pairs(docs, 8, 3), 3, 0.5
+    ).select("doc_a", "doc_b")
+    got = (
+        CurationPipeline(docs)
+        .near_dedup(verified_pairs=staged)
+        .df()
+        .select("doc_id")
+        .collect()
+    )
+    want = (
+        CurationPipeline(docs)
+        .near_dedup(threshold=0.5)
+        .df()
+        .select("doc_id")
+        .collect()
+    )
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in want}
+
+
+def test_embedding_stages_share_trained_quantizer(spark, sf_dir):
+    """centers= from train_quantizer reproduces each stage's own
+    training exactly (seeded Lloyd) while training only once."""
+    docs = _docs(spark, sf_dir)
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    centers = CurationPipeline.train_quantizer(emb)
+    shared = (
+        CurationPipeline(docs)
+        .semantic_dedup(emb, centers=centers)
+        .coverage_select(emb, centers=centers)
+        .df()
+        .select("doc_id")
+        .collect()
+    )
+    per_stage = (
+        CurationPipeline(docs)
+        .semantic_dedup(emb)
+        .coverage_select(emb)
+        .df()
+        .select("doc_id")
+        .collect()
+    )
+    assert {r["doc_id"] for r in shared} == {r["doc_id"] for r in per_stage}
