@@ -88,15 +88,27 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def lang_pred_expr():
+    """The language-verdict column expression (stopword-density rule)
+    — importable so single-plan consumers (the CurationPipeline
+    quality gate) can FILTER on it directly instead of joining the
+    `lang_id` projection back against its own input (r9 verdict: that
+    self-join was a full-corpus shuffle where a column expression is
+    a narrow map)."""
+    toks = T.tokens(F.col("text"))
+    density = T.stopword_hits(toks, STOPWORDS).cast("double") / F.size(toks)
+    pred = F.when(density >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+    return pred, density
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """n-gram-free language heuristic: English stopword density.
     (A real model would be a Pandas UDF; the deterministic rule keeps
     the operator oracle-checkable.)"""
-    toks = T.tokens(F.col("text"))
-    density = T.stopword_hits(toks, STOPWORDS).cast("double") / F.size(toks)
+    pred, density = lang_pred_expr()
     return docs.select(
         "doc_id",
-        F.when(density >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+        pred.alias("lang_pred"),
         F.round(density, 6).alias("stopword_density"),
     )
 

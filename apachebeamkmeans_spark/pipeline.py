@@ -31,6 +31,15 @@ Scale posture is inherited from the operators: exact dedup shuffles a
 is one O(total chars) exchange with a broadcast-back, the benchmark
 side of the contamination gate broadcasts, and packing is one window
 cumsum per shard. No stage collects data to the driver.
+
+Join-strategy policy (r9 verdict item 2): loser/contaminated id sets
+are DUPLICATE-VOLUME-sized — at crawl-typical 30-50% dup rates that
+is billions of ids at 100 TB — so their anti-joins carry NO forced
+`broadcast()` hint: AQE broadcasts when the runtime size is under the
+threshold and falls back to a key shuffle above it (a forced hint
+would OOM instead of falling back). The one kept hint is
+`coverage_select`'s keep set, which is PROVABLY coreset-sized
+(k·per_cell rows) regardless of the data.
 """
 
 from __future__ import annotations
@@ -65,15 +74,15 @@ class CurationPipeline:
     # ------------------------------------------------------- dedup stages
 
     def exact_dedup(self) -> "CurationPipeline":
-        """Keep one copy per exact text hash (keeper = min doc_id)."""
+        """Keep one copy per exact text hash (keeper = min doc_id).
+        The loser set is duplicate-volume-sized, so the anti-join is
+        left to AQE (module docstring: join-strategy policy)."""
         losers = (
             DD.exact_dedup(self._df)
             .filter(F.col("is_dup"))
             .select("doc_id")
         )
-        return self._with(
-            self._df.join(F.broadcast(losers), "doc_id", "left_anti")
-        )
+        return self._with(self._df.join(losers, "doc_id", "left_anti"))
 
     def near_dedup(
         self,
@@ -85,8 +94,9 @@ class CurationPipeline:
         """MinHash-LSH near-duplicate purge: candidates from banded
         signatures, exact-Jaccard verified at `threshold`, connected
         components collapsed to their min-id keeper. The duplicate id
-        set is duplicate-volume-sized, so it broadcasts into the
-        anti-join — document payloads never shuffle. Signatures and
+        set rides the anti-join as bare ids (payloads never join the
+        pair work); its join strategy is AQE's call — see the module
+        docstring's policy. Signatures and
         shingle sets share ONE tokenize pass (`corpus_gate_state`,
         lazily checkpointed — the `dedup_jaccard` sharing, minus the
         eager materialization this facade's laziness promise forbids).
@@ -117,9 +127,7 @@ class CurationPipeline:
             .filter(F.col("doc_id") != F.col("cluster_id"))
             .select("doc_id")
         )
-        return self._with(
-            self._df.join(F.broadcast(losers), "doc_id", "left_anti")
-        )
+        return self._with(self._df.join(losers, "doc_id", "left_anti"))
 
     def purge_substrings(self, min_run: int | None = None) -> "CurationPipeline":
         """Lee-et-al exact substring dedup as a REWRITE stage: every
@@ -199,7 +207,15 @@ class CurationPipeline:
         (within-cell salted pairs — n^1.5, never n²). Note: training
         triggers a job at build time, so this stage is the documented
         exception to the builder's laziness; pass `centers` (from
-        `train_quantizer`) to share one training across stages."""
+        `train_quantizer`) to share one training across stages.
+
+        The verdict pairs are computed over the embeddings of docs
+        STILL IN the pipeline (semi-join before the prune): a doc
+        whose only lower-id near-duplicate was already removed by an
+        earlier stage must keep representing its semantic cluster, not
+        be pruned against a ghost (r9 advice). Training stays on the
+        full `embeddings` frame so `centers=` sharing across stages —
+        and across differently-filtered pipelines — stays exact."""
         from apachebeamkmeans_spark.operators import ann_train as ANN
         from apachebeamkmeans_spark.operators.similarity import semantic_prune
         from apachebeamkmeans_spark.queries_similarity import knn_cells
@@ -213,14 +229,15 @@ class CurationPipeline:
         if centers is None:
             kk = k if k is not None else knn_cells(vecs.count())
             centers = ANN.ivf_train(vecs, kk)
+        live = vecs.join(
+            self._df.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
         losers = (
-            semantic_prune(vecs, centers, tau)
+            semantic_prune(live, centers, tau)
             .filter(F.col("pruned"))
             .select(F.col("vec_id").alias("doc_id"))
         )
-        return self._with(
-            self._df.join(F.broadcast(losers), "doc_id", "left_anti")
-        )
+        return self._with(self._df.join(losers, "doc_id", "left_anti"))
 
     def coverage_select(
         self,
@@ -236,11 +253,18 @@ class CurationPipeline:
         this KEEPS the per-cell boundary exemplars): retain only the
         docs whose embedding ranks among the `per_cell` farthest from
         its cell centroid under an inline-trained √n-cell quantizer.
-        The keep set is coreset-sized (k·per_cell), so it broadcasts
-        into a semi-join — document payloads never shuffle. Same
-        laziness exception as `semantic_dedup` (inline training);
-        pass `centers` (from `train_quantizer`) to share one
-        training across stages."""
+        The keep set is PROVABLY coreset-sized (k·per_cell rows
+        whatever the data), so its broadcast hint is the one the
+        module-docstring policy keeps — document payloads never
+        shuffle. Same laziness exception as `semantic_dedup` (inline
+        training); pass `centers` (from `train_quantizer`) to share
+        one training across stages.
+
+        Ranking runs over the embeddings of docs STILL IN the
+        pipeline (semi-join before the selection): an already-removed
+        id must not consume one of the cell's `per_cell` keep slots
+        (r9 advice) — every slot goes to a live doc. Training stays on
+        the full `embeddings` frame (see `semantic_dedup`)."""
         from apachebeamkmeans_spark.operators import ann_train as ANN
         from apachebeamkmeans_spark.operators.similarity import coverage_sample
         from apachebeamkmeans_spark.queries_similarity import knn_cells
@@ -254,7 +278,10 @@ class CurationPipeline:
         if centers is None:
             kk = k if k is not None else knn_cells(vecs.count())
             centers = ANN.ivf_train(vecs, kk)
-        keep = coverage_sample(vecs, centers, per_cell).select(
+        live = vecs.join(
+            self._df.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
+        keep = coverage_sample(live, centers, per_cell).select(
             F.col("vec_id").alias("doc_id")
         )
         return self._with(
@@ -269,16 +296,15 @@ class CurationPipeline:
         langs: tuple[str, ...] | None = ("en",),
     ) -> "CurationPipeline":
         """Heuristic quality gate: minimum length plus (optionally)
-        predicted language membership (`textstats.lang_id`, the
-        stopword-density n-gram heuristic — one narrow map)."""
+        predicted language membership — the SAME stopword-density rule
+        `textstats.lang_id` certifies, applied as a filter EXPRESSION
+        (`lang_pred_expr`), not a join: re-joining a projection of the
+        gate's own input was a full-corpus self-join shuffle where a
+        column predicate is a narrow map (r9 verdict item 3)."""
         kept = self._df.filter(F.length("text") >= min_chars)
         if langs:
-            lid = TX.lang_id(kept).select("doc_id", "lang_pred")
-            kept = (
-                kept.join(lid, "doc_id")
-                .filter(F.col("lang_pred").isin(*langs))
-                .drop("lang_pred")
-            )
+            pred, _density = TX.lang_pred_expr()
+            kept = kept.filter(pred.isin(*langs))
         return self._with(kept)
 
     def contamination_gate(
@@ -286,15 +312,15 @@ class CurationPipeline:
     ) -> "CurationPipeline":
         """Benchmark decontamination: drop any doc sharing more than
         `max_shared` distinct token n-grams with the (small,
-        broadcast) benchmark set."""
+        broadcast) benchmark set. The contaminated id set itself is
+        data-dependent-sized, so its anti-join is AQE's call (module
+        docstring: join-strategy policy)."""
         bad = (
             TX.ngram_contamination(self._df, bench, shingle)
             .filter(F.col("n_shared_ngrams") > max_shared)
             .select("doc_id")
         )
-        return self._with(
-            self._df.join(F.broadcast(bad), "doc_id", "left_anti")
-        )
+        return self._with(self._df.join(bad, "doc_id", "left_anti"))
 
     # ----------------------------------------------------- terminal stages
 

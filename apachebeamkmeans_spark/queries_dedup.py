@@ -221,10 +221,12 @@ def cross_doc_runs(docs: DataFrame, L: int) -> DataFrame:
     count and the position join — without the checkpoint the
     explode+md5 of every character position runs twice (measured
     10.2 s → 4.4 s at sf0.1). The surviving hash set is
-    duplicate-volume-sized (tiny next to the corpus) — broadcast it
-    so the O(chars) window frame never shuffles for the join; at true
-    boilerplate-heavy 100 TB scale AQE would fall back to a key
-    shuffle, which is then the honest cost."""
+    duplicate-volume-sized (tiny next to the corpus) — the explicit
+    broadcast hint keeps the O(chars) window frame from shuffling for
+    the join. The hint OVERRIDES size thresholds (r9 advice): at true
+    boilerplate-heavy 100 TB scale, where the dup-hash set outgrows
+    executor memory, this hint must be REMOVED so AQE can fall back
+    to a key shuffle — Spark does not demote a hinted broadcast."""
     from pyspark.sql import functions as F
 
     wins = _window_hashes(docs, L).localCheckpoint(eager=False)

@@ -439,25 +439,62 @@ def test_q21_exists_decorrelates_to_semi_anti_hash_joins(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
-def test_pipeline_facade_anti_joins_broadcast(spark, sf_dir):
-    """The facade's dedup stages compose into one plan whose loser-id
-    anti-joins BROADCAST (document payloads never shuffle for the
-    purge) and whose pair work never degenerates to a cartesian
-    product."""
+def test_pipeline_facade_quality_gate_is_shuffle_free(spark, sf_dir):
+    """r9 verdict item 3: the quality gate is a column-expression
+    FILTER (length + stopword-density language rule), not a self-join
+    of a lang_id projection — zero Exchange, zero Join."""
     from apachebeamkmeans_spark.pipeline import CurationPipeline
 
     docs = io.read_table(spark, sf_dir, "documents")
-    out = (
-        CurationPipeline(docs)
-        .exact_dedup()
-        .near_dedup(threshold=0.5)
-        .quality_gate(min_chars=30, langs=("en",))
-        .summary()
-    )
-    plan = X.formatted_plan(out)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    # exact_dedup losers + near_dedup losers, both LeftAnti broadcasts
-    assert plan.count("LeftAnti") >= 2
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert X.has_partial_aggregate(out)
+    gated = CurationPipeline(docs).quality_gate(min_chars=30, langs=("en",)).df()
+    assert X.n_exchanges(gated) == 0
+    assert "Join" not in X.formatted_plan(gated)
+
+
+def test_pipeline_facade_anti_joins_size_aware(spark, sf_dir):
+    """r9 verdict item 2: the facade's loser-id anti-joins carry NO
+    forced broadcast hint (loser sets are duplicate-volume-sized — a
+    hinted broadcast OOMs at 100 TB instead of falling back), so the
+    plan must be sane in BOTH AQE regimes: under the default
+    threshold the RUNTIME plan broadcasts the small loser sets;
+    with broadcasts disabled it falls back to key-shuffle anti-joins
+    — never a cartesian/nested-loop degeneration — and produces the
+    identical summary."""
+    from apachebeamkmeans_spark.pipeline import CurationPipeline
+
+    docs = io.read_table(spark, sf_dir, "documents")
+
+    def build():
+        return (
+            CurationPipeline(docs)
+            .exact_dedup()
+            .near_dedup(threshold=0.5)
+            .quality_gate(min_chars=30, langs=("en",))
+            .summary()
+        )
+
+    # default regime: AQE's runtime stats convert the loser-set
+    # anti-joins to broadcasts (the FINAL adaptive plan shows it —
+    # the static plan may conservatively say SortMergeJoin)
+    out = build()
+    rows_default = sorted(map(tuple, out.collect()))
+    final_plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "isFinalPlan=true" in final_plan
+    assert "BroadcastHashJoin" in final_plan
+    assert "CartesianProduct" not in final_plan
+    assert "BroadcastNestedLoopJoin" not in final_plan
+
+    # broadcast-disabled regime: the same pipeline falls back to
+    # shuffle anti-joins (this is what a forced hint would forbid)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out2 = build()
+        plan2 = X.formatted_plan(out2)
+        assert "CartesianProduct" not in plan2
+        assert "BroadcastNestedLoopJoin" not in plan2
+        assert plan2.count("LeftAnti") >= 2
+        assert sorted(map(tuple, out2.collect())) == rows_default
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert X.has_partial_aggregate(build())
