@@ -247,13 +247,23 @@ def corpus_gate_state(corpus: DataFrame, bands: int = 8,
             T.token_shingles(T.tokens(F.col("text")), shingle)
         ).alias("sh"),
     ).localCheckpoint(eager=eager)
+    sigs = sigs_from_sets(sets, bands).localCheckpoint(eager=eager)
+    return sigs, sets
+
+
+def sigs_from_sets(sets: DataFrame, bands: int = 8) -> DataFrame:
+    """Banded MinHash signatures derived from an existing
+    distinct-shingle-set frame (doc_id, sh) — the shared derivation
+    inside `corpus_gate_state` AND the persisted-artifact build path
+    (r9 verdict item 1): when the sets table is staged as parquet, the
+    signatures derive from the staged read-back without re-tokenizing
+    the corpus."""
     hashed = sets.select(
         "doc_id", T.shingle_hashes(F.col("sh")).alias("__h")
     ).localCheckpoint(eager=False)
-    sigs = hashed.select(
+    return hashed.select(
         "doc_id", T.minhash_signature(F.col("__h"), bands).alias("mh")
-    ).localCheckpoint(eager=eager)
-    return sigs, sets
+    )
 
 
 def gate_state_append(state: tuple[DataFrame, DataFrame], accepted: DataFrame,

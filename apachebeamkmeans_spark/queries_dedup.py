@@ -605,6 +605,67 @@ SELECT new_id, corpus_id FROM cand
 INGEST_MAX_JACCARD = 0.5
 
 
+def _gate_state_artifact(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The standing corpus's gate state — banded MinHash signatures +
+    distinct shingle sets for the `doc_id % 10 != 0` corpus split —
+    as a PERSISTED, content-fingerprint-keyed parquet artifact (r9
+    verdict item 1: the per-session eager re-sketch made the two
+    streaming-ingest queries the only >2× driver-bench readings; the
+    quantizer-artifact pattern applied here makes a cold session READ
+    the state instead of recomputing it). Build path: the sets table
+    is written once (one tokenize pass), the signatures derive from
+    the staged read-back (`dedup.sigs_from_sets` — MinHash of the
+    persisted distinct shingles), and the directory is published
+    ATOMICALLY (pid tmp + rename), so a concurrent session sees all
+    or nothing and a losing writer's rename is a benign lost race.
+    Semantically transparent: parquet round-trips the exact arrays,
+    and both artifacts are the same frames `corpus_gate_state`
+    checkpoints — the oracle keeps recomputing from live data, so any
+    staleness would surface as a value mismatch; the fingerprint key
+    makes that impossible for real data changes while regenerated-
+    identical testdata reads through. At cluster scale these ARE the
+    persisted signature/shingle tables the streaming module's
+    docstring promises."""
+    import hashlib
+    import shutil
+
+    from apachebeamkmeans_spark import scratch
+    from pyspark.sql import functions as F
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    fp = scratch.data_fingerprint(sf_dir, "documents")
+    path = os.path.join(
+        scratch.repo_root(), ".scratch",
+        f"gate_state_{sfx}_{ph}_b{BANDS}_s{SHINGLE}_f{fp}",
+    )
+    scratch.reap(os.path.dirname(path), "gate_state_", keep=path)
+    if not os.path.exists(path):
+        corpus = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % 10 != 0)
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        _sigs_unused, sets = DD.corpus_gate_state(
+            corpus, BANDS, SHINGLE, eager=False
+        )
+        sets.write.mode("overwrite").parquet(f"{tmp}/sets")
+        DD.sigs_from_sets(
+            spark.read.parquet(f"{tmp}/sets"), BANDS
+        ).write.mode("overwrite").parquet(f"{tmp}/sigs")
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent session won the publish race
+            shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.read.parquet(f"{path}/sigs"),
+        spark.read.parquet(f"{path}/sets"),
+    )
+
+
 def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingestion verdict the incremental check feeds: per arriving
     document (every 10th doc plays the batch), its LSH candidates
@@ -616,7 +677,9 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hygiene: candidate work is bounded by LSH, verification by the
     candidate count, nothing is corpus×corpus. The gate body lives in
     `dedup.ingest_gate_verdicts`, shared verbatim with the streaming
-    ingest gate (`streaming/ingest.py`)."""
+    ingest gate (`streaming/ingest.py`); the corpus side reads through
+    the persisted fingerprint-keyed state artifact
+    (`_gate_state_artifact`) instead of re-sketching per call."""
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
@@ -624,6 +687,7 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
         BANDS, SHINGLE, INGEST_MAX_JACCARD,
+        corpus_state=_gate_state_artifact(spark, sf_dir),
     )
 
 
@@ -734,6 +798,7 @@ def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, corpus, src, new.schema, out, ckpt,
         BANDS, SHINGLE, INGEST_MAX_JACCARD,
         max_files_per_trigger=2, name=f"ingate_q_{sfx}",
+        corpus_state=_gate_state_artifact(spark, sf_dir),
     )
     try:
         q.processAllAvailable()
@@ -784,6 +849,11 @@ def q_stream_ingest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         BANDS, SHINGLE, INGEST_MAX_JACCARD,
         max_files_per_trigger=1, name=f"infold_q_{sfx}",
         fold_accepted=True,
+        corpus_state=_gate_state_artifact(spark, sf_dir),
+        # fold increments persist beside the checkpoint (same root, so
+        # the generations stay in lockstep): a restarted stream refolds
+        # committed batches instead of forgetting them
+        state_store=os.path.join(os.path.dirname(ckpt), "state"),
     )
     try:
         q.processAllAvailable()

@@ -19,12 +19,19 @@ state disciplines:
   recovery exact (a replayed batch overwrites its own directory,
   never double-appends; asserted in tests/test_streaming_ingest.py).
 
-On a real cluster the source becomes Kafka and the corpus signatures a
-persisted table refreshed by accepted batches; the per-batch plan is
-identical.
+Corpus-state staging (r9 verdict item 1): pass `corpus_state` — the
+(signatures, shingle-sets) pair from a PERSISTED table (the
+fingerprint-keyed parquet artifact `queries_dedup._gate_state_artifact`
+stages) — and a fresh session never re-sketches the standing corpus;
+without it the state is computed once per stream start (the in-session
+amortization only). On a real cluster the source becomes Kafka and the
+corpus signatures a persisted table refreshed by accepted batches; the
+per-batch plan is identical.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,6 +49,35 @@ def ingest_gate_stream(
     )
 
 
+def _read_fold_state(
+    spark: SparkSession, state_store: str
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Previously persisted per-batch fold increments under
+    `state_store` (oldest first) — what a RESTARTED stream refolds so
+    committed batches keep gating later arrivals (the r9 verdict's
+    restart-refold caveat, closed by the persisted table)."""
+    out = []
+    try:
+        names = sorted(
+            (d for d in os.listdir(state_store) if d.startswith("batch=")),
+            key=lambda d: int(d.split("=", 1)[1]),
+        )
+    except FileNotFoundError:
+        return out
+    for d in names:
+        bdir = os.path.join(state_store, d)
+        # only fully-committed increments participate (both tables
+        # finished their write — sigs is written last)
+        if os.path.exists(os.path.join(bdir, "sigs", "_SUCCESS")):
+            out.append(
+                (
+                    spark.read.parquet(os.path.join(bdir, "sigs")),
+                    spark.read.parquet(os.path.join(bdir, "sets")),
+                )
+            )
+    return out
+
+
 def run_ingest_gate_stream(
     spark: SparkSession,
     corpus: DataFrame,
@@ -57,6 +93,8 @@ def run_ingest_gate_stream(
     name: str = "ingest_gate_stream",
     on_batch=None,
     fold_accepted: bool = False,
+    corpus_state: tuple[DataFrame, DataFrame] | None = None,
+    state_store: str | None = None,
 ):
     """Start the gate: file stream of new-doc batches → within-stream
     dedup → per-micro-batch verdicts vs `corpus` → one parquet
@@ -64,31 +102,53 @@ def run_ingest_gate_stream(
     (caller drives/stops it); restart with the same checkpoint resumes
     without reprocessing committed batches.
 
+    `corpus_state` (r9 verdict item 1): the standing corpus's
+    (signatures, shingle-sets) frames, typically read from a
+    content-fingerprint-keyed parquet artifact — a COLD session then
+    starts gating without re-sketching the whole corpus. When absent,
+    the state is sketched once at stream start (eager checkpoint) and
+    amortized across this session's micro-batches only.
+
     `fold_accepted=True` closes the continuous-crawl loop (r7 verdict
     item 4): after each micro-batch commits, its ACCEPTED docs'
     signatures/shingle sets are folded into the standing gate state
-    (`dedup.gate_state_append` — an O(batch) increment), so batch N+1
-    is gated against everything batch ≤N admitted. The accepted set is
-    read back from the batch's own committed sink directory, not from
-    the lazy plan, so a checkpoint-replayed batch folds exactly what
-    it originally wrote. With False (default) the gate stays a static
-    filter against the day-one corpus — the right mode when dedup
-    targets a curated reference set rather than the growing crawl.
-    Restart caveat: the fold state is rebuilt from `corpus` on stream
-    start; at cluster scale the signature/shingle tables are persisted
-    and appended, which survives restarts — here committed batches are
-    not re-folded after a restart (the in-session contract the
-    3-trigger test certifies)."""
+    (an O(batch) increment), so batch N+1 is gated against everything
+    batch ≤N admitted. The accepted set is read back from the batch's
+    own committed sink directory, not from the lazy plan, so a
+    checkpoint-replayed batch folds exactly what it originally wrote.
+    With False (default) the gate stays a static filter against the
+    day-one corpus — the right mode when dedup targets a curated
+    reference set rather than the growing crawl.
+
+    `state_store` (with `fold_accepted`): a directory where each
+    batch's fold increment is PERSISTED as parquet
+    (`batch=<id>/{sets,sigs}`, overwrite — idempotent on checkpoint
+    replay, exactly like the sink) and refolded on stream start, so a
+    RESTARTED stream keeps gating against everything earlier runs
+    admitted — the cluster-scale persisted-signature-table shape.
+    Without it the fold state lives in the session (plan unions) and
+    dies with it."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = ingest_gate_stream(reader.parquet(src_dir), watermark)
 
-    # the standing corpus is sketched ONCE (eager checkpoint) and every
-    # micro-batch probes the same signature/set frames — without this
-    # each trigger re-sketched the whole corpus, and the gap grows
-    # linearly with batch count
-    state_box = [DD.corpus_gate_state(corpus, bands, shingle)]
+    # the standing corpus is sketched ONCE per stream start (eager
+    # checkpoint) unless a persisted artifact was handed in — without
+    # either, each trigger would re-sketch the whole corpus, and the
+    # gap grows linearly with batch count
+    base_state = (
+        corpus_state
+        if corpus_state is not None
+        else DD.corpus_gate_state(corpus, bands, shingle)
+    )
+    if fold_accepted and state_store is not None:
+        for add_sigs, add_sets in _read_fold_state(spark, state_store):
+            base_state = (
+                base_state[0].unionByName(add_sigs),
+                base_state[1].unionByName(add_sets),
+            )
+    state_box = [base_state]
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
@@ -100,14 +160,35 @@ def run_ingest_gate_stream(
         )
         verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         if fold_accepted:
+            ss = batch_df.sparkSession
             accepted_ids = (
-                batch_df.sparkSession.read.parquet(f"{out_dir}/batch={batch_id}")
+                ss.read.parquet(f"{out_dir}/batch={batch_id}")
                 .filter("accept").select("doc_id")
             )
             accepted = batch_docs.join(accepted_ids, "doc_id")
-            state_box[0] = DD.gate_state_append(
-                state_box[0], accepted, bands, shingle
-            )
+            if state_store is not None:
+                # persist the increment (sets first, sigs derived from
+                # the read-back — one tokenize), then fold the STAGED
+                # frames: the union chain is parquet-backed, so a later
+                # batch never recomputes an earlier batch's sketch
+                bdir = f"{state_store}/batch={batch_id}"
+                _sigs_unused, add_sets = DD.corpus_gate_state(
+                    accepted, bands, shingle, eager=False
+                )
+                add_sets.write.mode("overwrite").parquet(f"{bdir}/sets")
+                sets_rb = ss.read.parquet(f"{bdir}/sets")
+                DD.sigs_from_sets(sets_rb, bands).write.mode("overwrite").parquet(
+                    f"{bdir}/sigs"
+                )
+                sigs_rb = ss.read.parquet(f"{bdir}/sigs")
+                state_box[0] = (
+                    state_box[0][0].unionByName(sigs_rb),
+                    state_box[0][1].unionByName(sets_rb),
+                )
+            else:
+                state_box[0] = DD.gate_state_append(
+                    state_box[0], accepted, bands, shingle
+                )
 
     return (
         stream.writeStream.outputMode("append")
