@@ -24,4 +24,28 @@ Design rules (see SURVEY.md §7):
   oracle can replay it exactly.
 """
 
+from __future__ import annotations
+
 __version__ = "0.1.0"
+
+# Public library surface (r9 verdict item 4), resolved lazily
+# (PEP 562) so `import apachebeamkmeans_spark` stays cheap and free
+# of import-order coupling with the submodules.
+_PUBLIC = {
+    "CurationPipeline": "apachebeamkmeans_spark.pipeline",
+    "KMeans": "apachebeamkmeans_spark.operators.kmeans",
+    "KMeansParams": "apachebeamkmeans_spark.operators.kmeans",
+    "KMeansModel": "apachebeamkmeans_spark.operators.kmeans",
+    "get_spark": "apachebeamkmeans_spark.session",
+    "main": "apachebeamkmeans_spark.cli",
+}
+
+__all__ = sorted(_PUBLIC) + ["__version__"]
+
+
+def __getattr__(name: str):
+    if name in _PUBLIC:
+        import importlib
+
+        return getattr(importlib.import_module(_PUBLIC[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
