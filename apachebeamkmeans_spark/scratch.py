@@ -42,9 +42,11 @@ def data_mtime(sf_dir: str, table: str) -> int:
         return 0
 
 
-# (abspath, mtime, size) → content hash: repeated callers within one
-# process hash each data generation at most once.
-_FP_MEMO: dict[tuple[str, int, int], str] = {}
+# memo key → content hash: repeated callers within one process hash
+# each data generation at most once. For a single file the key is
+# (abspath, mtime_ns, size); for a directory it is the tuple of every
+# part's (relname, mtime_ns, size).
+_FP_MEMO: dict[tuple, str] = {}
 
 
 def data_fingerprint(sf_dir: str, table: str) -> str:
@@ -56,9 +58,16 @@ def data_fingerprint(sf_dir: str, table: str) -> str:
     keying by content makes regenerated-identical data a cache HIT
     while still invalidating on any real change). Handles a single
     parquet file or a directory of part files (sorted relative names +
-    bytes both hashed). Memoized per (path, mtime, size) so each
-    generation is hashed once per process; '0' if absent (the
-    synthetic-frame/test case)."""
+    bytes both hashed). Memoized by stat — per-part (relname,
+    mtime_ns, size) tuples for directories (r9 advice: an aggregate
+    max-mtime + total-bytes key was blind to a part rewritten with a
+    pinned mtime) — so each generation is hashed once per process.
+    Residual in-process caveat no stat key can close: a part rewritten
+    with the SAME name, SAME size, and a deliberately pinned mtime
+    serves the memoized hash until process restart — do not fingerprint
+    directories whose writer pins part mtimes (the stream scratch roots
+    pin only the DIRECTORY mtime, which never participates here).
+    '0' if absent (the synthetic-frame/test case)."""
     import hashlib
 
     path = os.path.join(sf_dir, f"{table}.parquet")
@@ -74,17 +83,25 @@ def data_fingerprint(sf_dir: str, table: str) -> str:
     # part bytes.
     try:
         if os.path.isdir(path):
-            # parts ONLY — the directory's own stat must not participate
-            # (a pinned/futured dir mtime would mask a part rewrite)
-            mt, size = 0, 0
+            # per-part (relname, mtime_ns, size) tuples, not an
+            # aggregate: a max-mtime + total-size key is blind to a
+            # part rewritten with a PINNED mtime and unchanged size —
+            # exactly the os.utime pattern the stream scratch roots use
+            # (r9 advice). The directory's own stat still must not
+            # participate (a pinned/futured dir mtime would mask a
+            # part rewrite).
+            parts = []
             for root, _dirs, files in os.walk(path):
-                for fn in files:
+                for fn in sorted(files):
                     if fn.startswith(("_", ".")):
                         continue
                     pst = os.stat(os.path.join(root, fn))
-                    mt = max(mt, pst.st_mtime_ns)
-                    size += pst.st_size
-            key = (os.path.abspath(path), mt, size)
+                    parts.append((
+                        os.path.relpath(os.path.join(root, fn), path),
+                        pst.st_mtime_ns,
+                        pst.st_size,
+                    ))
+            key = (os.path.abspath(path), tuple(sorted(parts)))
         else:
             key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     except OSError:

@@ -49,7 +49,18 @@ def fit_exponent(points: list[tuple[float, float]]) -> float | None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # pop --json AND its value before computing positionals — filtering
+    # only the flag left its value behind as a phantom raw-input path
+    # (`--json out.json raw.txt` read out.json, then overwrote it)
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("--json requires an output path")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     raw = open(args[0]).read() if args else sys.stdin.read()
     data = parse(raw)
     if len(data) < 2:
@@ -85,11 +96,10 @@ def main() -> None:
             + (f" {b:.3f}" if b is not None else " (single scale point)")
             + (f"  MISSING {','.join(missing)}" if len(med) < len(mults) else "")
         )
-    if "--json" in sys.argv:
-        out = sys.argv[sys.argv.index("--json") + 1]
-        with open(out, "w") as f:
+    if json_out is not None:
+        with open(json_out, "w") as f:
             json.dump({"multipliers": mults, "queries": rows}, f, indent=1)
-        print(f"wrote {out}")
+        print(f"wrote {json_out}")
 
 
 if __name__ == "__main__":
