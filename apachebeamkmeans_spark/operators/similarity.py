@@ -165,6 +165,189 @@ def pq_encode(vecs: DataFrame, codebooks: list[list[list[float]]],
     return staged.select("vec_id", codes.alias("codes"), *carry)
 
 
+def pq_encode_lut(vecs: DataFrame, codebooks: list[list[list[float]]],
+                  id_col: str = "id", features_col: str = "features",
+                  carry: tuple[str, ...] = ()) -> DataFrame:
+    """`pq_encode` variant that ALSO emits the per-row subspace distance
+    matrix (`lut` ARRAY<ARRAY<DOUBLE>>, m×ksub) the codes were argmin'd
+    from. One computation serves two roles: `codes` make the row a PQ
+    database entry, `lut` makes the same row an ADC QUERY — lut[s][c]
+    IS the squared L2 between the row's subvector s and centroid c, so
+    the asymmetric distance from this row to any encoded row is m
+    lookups (Σ_s lut[s][other.codes[s]]). That is what lets the KNN
+    graph below ADC-score every blocked pair in both directions without
+    a per-query driver-side LUT (there are n queries — the plan-literal
+    LUT of `pq_adc_topk` cannot ride n rows).
+
+    Kept separate from `pq_encode` so certified single-role consumers
+    keep their exact plan; the distance-matrix expression is staged as
+    a column FIRST and codes derive from the column — HOF lambdas get
+    no CSE, so an inline twin expression would compute the m·ksub·dsub
+    matrix twice per row."""
+    f = F.col(features_col)
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    subs = F.array(*[F.slice(f, s * dsub + 1, dsub) for s in range(m)])
+    staged = vecs.select(
+        F.col(id_col).alias("vec_id"), subs.alias("__subs"), *[F.col(c) for c in carry]
+    )
+    dmat = F.zip_with(
+        F.col("__subs"), F.lit(codebooks),
+        lambda sub, cb_s: F.transform(
+            cb_s,
+            lambda cent: F.aggregate(
+                F.zip_with(sub, cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, v: a + v,
+            ),
+        ),
+    )
+    with_lut = staged.select("vec_id", dmat.alias("lut"), *carry)
+    codes = F.transform(
+        F.col("lut"),
+        lambda darr: (F.array_position(darr, F.array_min(darr)) - 1).cast("int"),
+    )
+    return with_lut.select("vec_id", codes.alias("codes"), "lut", *carry)
+
+
+def knn_graph_pq(normed: DataFrame, centers: list[list[float]],
+                 codebooks: list[list[list[float]]], knn_k: int = 3,
+                 nprobe: int = 4, refine: int = 100, dim: int | None = None,
+                 id_col: str = "id",
+                 features_col: str = "features") -> DataFrame:
+    """KNN-graph build riding the IVF-PQ serving stack — the documented
+    escalation path past the flat build's Θ(n^1.5) exact-scoring wall
+    (SCALE.md §9): identical multi-probe coarse-cell blocking to
+    `queries_similarity.q_sim_knn_graph` (so the candidate universe and
+    its recall ceiling are the same), but blocked pairs are scored by
+    PQ asymmetric distance (m table lookups) instead of the exact
+    64-term dot, and only the top-`refine` shortlist per vector is
+    re-ranked exactly. At 100 TB with real 768-dim embeddings the
+    economics are m lookups vs 768 multiplies per scored pair and an
+    exact pass over refine rows instead of every candidate.
+
+    RESIDUAL, PER-MET-CELL encoding (the FAISS IndexIVFPQ default,
+    adapted to the self-join): each (vector, probed cell) row encodes
+    x − center(cell), so when a pair meets in its lowest shared cell
+    both sides are shifted by the SAME center and the shift cancels —
+    ADC approximates l2(a, b) directly. Residual codes spend their bits
+    on within-cell variation, exactly what separates near-neighbors;
+    measured on the synthetic corpus (numpy sweep, r10): raw m=8
+    codes rank near-randomly at x10 (recall@3 0.21) while residual
+    m=16/ksub=16 with refine=100 holds 0.85–0.93 across sf0.01/x1/x10.
+
+    Shape audit mirrors the flat build: probe assignment checkpointed
+    before the explode (codegen-trap), encode staged once per exploded
+    row (`pq_encode_lut` — the row's dmat is both its codes' source and
+    its query-side LUT), self-join via `salted_self_pairs` (hot cells
+    grid-split), structural dedup by lowest shared probed cell, BOTH
+    directed ADC distances computed per unordered pair (ADC is
+    asymmetric), per-vector shortlist bounded map-side by the
+    row_number window, exact re-rank joins the raw vectors back for
+    only refine rows per vector — the wide embedding never rides the
+    pair fan-out, and no join side is hint-forced (the vector table is
+    corpus-sized; AQE picks the strategy)."""
+    from apachebeamkmeans_spark.operators.dedup import salted_self_pairs
+
+    m = len(codebooks)
+    pts = normed.select(
+        F.col(id_col).alias("vec_id"), F.col(features_col).alias("f")
+    )
+    dfn = lambda c: F.aggregate(  # noqa: E731 — same fold as l2_sq_unrolled
+        F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    cells = F.array_sort(
+        F.transform(
+            F.lit([[float(v) for v in c] for c in centers]),
+            lambda c, i: F.struct(dfn(c).alias("d"), i.cast("int").alias("i")),
+        )
+    )
+    # cut the assign tree before the explode — same 181 s codegen trap
+    # the flat build documents (queries_similarity.q_sim_knn_graph)
+    probed = pts.select(
+        "vec_id",
+        "f",
+        F.slice(F.transform(cells, lambda s: s["i"]), 1, nprobe).alias("probes"),
+    ).localCheckpoint(eager=True)
+    lit_centers = F.lit([[float(v) for v in c] for c in centers])
+    ex = probed.select(
+        "vec_id", "probes", F.explode("probes").alias("coarse_id"),
+        F.col("f"),
+    ).select(
+        "vec_id", "probes", "coarse_id",
+        F.zip_with(
+            F.col("f"),
+            F.element_at(lit_centers, F.col("coarse_id") + 1),
+            lambda x, c: x - c,
+        ).alias("r"),
+    )
+    # (vec_id, codes, lut, coarse_id, probes): ~m·ksub doubles per row
+    # instead of the raw vector — checkpointed so the self-join fans
+    # out a materialized table, not the encode tree, to both sides
+    enc = pq_encode_lut(
+        ex, codebooks, id_col="vec_id", features_col="r",
+        carry=("coarse_id", "probes"),
+    ).localCheckpoint(eager=True)
+
+    def _adc(lut_col, codes_col):
+        t = None
+        for s in range(m):
+            term = F.element_at(
+                F.element_at(lut_col, s + 1),
+                F.element_at(codes_col, s + 1) + 1,
+            )
+            t = term if t is None else t + term
+        return t
+
+    half = (
+        salted_self_pairs(enc, ["coarse_id"], "vec_id")
+        .filter(
+            F.col("a.coarse_id")
+            == F.array_min(F.array_intersect(F.col("a.probes"), F.col("b.probes")))
+        )
+        .select(
+            F.col("a.vec_id").alias("aid"),
+            F.col("b.vec_id").alias("bid"),
+            _adc(F.col("a.lut"), F.col("b.codes")).alias("d_ab"),
+            _adc(F.col("b.lut"), F.col("a.codes")).alias("d_ba"),
+        )
+    )
+    directed = half.select(
+        F.col("aid").alias("vec_id"), F.col("bid").alias("nbr_id"),
+        F.col("d_ab").alias("_d"),
+    ).unionByName(
+        half.select(
+            F.col("bid").alias("vec_id"), F.col("aid").alias("nbr_id"),
+            F.col("d_ba").alias("_d"),
+        )
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("nbr_id"))
+    shortlist = (
+        directed.withColumn("adc_rank", F.row_number().over(wa))
+        .filter(F.col("adc_rank") <= refine)
+        .select("vec_id", "nbr_id")
+    )
+    pair_dot = (
+        D.dot_cols_unrolled(F.col("qf"), F.col("nf"), dim)
+        if dim is not None
+        else D.dot(F.col("qf"), F.col("nf"))
+    )
+    scored = (
+        shortlist
+        .join(pts.select("vec_id", F.col("f").alias("qf")), "vec_id")
+        .join(
+            pts.select(F.col("vec_id").alias("nbr_id"), F.col("f").alias("nf")),
+            "nbr_id",
+        )
+        .select("vec_id", "nbr_id", F.round(pair_dot, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= knn_k)
+        .select("vec_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def pq_adc_lut(q: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
     """Driver-side ADC lookup table for one query: lut[s][c] = squared
     L2 between the query's subvector `s` and codebook centroid `c`,

@@ -964,6 +964,248 @@ SELECT vec_id, nbr_id, cosine, rank FROM (
 ORACLE_SIM_KNN_GRAPH = _oracle_knn_graph()
 
 
+# ------------------------------------------- KNN graph via IVF-PQ (r10)
+
+# The escalation path SCALE.md §9 names for graph builds past ~10⁷
+# vectors: same blocking as the flat build (same candidate universe,
+# same recall ceiling), pairs scored by PQ asymmetric distance instead
+# of the exact dot, exact re-rank only on the per-vector shortlist.
+# Residual (per-met-cell) encoding at m=16/ksub=16: measured recall@3
+# vs numpy brute force 0.90 (sf0.01) / 0.93 (x1) / 0.85 (x10) with
+# refine=100 — raw (non-residual) codes at the ivfpq defaults rank
+# near-randomly on this corpus at x10 (0.21): on dense near-uniform
+# data the within-cell variation IS the neighbor signal, and residual
+# codes spend all their bits there.
+KNNPQ_M = 16
+KNNPQ_KSUB = 16
+KNNPQ_REFINE = 100
+
+_KNNPQ_BOOKS_MEMO: dict[tuple, list[list[list[float]]]] = {}
+
+
+def _knnpq_artifact_path(sf_dir: str, fp: str) -> str:
+    """On-disk home of the trained residual codebooks — the
+    `_quantizer_artifact_path` pattern (content-fingerprint key, reap
+    on entry), rows flattened to (center_id = s·ksub + c, center)."""
+    import hashlib
+
+    from apachebeamkmeans_spark import scratch
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        scratch.repo_root(), ".scratch",
+        f"knnpq_books_{sfx}_{ph}_m{KNNPQ_M}k{KNNPQ_KSUB}"
+        f"_i{KNN_TRAIN_ITERS}_f{fp}.parquet",
+    )
+    scratch.reap(os.path.dirname(path), "knnpq_books_", keep=path)
+    return path
+
+
+def _knnpq_codebooks(base, sf_dir: str,
+                     centers: list[list[float]]) -> list[list[list[float]]]:
+    """Trained residual PQ codebooks for the corpus at `sf_dir`: Lloyd
+    per subspace over x − nearest_coarse_center(x) (the residual basis
+    is the SAME shared `_knn_quantizer` artifact the flat graph uses),
+    persisted build-once exactly like the quantizer — parquet artifact
+    keyed by the embeddings content fingerprint, session memo in
+    front. Deterministic twin: `ann_train.pq_train` over
+    `coarse_residuals` reproduces `pq_train_np` over `residuals_np`
+    bit-for-bit after `round_param` rounding (asserted at this exact
+    (m, ksub, iters, seed) config in tests/test_knn_pq.py), which is
+    what lets the registered oracle embed numpy-trained literals."""
+    from apachebeamkmeans_spark import scratch
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    fp = scratch.data_fingerprint(sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), KNNPQ_M, KNNPQ_KSUB,
+           KNN_TRAIN_ITERS, "knnpq", fp)
+    if key not in _KNNPQ_BOOKS_MEMO:
+        art = _knnpq_artifact_path(sf_dir, fp)
+        flat = _read_quantizer_artifact(art, KNNPQ_M * KNNPQ_KSUB)
+        if flat is None:
+            books = [
+                ANN.round_mat(b)
+                for b in ANN.pq_train(
+                    ANN.coarse_residuals(base, centers),
+                    KNNPQ_M, KNNPQ_KSUB, KNN_TRAIN_ITERS, "knnpq",
+                )
+            ]
+            _write_quantizer_artifact(
+                art, [cent for book in books for cent in book]
+            )
+        else:
+            books = [
+                flat[s * KNNPQ_KSUB:(s + 1) * KNNPQ_KSUB]
+                for s in range(KNNPQ_M)
+            ]
+        _KNNPQ_BOOKS_MEMO[key] = books
+    return _KNNPQ_BOOKS_MEMO[key]
+
+
+def q_sim_knn_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN graph over the whole embedding table via the trained IVF-PQ
+    stack (`operators/similarity.knn_graph_pq`) — the registered form
+    of the flat build's escalation path. Blocking parameters (cell
+    count, nprobe) derive from n exactly as `sim_knn_graph`'s do and
+    the coarse quantizer is the IDENTICAL shared artifact, so the two
+    queries differ only in scoring: PQ asymmetric distance + exact
+    re-rank of the top-`KNNPQ_REFINE` shortlist here, exact dot on
+    every blocked pair there. Output schema matches the flat graph
+    (vec_id, nbr_id, cosine, rank) — downstream graph consumers
+    (label propagation, link dedup) can switch builds without change.
+
+    Oracle contract: numpy-twin-trained center AND codebook literals
+    at TRAIN_SF_DIR (same regime as `sim_knn_graph` / `sim_ivfpq_*`);
+    every distance both engines compute is the same left-associated
+    fold over identical rounded literals, so shortlist membership and
+    final ranks agree bit-for-bit."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    _warn_if_not_train_sf(sf_dir, "sim_knn_graph_pq")
+    base = ANN.l2_normalize(io.load_points(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    n = base.count()
+    k = knn_cells(n)
+    nprobe = knn_nprobe(k)
+    centers = _knn_quantizer(base, sf_dir, k)
+    books = _knnpq_codebooks(base, sf_dir, centers)
+    return SIM.knn_graph_pq(
+        base, centers, books, KNN_K, nprobe, KNNPQ_REFINE, dim=DIM
+    )
+
+
+def _knnpq_train_np() -> list[list[list[float]]]:
+    """Numpy-twin residual codebooks at TRAIN_SF_DIR — the oracle's
+    literals: residuals vs the rounded KNN quantizer centers, PQ-
+    trained at the registered config (seed "knnpq")."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    ids, mat = ANN.normalized_embeddings_np(TRAIN_SF_DIR)
+    res, _ = ANN.residuals_np(mat, KNN_TRAINED_CENTERS)
+    return [
+        ANN.round_mat(b)
+        for b in ANN.pq_train_np(
+            ids, res, KNNPQ_M, KNNPQ_KSUB, KNN_TRAIN_ITERS, "knnpq"
+        )
+    ]
+
+
+try:
+    KNNPQ_TRAINED_BOOKS = _knnpq_train_np()
+except (FileNotFoundError, OSError) as _e:
+    # same missing-testdata-only fallback contract as _train_np: a
+    # shape-correct deterministic literal (the m=8 fixture books split
+    # into dsub=4 halves) keeps imports alive; training bugs propagate
+    import sys
+
+    print(
+        f"[queries_similarity] WARNING: numpy KNN-PQ codebook training "
+        f"fell back to fixture-derived literals ({_e!r})",
+        file=sys.stderr,
+    )
+    KNNPQ_TRAINED_BOOKS = [
+        [cent[:4] for cent in book] for book in PQ_CODEBOOKS
+    ] + [[cent[4:] for cent in book] for book in PQ_CODEBOOKS]
+
+
+def _oracle_knn_graph_pq() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    structs = ", ".join(
+        f"struct_pack(d := {OG.sql_l2_sq('e', c)}, c := {i})"
+        for i, c in enumerate(KNN_TRAINED_CENTERS)
+    )
+    dsub = DIM // KNNPQ_M
+    # per-(vec, probed cell) residual: r{j} = e[j] − centers[cell][j]
+    rcols = []
+    for j in range(DIM):
+        dimlist = ", ".join(repr(float(c[j])) for c in KNN_TRAINED_CENTERS)
+        rcols.append(f"e[{j + 1}] - ([{dimlist}])[cell + 1] AS r{j + 1}")
+    # subspace distance matrix — these columns are BOTH the encode
+    # argmin input and the row's query-side ADC LUT, exactly like the
+    # Spark side's pq_encode_lut
+    dcols = []
+    for s in range(KNNPQ_M):
+        for c in range(KNNPQ_KSUB):
+            terms = " + ".join(
+                f"(r{s * dsub + j + 1} - ({float(v)!r}))"
+                f"*(r{s * dsub + j + 1} - ({float(v)!r}))"
+                for j, v in enumerate(KNNPQ_TRAINED_BOOKS[s][c])
+            )
+            dcols.append(f"({terms}) AS d_{s}_{c}")
+    argmins = [
+        OG.sql_argmin_case([f"d_{s}_{c}" for c in range(KNNPQ_KSUB)], f"c{s}")
+        for s in range(KNNPQ_M)
+    ]
+    adc = " + ".join(
+        "([" + ", ".join(f"xd.d_{s}_{c}" for c in range(KNNPQ_KSUB))
+        + f"])[yc.c{s} + 1]"
+        for s in range(KNNPQ_M)
+    )
+    cos = OG.sql_dot_cols("x.e", "y.e")
+    return f"""
+WITH en AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
+  FROM {_E2} t WHERE {nsq} > 0
+),
+ds AS MATERIALIZED (
+  SELECT vec_id, e, unnest([{structs}]) AS s FROM en
+),
+m AS MATERIALIZED (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, s.c AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s.d ASC, s.c ASC) AS rk
+    FROM ds
+  ) WHERE rk <= {KNN_TRAIN_NPROBE}
+),
+res AS MATERIALIZED (
+  SELECT vec_id, cell, {', '.join(rcols)} FROM m
+),
+d AS MATERIALIZED (
+  SELECT vec_id, cell, {', '.join(dcols)} FROM res
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, cell, {', '.join(argmins)} FROM d
+),
+lc AS MATERIALIZED (
+  SELECT vec_id, nbr_id, cell FROM (
+    SELECT x.vec_id, y.vec_id AS nbr_id, x.cell AS cell,
+           min(x.cell) OVER (PARTITION BY x.vec_id, y.vec_id) AS mc
+    FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id != y.vec_id
+  ) WHERE cell = mc
+),
+ad AS MATERIALIZED (
+  SELECT lc.vec_id, lc.nbr_id, ({adc}) AS dist
+  FROM lc
+  JOIN d xd ON xd.vec_id = lc.vec_id AND xd.cell = lc.cell
+  JOIN codes yc ON yc.vec_id = lc.nbr_id AND yc.cell = lc.cell
+),
+sl AS MATERIALIZED (
+  SELECT vec_id, nbr_id FROM (
+    SELECT vec_id, nbr_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, nbr_id ASC) AS rk
+    FROM ad
+  ) WHERE rk <= {KNNPQ_REFINE}
+)
+SELECT vec_id, nbr_id, cosine, rank FROM (
+  SELECT vec_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, nbr_id ASC) AS INTEGER) AS rank
+  FROM (
+    SELECT sl.vec_id, sl.nbr_id, round({cos}, 6) AS cosine
+    FROM sl
+    JOIN en x ON x.vec_id = sl.vec_id
+    JOIN en y ON y.vec_id = sl.nbr_id
+  )
+) WHERE rank <= {KNN_K}
+"""
+
+
+ORACLE_SIM_KNN_GRAPH_PQ = _oracle_knn_graph_pq()
+
+
 # ------------------------------------------- kNN label propagation
 
 # Every 10th vector keeps its true label — the "small labeled subset"
@@ -1353,6 +1595,7 @@ QUERIES = {
     "sim_coverage_sample": (q_sim_coverage_sample, ORACLE_SIM_COVERAGE_SAMPLE),
     "sim_curation_pipeline": (q_sim_curation_pipeline, ORACLE_SIM_CURATION_PIPELINE),
     "sim_knn_graph": (q_sim_knn_graph, ORACLE_SIM_KNN_GRAPH),
+    "sim_knn_graph_pq": (q_sim_knn_graph_pq, ORACLE_SIM_KNN_GRAPH_PQ),
     "sim_label_propagation": (
         q_sim_label_propagation,
         ORACLE_SIM_LABEL_PROPAGATION,
