@@ -313,3 +313,82 @@ def round_param(v: float, nd: int = 4) -> float:
 
 def round_mat(mat, nd: int = 4):
     return [[round_param(v, nd) for v in row] for row in mat]
+
+
+# ------------------------------------------------- PCA training
+
+
+def _pca_from_cov(cov: list[list[float]], out_dim: int) -> list[list[float]]:
+    """Driver-side eigen step SHARED by `pca_train` and `pca_train_np`:
+    both engines hand it the SAME rounded covariance matrix (that is
+    the twin contract — see `pca_train`), so its output is
+    bit-identical however the covariance was accumulated. Top
+    `out_dim` eigenvectors by descending eigenvalue (stable order),
+    each sign-fixed so its largest-|entry| component is positive
+    (eigenvectors are defined up to sign; LAPACK's choice is not a
+    contract), entries rounded to the 4-decimal literal form."""
+    c = np.asarray(cov, dtype=np.float64)
+    vals, vecs = np.linalg.eigh(c)  # ascending eigenvalues
+    order = np.argsort(-vals, kind="stable")
+    out = []
+    for j in order[:out_dim]:
+        v = vecs[:, j]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        out.append([round_param(x) for x in v])
+    return out
+
+
+def pca_train(vecs: DataFrame, out_dim: int,
+              id_col: str = "id", features_col: str = "features",
+              ) -> tuple[list[float], list[list[float]]]:
+    """PCA basis for an embedding column, trained Spark-first:
+    per-dimension mean and std come from ONE `Summarizer` vector
+    aggregate and the correlation matrix from `ml.stat.Correlation`
+    (a single JVM pass over the corpus — MLlib's covariance path;
+    total driver traffic is dim + dim² scalars, the codebook-collect
+    class). The covariance is rebuilt as corr_ij·std_i·std_j (both
+    n−1-normalized, matching `np.cov`) and ROUNDED to 8 decimals
+    BEFORE the shared driver-side eigendecomposition: distributed
+    summation order differs from numpy's at the ~1e-14 level, and
+    rounding the matrix — not the eigenvectors — is what makes
+    `pca_train_np` reproduce the basis bit-for-bit (eigenvectors are
+    not Lipschitz in the matrix near degenerate eigenvalues, so
+    rounding after the fact could not absorb an input-side ulp).
+    Returns (mean, components): mean 4-decimal rounded, components =
+    `out_dim` rows of the dim-wide rotation, eigenvalue-descending.
+
+    100 TB posture: training is one pass of vector partial aggregates
+    (the `Summarizer`/`Correlation` reduce tree); like the PQ/IVF
+    trainers it normally runs on a corpus sample — the basis does not
+    need the full corpus."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Correlation, Summarizer
+
+    base = vecs.select(
+        array_to_vector(F.col(features_col)).alias("__fvec")
+    ).localCheckpoint(eager=False)
+    if not base.head(1):
+        raise ValueError("pca_train requires a non-empty points frame")
+    row = base.agg(
+        Summarizer.mean(F.col("__fvec")).alias("m"),
+        Summarizer.std(F.col("__fvec")).alias("s"),
+    ).collect()[0]
+    mean = [round_param(v) for v in row["m"]]
+    std = list(row["s"])
+    corr = Correlation.corr(base, "__fvec").collect()[0][0].toArray()
+    dim = len(std)
+    cov = [
+        [round_param(float(corr[i][j]) * std[i] * std[j], 8) for j in range(dim)]
+        for i in range(dim)
+    ]
+    return mean, _pca_from_cov(cov, out_dim)
+
+
+def pca_train_np(mat: np.ndarray, out_dim: int) -> tuple[list[float], list[list[float]]]:
+    """Numpy twin of `pca_train`: same n−1 covariance, same 8-decimal
+    matrix rounding, same shared eigen step."""
+    mean = [round_param(v) for v in mat.mean(axis=0)]
+    cov = np.cov(mat, rowvar=False)
+    covr = [[round_param(float(v), 8) for v in r] for r in cov]
+    return mean, _pca_from_cov(covr, out_dim)

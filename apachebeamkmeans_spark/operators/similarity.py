@@ -830,3 +830,43 @@ def coverage_sample(normed: DataFrame, centers: list[list[float]],
         .filter(F.col("rank") <= per_cell)
         .select("vec_id", "cell", F.round("d2", 6).alias("dist_sq"), "rank")
     )
+
+
+def pca_project(vecs: DataFrame, mean: list[float],
+                components: list[list[float]],
+                id_col: str = "id", features_col: str = "features",
+                out_col: str = "pc") -> DataFrame:
+    """Project an embedding column onto a trained PCA basis
+    (`ann_train.pca_train`): y_j = Σ_i (x_i − mean_i)·W_j,i with the
+    mean and rotation as plan-time literals — dim·out_dim multiply-adds
+    per row, zero shuffle, zero Python. Expressed as out_dim compact
+    HOF folds over a staged centered array rather than the unrolled
+    `l2_sq_unrolled` form: unrolling dim·out_dim terms builds a
+    ~5k-node expression tree that costs ~10 s of Catalyst
+    analysis/codegen PER RUN (measured at this shape — the per-row
+    arithmetic was never the cost), while the fold is a constant-size
+    tree with identical left-associated summation, so the oracle
+    contract (`oraclegen.sql_dot_centered`) is unchanged. At 100 TB
+    this is the width reducer in front of the ANN stack: a narrow map
+    that cuts every downstream shuffle/score by dim/out_dim (768→64
+    on real embeddings); fitness on isotropic vs anisotropic corpora
+    is measured in tests/test_pca.py."""
+    centered = F.zip_with(
+        F.col(features_col), F.lit([float(m) for m in mean]),
+        lambda x, m: x - m,
+    )
+    staged = vecs.select(
+        F.col(id_col).alias("vec_id"), centered.alias("__c")
+    )
+    dims = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__c"), F.lit([float(w) for w in wrow]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for wrow in components
+    ]
+    return staged.select("vec_id", F.array(*dims).alias(out_col))

@@ -48,6 +48,16 @@ def sql_dot(col: str, vec: list[float]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def sql_dot_centered(col: str, mean: list[float], vec: list[float]) -> str:
+    """Σ_j (col[j] − mean_j)·v_j — twin of the unrolled projection in
+    similarity.pca_project (same left-associated term order)."""
+    terms = [
+        f"(({col}[{j + 1}] - ({float(m)!r})) * ({float(v)!r}))"
+        for j, (m, v) in enumerate(zip(mean, vec))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def sql_cosine_lit(col: str, vec: list[float], dim: int) -> str:
     """cosine(col, literal vec) — twin of distance.cosine_unrolled."""
     vnorm = sum(float(v) * float(v) for v in vec) ** 0.5

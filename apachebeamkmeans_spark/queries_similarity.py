@@ -1206,6 +1206,136 @@ SELECT vec_id, nbr_id, cosine, rank FROM (
 ORACLE_SIM_KNN_GRAPH_PQ = _oracle_knn_graph_pq()
 
 
+# ------------------------------------------- PCA basis + projection (r10)
+
+# The width reducer in front of the ANN stack (the rotation half of
+# OPQ, Ge et al. 2013): train a PCA basis once, project embeddings to
+# PCA_DIM before any distance work — every downstream shuffle and
+# scoring pass then moves/computes dim/PCA_DIM less. Trained Spark-
+# first (one Summarizer pass + MLlib Correlation), twin-exact with
+# numpy via the rounded-covariance contract (ann_train.pca_train).
+#
+# Honest fitness note for THIS corpus: the synthetic embeddings are
+# near-isotropic, so a 16/64 slice captures only ~0.38 of variance
+# (vs 0.25 for a random slice — the concentration property tests
+# assert) and neighbor recall through the projection is weak. Real
+# text embeddings are strongly anisotropic (variance concentrates in
+# a few hundred of 768 dims), which is where this operator earns its
+# keep; here it certifies the training/projection machinery.
+PCA_DIM = 16
+
+
+def q_sim_pca_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA-basis training over the normalized embedding
+    table: per-dim mean/std from ONE Summarizer vector aggregate, the
+    correlation matrix from MLlib `Correlation` (one JVM pass), the
+    covariance rebuilt + rounded on the driver, eigendecomposed by
+    the shared `_pca_from_cov` step. Output rows: component −1 = the
+    mean vector, components 0..PCA_DIM−1 = the eigenvalue-descending
+    rotation rows. Oracle = the numpy twin's literals (the
+    `sim_ivf_train`/`sim_pq_train` VALUES regime)."""
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    _warn_if_not_train_sf(sf_dir, "sim_pca_train")
+    mean, comps = ANN.pca_train(
+        ANN.l2_normalize(io.load_points(spark, sf_dir)), PCA_DIM
+    )
+    rows = [(-1, j, float(v) + 0.0) for j, v in enumerate(mean)] + [
+        (c, j, float(v) + 0.0)
+        for c, row in enumerate(comps)
+        for j, v in enumerate(row)
+    ]
+    return spark.createDataFrame(rows, "component INT, pos INT, val DOUBLE")
+
+
+def _pca_train_np() -> tuple[list[float], list[list[float]]]:
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    _ids, mat = ANN.normalized_embeddings_np(TRAIN_SF_DIR)
+    return ANN.pca_train_np(mat, PCA_DIM)
+
+
+try:
+    PCA_TRAINED_MEAN, PCA_TRAINED_COMPONENTS = _pca_train_np()
+except (FileNotFoundError, OSError) as _e:
+    # missing-testdata-only fallback (the _train_np contract): a
+    # shape-correct deterministic literal keeps imports alive;
+    # training bugs must propagate, not be masked
+    import sys
+
+    print(
+        f"[queries_similarity] WARNING: numpy PCA training fell back "
+        f"to identity literals ({_e!r})",
+        file=sys.stderr,
+    )
+    PCA_TRAINED_MEAN = [0.0] * DIM
+    PCA_TRAINED_COMPONENTS = [
+        [1.0 if j == c else 0.0 for j in range(DIM)] for c in range(PCA_DIM)
+    ]
+
+ORACLE_SIM_PCA_TRAIN = _values_oracle(
+    [(-1, j, float(v) + 0.0) for j, v in enumerate(PCA_TRAINED_MEAN)]
+    + [
+        (c, j, float(v) + 0.0)
+        for c, row in enumerate(PCA_TRAINED_COMPONENTS)
+        for j, v in enumerate(row)
+    ],
+    ["component", "pos", "val"],
+)
+
+
+def q_sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding projected onto the trained PCA basis —
+    normalize, then PCA_DIM unrolled literal dot products per row
+    (`similarity.pca_project`: narrow map, zero shuffle, zero
+    Python), flattened to (vec_id, pc_dim, val) for the value-hash.
+    The basis literals are the numpy twin's (TRAIN_SF_DIR regime, as
+    every trained-parameter query); the Spark trainer's bit-equality
+    to that twin is certified separately by `sim_pca_train`."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    _warn_if_not_train_sf(sf_dir, "sim_pca_project")
+    # cut the normalize tree BEFORE the unrolled projection: HOF
+    # lambdas get no CSE, so without the checkpoint the per-row
+    # normalization aggregate is inlined into every one of the
+    # dim·PCA_DIM projection terms — a 1024-fold expression blowup
+    # (the same codegen trap the KNN builds document)
+    base = ANN.l2_normalize(io.load_points(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    proj = SIM.pca_project(base, PCA_TRAINED_MEAN, PCA_TRAINED_COMPONENTS)
+    return proj.select(
+        "vec_id", F.posexplode("pc").alias("pc_dim", "__v")
+    ).select(
+        "vec_id",
+        F.col("pc_dim").cast("int"),
+        F.round("__v", 6).alias("val"),
+    )
+
+
+def _oracle_pca_project() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    structs = ", ".join(
+        "struct_pack(d := {}, v := round({}, 6))".format(
+            j, OG.sql_dot_centered("e", PCA_TRAINED_MEAN, w)
+        )
+        for j, w in enumerate(PCA_TRAINED_COMPONENTS)
+    )
+    return f"""
+WITH en AS (
+  SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
+  FROM {_E2} t WHERE {nsq} > 0
+)
+SELECT vec_id, s.d AS pc_dim, s.v AS val
+FROM (SELECT vec_id, unnest([{structs}]) AS s FROM en)
+"""
+
+
+ORACLE_SIM_PCA_PROJECT = _oracle_pca_project()
+
+
 # ------------------------------------------- kNN label propagation
 
 # Every 10th vector keeps its true label — the "small labeled subset"
@@ -1596,6 +1726,8 @@ QUERIES = {
     "sim_curation_pipeline": (q_sim_curation_pipeline, ORACLE_SIM_CURATION_PIPELINE),
     "sim_knn_graph": (q_sim_knn_graph, ORACLE_SIM_KNN_GRAPH),
     "sim_knn_graph_pq": (q_sim_knn_graph_pq, ORACLE_SIM_KNN_GRAPH_PQ),
+    "sim_pca_train": (q_sim_pca_train, ORACLE_SIM_PCA_TRAIN),
+    "sim_pca_project": (q_sim_pca_project, ORACLE_SIM_PCA_PROJECT),
     "sim_label_propagation": (
         q_sim_label_propagation,
         ORACLE_SIM_LABEL_PROPAGATION,

@@ -106,6 +106,9 @@ HEADLINE = [
     "events_value_quartiles",
     "events_ab_metrics",
     "sim_knn_graph",
+    "sim_knn_graph_pq",
+    "sim_pca_project",
+    "sim_pca_train",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

@@ -31,6 +31,11 @@ NEEDS_DATA = {
     # r6: the KNN graph trains its coarse quantizer in-query (cells
     # derived from n), so it inherits the trainer contract.
     "sim_knn_graph",
+    # r10: the PQ-stack graph build shares that quantizer and trains
+    # residual codebooks in-query; the PCA basis is likewise a
+    # trained parameter (no covariance of no points).
+    "sim_knn_graph_pq",
+    "sim_pca_train",
     # r6: SemDeDup and coverage sampling cluster in-query with the
     # same trainer.
     "semantic_dedup",

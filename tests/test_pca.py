@@ -1,0 +1,74 @@
+"""PCA basis training + projection (r10): the width reducer in front
+of the ANN stack (the rotation half of OPQ, Ge et al. 2013).
+
+The twin contract is different from the Lloyd trainers: both engines
+accumulate mean/covariance independently (distributed vs numpy — ulp-
+level summation differences), ROUND THE COVARIANCE, then run the SAME
+driver-side eigen step — so the trained basis must match bit-for-bit,
+not approximately (a). The rest checks the basis is a real PCA:
+orthonormal rows (b), eigenvalue-descending projected variance (c),
+and the Spark projection operator equals the numpy matrix product (d).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from apachebeamkmeans_spark import queries_similarity as QS
+from apachebeamkmeans_spark.operators import ann_train as ANN
+from apachebeamkmeans_spark.operators import similarity as SIM
+from apachebeamkmeans_spark.sources import io
+
+SF = "/root/testdata/sf0.01"
+
+
+def _np_corpus():
+    return ANN.normalized_embeddings_np(SF)
+
+
+def test_pca_trainer_matches_numpy_twin(spark):
+    _ids, mat = _np_corpus()
+    np_mean, np_comps = ANN.pca_train_np(mat, QS.PCA_DIM)
+    sp_mean, sp_comps = ANN.pca_train(
+        ANN.l2_normalize(io.load_points(spark, SF)), QS.PCA_DIM
+    )
+    assert sp_mean == np_mean
+    assert sp_comps == np_comps
+
+
+def test_components_are_orthonormal():
+    w = np.asarray(QS.PCA_TRAINED_COMPONENTS)
+    g = w @ w.T
+    # rows are unit eigenvectors rounded to 4 decimals: identity up to
+    # the rounding-induced wobble (64 dims × 1e-4 per entry)
+    assert np.abs(g - np.eye(len(w))).max() < 5e-3
+
+
+def test_projected_variance_is_eigen_descending():
+    _ids, mat = _np_corpus()
+    y = (mat - np.asarray(QS.PCA_TRAINED_MEAN)) @ np.asarray(
+        QS.PCA_TRAINED_COMPONENTS
+    ).T
+    var = y.var(axis=0, ddof=1)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1))
+    # and the basis actually concentrates variance: the PCA_DIM-slice
+    # captures more than a random same-width slice would (PCA_DIM/dim)
+    total = ((mat - mat.mean(axis=0)) ** 2).sum(axis=0).sum() / (len(mat) - 1)
+    assert var.sum() > (QS.PCA_DIM / mat.shape[1]) * total
+
+
+def test_spark_projection_matches_numpy(spark):
+    ids, mat = _np_corpus()
+    got = {
+        r["vec_id"]: np.asarray(r["pc"])
+        for r in SIM.pca_project(
+            ANN.l2_normalize(io.load_points(spark, SF)),
+            QS.PCA_TRAINED_MEAN,
+            QS.PCA_TRAINED_COMPONENTS,
+        ).collect()
+    }
+    want = (mat - np.asarray(QS.PCA_TRAINED_MEAN)) @ np.asarray(
+        QS.PCA_TRAINED_COMPONENTS
+    ).T
+    for i, vid in enumerate(map(int, ids)):
+        assert np.abs(got[vid] - want[i]).max() < 1e-9

@@ -237,6 +237,56 @@ def test_near_dedup_accepts_staged_verified_pairs(spark, sf_dir):
     assert {r["doc_id"] for r in got} == {r["doc_id"] for r in want}
 
 
+def test_staged_pairs_keeper_absence_hazard(spark, sf_dir):
+    """The `near_dedup(verified_pairs=)` docstring's hazard, made
+    concrete: pairs staged over the FULL corpus, then consumed after
+    an id-dropping stage removed a cluster's min-id keeper, leave
+    that cluster with ZERO representatives — every surviving member
+    is anti-joined away as a loser of the now-absent keeper. The
+    inline (recompute) path never does this: its components are built
+    over the current frame only, so each semantic cluster keeps its
+    (new) min-id member. This is why the docstring says stage pairs
+    BEFORE id-dropping stages, or recompute."""
+    docs = _docs(spark, sf_dir)
+    staged = DD.jaccard_verify(
+        docs, DD.lsh_candidate_pairs(docs, 8, 3), 3, 0.5
+    ).select("doc_a", "doc_b").localCheckpoint()
+    by_cluster: dict[int, set[int]] = {}
+    for r in DD.duplicate_clusters(staged).collect():
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    cid, members = next(
+        (c, m) for c, m in sorted(by_cluster.items()) if len(m) >= 2
+    )
+    assert cid == min(members)  # keeper IS the min id, by construction
+
+    # an upstream stage drops the keeper (any id-dropping stage does)
+    upstream = docs.filter(F.col("doc_id") != cid)
+
+    stale = (
+        CurationPipeline(upstream)
+        .near_dedup(verified_pairs=staged)
+        .df()
+        .select("doc_id")
+        .collect()
+    )
+    stale_ids = {r["doc_id"] for r in stale}
+    # the hazard: the whole cluster vanishes — no member survives
+    assert not (members & stale_ids)
+
+    fresh = (
+        CurationPipeline(upstream)
+        .near_dedup(threshold=0.5)
+        .df()
+        .select("doc_id")
+        .collect()
+    )
+    fresh_ids = {r["doc_id"] for r in fresh}
+    # recomputed components are subsets of the staged ones restricted
+    # to the live frame, so each sub-component's min id survives —
+    # the cluster keeps at least one representative
+    assert (members - {cid}) & fresh_ids
+
+
 def test_embedding_stages_share_trained_quantizer(spark, sf_dir):
     """centers= from train_quantizer reproduces each stage's own
     training exactly (seeded Lloyd) while training only once."""
