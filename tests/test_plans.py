@@ -498,3 +498,18 @@ def test_pipeline_facade_anti_joins_size_aware(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert X.has_partial_aggregate(build())
+
+
+def test_pca_projection_is_shuffle_free(spark, sf_dir):
+    """r10: the PCA width reducer is a pure narrow map — centered
+    array staged once, out_dim fold dots, no Exchange anywhere (the
+    whole point of reducing width BEFORE the ANN stack's shuffles is
+    forfeited if the projection itself shuffles)."""
+    from apachebeamkmeans_spark import queries_similarity as QS
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators.similarity import pca_project
+
+    vecs = ANN.l2_normalize(io.load_points(spark, sf_dir))
+    proj = pca_project(vecs, QS.PCA_TRAINED_MEAN, QS.PCA_TRAINED_COMPONENTS)
+    assert X.n_exchanges(proj) == 0
+    assert "Join" not in X.formatted_plan(proj)
