@@ -19,6 +19,16 @@ Usage:
   python -m apachebeamkmeans_spark.cli --input data.txt --output out \
       --k 4 --paradigm 2 --threshold 1e-4 --max_iteration 20 \
       --init plusplus --seed 42 --experiments 1
+
+Beyond the reference surface, a `curate` subcommand runs the
+CurationPipeline library facade end-to-end from the shell (the
+K-Means vocabulary above stays flag-compatible — `curate` only
+engages as a leading literal):
+
+  python -m apachebeamkmeans_spark.cli curate \
+      --input docs.parquet --output survivors \
+      --exact-dedup --near-dedup --quality-gate --min-chars 30 \
+      --langs en --summary-file summary.json
 """
 
 from __future__ import annotations
@@ -57,6 +67,113 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_curate_parser() -> argparse.ArgumentParser:
+    """The CurationPipeline facade as a shell surface: each stage is
+    an opt-in flag, applied in the pipeline's canonical order
+    (exact → near → substrings → semantic → coverage → quality →
+    contamination → pack). Stage parameters mirror the library
+    defaults; the embedding stages share ONE trained quantizer
+    (`CurationPipeline.train_quantizer`) exactly like the library
+    docstring recommends."""
+    p = argparse.ArgumentParser(
+        prog="apachebeamkmeans_spark curate",
+        description="Run the document-curation pipeline over a parquet corpus.",
+    )
+    p.add_argument("--input", required=True,
+                   help="documents parquet with (doc_id, text, ...)")
+    p.add_argument("--output", required=True,
+                   help="output parquet dir: survivors, or the packed layout with --pack")
+    p.add_argument("--exact-dedup", action="store_true")
+    p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--jaccard", type=float, default=0.5,
+                   help="near-dedup verify threshold")
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--shingle", type=int, default=3)
+    p.add_argument("--purge-substrings", action="store_true")
+    p.add_argument("--min-run", type=int, default=None,
+                   help="substring purge: minimal verbatim run length")
+    p.add_argument("--embeddings", default=None,
+                   help="embeddings parquet aligned with doc_id (enables --semantic-dedup / --coverage-select)")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--semantic-dedup", action="store_true")
+    p.add_argument("--tau", type=float, default=0.35)
+    p.add_argument("--coverage-select", action="store_true")
+    p.add_argument("--per-cell", type=int, default=2)
+    p.add_argument("--quality-gate", action="store_true")
+    p.add_argument("--min-chars", type=int, default=30)
+    p.add_argument("--langs", default="en",
+                   help="comma-separated predicted-language allowlist; '' disables the language rule")
+    p.add_argument("--contamination-gate", default=None, metavar="BENCH_PARQUET",
+                   help="benchmark parquet with (doc_id, text); docs sharing n-grams with it are dropped")
+    p.add_argument("--max-shared", type=int, default=0)
+    p.add_argument("--pack", action="store_true",
+                   help="emit the packed (doc_id, shard, n_tokens, bin_id) layout instead of survivors")
+    p.add_argument("--ctx-len", type=int, default=256)
+    p.add_argument("--n-shards", type=int, default=8)
+    p.add_argument("--summary-file", default=None,
+                   help="write the per-(lang, source) doc/char accounting as one JSON file")
+    return p
+
+
+def curate_main(argv: list[str], spark=None) -> int:
+    import json
+
+    from apachebeamkmeans_spark.pipeline import CurationPipeline
+
+    args = build_curate_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark("abk-curate-cli")
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    pipe = CurationPipeline(docs)
+    if args.exact_dedup:
+        pipe = pipe.exact_dedup()
+    if args.near_dedup:
+        pipe = pipe.near_dedup(
+            threshold=args.jaccard, bands=args.bands, shingle=args.shingle
+        )
+    if args.purge_substrings:
+        pipe = pipe.purge_substrings(min_run=args.min_run)
+    if args.semantic_dedup or args.coverage_select:
+        if not args.embeddings:
+            raise SystemExit("--semantic-dedup/--coverage-select need --embeddings")
+        emb = spark.read.parquet(args.embeddings)
+        centers = CurationPipeline.train_quantizer(
+            emb, id_col=args.id_col, vec_col=args.vec_col
+        )
+        if args.semantic_dedup:
+            pipe = pipe.semantic_dedup(
+                emb, tau=args.tau, id_col=args.id_col,
+                vec_col=args.vec_col, centers=centers,
+            )
+        if args.coverage_select:
+            pipe = pipe.coverage_select(
+                emb, per_cell=args.per_cell, id_col=args.id_col,
+                vec_col=args.vec_col, centers=centers,
+            )
+    if args.quality_gate:
+        langs = tuple(s for s in args.langs.split(",") if s) or None
+        pipe = pipe.quality_gate(min_chars=args.min_chars, langs=langs)
+    if args.contamination_gate:
+        bench = spark.read.parquet(args.contamination_gate)
+        pipe = pipe.contamination_gate(
+            bench, shingle=args.shingle, max_shared=args.max_shared
+        )
+    out = pipe.pack(args.ctx_len, args.n_shards) if args.pack else pipe.df()
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    if args.summary_file:
+        rows = [r.asDict() for r in pipe.summary().collect()]
+        with open(args.summary_file, "w") as f:
+            json.dump({"n_in": n_in, "n_out": n_out, "groups": rows}, f)
+    print(f"curate: {n_in} docs in -> {n_out} rows out ({args.output})")
+    if owns_session:
+        spark.stop()
+    return 0
+
+
 def _normalize(argv: list[str]) -> list[str]:
     # accept the reference's `--key=value` form verbatim (argparse
     # already handles it) and its no-space variants
@@ -64,7 +181,10 @@ def _normalize(argv: list[str]) -> list[str]:
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
-    args = build_parser().parse_args(_normalize(argv if argv is not None else sys.argv[1:]))
+    raw = argv if argv is not None else sys.argv[1:]
+    if raw and raw[0] == "curate":
+        return curate_main(raw[1:], spark=spark)
+    args = build_parser().parse_args(_normalize(raw))
     owns_session = spark is None
     if owns_session:
         spark = get_spark("abk-kmeans-cli")
