@@ -147,6 +147,43 @@ def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-user sessionization through Spark 4's
+    transformWithStateInPandas (StatefulProcessor + typed ValueState
+    in the RocksDB state store) instead of applyInPandasWithState —
+    two independent arbitrary-stateful plumbing paths certified
+    against ONE batch oracle (`user_session_counts`). The fold logic
+    is shared (`streaming.stateful._make_fold`), so a divergence here
+    isolates the state-API integration, not the session math. Same
+    final-state projection as `stream_session_counts`: max-n_events
+    row per user, ties to the later last_ts_us.
+
+    NOT in the registry: the transformWithState protocol needs the
+    `protobuf` package on the Python side (its state server speaks
+    proto), which this container lacks — a documented environment
+    seam like the multimodal decode step. The implementation is real
+    and `tests/test_stateful_tws.py` certifies it against the batch
+    twin wherever protobuf is installed (importorskip)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.streaming.stateful import (
+        run_session_counts_tws_to_table,
+    )
+
+    updates = run_session_counts_tws_to_table(
+        spark, sf_dir, name="q_stream_sessions_tws_out"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("last_ts_us")
+    )
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_sessions", "n_events", "last_ts_us")
+    )
+
+
 def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: first (user_id, event_type, minute) key wins,
     watermark-bounded state. Output = the distinct key set, so the
