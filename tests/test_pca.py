@@ -72,3 +72,27 @@ def test_spark_projection_matches_numpy(spark):
     ).T
     for i, vid in enumerate(map(int, ids)):
         assert np.abs(got[vid] - want[i]).max() < 1e-9
+
+
+def test_arrow_impl_matches_fold(spark):
+    """impl='arrow' (per-batch BLAS GEMM) equals the certified fold
+    path to 1e-9 — the summation-order gap is ~1e-15, far inside the
+    projection's 6-decimal output rounding."""
+    base = ANN.l2_normalize(io.load_points(spark, SF)).localCheckpoint()
+    fold = {
+        r["vec_id"]: np.asarray(r["pc"])
+        for r in SIM.pca_project(
+            base, QS.PCA_TRAINED_MEAN, QS.PCA_TRAINED_COMPONENTS
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: np.asarray(r["pc"])
+        for r in SIM.pca_project(
+            base, QS.PCA_TRAINED_MEAN, QS.PCA_TRAINED_COMPONENTS,
+            impl="arrow",
+        ).collect()
+    }
+    assert fold.keys() == arrow.keys()
+    assert max(
+        np.abs(fold[k] - arrow[k]).max() for k in fold
+    ) < 1e-9
