@@ -117,14 +117,24 @@ def build_curate_parser() -> argparse.ArgumentParser:
 
 
 def curate_main(argv: list[str], spark=None) -> int:
-    import json
-
-    from apachebeamkmeans_spark.pipeline import CurationPipeline
-
     args = build_curate_parser().parse_args(argv)
     owns_session = spark is None
     if owns_session:
         spark = get_spark("abk-curate-cli")
+    try:
+        return _curate_run(args, spark)
+    finally:
+        # every error path (missing --embeddings, unreadable parquet,
+        # a failing stage) must still release an owned session
+        if owns_session:
+            spark.stop()
+
+
+def _curate_run(args, spark) -> int:
+    import json
+
+    from apachebeamkmeans_spark.pipeline import CurationPipeline
+
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
     pipe = CurationPipeline(docs)
@@ -169,8 +179,6 @@ def curate_main(argv: list[str], spark=None) -> int:
         with open(args.summary_file, "w") as f:
             json.dump({"n_in": n_in, "n_out": n_out, "groups": rows}, f)
     print(f"curate: {n_in} docs in -> {n_out} rows out ({args.output})")
-    if owns_session:
-        spark.stop()
     return 0
 
 

@@ -378,8 +378,18 @@ def pca_train(vecs: DataFrame, out_dim: int,
     std = list(row["s"])
     corr = Correlation.corr(base, "__fvec").collect()[0][0].toArray()
     dim = len(std)
+    # Pearson corr is NaN for a zero-variance dimension; its TRUE
+    # covariance with anything is exactly 0.0 (x − mean ≡ 0), which is
+    # what np.cov produces — force it so degenerate dims (zero-padded
+    # or masked embeddings) keep the twin contract instead of feeding
+    # NaN to eigh
     cov = [
-        [round_param(float(corr[i][j]) * std[i] * std[j], 8) for j in range(dim)]
+        [
+            0.0
+            if std[i] == 0.0 or std[j] == 0.0
+            else round_param(float(corr[i][j]) * std[i] * std[j], 8)
+            for j in range(dim)
+        ]
         for i in range(dim)
     ]
     return mean, _pca_from_cov(cov, out_dim)

@@ -266,6 +266,29 @@ def sigs_from_sets(sets: DataFrame, bands: int = 8) -> DataFrame:
     )
 
 
+def persist_gate_state(docs: DataFrame, out_dir: str, bands: int = 8,
+                       shingle: int = 3) -> tuple[DataFrame, DataFrame]:
+    """Write the (sets, sigs) gate-state tables for `docs` under
+    `out_dir` with ONE tokenize pass and the commit-marker ORDER every
+    reader keys on: the sets table first, then signatures DERIVED from
+    the staged read-back (`sigs_from_sets`) — so `sigs/_SUCCESS` is
+    the directory's commit marker (what `_read_fold_state`, the
+    replayed-batch skip in `streaming/ingest.py`, and
+    `_gate_state_artifact` all test). The single staging protocol
+    shared by the fingerprint-keyed corpus artifact and the per-batch
+    fold increments; changing the order or the marker here changes it
+    for every producer and consumer at once. Returns the read-back
+    (sigs, sets) frames rooted at `out_dir`."""
+    ss = docs.sparkSession
+    _sigs_unused, sets = corpus_gate_state(docs, bands, shingle, eager=False)
+    sets.write.mode("overwrite").parquet(f"{out_dir}/sets")
+    sets_rb = ss.read.parquet(f"{out_dir}/sets")
+    sigs_from_sets(sets_rb, bands).write.mode("overwrite").parquet(
+        f"{out_dir}/sigs"
+    )
+    return ss.read.parquet(f"{out_dir}/sigs"), sets_rb
+
+
 def gate_state_append(state: tuple[DataFrame, DataFrame], accepted: DataFrame,
                       bands: int = 8, shingle: int = 3
                       ) -> tuple[DataFrame, DataFrame]:

@@ -649,13 +649,7 @@ def _gate_state_artifact(
             .filter(F.col("doc_id") % 10 != 0)
         )
         tmp = f"{path}.tmp.{os.getpid()}"
-        _sigs_unused, sets = DD.corpus_gate_state(
-            corpus, BANDS, SHINGLE, eager=False
-        )
-        sets.write.mode("overwrite").parquet(f"{tmp}/sets")
-        DD.sigs_from_sets(
-            spark.read.parquet(f"{tmp}/sets"), BANDS
-        ).write.mode("overwrite").parquet(f"{tmp}/sigs")
+        DD.persist_gate_state(corpus, tmp, BANDS, SHINGLE)
         try:
             os.rename(tmp, path)
         except OSError:  # concurrent session won the publish race

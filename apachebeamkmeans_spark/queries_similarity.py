@@ -983,10 +983,14 @@ KNNPQ_REFINE = 100
 _KNNPQ_BOOKS_MEMO: dict[tuple, list[list[list[float]]]] = {}
 
 
-def _knnpq_artifact_path(sf_dir: str, fp: str) -> str:
+def _knnpq_artifact_path(sf_dir: str, fp: str, centers_h: str) -> str:
     """On-disk home of the trained residual codebooks — the
     `_quantizer_artifact_path` pattern (content-fingerprint key, reap
-    on entry), rows flattened to (center_id = s·ksub + c, center)."""
+    on entry), rows flattened to (center_id = s·ksub + c, center).
+    `centers_h` hashes the COARSE CENTERS the residuals were taken
+    against: the books are a function of them, so retuning the cell
+    rule (knn_cells / nprobe cap) or passing custom centers must miss
+    this cache, not silently serve books trained under the old basis."""
     import hashlib
 
     from apachebeamkmeans_spark import scratch
@@ -996,7 +1000,7 @@ def _knnpq_artifact_path(sf_dir: str, fp: str) -> str:
     path = os.path.join(
         scratch.repo_root(), ".scratch",
         f"knnpq_books_{sfx}_{ph}_m{KNNPQ_M}k{KNNPQ_KSUB}"
-        f"_i{KNN_TRAIN_ITERS}_f{fp}.parquet",
+        f"_i{KNN_TRAIN_ITERS}_c{centers_h}_f{fp}.parquet",
     )
     scratch.reap(os.path.dirname(path), "knnpq_books_", keep=path)
     return path
@@ -1014,14 +1018,17 @@ def _knnpq_codebooks(base, sf_dir: str,
     bit-for-bit after `round_param` rounding (asserted at this exact
     (m, ksub, iters, seed) config in tests/test_knn_pq.py), which is
     what lets the registered oracle embed numpy-trained literals."""
+    import hashlib
+
     from apachebeamkmeans_spark import scratch
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
     fp = scratch.data_fingerprint(sf_dir, "embeddings")
+    centers_h = hashlib.md5(repr(centers).encode()).hexdigest()[:10]
     key = (os.path.abspath(sf_dir), KNNPQ_M, KNNPQ_KSUB,
-           KNN_TRAIN_ITERS, "knnpq", fp)
+           KNN_TRAIN_ITERS, "knnpq", fp, centers_h)
     if key not in _KNNPQ_BOOKS_MEMO:
-        art = _knnpq_artifact_path(sf_dir, fp)
+        art = _knnpq_artifact_path(sf_dir, fp, centers_h)
         flat = _read_quantizer_artifact(art, KNNPQ_M * KNNPQ_KSUB)
         if flat is None:
             books = [

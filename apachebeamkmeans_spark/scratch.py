@@ -65,9 +65,12 @@ def data_fingerprint(sf_dir: str, table: str) -> str:
     Residual in-process caveat no stat key can close: a part rewritten
     with the SAME name, SAME size, and a deliberately pinned mtime
     serves the memoized hash until process restart — do not fingerprint
-    directories whose writer pins part mtimes (the stream scratch roots
-    pin only the DIRECTORY mtime, which never participates here).
-    '0' if absent (the synthetic-frame/test case)."""
+    directories whose writer pins part mtimes. The stream scratch
+    source dirs (`queries_dedup._stream_scratch_roots`) DO pin their
+    part mtimes (os.utime, for FileStreamSource replay order), so they
+    are exactly such directories — today nothing fingerprints them
+    (fingerprints are taken over sf_dir tables only), and that must
+    stay true. '0' if absent (the synthetic-frame/test case)."""
     import hashlib
 
     path = os.path.join(sf_dir, f"{table}.parquet")

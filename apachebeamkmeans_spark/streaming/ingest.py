@@ -153,6 +153,32 @@ def run_ingest_gate_stream(
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch_id)
+        if (
+            fold_accepted
+            and state_store is not None
+            and os.path.exists(
+                os.path.join(
+                    state_store, f"batch={batch_id}", "sigs", "_SUCCESS"
+                )
+            )
+        ):
+            # Checkpoint replay of a FULLY-committed batch (the sink
+            # dies after writing verdicts + increment but before the
+            # streaming checkpoint commits): the increment's _SUCCESS
+            # is written last, so its presence proves the verdict
+            # parquet is already on disk too — and the stream-start
+            # refold already unioned this increment into the gate
+            # state. Recomputing here would gate the batch against its
+            # OWN folded signatures: every previously-accepted doc
+            # self-matches at Jaccard 1.0 and the verdicts flip to
+            # reject. Skipping is the idempotent replay — but the
+            # batch must still be DRAINED (noop sink): upstream
+            # stateful operators commit their state per partition as
+            # the batch is consumed, and an early return fails Spark
+            # 4's state-store commit validation ("Expected N commits
+            # but got 0").
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         batch_docs = batch_df.select("doc_id", "text")
         verdicts = DD.ingest_gate_verdicts(
             corpus, batch_docs, bands, shingle,
@@ -167,20 +193,15 @@ def run_ingest_gate_stream(
             )
             accepted = batch_docs.join(accepted_ids, "doc_id")
             if state_store is not None:
-                # persist the increment (sets first, sigs derived from
-                # the read-back — one tokenize), then fold the STAGED
-                # frames: the union chain is parquet-backed, so a later
-                # batch never recomputes an earlier batch's sketch
-                bdir = f"{state_store}/batch={batch_id}"
-                _sigs_unused, add_sets = DD.corpus_gate_state(
-                    accepted, bands, shingle, eager=False
+                # persist the increment (dedup.persist_gate_state —
+                # the shared staging protocol: sets first, sigs last
+                # as the commit marker), then fold the STAGED frames:
+                # the union chain is parquet-backed, so a later batch
+                # never recomputes an earlier batch's sketch
+                sigs_rb, sets_rb = DD.persist_gate_state(
+                    accepted, f"{state_store}/batch={batch_id}",
+                    bands, shingle,
                 )
-                add_sets.write.mode("overwrite").parquet(f"{bdir}/sets")
-                sets_rb = ss.read.parquet(f"{bdir}/sets")
-                DD.sigs_from_sets(sets_rb, bands).write.mode("overwrite").parquet(
-                    f"{bdir}/sigs"
-                )
-                sigs_rb = ss.read.parquet(f"{bdir}/sigs")
                 state_box[0] = (
                     state_box[0][0].unionByName(sigs_rb),
                     state_box[0][1].unionByName(sets_rb),

@@ -146,3 +146,67 @@ def test_fold_state_store_survives_restart(spark, sf_dir, tmp_path):
             assert got[oid + 10_000_000] == (1.0, False), oid
             checked += 1
     assert checked, "no accepted batch-1 doc to verify the refold with"
+
+
+def test_replayed_batch_does_not_self_match(spark, sf_dir, tmp_path):
+    """Crash window: the sink commits a batch's verdicts AND its fold
+    increment, but the process dies before the STREAMING checkpoint
+    commits — on restart Spark replays the batch. Without the
+    committed-increment skip, the replayed batch is gated against its
+    own folded signatures (stream-start refold unions the increment
+    in), every previously-accepted doc self-matches at Jaccard 1.0,
+    and the verdict parquet is silently overwritten with rejects.
+    Simulated by restarting with a FRESH checkpoint over the same
+    src/out/state dirs: the first trigger re-delivers the same file
+    as batch 0 while its increment already sits committed in the
+    store — from the sink's point of view, exactly the replay a
+    pre-checkpoint-commit crash produces (checkpoint surgery is not
+    an option: Spark 4's state-store commit validation rejects a
+    truncated commits/ log)."""
+    from apachebeamkmeans_spark.sources import io
+    from apachebeamkmeans_spark.streaming.ingest import run_ingest_gate_stream
+
+    src_dir, out_dir, ckpt1, ckpt2, store = (
+        str(tmp_path / d) for d in ("src", "out", "ckpt1", "ckpt2", "state")
+    )
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "ts", F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+    )
+    new.coalesce(1).write.mode("append").parquet(src_dir)
+
+    def start(name, ckpt):
+        return run_ingest_gate_stream(
+            spark, corpus, src_dir, new.schema, out_dir, ckpt,
+            8, 3, 0.5, name=name, fold_accepted=True, state_store=store,
+        )
+
+    q1 = start("replay_p1", ckpt1)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+        q1.awaitTermination(60)
+    assert os.path.exists(os.path.join(store, "batch=0", "sigs", "_SUCCESS"))
+    first = {
+        r["doc_id"]: (r["max_jaccard"], r["accept"])
+        for r in spark.read.parquet(f"{out_dir}/batch=0").collect()
+    }
+    assert any(a for _mj, a in first.values()), "fixture accepted nothing"
+
+    # fresh checkpoint over the same dirs -> the first trigger
+    # re-delivers the same file as batch 0 while its committed
+    # increment is already in the store: the replay shape
+    q2 = start("replay_p2", ckpt2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+
+    replayed = {
+        r["doc_id"]: (r["max_jaccard"], r["accept"])
+        for r in spark.read.parquet(f"{out_dir}/batch=0").collect()
+    }
+    assert replayed == first

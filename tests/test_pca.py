@@ -96,3 +96,24 @@ def test_arrow_impl_matches_fold(spark):
     assert max(
         np.abs(fold[k] - arrow[k]).max() for k in fold
     ) < 1e-9
+
+
+def test_zero_variance_dimension_keeps_twin_contract(spark):
+    """A constant feature dimension makes Pearson corr NaN; the Spark
+    trainer must force its covariance to the true 0.0 (what np.cov
+    yields) rather than poisoning eigh with NaN — degenerate dims are
+    what zero-padded or masked embeddings look like."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(50, 6))
+    mat[:, 2] = 0.25  # constant dim
+    pdf = pd.DataFrame(
+        {"id": range(50), "features": [list(map(float, r)) for r in mat]}
+    )
+    df = spark.createDataFrame(pdf)
+    sp_mean, sp_comps = ANN.pca_train(df, 3)
+    np_mean, np_comps = ANN.pca_train_np(mat, 3)
+    assert sp_mean == np_mean
+    assert sp_comps == np_comps
+    assert all(np.isfinite(v) for row in sp_comps for v in row)
