@@ -32,6 +32,7 @@ __version__ = "0.1.0"
 # (PEP 562) so `import apachebeamkmeans_spark` stays cheap and free
 # of import-order coupling with the submodules.
 _PUBLIC = {
+    "AnnIndex": "apachebeamkmeans_spark.ann",
     "CurationPipeline": "apachebeamkmeans_spark.pipeline",
     "KMeans": "apachebeamkmeans_spark.operators.kmeans",
     "KMeansParams": "apachebeamkmeans_spark.operators.kmeans",

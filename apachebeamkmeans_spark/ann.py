@@ -1,0 +1,116 @@
+"""User-facing ANN index facade: train → build → save/load → append →
+search, over the operators the engine already certifies individually
+(`ann_train.ivf_train`, `similarity.build_ivf_index` /
+`append_to_ivf_index` / `ivf_topk_indexed`). The library analog of
+`CurationPipeline` for the similarity stack:
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    idx = AnnIndex.train(spark, embeddings, "/data/ann_idx")   # once
+    hits = idx.topk([q1, q2], k=5, nprobe=2)                   # search
+    idx.append(new_embeddings)                                 # ingest
+    idx2 = AnnIndex.load(spark, "/data/ann_idx")               # later session
+
+The on-disk layout is the certified hive-partitioned IVF table (one
+`coarse_id=` directory per cell — a probe is a partition-pruned scan,
+plan-locked in tests/test_plans.py) plus a `_ann_params.json` sidecar
+holding the trained centers and config, so a later session searches
+without retraining. Vectors are L2-normalized at train/append time;
+queries are normalized by the cosine itself.
+
+Scale posture: training is the k-row-collect Lloyd the engine uses
+everywhere; the search reads nprobe/k of the partitions; appends touch
+only the directories their batch lands in. Past ~10⁷ vectors per cell
+budget, the escalation is the trained IVF-PQ stack
+(`queries_similarity.q_sim_ivfpq_trained`, `similarity.knn_graph_pq`)
+— same coarse layout, PQ codes instead of raw vectors on the scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apachebeamkmeans_spark.operators import ann_train as ANN
+from apachebeamkmeans_spark.operators import similarity as SIM
+
+
+def _normalize(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return ANN.l2_normalize(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("features"),
+        )
+    )
+
+
+class AnnIndex:
+    """Handle to a materialized IVF index (layout + trained centers).
+    Construct via `train` or `load`, never directly."""
+
+    _PARAMS = "_ann_params.json"
+
+    def __init__(self, spark: SparkSession, path: str,
+                 centers: list[list[float]]):
+        self._spark = spark
+        self.path = path
+        self.centers = centers
+
+    @property
+    def n_cells(self) -> int:
+        return len(self.centers)
+
+    @staticmethod
+    def train(spark: SparkSession, embeddings: DataFrame, path: str,
+              k: int | None = None, n_iters: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> "AnnIndex":
+        """Train a √n-cell coarse quantizer (FAISS cell rule unless `k`
+        is given) over the L2-normalized embeddings, materialize the
+        partitioned layout at `path`, and persist the trained centers
+        as the sidecar. One training, any number of later sessions."""
+        vecs = _normalize(embeddings, id_col, vec_col).localCheckpoint(
+            eager=False
+        )
+        if k is None:
+            from apachebeamkmeans_spark.queries_similarity import knn_cells
+
+            k = knn_cells(vecs.count())
+        centers = [
+            [ANN.round_param(v) for v in c]
+            for c in ANN.ivf_train(vecs, k, n_iters)
+        ]
+        SIM.build_ivf_index(vecs, centers, path)
+        with open(os.path.join(path, AnnIndex._PARAMS), "w") as f:
+            json.dump({"centers": centers, "version": 1}, f)
+        return AnnIndex(spark, path, centers)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "AnnIndex":
+        with open(os.path.join(path, AnnIndex._PARAMS)) as f:
+            params = json.load(f)
+        return AnnIndex(spark, path, params["centers"])
+
+    def append(self, embeddings: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+        """Coarse-assign a new batch and append it to the layout —
+        dynamic-partition append, existing directories untouched.
+        Post-append searches equal a from-scratch rebuild over the
+        union (the operator-level guarantee, asserted in
+        tests/test_similarity_mm.py)."""
+        SIM.append_to_ivf_index(
+            _normalize(embeddings, id_col, vec_col), self.centers, self.path
+        )
+
+    def topk(self, queries: list[list[float]], k: int = 5,
+             nprobe: int = 1) -> DataFrame:
+        """Top-k cosine per literal query vector, all queries in one
+        partition-pruned scan: (qid, probe_cell, vec_id, cosine,
+        rank)."""
+        return SIM.ivf_topk_indexed(
+            self._spark, self.path, queries, self.centers, k, nprobe
+        )

@@ -1,0 +1,80 @@
+"""AnnIndex facade: train/save/load/append/topk must compose the SAME
+certified operators a user would call directly, with the sidecar
+making the index usable from a session that never trained it."""
+
+from __future__ import annotations
+
+import os
+
+from apachebeamkmeans_spark.ann import AnnIndex
+from apachebeamkmeans_spark.operators import ann_train as ANN
+from apachebeamkmeans_spark.operators import similarity as SIM
+from apachebeamkmeans_spark.sources import io
+
+QUERIES = [
+    [0.1 * ((i * 7 + j) % 5 - 2) for j in range(64)] for i in range(3)
+]
+
+
+def _emb(spark, sf_dir):
+    return io.read_table(spark, sf_dir, "embeddings")
+
+
+def test_train_topk_matches_inline_ivf(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "idx")
+    idx = AnnIndex.train(spark, _emb(spark, sf_dir), path, k=4)
+    assert os.path.exists(os.path.join(path, "_ann_params.json"))
+    got = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=2).collect()))
+    vecs = ANN.l2_normalize(
+        _emb(spark, sf_dir).selectExpr(
+            "vec_id AS id", "CAST(embedding AS array<double>) AS features"
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            SIM.ivf_topk(vecs, QUERIES, idx.centers, k=5, nprobe=2).collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_load_searches_without_retraining(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "idx2")
+    trained = AnnIndex.train(spark, _emb(spark, sf_dir), path, k=4)
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.centers == trained.centers
+    assert sorted(map(tuple, loaded.topk(QUERIES, k=3).collect())) == sorted(
+        map(tuple, trained.topk(QUERIES, k=3).collect())
+    )
+
+
+def test_append_equals_rebuild(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+
+    p1 = str(tmp_path / "grow")
+    idx = AnnIndex.train(spark, first, p1, k=4)
+    idx.append(rest)
+
+    p2 = str(tmp_path / "full")
+    # same centers (trained on `first`) over the full corpus: rebuild twin
+    vecs = ANN.l2_normalize(
+        emb.selectExpr(
+            "vec_id AS id", "CAST(embedding AS array<double>) AS features"
+        )
+    )
+    SIM.build_ivf_index(vecs, idx.centers, p2)
+    got = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=2).collect()))
+    want = sorted(
+        map(
+            tuple,
+            SIM.ivf_topk_indexed(
+                spark, p2, QUERIES, idx.centers, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    assert got == want
