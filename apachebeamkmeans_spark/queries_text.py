@@ -981,7 +981,35 @@ FROM p GROUP BY token
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained model-based quality gate (the fasttext-classifier stage
+    of CCNet/RefinedWeb pipelines on MLlib LogisticRegression): five
+    certified surface features, weak label = the heuristic quality
+    verdict (distillation — the label a production gate trains on),
+    deterministic doc_id%5 train/holdout split. Verdict row =
+    EXACT split counts (oracle recomputes them from the same split)
+    + bounded accuracy booleans (floors 0.90/0.85; measured
+    0.974–0.99 across sf0.001–sf0.1) — the `mllib_kmeans` /
+    `events_approx_distinct` hybrid-oracle regime, because LBFGS
+    coefficients follow partitioning at the ulp level and per-doc
+    boundary predictions may flip across sessions (the per-doc scores
+    stay available to library callers via `classifier.score_docs`)."""
+    from apachebeamkmeans_spark.operators import classifier as CLF
+
+    return CLF.quality_classifier_report(_docs(spark, sf_dir))
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 5 != 0) AS BIGINT) AS n_train,
+       CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_holdout,
+       5 AS n_features,
+       TRUE AS train_acc_ok,
+       TRUE AS holdout_acc_ok
+"""
+
+
 QUERIES = {
+    "quality_classifier": (q_quality_classifier, ORACLE_QUALITY_CLASSIFIER),
     "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),

@@ -109,6 +109,7 @@ HEADLINE = [
     "sim_knn_graph_pq",
     "sim_pca_project",
     "sim_pca_train",
+    "quality_classifier",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

@@ -1,0 +1,64 @@
+"""Trained quality classifier (`operators/classifier.py`): the
+MLlib-LogisticRegression distillation of the heuristic quality gate.
+
+The registered verdict is hybrid-oracle (exact counts + bounded
+booleans); these tests pin the parts the oracle can't: real accuracy
+values, score-frame shape, the distillation actually beating the
+base rate, and the degenerate-input contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.operators import classifier as CLF
+from apachebeamkmeans_spark.sources import io
+
+
+@pytest.fixture(scope="module")
+def feats(spark, sf_dir):
+    return CLF.feature_frame(
+        io.read_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
+
+
+def test_distillation_beats_base_rate(spark, feats):
+    train = feats.filter(F.col("doc_id") % 5 != 0)
+    hold = feats.filter(F.col("doc_id") % 5 == 0)
+    model = CLF.fit_quality_model(train)
+    acc_train = CLF._accuracy(model, train)
+    acc_hold = CLF._accuracy(model, hold)
+    pos = hold.agg(F.avg("label")).collect()[0][0]
+    base = max(pos, 1 - pos)  # majority-class accuracy
+    assert acc_train >= 0.90 and acc_hold >= 0.85  # the registered floors
+    assert acc_hold > base + 0.05  # it learned something, not the prior
+
+
+def test_score_frame_shape_and_consistency(spark, sf_dir, feats):
+    docs = io.read_table(spark, sf_dir, "documents")
+    model = CLF.fit_quality_model(feats)
+    scored = CLF.score_docs(model, docs)
+    assert scored.columns == ["doc_id", "label", "prediction", "p_keep"]
+    rows = scored.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r["p_keep"] <= 1.0
+        # prediction is the 0.5-thresholded probability
+        assert r["prediction"] == (1.0 if r["p_keep"] > 0.5 else 0.0)
+
+
+def test_features_are_finite_and_label_nondegenerate(feats):
+    rows = feats.collect()
+    assert all(
+        all(v is not None and v == v for v in r["features"]) for r in rows
+    )
+    labels = {r["label"] for r in rows}
+    assert labels == {0.0, 1.0}  # both classes present at sf0.001
+
+
+def test_empty_input_raises(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="non-empty points frame"):
+        CLF.fit_quality_model(CLF.feature_frame(empty))

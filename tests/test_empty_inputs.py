@@ -36,6 +36,8 @@ NEEDS_DATA = {
     # trained parameter (no covariance of no points).
     "sim_knn_graph_pq",
     "sim_pca_train",
+    # r10: no classifier of no documents (MLlib fit needs >= 1 row)
+    "quality_classifier",
     # r6: SemDeDup and coverage sampling cluster in-query with the
     # same trainer.
     "semantic_dedup",

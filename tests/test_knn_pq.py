@@ -140,3 +140,24 @@ def test_full_width_shortlist_degenerates_to_blocked_exact(
                 f"vec {id_of[i]} rank {rk}: got {got.get((id_of[i], rk))}, "
                 f"want {id_of[j]}"
             )
+
+
+def test_pq_encode_lut_consistent_with_pq_encode(spark, norm_points):
+    """pq_encode_lut is pq_encode + the distance matrix the codes were
+    argmin'd from: codes must EQUAL the single-role encoder's (same
+    rows, same codebooks), and each row's code must be the argmin of
+    its own lut row (first minimum on ties) with lut[s][codes[s]] ==
+    min(lut[s]) — the invariant ADC scoring relies on."""
+    books = QS.KNNPQ_TRAINED_BOOKS[:8]  # any valid (m, ksub, dsub) shape
+    base = norm_points.limit(40)
+    plain = {
+        r["vec_id"]: list(r["codes"])
+        for r in SIM.pq_encode(base, books, id_col="id").collect()
+    }
+    rich = SIM.pq_encode_lut(base, books, id_col="id").collect()
+    assert {r["vec_id"]: list(r["codes"]) for r in rich} == plain
+    for r in rich:
+        for s, code in enumerate(r["codes"]):
+            lut_s = r["lut"][s]
+            assert lut_s[code] == min(lut_s)
+            assert code == lut_s.index(min(lut_s))  # first-minimum tie rule
