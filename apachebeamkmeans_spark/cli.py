@@ -104,6 +104,9 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-chars", type=int, default=30)
     p.add_argument("--langs", default="en",
                    help="comma-separated predicted-language allowlist; '' disables the language rule")
+    p.add_argument("--model-gate", action="store_true",
+                   help="train the quality classifier on the input corpus and keep docs with keep-probability >= --min-p (self-distillation of the heuristic gate)")
+    p.add_argument("--min-p", type=float, default=0.5)
     p.add_argument("--contamination-gate", default=None, metavar="BENCH_PARQUET",
                    help="benchmark parquet with (doc_id, text); docs sharing n-grams with it are dropped")
     p.add_argument("--max-shared", type=int, default=0)
@@ -166,6 +169,15 @@ def _curate_run(args, spark) -> int:
     if args.quality_gate:
         langs = tuple(s for s in args.langs.split(",") if s) or None
         pipe = pipe.quality_gate(min_chars=args.min_chars, langs=langs)
+    if args.model_gate:
+        from apachebeamkmeans_spark.operators import classifier as CLF
+
+        # trained on the INPUT corpus (pre-dedup), gating whatever
+        # survived the earlier stages — self-distillation of the
+        # heuristic verdict; production callers pass a model trained
+        # on a reference snapshot via the library surface instead
+        model = CLF.fit_quality_model(CLF.feature_frame(docs))
+        pipe = pipe.model_gate(model, min_p=args.min_p)
     if args.contamination_gate:
         bench = spark.read.parquet(args.contamination_gate)
         pipe = pipe.contamination_gate(

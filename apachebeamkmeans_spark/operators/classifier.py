@@ -50,6 +50,20 @@ def feature_frame(docs: DataFrame) -> DataFrame:
     is not a linear function of the features (capped terms, raw
     n_tokens vs log_chars), so the fit is a real estimation problem,
     not an identity."""
+    return docs.select(
+        "doc_id",
+        (TX.quality_expr() >= 0.5).cast("double").alias("label"),
+        features_expr().alias("features"),
+    )
+
+
+def features_expr():
+    """The FEATURE_NAMES array as a single column expression over
+    `text` — importable so single-plan consumers (the
+    CurationPipeline model gate) can score WITHOUT projecting to a
+    feature frame and joining back (the r9 lang_id lesson: a column
+    expression is a narrow map where that join is a full-corpus
+    shuffle)."""
     toks = T.tokens(F.col("text"))
     n_toks = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
@@ -61,13 +75,9 @@ def feature_frame(docs: DataFrame) -> DataFrame:
                / F.nullif(F.length("text"), F.lit(0)))
     digits = nz(F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("double")
                 / F.nullif(F.length("text"), F.lit(0)))
-    return docs.select(
-        "doc_id",
-        (TX.quality_expr() >= 0.5).cast("double").alias("label"),
-        F.array(
-            density, avg_len, punct, digits,
-            F.log1p(F.length("text").cast("double")),
-        ).alias("features"),
+    return F.array(
+        density, avg_len, punct, digits,
+        F.log1p(F.length("text").cast("double")),
     )
 
 

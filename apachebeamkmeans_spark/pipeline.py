@@ -307,6 +307,29 @@ class CurationPipeline:
             kept = kept.filter(pred.isin(*langs))
         return self._with(kept)
 
+    def model_gate(self, model, min_p: float = 0.5) -> "CurationPipeline":
+        """Trained-classifier quality gate: keep docs whose
+        `operators/classifier` model assigns keep-probability ≥
+        `min_p`. The model transforms the pipeline frame IN PLACE
+        (features as a column expression, `classifier.features_expr`)
+        — a narrow map, no projection-and-join-back (the r9 lang_id
+        lesson) and no shuffle. Train with
+        `classifier.fit_quality_model(classifier.feature_frame(docs))`
+        — typically on a sample or an earlier snapshot; the model is
+        a plain coefficient vector, broadcast-free at any corpus
+        size."""
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        from apachebeamkmeans_spark.operators.classifier import features_expr
+
+        scored = model.transform(
+            self._df.withColumn("__fvec", array_to_vector(features_expr()))
+        )
+        kept = scored.filter(
+            vector_to_array("probability")[1] >= min_p
+        ).select(*self._df.columns)
+        return self._with(kept)
+
     def contamination_gate(
         self, bench: DataFrame, shingle: int = 3, max_shared: int = 0
     ) -> "CurationPipeline":

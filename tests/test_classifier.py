@@ -62,3 +62,23 @@ def test_empty_input_raises(spark):
     )
     with pytest.raises(ValueError, match="non-empty points frame"):
         CLF.fit_quality_model(CLF.feature_frame(empty))
+
+
+def test_pipeline_model_gate(spark, sf_dir, feats):
+    """The facade stage equals score_docs-then-filter, stays a narrow
+    map (no Exchange, no Join), and preserves ride-along columns."""
+    from apachebeamkmeans_spark.pipeline import CurationPipeline
+    from apachebeamkmeans_spark.plans import explain as X
+
+    docs = io.read_table(spark, sf_dir, "documents")
+    model = CLF.fit_quality_model(feats)
+    gated = CurationPipeline(docs).model_gate(model, min_p=0.5).df()
+    assert set(gated.columns) == set(docs.columns)
+    assert X.n_exchanges(gated) == 0
+    assert "Join" not in X.formatted_plan(gated)
+    got = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in CLF.score_docs(model, docs).filter("p_keep >= 0.5").collect()
+    }
+    assert got == want and 0 < len(got) < docs.count()

@@ -103,3 +103,27 @@ def test_curate_embedding_stages_and_guard(spark, sf_dir, tmp_path):
     )
     want = {r["doc_id"] for r in want_df.select("doc_id").collect()}
     assert got == want and 0 < len(got)
+
+
+def test_curate_model_gate(spark, sf_dir, tmp_path):
+    from apachebeamkmeans_spark.operators import classifier as CLF
+
+    out = tmp_path / "modelgated"
+    rc = cli.main(
+        [
+            "curate",
+            "--input", os.path.join(sf_dir, "documents.parquet"),
+            "--output", str(out),
+            "--exact-dedup", "--model-gate", "--min-p", "0.5",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    docs = _docs(spark, sf_dir)
+    model = CLF.fit_quality_model(CLF.feature_frame(docs))
+    want_df = (
+        CurationPipeline(docs).exact_dedup().model_gate(model, min_p=0.5).df()
+    )
+    want = {r["doc_id"] for r in want_df.select("doc_id").collect()}
+    assert got == want and got
