@@ -13,7 +13,7 @@ search, over the operators the engine already certifies individually
 
 The on-disk layout is the certified hive-partitioned IVF table (one
 `coarse_id=` directory per cell — a probe is a partition-pruned scan,
-plan-locked in tests/test_plans.py) plus a `_ann_params.json` sidecar
+plan-locked in tests/test_plans.py) plus a `_ann_params` sidecar (one-row Spark text table)
 holding the trained centers and config, so a later session searches
 without retraining. Vectors are L2-normalized at train/append time;
 queries are normalized by the cosine itself.
@@ -39,10 +39,20 @@ from apachebeamkmeans_spark.operators import similarity as SIM
 
 def _normalize(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     from pyspark.sql import functions as F
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    # the layout's read schema is fixed at `vec_id bigint`
+    # (similarity.INDEX_SCHEMA): a non-integral id would WRITE fine and
+    # then fail confusingly at the first topk read — reject it here
+    dt = embeddings.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"AnnIndex id column {id_col!r} must be an integral type "
+            f"(the index layout stores vec_id as bigint), got {dt.simpleString()}"
+        )
     return ANN.l2_normalize(
         embeddings.select(
-            F.col(id_col).alias("id"),
+            F.col(id_col).cast("long").alias("id"),
             F.col(vec_col).cast("array<double>").alias("features"),
         )
     )
@@ -52,7 +62,11 @@ class AnnIndex:
     """Handle to a materialized IVF index (layout + trained centers).
     Construct via `train` or `load`, never directly."""
 
-    _PARAMS = "_ann_params.json"
+    # underscore prefix: parquet directory readers skip it, like
+    # _SUCCESS. Written/read THROUGH Spark (one-row text frame), not
+    # driver-local open(), so the sidecar lands on the same filesystem
+    # as the layout — hdfs://, s3a://, or local alike.
+    _PARAMS = "_ann_params"
 
     def __init__(self, spark: SparkSession, path: str,
                  centers: list[list[float]]):
@@ -77,7 +91,7 @@ class AnnIndex:
             eager=False
         )
         if k is None:
-            from apachebeamkmeans_spark.queries_similarity import knn_cells
+            from apachebeamkmeans_spark.operators.ann_train import knn_cells
 
             k = knn_cells(vecs.count())
         centers = [
@@ -85,14 +99,16 @@ class AnnIndex:
             for c in ANN.ivf_train(vecs, k, n_iters)
         ]
         SIM.build_ivf_index(vecs, centers, path)
-        with open(os.path.join(path, AnnIndex._PARAMS), "w") as f:
-            json.dump({"centers": centers, "version": 1}, f)
+        payload = json.dumps({"centers": centers, "version": 1})
+        spark.createDataFrame([(payload,)], "v string").coalesce(1).write.mode(
+            "overwrite"
+        ).text(os.path.join(path, AnnIndex._PARAMS))
         return AnnIndex(spark, path, centers)
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "AnnIndex":
-        with open(os.path.join(path, AnnIndex._PARAMS)) as f:
-            params = json.load(f)
+        rows = spark.read.text(os.path.join(path, AnnIndex._PARAMS)).collect()
+        params = json.loads(rows[0]["value"])
         return AnnIndex(spark, path, params["centers"])
 
     def append(self, embeddings: DataFrame,

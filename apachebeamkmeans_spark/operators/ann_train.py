@@ -94,6 +94,17 @@ def seed_rows(vecs: DataFrame, n: int, seed,
 # ------------------------------------------------------------- IVF training
 
 
+def knn_cells(n: int) -> int:
+    """Coarse cells for an n-vector corpus: √n (FAISS rule), floored at
+    4, capped at n (Lloyd can't train more centers than points).
+    Lives in this leaf module so library surfaces (AnnIndex, the
+    CurationPipeline embedding stages) can derive a default k without
+    importing the registered-query module — whose import runs the
+    numpy twin-training blocks (r10 review: wrong altitude for a
+    one-line formula)."""
+    return max(1, min(n, max(4, int(round(n ** 0.5)))))
+
+
 def ivf_train(vecs: DataFrame, k: int, n_iters: int = 5, seed="ivf",
               id_col: str = "id", features_col: str = "features") -> list[list[float]]:
     """k coarse centers by Lloyd: literal-center argmin assign (zero

@@ -50,9 +50,15 @@ def feature_frame(docs: DataFrame) -> DataFrame:
     is not a linear function of the features (capped terms, raw
     n_tokens vs log_chars), so the fit is a real estimation problem,
     not an identity."""
+    # label coalesces to 0.0: a zero-token/NULL-text doc has a NULL
+    # quality score (quality_expr divides by n_tokens/length), and
+    # "unscorable" IS "not keep-worthy" — MLlib's label validation
+    # rejects nulls outright
     return docs.select(
         "doc_id",
-        (TX.quality_expr() >= 0.5).cast("double").alias("label"),
+        F.coalesce(
+            (TX.quality_expr() >= 0.5).cast("double"), F.lit(0.0)
+        ).alias("label"),
         features_expr().alias("features"),
     )
 
@@ -77,7 +83,7 @@ def features_expr():
                 / F.nullif(F.length("text"), F.lit(0)))
     return F.array(
         density, avg_len, punct, digits,
-        F.log1p(F.length("text").cast("double")),
+        nz(F.log1p(F.length("text").cast("double"))),  # NULL text → 0.0
     )
 
 
@@ -137,7 +143,10 @@ def quality_classifier_report(docs: DataFrame, train_mod: int = 5,
     the booleans are bounded properties with margin (measured
     accuracies 0.974–0.99 across sf0.001–sf0.1; floors at
     0.90/0.85)."""
-    feats = feature_frame(docs)
+    # checkpoint: the verdict touches the frame ~5 times (two counts,
+    # the fit's passes, two accuracy scans) — without it each one
+    # re-tokenizes every document from scratch
+    feats = feature_frame(docs).localCheckpoint(eager=False)
     train = feats.filter(F.col("doc_id") % train_mod != 0)
     holdout = feats.filter(F.col("doc_id") % train_mod == 0)
     model = fit_quality_model(train)

@@ -177,7 +177,7 @@ class CurationPipeline:
         persisted quantizer artifact substitutes (the
         `_knn_quantizer` pattern the registered queries use)."""
         from apachebeamkmeans_spark.operators import ann_train as ANN
-        from apachebeamkmeans_spark.queries_similarity import knn_cells
+        from apachebeamkmeans_spark.operators.ann_train import knn_cells
 
         vecs = ANN.l2_normalize(
             embeddings.select(
@@ -218,7 +218,7 @@ class CurationPipeline:
         and across differently-filtered pipelines — stays exact."""
         from apachebeamkmeans_spark.operators import ann_train as ANN
         from apachebeamkmeans_spark.operators.similarity import semantic_prune
-        from apachebeamkmeans_spark.queries_similarity import knn_cells
+        from apachebeamkmeans_spark.operators.ann_train import knn_cells
 
         vecs = ANN.l2_normalize(
             embeddings.select(
@@ -267,7 +267,7 @@ class CurationPipeline:
         the full `embeddings` frame (see `semantic_dedup`)."""
         from apachebeamkmeans_spark.operators import ann_train as ANN
         from apachebeamkmeans_spark.operators.similarity import coverage_sample
-        from apachebeamkmeans_spark.queries_similarity import knn_cells
+        from apachebeamkmeans_spark.operators.ann_train import knn_cells
 
         vecs = ANN.l2_normalize(
             embeddings.select(

@@ -743,10 +743,10 @@ KNN_CAND_FRAC = 0.5
 KNN_TRAIN_ITERS = 3
 
 
-def knn_cells(n: int) -> int:
-    """Coarse cells for an n-vector corpus: √n (FAISS rule), floored at
-    4, capped at n (Lloyd can't train more centers than points)."""
-    return max(1, min(n, max(4, int(round(math.sqrt(n))))))
+# moved to the ann_train leaf module (r10: library surfaces need the
+# formula without this module's import-time twin-training); re-exported
+# here for the registered queries and existing callers
+from apachebeamkmeans_spark.operators.ann_train import knn_cells  # noqa: E402
 
 
 # Probe-width ceiling (r9): the uncapped √(FRAC·cells) rule holds the

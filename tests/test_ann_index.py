@@ -23,7 +23,7 @@ def _emb(spark, sf_dir):
 def test_train_topk_matches_inline_ivf(spark, sf_dir, tmp_path):
     path = str(tmp_path / "idx")
     idx = AnnIndex.train(spark, _emb(spark, sf_dir), path, k=4)
-    assert os.path.exists(os.path.join(path, "_ann_params.json"))
+    assert os.path.isdir(os.path.join(path, "_ann_params"))
     got = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=2).collect()))
     vecs = ANN.l2_normalize(
         _emb(spark, sf_dir).selectExpr(
