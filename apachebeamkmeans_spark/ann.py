@@ -105,10 +105,40 @@ class AnnIndex:
         ).text(os.path.join(path, AnnIndex._PARAMS))
         return AnnIndex(spark, path, centers)
 
+    # formats this code knows how to read; bump alongside _PARAMS
+    # layout changes so an old library fails loudly on a newer index
+    _KNOWN_VERSIONS = (1,)
+
     @staticmethod
     def load(spark: SparkSession, path: str) -> "AnnIndex":
-        rows = spark.read.text(os.path.join(path, AnnIndex._PARAMS)).collect()
-        params = json.loads(rows[0]["value"])
+        sidecar = os.path.join(path, AnnIndex._PARAMS)
+        try:
+            rows = spark.read.text(sidecar).collect()
+        except Exception as e:
+            raise ValueError(
+                f"AnnIndex.load: no readable {AnnIndex._PARAMS} sidecar at "
+                f"{sidecar!r} — not an AnnIndex directory, or the index was "
+                f"never finished by train()"
+            ) from e
+        if not rows:
+            raise ValueError(
+                f"AnnIndex.load: empty {AnnIndex._PARAMS} sidecar at "
+                f"{sidecar!r} (partially-written index?)"
+            )
+        try:
+            params = json.loads(rows[0]["value"])
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f"AnnIndex.load: corrupt {AnnIndex._PARAMS} sidecar at "
+                f"{sidecar!r} (partially-written index?)"
+            ) from e
+        version = params.get("version")
+        if version not in AnnIndex._KNOWN_VERSIONS:
+            raise ValueError(
+                f"AnnIndex.load: sidecar version {version!r} at {sidecar!r} "
+                f"is not one this library reads ({AnnIndex._KNOWN_VERSIONS}) "
+                f"— index written by an incompatible AnnIndex build"
+            )
         return AnnIndex(spark, path, params["centers"])
 
     def append(self, embeddings: DataFrame,

@@ -34,6 +34,7 @@ engages as a leading literal):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -107,6 +108,12 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-gate", action="store_true",
                    help="train the quality classifier on the input corpus and keep docs with keep-probability >= --min-p (self-distillation of the heuristic gate)")
     p.add_argument("--min-p", type=float, default=0.5)
+    p.add_argument("--model-path", default=None, metavar="DIR",
+                   help="with --model-gate: load the trained gate model from "
+                        "DIR if it exists, else fit and save it there — so "
+                        "repeated runs reuse one fit and the gate can come "
+                        "from a reference snapshot (the library guidance in "
+                        "CurationPipeline.model_gate)")
     p.add_argument("--contamination-gate", default=None, metavar="BENCH_PARQUET",
                    help="benchmark parquet with (doc_id, text); docs sharing n-grams with it are dropped")
     p.add_argument("--max-shared", type=int, default=0)
@@ -172,11 +179,21 @@ def _curate_run(args, spark) -> int:
     if args.model_gate:
         from apachebeamkmeans_spark.operators import classifier as CLF
 
-        # trained on the INPUT corpus (pre-dedup), gating whatever
-        # survived the earlier stages — self-distillation of the
-        # heuristic verdict; production callers pass a model trained
-        # on a reference snapshot via the library surface instead
-        model = CLF.fit_quality_model(CLF.feature_frame(docs))
+        model = None
+        if args.model_path and os.path.exists(args.model_path):
+            # reuse a previously saved gate (reference-snapshot model,
+            # or just the last run's fit) — no refit (ADVICE r10)
+            from pyspark.ml.classification import LogisticRegressionModel
+
+            model = LogisticRegressionModel.load(args.model_path)
+        if model is None:
+            # trained on the INPUT corpus (pre-dedup), gating whatever
+            # survived the earlier stages — self-distillation of the
+            # heuristic verdict; pass --model-path to persist the fit
+            # (or to gate with a reference-snapshot model instead)
+            model = CLF.fit_quality_model(CLF.feature_frame(docs))
+            if args.model_path:
+                model.write().overwrite().save(args.model_path)
         pipe = pipe.model_gate(model, min_p=args.min_p)
     if args.contamination_gate:
         bench = spark.read.parquet(args.contamination_gate)

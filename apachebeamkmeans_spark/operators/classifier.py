@@ -130,6 +130,15 @@ def _accuracy(model, feats: DataFrame) -> float:
     row = scored.agg(
         F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("a")
     ).collect()[0]
+    if row["a"] is None:
+        # avg over an empty frame is NULL — surface the real problem
+        # (an empty train/holdout split) instead of float(None)'s
+        # opaque TypeError (ADVICE r10)
+        raise ValueError(
+            "_accuracy: empty split — the deterministic doc_id-mod split "
+            "produced no rows on this side (corpus too small or id-sparse "
+            "for the chosen train_mod)"
+        )
     return float(row["a"])
 
 

@@ -37,17 +37,8 @@ CERT_WINDOW = 50
 # skip re-certification. Entries age out naturally (once re-certified
 # they sort normally) but should be pruned when clearly stale.
 SEMANTICS_CHANGED: dict[str, int] = {
-    # r8: BPE retargeted to the word-frequency table (50 char merges),
-    # corpus_health NULL-text normalization
-    "bpe_train": 8,
-    "bpe_encode": 8,
-    "corpus_health": 8,
-    # r8: money aggregates moved to the integer-cents pattern; q9
-    # joined to the derived partsupp with the real TPC-H cost
-    "q9_parttype_profit": 8,
-    "q7_nation_trade": 8,
-    "q10_returned_revenue": 8,
-    "q22_idle_customers": 8,
+    # (r8 cohort pruned in r11: every entry re-certified green in r8
+    # AND again in a later round — the marker had no remaining effect)
     # r9: exact-substring runs now merge span-OVERLAPPING islands
     # (gap < L) into disjoint maximal covered intervals — run counts /
     # copied_chars / chars_cut change wherever overlaps exist

@@ -127,7 +127,12 @@ def run_ingest_gate_stream(
     RESTARTED stream keeps gating against everything earlier runs
     admitted — the cluster-scale persisted-signature-table shape.
     Without it the fold state lives in the session (plan unions) and
-    dies with it."""
+    dies with it. A state_store is bound to ONE checkpoint lineage:
+    batch ids restart at 0 under a fresh checkpoint, so reusing a
+    stale store would alias new batches onto committed increments —
+    the replay skip verifies the batch's doc_id set against the
+    committed verdicts and raises on a mismatch instead of silently
+    draining new documents (ADVICE r10)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -171,12 +176,48 @@ def run_ingest_gate_stream(
             # state. Recomputing here would gate the batch against its
             # OWN folded signatures: every previously-accepted doc
             # self-matches at Jaccard 1.0 and the verdicts flip to
-            # reject. Skipping is the idempotent replay — but the
-            # batch must still be DRAINED (noop sink): upstream
-            # stateful operators commit their state per partition as
-            # the batch is consumed, and an early return fails Spark
-            # 4's state-store commit validation ("Expected N commits
-            # but got 0").
+            # reject. Skipping is the idempotent replay — but first
+            # prove it IS a replay: batch ids are only meaningful
+            # within one checkpoint lineage, so a fresh checkpoint
+            # over a stale state_store aliases batch 0 and a batch of
+            # NEW docs would otherwise be silently drained with its
+            # verdicts never written (ADVICE r10). The committed
+            # verdict parquet carries the original batch's doc_id set;
+            # a replay re-delivers exactly those ids.
+            ss = batch_df.sparkSession
+            incoming = batch_df.select("doc_id")
+            try:
+                committed = ss.read.parquet(
+                    f"{out_dir}/batch={batch_id}"
+                ).select("doc_id")
+                aliased = bool(
+                    incoming.join(committed, "doc_id", "left_anti").take(1)
+                ) or bool(
+                    committed.join(incoming, "doc_id", "left_anti").take(1)
+                )
+            except Exception:
+                # increment committed but no readable verdicts for the
+                # id — out_dir and state_store disagree about history,
+                # which only an alias can produce (sigs/_SUCCESS is
+                # written after the verdict parquet within a lineage)
+                aliased = True
+            if aliased:
+                raise RuntimeError(
+                    f"ingest gate: batch {batch_id} has a committed fold "
+                    f"increment in {state_store!r} but its documents do not "
+                    f"match the committed verdicts in {out_dir!r} — this is "
+                    f"a batch-id ALIAS (a new checkpoint lineage reusing a "
+                    f"state_store/out_dir from an earlier run), not a "
+                    f"checkpoint replay. A state_store must live and die "
+                    f"with one checkpoint: point the stream at fresh "
+                    f"state/out directories, or resume the original "
+                    f"checkpoint."
+                )
+            # genuine replay — the batch must still be DRAINED (noop
+            # sink): upstream stateful operators commit their state per
+            # partition as the batch is consumed, and an early return
+            # fails Spark 4's state-store commit validation ("Expected
+            # N commits but got 0").
             batch_df.write.format("noop").mode("overwrite").save()
             return
         batch_docs = batch_df.select("doc_id", "text")

@@ -78,3 +78,41 @@ def test_append_equals_rebuild(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_load_missing_sidecar_is_descriptive(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="_ann_params"):
+        AnnIndex.load(spark, str(tmp_path / "never_trained"))
+
+
+def test_load_corrupt_sidecar_is_descriptive(spark, tmp_path):
+    """A partially-written sidecar (non-JSON bytes) must surface as a
+    clear ValueError, not a bare JSONDecodeError (ADVICE r10)."""
+    import pytest
+
+    path = str(tmp_path / "half_written")
+    side = os.path.join(path, "_ann_params")
+    os.makedirs(side)
+    with open(os.path.join(side, "part-00000.txt"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="corrupt"):
+        AnnIndex.load(spark, path)
+
+
+def test_load_rejects_unknown_version(spark, sf_dir, tmp_path):
+    """train() stamps version=1; a sidecar from a future format must
+    fail loudly on load instead of being misread (ADVICE r10)."""
+    import json
+
+    import pytest
+
+    path = str(tmp_path / "future")
+    AnnIndex.train(spark, _emb(spark, sf_dir), path, k=4)
+    payload = json.dumps({"centers": [[0.0] * 64], "version": 99})
+    spark.createDataFrame([(payload,)], "v string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(os.path.join(path, "_ann_params"))
+    with pytest.raises(ValueError, match="version"):
+        AnnIndex.load(spark, path)

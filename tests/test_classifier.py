@@ -88,3 +88,14 @@ def test_pipeline_model_gate(spark, sf_dir, feats):
     } - boundary
     want = {r["doc_id"] for r in scored if r["p_keep"] >= 0.5} - boundary
     assert got == want and 0 < len(got) < docs.count()
+
+
+def test_empty_holdout_split_is_descriptive(spark):
+    """A corpus whose ids never hit the holdout residue must raise a
+    clear ValueError from the accuracy scan, not float(None)'s opaque
+    TypeError (ADVICE r10)."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 3)
+            for i in range(1, 40) if i % 5 != 0]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty split"):
+        CLF.quality_classifier_report(docs).collect()

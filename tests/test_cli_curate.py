@@ -127,3 +127,50 @@ def test_curate_model_gate(spark, sf_dir, tmp_path):
     )
     want = {r["doc_id"] for r in want_df.select("doc_id").collect()}
     assert got == want and got
+
+
+def test_curate_model_path_saves_then_reuses(spark, sf_dir, tmp_path):
+    """--model-path: first run fits and saves; second run on a
+    DIFFERENT corpus must load the saved gate rather than refit
+    (ADVICE r10) — the survivors therefore match a library gate built
+    from the saved model, not from a fresh fit on the new input."""
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    model_dir = tmp_path / "gate_model"
+    out1 = tmp_path / "run1"
+    rc = cli.main(
+        [
+            "curate",
+            "--input", os.path.join(sf_dir, "documents.parquet"),
+            "--output", str(out1),
+            "--model-gate", "--model-path", str(model_dir),
+        ],
+        spark=spark,
+    )
+    assert rc == 0 and os.path.isdir(model_dir)
+
+    # a shifted corpus: a refit here would see different doc_ids/text;
+    # loading means the gate is exactly the saved coefficient vector
+    docs = _docs(spark, sf_dir)
+    shifted_path = tmp_path / "shifted_docs"
+    docs.filter("doc_id % 3 = 0").write.parquet(str(shifted_path))
+    out2 = tmp_path / "run2"
+    rc = cli.main(
+        [
+            "curate",
+            "--input", str(shifted_path),
+            "--output", str(out2),
+            "--model-gate", "--model-path", str(model_dir),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {r["doc_id"] for r in spark.read.parquet(str(out2)).collect()}
+    saved = LogisticRegressionModel.load(str(model_dir))
+    want_df = (
+        CurationPipeline(spark.read.parquet(str(shifted_path)))
+        .model_gate(saved, min_p=0.5)
+        .df()
+    )
+    want = {r["doc_id"] for r in want_df.select("doc_id").collect()}
+    assert got == want and got

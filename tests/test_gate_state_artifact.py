@@ -210,3 +210,55 @@ def test_replayed_batch_does_not_self_match(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{out_dir}/batch=0").collect()
     }
     assert replayed == first
+
+
+def test_batch_id_alias_from_stale_state_store_fails_loudly(
+    spark, sf_dir, tmp_path
+):
+    """The replay skip is only valid within one checkpoint lineage: a
+    FRESH checkpoint reusing an old run's state_store aliases batch 0,
+    and a batch of NEW documents would be silently drained (verdicts
+    never written) if the skip fired on the id alone. The gate must
+    instead detect that the incoming doc_id set does not match the
+    committed verdicts and fail with the lineage message (ADVICE r10
+    medium)."""
+    import pytest
+
+    from apachebeamkmeans_spark.sources import io
+    from apachebeamkmeans_spark.streaming.ingest import run_ingest_gate_stream
+
+    src1, src2, out_dir, ckpt1, ckpt2, store = (
+        str(tmp_path / d)
+        for d in ("src1", "src2", "out", "ckpt1", "ckpt2", "state")
+    )
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    ts = F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+    first = docs.filter(F.col("doc_id") % 10 == 0).withColumn("ts", ts)
+    first.coalesce(1).write.mode("append").parquet(src1)
+
+    def start(name, src, ckpt):
+        return run_ingest_gate_stream(
+            spark, corpus, src, first.schema, out_dir, ckpt,
+            8, 3, 0.5, name=name, fold_accepted=True, state_store=store,
+        )
+
+    q1 = start("alias_p1", src1, ckpt1)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+        q1.awaitTermination(60)
+    assert os.path.exists(os.path.join(store, "batch=0", "sigs", "_SUCCESS"))
+
+    # a DIFFERENT batch arrives as batch 0 under a fresh checkpoint:
+    # the old run's committed increment must not drain it silently
+    second = docs.filter(F.col("doc_id") % 10 == 5).withColumn("ts", ts)
+    second.coalesce(1).write.mode("append").parquet(src2)
+    q2 = start("alias_p2", src2, ckpt2)
+    with pytest.raises(Exception, match="ALIAS"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+            q2.awaitTermination(60)
