@@ -832,6 +832,15 @@ def coverage_sample(normed: DataFrame, centers: list[list[float]],
     )
 
 
+# impl="auto" width threshold: at 64×16 = 1024 FMAs/row the GEMM
+# already wins 3.4× on a large materialized input, but below ~4096 the
+# fixed Arrow/Python-worker crossing can eat that on small row counts —
+# and the fold keeps whole-stage codegen fusion with neighboring
+# JVM-side expressions. Real text-embedding widths (768×64 and up)
+# clear this by 10-100×.
+PCA_ARROW_MIN_FMAS = 4096
+
+
 def pca_project(vecs: DataFrame, mean: list[float],
                 components: list[list[float]],
                 id_col: str = "id", features_col: str = "features",
@@ -858,11 +867,26 @@ def pca_project(vecs: DataFrame, mean: list[float],
     interpreted lambda dispatch takes 1.5 s where the BLAS GEMM takes
     0.45 s — a 3.4× gap that widens with dim·out_dim (768×128 on real
     embeddings is 100× this arithmetic), so at corpus scale arrow is
-    the physical plan you want. It is NOT the registered oracle form:
-    BLAS's pairwise/SIMD summation differs from the left-associated
-    fold at the ~1e-15 level, so `impl="fold"` (default) remains the
-    structure-exact certified path and the arrow twin is equality-
-    tested to 1e-9 in tests/test_pca.py."""
+    the physical plan you want. Registered BOTH ways since r11: the
+    fold form stays the structure-exact certified default, and the
+    arrow form is certified by `sim_pca_project_arrow` against the
+    SAME oracle (measured bit-identical to the fold at this width —
+    BLAS summation of a 64-term dot lands on the same double here;
+    the 6-dp rounding both sides share absorbs the ~1e-15 divergence
+    a different BLAS build could introduce).
+
+    `impl="auto"` picks the physical plan by width: arrow once the
+    per-row arithmetic (dim·out_dim FMAs) clears
+    `PCA_ARROW_MIN_FMAS`, where the GEMM win dominates the fixed
+    Python-worker/Arrow crossing; the fold below it (and wherever a
+    caller wants the certified expression structure). The dispatch is
+    plan-locked in tests/test_pca.py."""
+    if impl == "auto":
+        impl = (
+            "arrow"
+            if len(mean) * len(components) >= PCA_ARROW_MIN_FMAS
+            else "fold"
+        )
     if impl == "arrow":
         import pandas as pd  # noqa: F401 — worker-side import below
 

@@ -1331,6 +1331,77 @@ FROM kept GROUP BY lang, source
 ORACLE_PIPELINE_FACADE = _oracle_pipeline_facade()
 
 
+# The trained-gate floor: classifier-vs-heuristic agreement over the
+# deduped corpus measured 0.974-0.984 across sf0.001-sf0.1 (r11);
+# 0.85 matches the quality_classifier holdout floor's margin regime.
+MODEL_GATE_AGREEMENT_FLOOR = 0.85
+
+
+def q_curation_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CurationPipeline facade run WITH the trained quality gate
+    (`pipeline.model_gate`) — the stage composition `quality_classifier`
+    certifies only the trainer of (r10 verdict item 7): exact dedup →
+    LogisticRegression gate at p ≥ 0.5, the model fit on the
+    deterministic `doc_id % 5 != 0` split exactly as the classifier
+    query does. Certification follows the same hybrid regime —
+    per-doc verdicts can flip on coefficient ulps, so the row exposes
+    EXACT counts the oracle recomputes (deduped corpus size, train
+    split size) plus BOUNDED properties with wide margins (the gate
+    kept some and dropped some docs — measured keep fraction
+    0.63-0.66; model-vs-heuristic agreement ≥ 0.85 — measured
+    0.974-0.984), never raw predictions."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import classifier as CLF
+    from apachebeamkmeans_spark.pipeline import CurationPipeline
+
+    docs = _docs(spark, sf_dir)
+    feats = CLF.feature_frame(docs).localCheckpoint(eager=False)
+    train = feats.filter(F.col("doc_id") % 5 != 0)
+    model = CLF.fit_quality_model(train)
+    # checkpoint the deduped frame: the verdict row reads it three
+    # ways (count, gate survivors, agreement scan) and each would
+    # otherwise re-run the window-keeper dedup from the raw scan
+    deduped = (
+        CurationPipeline(docs).exact_dedup().df().localCheckpoint(eager=False)
+    )
+    survivors = CurationPipeline(deduped).model_gate(model, min_p=0.5).df()
+    agreement = (
+        CLF.score_docs(model, deduped)
+        .agg(
+            F.avg(
+                (F.col("prediction") == F.col("label")).cast("double")
+            ).alias("a")
+        )
+        .collect()[0]["a"]
+    )
+    n_dedup = deduped.count()
+    n_surv = survivors.count()
+    return spark.createDataFrame(
+        [(
+            n_dedup,
+            train.count(),
+            n_surv > 0,
+            n_surv < n_dedup,
+            agreement >= MODEL_GATE_AGREEMENT_FLOOR,
+        )],
+        "n_dedup long, n_train long, gate_kept_some boolean, "
+        "gate_dropped_some boolean, agreement_ok boolean",
+    )
+
+
+ORACLE_CURATION_MODEL_GATE = """
+WITH xd AS (
+  SELECT doc_id FROM documents
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text)))
+SELECT (SELECT count(*) FROM xd) AS n_dedup,
+       (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS n_train,
+       TRUE AS gate_kept_some,
+       TRUE AS gate_dropped_some,
+       TRUE AS agreement_ok
+"""
+
+
 def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the verified near-duplicate pair graph
     (operators/graph.py): centrality in the similarity graph surfaces
@@ -1433,6 +1504,7 @@ QUERIES = {
     "dedup_purge": (q_dedup_purge, ORACLE_DEDUP_PURGE),
     "corpus_pipeline": (q_corpus_pipeline, ORACLE_CORPUS_PIPELINE),
     "pipeline_facade": (q_pipeline_facade, ORACLE_PIPELINE_FACADE),
+    "curation_model_gate": (q_curation_model_gate, ORACLE_CURATION_MODEL_GATE),
     "dedup_keeper_quality": (q_dedup_keeper_quality, ORACLE_DEDUP_KEEPER_QUALITY),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH_PAIRS),

@@ -53,7 +53,10 @@ def _ivf_index_path(sf_dir: str) -> str:
     base = os.path.basename(sf_dir.rstrip("/"))
     mt = scratch.data_mtime(sf_dir, "embeddings")
     path = os.path.join(scratch.repo_root(), ".ivf_index", f"{base}_m{mt}")
-    scratch.reap(os.path.dirname(path), base, keep=(path, path + "-trained"))
+    scratch.reap(
+        os.path.dirname(path), base,
+        keep=(path, path + "-trained", path + "-roundtrip"),
+    )
     return path
 
 
@@ -488,7 +491,7 @@ def q_sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ivf_trained_indexed() -> str:
+def _oracle_ivf_trained_indexed(table: str = _E2) -> str:
     nsq = OG.sql_norm_sq("e", DIM)
     dists = [f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)]
     argmin = OG.sql_argmin_case(
@@ -512,7 +515,7 @@ def _oracle_ivf_trained_indexed() -> str:
     # makes DuckDB's expression tree explode.
     return (
         f"WITH en AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e"
-        f" FROM {_E2} t WHERE {nsq} > 0), "
+        f" FROM {table} t WHERE {nsq} > 0), "
         f"ca AS MATERIALIZED (SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}"
         f" FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))) "
         + " UNION ALL ".join(parts)
@@ -520,6 +523,61 @@ def _oracle_ivf_trained_indexed() -> str:
 
 
 ORACLE_SIM_IVF_TRAINED_INDEXED = _oracle_ivf_trained_indexed()
+
+
+# ---------------------------------------------- AnnIndex lifecycle (r11)
+
+# The facade's append batch: every ANN_APPEND_MOD-th embedding re-enters
+# under a shifted id — deterministic, and expressible verbatim in the
+# DuckDB oracle (the appended vectors are duplicates of existing ones,
+# so every tie is broken by the (cosine DESC, vec_id ASC) rank order
+# both engines share).
+ANN_APPEND_MOD = 20
+ANN_APPEND_RESIDUE = 3
+ANN_APPEND_OFFSET = 10_000_000
+
+_E2_ROUNDTRIP = (
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+    f" UNION ALL SELECT vec_id + {ANN_APPEND_OFFSET},"
+    " CAST(embedding AS DOUBLE[]) FROM embeddings"
+    f" WHERE vec_id % {ANN_APPEND_MOD} = {ANN_APPEND_RESIDUE})"
+)
+
+
+def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `ann.AnnIndex` library facade certified through its WHOLE
+    lifecycle in one query: train (√n-rule overridden to the certified
+    IVFPQ_K/ITERS config) → save (layout + `_ann_params` sidecar) →
+    LOAD in place of the trained handle (so the search below runs
+    through the sidecar read, version check included) → append a
+    deterministic shifted-id batch (dynamic-partition append) → top-k
+    for the standard query vectors over the grown index. The trained
+    centers equal the numpy twin's (`sim_ivf_train` certifies that
+    bit-equality); the oracle replays the partition-pruned probe over
+    the union of the base table and the appended batch — the
+    `sim_ivf_trained_indexed` oracle extended with the append set
+    (r10 verdict item 1). Scale posture is the facade's own: train is
+    k-row-collect Lloyd, the search reads nprobe/k partitions, the
+    append touches only the directories its batch lands in."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_roundtrip")
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    path = _ivf_index_path(sf_dir) + "-roundtrip"
+    AnnIndex.train(spark, emb, path, k=IVFPQ_K, n_iters=IVFPQ_ITERS)
+    # a LOADED handle from here on — the lifecycle claim is that a
+    # session which never trained can search and grow the index
+    idx = AnnIndex.load(spark, path)
+    batch = emb.filter(
+        F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_RESIDUE
+    ).withColumn("vec_id", F.col("vec_id") + F.lit(ANN_APPEND_OFFSET))
+    idx.append(batch)
+    return idx.topk(NQUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
+
+
+ORACLE_ANN_INDEX_ROUNDTRIP = _oracle_ivf_trained_indexed(_E2_ROUNDTRIP)
 
 
 def _oracle_ivfpq_trained() -> str:
@@ -1322,6 +1380,37 @@ def q_sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_pca_project_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pca_project(impl="arrow")` — the BLAS-GEMM-per-Arrow-batch
+    physical plan that serves real embedding widths (r10 verdict
+    item 3) — certified against the SAME oracle as the fold form.
+    Why the shared oracle is safe: the two impls measure bit-identical
+    at this width on this host (max |Δ| = 0.0 at sf0.01 and sf0.1,
+    r11), and both sides round to 6 dp, so even a BLAS build whose
+    64-term summation diverges at the ~1e-15 level has a ~1e-9
+    per-value chance of crossing a rounding boundary. The projection
+    itself stays a zero-shuffle narrow map; the Python crossing is
+    Arrow-batched (one matmul per batch, never per row)."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    _warn_if_not_train_sf(sf_dir, "sim_pca_project_arrow")
+    base = ANN.l2_normalize(io.load_points(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    proj = SIM.pca_project(
+        base, PCA_TRAINED_MEAN, PCA_TRAINED_COMPONENTS, impl="arrow"
+    )
+    return proj.select(
+        "vec_id", F.posexplode("pc").alias("pc_dim", "__v")
+    ).select(
+        "vec_id",
+        F.col("pc_dim").cast("int"),
+        F.round("__v", 6).alias("val"),
+    )
+
+
 def _oracle_pca_project() -> str:
     nsq = OG.sql_norm_sq("e", DIM)
     structs = ", ".join(
@@ -1735,6 +1824,7 @@ QUERIES = {
     "sim_knn_graph_pq": (q_sim_knn_graph_pq, ORACLE_SIM_KNN_GRAPH_PQ),
     "sim_pca_train": (q_sim_pca_train, ORACLE_SIM_PCA_TRAIN),
     "sim_pca_project": (q_sim_pca_project, ORACLE_SIM_PCA_PROJECT),
+    "sim_pca_project_arrow": (q_sim_pca_project_arrow, ORACLE_SIM_PCA_PROJECT),
     "sim_label_propagation": (
         q_sim_label_propagation,
         ORACLE_SIM_LABEL_PROPAGATION,
@@ -1749,4 +1839,5 @@ QUERIES = {
     "sim_ivfpq_trained": (q_sim_ivfpq_trained, ORACLE_SIM_IVFPQ_TRAINED),
     "sim_ivfpq_residual": (q_sim_ivfpq_residual, ORACLE_SIM_IVFPQ_RESIDUAL),
     "sim_ivf_trained_indexed": (q_sim_ivf_trained_indexed, ORACLE_SIM_IVF_TRAINED_INDEXED),
+    "ann_index_roundtrip": (q_ann_index_roundtrip, ORACLE_ANN_INDEX_ROUNDTRIP),
 }

@@ -110,6 +110,11 @@ HEADLINE = [
     "sim_pca_project",
     "sim_pca_train",
     "quality_classifier",
+    # round 11 additions: AnnIndex lifecycle, facade trained gate,
+    # Arrow-GEMM PCA projection
+    "ann_index_roundtrip",
+    "curation_model_gate",
+    "sim_pca_project_arrow",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

@@ -117,3 +117,35 @@ def test_zero_variance_dimension_keeps_twin_contract(spark):
     assert sp_mean == np_mean
     assert sp_comps == np_comps
     assert all(np.isfinite(v) for row in sp_comps for v in row)
+
+
+def test_auto_impl_dispatches_by_width(spark):
+    """impl="auto" picks the physical plan by per-row arithmetic:
+    below PCA_ARROW_MIN_FMAS the fold (pure JVM, whole-stage codegen);
+    at or above it the Arrow GEMM (MapInPandas node). Locked so a
+    future refactor can't silently flip the scale path back to the
+    interpreted fold at real embedding widths (r10 verdict item 3)."""
+    from apachebeamkmeans_spark.plans import explain as X
+
+    dim_small, out_small = 8, 4          # 32 FMAs -> fold
+    rows = [(i, [float(i + j) for j in range(dim_small)]) for i in range(4)]
+    small = spark.createDataFrame(rows, "id long, features array<double>")
+    mean_s = [0.0] * dim_small
+    comps_s = [[1.0 if j == c else 0.0 for j in range(dim_small)]
+               for c in range(out_small)]
+    plan_small = X.formatted_plan(
+        SIM.pca_project(small, mean_s, comps_s, impl="auto")
+    )
+    assert "MapInPandas" not in plan_small and "zip_with" in plan_small
+
+    dim_big, out_big = 128, 64           # 8192 FMAs -> arrow
+    rows = [(i, [float(i + j) for j in range(dim_big)]) for i in range(4)]
+    big = spark.createDataFrame(rows, "id long, features array<double>")
+    mean_b = [0.0] * dim_big
+    comps_b = [[1.0 if j == c else 0.0 for j in range(dim_big)]
+               for c in range(out_big)]
+    plan_big = X.formatted_plan(
+        SIM.pca_project(big, mean_b, comps_b, impl="auto")
+    )
+    assert "MapInPandas" in plan_big
+    assert dim_small * out_small < SIM.PCA_ARROW_MIN_FMAS <= dim_big * out_big

@@ -513,3 +513,30 @@ def test_pca_projection_is_shuffle_free(spark, sf_dir):
     proj = pca_project(vecs, QS.PCA_TRAINED_MEAN, QS.PCA_TRAINED_COMPONENTS)
     assert X.n_exchanges(proj) == 0
     assert "Join" not in X.formatted_plan(proj)
+
+
+def test_ann_index_roundtrip_topk_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The AnnIndex lifecycle query's search half (train → save → load
+    → append → topk) must keep the facade's partition-pruning claim:
+    after the append, the loaded handle's probe still reaches the scan
+    as ONE PartitionFilters over `coarse_id` (r10 verdict item 1)."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    path = str(tmp_path / "rt_idx")
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    AnnIndex.train(spark, emb, path, k=4)
+    idx = AnnIndex.load(spark, path)
+    idx.append(
+        emb.filter(F.col("vec_id") % 20 == 3).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000_000)
+        )
+    )
+    from apachebeamkmeans_spark.fixtures import query_vectors
+
+    res = idx.topk(query_vectors(3), k=5, nprobe=2)
+    plan = X.formatted_plan(res)
+    after = plan.split("PartitionFilters", 1)
+    assert len(after) == 2 and "coarse_id" in after[1][:200]
+    assert plan.count("PartitionFilters") == 1
