@@ -45,6 +45,11 @@ NEEDS_DATA = {
     "sim_curation_pipeline",
     # r7: consumes the kNN graph, so it inherits the same contract.
     "sim_label_propagation",
+    # r11: the AnnIndex lifecycle trains its coarse quantizer in-query
+    # (ivf_train's ValueError); the facade model gate fits the
+    # classifier in-query (fit_quality_model's ValueError).
+    "ann_index_roundtrip",
+    "curation_model_gate",
 }
 
 QUERIES = all_queries()
