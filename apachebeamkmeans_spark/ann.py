@@ -160,3 +160,22 @@ class AnnIndex:
         return SIM.ivf_topk_indexed(
             self._spark, self.path, queries, self.centers, k, nprobe
         )
+
+    def topk_table(self, queries: DataFrame, k: int = 5, nprobe: int = 1,
+                   qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+        """Top-k cosine per QUERY-TABLE row — the batch serving shape
+        (`similarity.ivf_batch_topk`): probe cells picked in-plan from
+        the trained centers, candidates joined from the layout, one
+        per-qid window. Use this when the queries are data (an
+        embedding batch, a probe set), `topk` when they are a handful
+        of literals; certified by `sim_ivf_batch_topk`."""
+        from pyspark.sql import functions as F
+
+        index = self._spark.read.schema(SIM.INDEX_SCHEMA).parquet(self.path)
+        return SIM.ivf_batch_topk(
+            index,
+            queries.select(
+                F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
+            ),
+            self.centers, k, nprobe,
+        )

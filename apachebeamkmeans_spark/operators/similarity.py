@@ -706,6 +706,96 @@ def ivf_topk(vecs: DataFrame, queries: list[list[float]],
                           queries, centers, k, nprobe)
 
 
+def ivf_batch_topk(index: DataFrame, queries: DataFrame,
+                   centers: list[list[float]], k: int = 5, nprobe: int = 1,
+                   qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """IVF search driven by a query TABLE — the batch serving shape.
+    Every literal-query variant above embeds the query matrix in the
+    plan; at production scale the queries ARE a table (millions of
+    rows: an embedding batch to retrieve context for, a dedup probe
+    set), so the search must be a JOIN, not a plan constant.
+
+    Plan: normalize each query row (zero-norm queries drop — no
+    direction, no probe), pick its `nprobe` nearest coarse cells via
+    one array_sort over the literal center matrix (ties → lowest cell
+    id, the `nearest_centers` rule), explode to (qid, probe_cell),
+    join the index on `coarse_id == probe_cell`, cosine per candidate
+    (one HOF fold each for dot and row norm), one per-qid window for
+    rank ≤ k. Output matches `ivf_probe_topk`'s shape: (qid,
+    probe_cell, vec_id, cosine, rank).
+
+    Scale posture: candidate volume is inherently Σ_cells
+    n_cell·q_cell — the real IVF work — and the join key has only
+    `len(centers)` distinct values, so at real scale the QUERY side
+    should be the broadcast/replicated side (per-batch serving chunks
+    it; AQE decides here) and Spark's dynamic partition pruning can
+    skip cells no query probes. The window shuffles by qid — k rows
+    per query survive the map-side WindowGroupLimit."""
+    qn = F.col(qvec_col).cast("array<double>")
+    nsq = F.aggregate(
+        F.transform(qn, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+    )
+    normed = (
+        queries.select(
+            F.col(qid_col).cast("long").alias("qid"), qn.alias("__q"),
+            nsq.alias("__nsq"),
+        )
+        .filter(F.col("__nsq") > 0)
+        .select(
+            "qid",
+            F.transform(
+                F.col("__q"), lambda x: x / F.sqrt(F.col("__nsq"))
+            ).alias("__q"),
+        )
+        # cut the normalize tree: HOF lambdas get no CSE, so the
+        # center-distance transform below would inline the per-row
+        # normalization into every one of the k×dim distance terms
+        .localCheckpoint(eager=False)
+    )
+    cdist = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("__q"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    scored_cells = F.transform(
+        F.lit([[float(v) for v in c] for c in centers]),
+        lambda c, i: F.struct(cdist(c).alias("d"), i.cast("int").alias("i")),
+    )
+    probes = normed.select(
+        "qid", "__q",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(scored_cells), 1, nprobe),
+                lambda s: s["i"],
+            )
+        ).alias("probe_cell"),
+    )
+    cand = index.join(probes, F.col("coarse_id") == F.col("probe_cell"))
+    f = F.col("f")
+    vnorm = F.sqrt(
+        F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    dot = F.aggregate(
+        F.zip_with(f, F.col("__q"), lambda a, b: a * b),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    # __q is unit-norm, so cosine = dot / |f|; vnorm staged as a column
+    # (same no-CSE discipline as above)
+    scored = cand.select(
+        "qid", F.col("probe_cell").cast("int").alias("probe_cell"),
+        "vec_id", dot.alias("__dot"), vnorm.alias("__vn"),
+    ).select(
+        "qid", "probe_cell", "vec_id",
+        (F.col("__dot") / F.col("__vn")).alias("_c"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "probe_cell", "vec_id",
+                F.round("_c", 6).alias("cosine"), "rank")
+    )
+
+
 INDEX_SCHEMA = "vec_id bigint, f array<double>, coarse_id int"
 
 

@@ -525,6 +525,94 @@ def _oracle_ivf_trained_indexed(table: str = _E2) -> str:
 ORACLE_SIM_IVF_TRAINED_INDEXED = _oracle_ivf_trained_indexed()
 
 
+# ------------------------------------------------ batch ANN search (r11)
+
+# The query TABLE for the batch serving shape: every 50th embedding
+# (deterministic, oracle-replayable); qid = the source vec_id.
+BATCH_Q_MOD = 50
+BATCH_Q_RESIDUE = 11
+
+
+def q_sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search driven by a query TABLE (`similarity.ivf_batch_topk`)
+    — the serving shape every literal-query variant above can't
+    express: at 100 TB the queries are a table of millions of rows (a
+    training batch retrieving context, a dedup probe set), so the
+    search must be a join against the materialized layout, with the
+    per-query probe-cell choice computed IN PLAN from the trained
+    centers rather than at plan-build time. Query set: every 50th
+    embedding row; layout: the trained coarse index (identical bytes
+    to `sim_ivf_trained_indexed`'s). The oracle replays probe
+    selection (rank of unrolled center distances per query, ties →
+    lowest cell) and the candidate join."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    _warn_if_not_train_sf(sf_dir, "sim_ivf_batch_topk")
+    path = _ivf_index_path(sf_dir) + "-trained"
+    SIM.build_ivf_index(
+        ANN.l2_normalize(io.load_points(spark, sf_dir)), TRAINED_CENTERS, path
+    )
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    qtab = emb.filter(
+        F.col("vec_id") % BATCH_Q_MOD == BATCH_Q_RESIDUE
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    index = spark.read.schema(SIM.INDEX_SCHEMA).parquet(path)
+    return SIM.ivf_batch_topk(
+        index, qtab, TRAINED_CENTERS, IVFPQ_TOPK, IVFPQ_NPROBE
+    )
+
+
+def _oracle_ivf_batch_topk() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    dists = [
+        f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)
+    ]
+    argmin = OG.sql_argmin_case(
+        [f"d{i}" for i in range(len(TRAINED_CENTERS))], "coarse_id"
+    )
+    # query-side normalization mirrors the operator's FOLD (list_sum
+    # twin of F.aggregate), not l2_normalize's unrolled form — same
+    # doubles either way (identical left-to-right order), but the twin
+    # is written to the structure actually executed
+    qnsq = "list_sum(list_transform(e, x -> x*x))"
+    cell_structs = ", ".join(
+        f"struct_pack(cell := {i}, d := {OG.sql_l2_sq('q', c)})"
+        for i, c in enumerate(TRAINED_CENTERS)
+    )
+    dot = OG.sql_dot_cols("ca.e", "p.q")
+    vn = "sqrt(list_sum(list_transform(ca.e, x -> x*x)))"
+    return f"""
+WITH en AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
+  FROM {_E2} t WHERE {nsq} > 0),
+ca AS MATERIALIZED (
+  SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}
+  FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))),
+qn AS (
+  SELECT vec_id AS qid, list_transform(e, x -> x / sqrt({qnsq})) AS q
+  FROM {_E2} t
+  WHERE vec_id % {BATCH_Q_MOD} = {BATCH_Q_RESIDUE} AND {qnsq} > 0),
+qd AS (SELECT qid, q, unnest([{cell_structs}]) AS s FROM qn),
+probes AS (
+  SELECT qid, q, probe_cell FROM (
+    SELECT qid, q, s.cell AS probe_cell,
+           row_number() OVER (PARTITION BY qid ORDER BY s.d, s.cell) AS rn
+    FROM qd) WHERE rn <= {IVFPQ_NPROBE})
+SELECT qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM (
+  SELECT qid, probe_cell, vec_id, c,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM (SELECT p.qid, p.probe_cell, ca.vec_id, {dot} / {vn} AS c
+        FROM probes p JOIN ca ON ca.coarse_id = p.probe_cell)
+) WHERE rank <= {IVFPQ_TOPK}
+"""
+
+
+ORACLE_SIM_IVF_BATCH_TOPK = _oracle_ivf_batch_topk()
+
+
 # ---------------------------------------------- AnnIndex lifecycle (r11)
 
 # The facade's append batch: every ANN_APPEND_MOD-th embedding re-enters
@@ -1840,4 +1928,5 @@ QUERIES = {
     "sim_ivfpq_residual": (q_sim_ivfpq_residual, ORACLE_SIM_IVFPQ_RESIDUAL),
     "sim_ivf_trained_indexed": (q_sim_ivf_trained_indexed, ORACLE_SIM_IVF_TRAINED_INDEXED),
     "ann_index_roundtrip": (q_ann_index_roundtrip, ORACLE_ANN_INDEX_ROUNDTRIP),
+    "sim_ivf_batch_topk": (q_sim_ivf_batch_topk, ORACLE_SIM_IVF_BATCH_TOPK),
 }

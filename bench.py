@@ -115,6 +115,7 @@ HEADLINE = [
     "ann_index_roundtrip",
     "curation_model_gate",
     "sim_pca_project_arrow",
+    "sim_ivf_batch_topk",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

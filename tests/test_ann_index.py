@@ -116,3 +116,59 @@ def test_load_rejects_unknown_version(spark, sf_dir, tmp_path):
     ).text(os.path.join(path, "_ann_params"))
     with pytest.raises(ValueError, match="version"):
         AnnIndex.load(spark, path)
+
+
+def test_topk_table_matches_literal_topk(spark, sf_dir, tmp_path):
+    """The batch (query-table) search must return exactly what the
+    literal path returns for the same vectors: take 4 embeddings as
+    the query table, run topk_table, and compare against topk with
+    those vectors inlined as literals (qids remapped by position)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "batch_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+
+    qrows = (
+        emb.filter(F.col("vec_id") % 100 == 3)
+        .orderBy("vec_id")
+        .limit(4)
+        .collect()
+    )
+    assert len(qrows) == 4
+    qtab = spark.createDataFrame(
+        [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in qrows],
+        "qid long, qvec array<double>",
+    )
+    got = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"], r["probe_cell"])
+        for r in idx.topk_table(qtab, k=5, nprobe=2).collect()
+    }
+    lit = idx.topk([[float(v) for v in r["embedding"]] for r in qrows],
+                   k=5, nprobe=2)
+    qid_map = {i: r["vec_id"] for i, r in enumerate(qrows)}
+    want = {
+        (qid_map[r["qid"]], r["vec_id"], r["cosine"], r["rank"], r["probe_cell"])
+        for r in lit.collect()
+    }
+    assert got == want and got
+
+
+def test_batch_topk_plan_is_single_join_no_python(spark, sf_dir, tmp_path):
+    """The batch search is ONE join between the layout scan and the
+    exploded probe table — no Python nodes (all HOF folds), no
+    cartesian product."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.plans import explain as X
+
+    path = str(tmp_path / "plan_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    qtab = emb.limit(8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = X.formatted_plan(idx.topk_table(qtab, k=3, nprobe=2))
+    assert "Cartesian" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Join") >= 1
