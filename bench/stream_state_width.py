@@ -146,6 +146,18 @@ def main() -> None:
     # (~3 s/trigger measured) — 8 keeps the law visible. Constant
     # across horizons, so it cancels out of the comparison.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # STATE_WIDTH_PROVIDER=rocksdb swaps the state store for the
+    # disk-backed RocksDB provider Spark 4 ships — the cluster-scale
+    # choice once retained state outgrows the executor heap (the
+    # HDFS-backed default keeps the whole map on-heap and re-snapshots
+    # it per commit). Same series both ways = the provider's cost law.
+    provider = os.environ.get("STATE_WIDTH_PROVIDER", "")
+    if provider.lower() == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     staged = os.path.join(
         repo, ".scaledata",
         f"state_width_{os.path.basename(data_dir.rstrip('/'))}",
@@ -174,6 +186,7 @@ def main() -> None:
 
     print(json.dumps({
         "dir": data_dir, "n_events": n_events, "n_slices": N_SLICES,
+        "provider": provider or "hdfs(default)",
         "horizons": out,
     }))
 
