@@ -111,12 +111,18 @@ class AnnIndex:
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "AnnIndex":
+        from pyspark.errors import AnalysisException
+
         sidecar = os.path.join(path, AnnIndex._PARAMS)
         try:
             rows = spark.read.text(sidecar).collect()
-        except Exception as e:
+        except AnalysisException as e:
+            # scoped to the missing-path analysis error: a transient
+            # IO/executor failure must propagate as itself so the
+            # caller retries instead of concluding the index is gone
+            # (r11 review)
             raise ValueError(
-                f"AnnIndex.load: no readable {AnnIndex._PARAMS} sidecar at "
+                f"AnnIndex.load: no {AnnIndex._PARAMS} sidecar at "
                 f"{sidecar!r} — not an AnnIndex directory, or the index was "
                 f"never finished by train()"
             ) from e

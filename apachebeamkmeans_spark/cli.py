@@ -126,6 +126,16 @@ def build_curate_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Existence through Hadoop FS, not driver-local os.path — a
+    model path may be hdfs://, s3a://, or local alike (the AnnIndex
+    sidecar rule applied to the CLI)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def curate_main(argv: list[str], spark=None) -> int:
     args = build_curate_parser().parse_args(argv)
     owns_session = spark is None
@@ -180,12 +190,22 @@ def _curate_run(args, spark) -> int:
         from apachebeamkmeans_spark.operators import classifier as CLF
 
         model = None
-        if args.model_path and os.path.exists(args.model_path):
+        if args.model_path and _hadoop_path_exists(spark, args.model_path):
             # reuse a previously saved gate (reference-snapshot model,
-            # or just the last run's fit) — no refit (ADVICE r10)
+            # or just the last run's fit) — no refit (ADVICE r10). The
+            # existence check goes through Hadoop FS so hdfs://-style
+            # model paths reuse correctly too (r11 review).
             from pyspark.ml.classification import LogisticRegressionModel
 
-            model = LogisticRegressionModel.load(args.model_path)
+            try:
+                model = LogisticRegressionModel.load(args.model_path)
+            except Exception as e:
+                raise SystemExit(
+                    f"--model-path {args.model_path!r} exists but is not a "
+                    f"loadable LogisticRegressionModel (partially-written "
+                    f"save?): {type(e).__name__}. Delete it to refit, or "
+                    f"point at a complete model."
+                ) from e
         if model is None:
             # trained on the INPUT corpus (pre-dedup), gating whatever
             # survived the earlier stages — self-distillation of the

@@ -551,9 +551,15 @@ def q_sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _warn_if_not_train_sf(sf_dir, "sim_ivf_batch_topk")
     path = _ivf_index_path(sf_dir) + "-trained"
-    SIM.build_ivf_index(
-        ANN.l2_normalize(io.load_points(spark, sf_dir)), TRAINED_CENTERS, path
-    )
+    # build only if the mtime-keyed layout isn't already materialized —
+    # `sim_ivf_trained_indexed` writes the identical bytes at the same
+    # generation path, and this query is about the SEARCH, not the
+    # build (r11 review)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        SIM.build_ivf_index(
+            ANN.l2_normalize(io.load_points(spark, sf_dir)),
+            TRAINED_CENTERS, path,
+        )
     emb = io.read_table(spark, sf_dir, "embeddings")
     qtab = emb.filter(
         F.col("vec_id") % BATCH_Q_MOD == BATCH_Q_RESIDUE

@@ -31,6 +31,7 @@ per-batch plan is identical.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -129,14 +130,46 @@ def run_ingest_gate_stream(
     Without it the fold state lives in the session (plan unions) and
     dies with it. A state_store is bound to ONE checkpoint lineage:
     batch ids restart at 0 under a fresh checkpoint, so reusing a
-    stale store would alias new batches onto committed increments —
-    the replay skip verifies the batch's doc_id set against the
-    committed verdicts and raises on a mismatch instead of silently
-    draining new documents (ADVICE r10)."""
+    stale store would alias new batches onto committed increments.
+    Enforced TWO ways (ADVICE r10 + r11 review): at stream start the
+    store's `_lineage` marker (the streaming query id, written on
+    first start) must match the checkpoint's metadata id — a fresh
+    checkpoint over a used store refuses to start, EVEN when it would
+    re-deliver the same documents (the gate parameters may have
+    changed; a doc-level check cannot see that); and per batch, the
+    replay skip additionally verifies the batch's doc_id set against
+    the committed verdicts before draining."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = ingest_gate_stream(reader.parquet(src_dir), watermark)
+
+    # ---- lineage binding (state_store ↔ checkpoint), before any work
+    lineage_path = (
+        os.path.join(state_store, "_lineage")
+        if fold_accepted and state_store is not None
+        else None
+    )
+    recorded_lineage = None
+    if lineage_path is not None and os.path.exists(lineage_path):
+        with open(lineage_path) as f:
+            recorded_lineage = json.load(f)["query_id"]
+    if recorded_lineage is not None:
+        ckpt_meta = os.path.join(checkpoint, "metadata")
+        current = None
+        if os.path.exists(ckpt_meta):
+            with open(ckpt_meta) as f:
+                current = json.load(f).get("id")
+        if current != recorded_lineage:
+            raise RuntimeError(
+                f"ingest gate: state_store {state_store!r} belongs to "
+                f"streaming query lineage {recorded_lineage} but checkpoint "
+                f"{checkpoint!r} is "
+                f"{'a DIFFERENT lineage (' + str(current) + ')' if current else 'FRESH'}"
+                f" — a batch-id ALIAS waiting to happen. A state_store "
+                f"lives and dies with one checkpoint: resume the original "
+                f"checkpoint, or start over with fresh state/out dirs."
+            )
 
     # the standing corpus is sketched ONCE per stream start (eager
     # checkpoint) unless a persisted artifact was handed in — without
@@ -184,6 +217,8 @@ def run_ingest_gate_stream(
             # verdicts never written (ADVICE r10). The committed
             # verdict parquet carries the original batch's doc_id set;
             # a replay re-delivers exactly those ids.
+            from pyspark.errors import AnalysisException
+
             ss = batch_df.sparkSession
             incoming = batch_df.select("doc_id")
             try:
@@ -195,11 +230,14 @@ def run_ingest_gate_stream(
                 ) or bool(
                     committed.join(incoming, "doc_id", "left_anti").take(1)
                 )
-            except Exception:
-                # increment committed but no readable verdicts for the
-                # id — out_dir and state_store disagree about history,
-                # which only an alias can produce (sigs/_SUCCESS is
-                # written after the verdict parquet within a lineage)
+            except AnalysisException:
+                # increment committed but NO verdict table for the id —
+                # out_dir and state_store disagree about history, which
+                # only an alias can produce (sigs/_SUCCESS is written
+                # after the verdict parquet within a lineage). Scoped to
+                # the missing-path error: a transient IO failure must
+                # propagate and let the restart retry, not be
+                # misdiagnosed as an alias (r11 review).
                 aliased = True
             if aliased:
                 raise RuntimeError(
@@ -252,10 +290,21 @@ def run_ingest_gate_stream(
                     state_box[0], accepted, bands, shingle
                 )
 
-    return (
+    q = (
         stream.writeStream.outputMode("append")
         .foreachBatch(gate_batch)
         .option("checkpointLocation", checkpoint)
         .queryName(name)
         .start()
     )
+    if lineage_path is not None and recorded_lineage is None:
+        # first start against this store: record the lineage so every
+        # LATER start must present the same checkpoint id. q.id is the
+        # checkpoint-persistent query id (survives restarts; a fresh
+        # checkpoint mints a new one).
+        os.makedirs(state_store, exist_ok=True)
+        tmp = f"{lineage_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"query_id": str(q.id)}, f)
+        os.replace(tmp, lineage_path)
+    return q

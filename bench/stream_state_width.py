@@ -158,10 +158,17 @@ def main() -> None:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+    # mtime-keyed like _ivf_index_path: regenerated events data must
+    # restage, never silently reuse stale slices (r11 review); old
+    # generations reaped on entry
+    from apachebeamkmeans_spark import scratch
+
+    base = os.path.basename(data_dir.rstrip("/"))
+    mt = scratch.data_mtime(data_dir, "events")
     staged = os.path.join(
-        repo, ".scaledata",
-        f"state_width_{os.path.basename(data_dir.rstrip('/'))}",
+        repo, ".scaledata", f"state_width_{base}_m{mt}"
     )
+    scratch.reap(os.path.dirname(staged), f"state_width_{base}_", keep=staged)
     if not os.path.isdir(staged) or len(
         [f for f in os.listdir(staged) if f.endswith(".parquet")]
     ) != N_SLICES:

@@ -195,9 +195,16 @@ def test_replayed_batch_does_not_self_match(spark, sf_dir, tmp_path):
     }
     assert any(a for _mj, a in first.values()), "fixture accepted nothing"
 
-    # fresh checkpoint over the same dirs -> the first trigger
-    # re-delivers the same file as batch 0 while its committed
-    # increment is already in the store: the replay shape
+    # Same LINEAGE resumed with fresh offsets — the faithful replay
+    # shape: Spark's query id lives in <checkpoint>/metadata and
+    # survives a pre-commit crash, so the restart presents the SAME id
+    # while the offset log re-delivers the batch. Simulated by copying
+    # the metadata (id) into a fresh checkpoint dir; without it the
+    # r11 lineage marker would (correctly) refuse the alias at start.
+    import shutil
+
+    os.makedirs(ckpt2, exist_ok=True)
+    shutil.copy(os.path.join(ckpt1, "metadata"), os.path.join(ckpt2, "metadata"))
     q2 = start("replay_p2", ckpt2)
     try:
         q2.processAllAvailable()
@@ -252,11 +259,13 @@ def test_batch_id_alias_from_stale_state_store_fails_loudly(
     assert os.path.exists(os.path.join(store, "batch=0", "sigs", "_SUCCESS"))
 
     # a DIFFERENT batch arrives as batch 0 under a fresh checkpoint:
-    # the old run's committed increment must not drain it silently
+    # the old run's committed increment must not drain it silently.
+    # Since r11 the store's _lineage marker refuses the FRESH
+    # checkpoint at stream start — before any batch can alias.
     second = docs.filter(F.col("doc_id") % 10 == 5).withColumn("ts", ts)
     second.coalesce(1).write.mode("append").parquet(src2)
-    q2 = start("alias_p2", src2, ckpt2)
-    with pytest.raises(Exception, match="ALIAS"):
+    with pytest.raises(Exception, match="ALIAS|lineage"):
+        q2 = start("alias_p2", src2, ckpt2)
         try:
             q2.processAllAvailable()
         finally:
