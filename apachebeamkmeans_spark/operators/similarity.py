@@ -499,6 +499,144 @@ def ivfpq_topk(vecs: DataFrame, queries: list[list[float]],
     )
 
 
+def ivfpq_batch_topk(vecs: DataFrame, queries: DataFrame,
+                     coarse_centers: list[list[float]],
+                     codebooks: list[list[list[float]]], k: int = 5,
+                     nprobe: int = 2, refine: int = 50,
+                     id_col: str = "id", features_col: str = "features",
+                     qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """IVF-PQ serving driven by a query TABLE — `ivfpq_topk`'s batch
+    twin, completing the serving matrix ({literal, table} ×
+    {flat IVF, IVF-PQ}): when the queries are data, the per-query ADC
+    lookup tables cannot be plan literals, so each query row computes
+    its OWN m×ksub LUT in-plan (`pq_encode_lut`'s dmat trick — the
+    same distance matrix that encodes a database row IS the ADC table
+    of a query row) and the probe-cell choice is an in-plan argsort
+    over the literal trained centers (`ivf_batch_topk`'s rule, ties →
+    lowest cell).
+
+    Shape: index side = coarse assign (checkpointed once, reused by
+    the refine fetch) → PQ encode to narrow (vec_id, codes,
+    probe_cell) rows; query side = fold-normalize (zero-norm rows
+    drop) → checkpoint → LUT + probe cells → explode; ONE join on the
+    cell id; ADC = m lookups per candidate; per-qid row_number
+    shortlist ≤ `refine`; exact cosine re-rank joins the raw vectors
+    back for shortlist rows only. The raw embedding never rides the
+    candidate fan-out — candidates carry m codes one way and m·ksub
+    LUT doubles the other, the PQ serving economics at 100 TB. Like
+    `ivfpq_topk`, codes are non-residual (one codebook for all
+    cells); `vecs` must be L2-normalized."""
+    m = len(codebooks)
+    assigned = coarse_assign(
+        vecs, coarse_centers, id_col, features_col
+    ).localCheckpoint(eager=False)
+    encoded = pq_encode(
+        assigned.withColumn("probe_cell", F.col("coarse_id").cast("int")),
+        codebooks, id_col="vec_id", features_col="f",
+        carry=("probe_cell",),
+    )
+
+    qv = F.col(qvec_col).cast("array<double>")
+    nsq = F.aggregate(
+        F.transform(qv, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+    )
+    normed_q = (
+        queries.select(
+            F.col(qid_col).cast("long").alias("qid"), qv.alias("__q"),
+            nsq.alias("__nsq"),
+        )
+        .filter(F.col("__nsq") > 0)
+        .select(
+            "qid",
+            F.transform(
+                F.col("__q"), lambda x: x / F.sqrt(F.col("__nsq"))
+            ).alias("__q"),
+        )
+        # cut the normalize tree before the LUT/probe HOFs (no CSE
+        # inside lambdas — the same codegen discipline as pca/knn)
+        .localCheckpoint(eager=False)
+    )
+    cdist = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("__q"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    scored_cells = F.transform(
+        F.lit([[float(v) for v in c] for c in coarse_centers]),
+        lambda c, i: F.struct(cdist(c).alias("d"), i.cast("int").alias("i")),
+    )
+    with_probes = normed_q.select(
+        "qid", "__q",
+        F.transform(
+            F.slice(F.array_sort(scored_cells), 1, nprobe), lambda s: s["i"]
+        ).alias("probes"),
+    )
+    # pq_encode_lut renames the id column to vec_id; restore qid after
+    qside = (
+        pq_encode_lut(
+            with_probes, codebooks, id_col="qid", features_col="__q",
+            carry=("probes",),
+        )
+        .withColumnRenamed("vec_id", "qid")
+        .select("qid", "lut", "probes")
+    )
+    probes = qside.select(
+        "qid", "lut", F.explode("probes").alias("q_cell")
+    )
+
+    def _adc(lut_col, codes_col):
+        t = None
+        for s in range(m):
+            term = F.element_at(
+                F.element_at(lut_col, s + 1),
+                F.element_at(codes_col, s + 1) + 1,
+            )
+            t = term if t is None else t + term
+        return t
+
+    cand = encoded.join(probes, F.col("probe_cell") == F.col("q_cell"))
+    adc = cand.select(
+        "qid", "probe_cell", "vec_id",
+        _adc(F.col("lut"), F.col("codes")).alias("_d"),
+    )
+    wa = Window.partitionBy("qid").orderBy(F.asc("_d"), F.asc("vec_id"))
+    shortlist = (
+        adc.withColumn("adc_rank", F.row_number().over(wa))
+        .filter(F.col("adc_rank") <= refine)
+        .select("qid", "probe_cell", "vec_id")
+    )
+    # exact refine: raw vectors for shortlist rows only; __q is unit,
+    # so cosine = dot / |f| (the ivf_batch_topk fold structure)
+    qvecs = normed_q  # (qid, __q)
+    f = F.col("f")
+    vnorm = F.sqrt(
+        F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    dot = F.aggregate(
+        F.zip_with(f, F.col("__q"), lambda a, b: a * b),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    scored = (
+        shortlist
+        .join(assigned.select("vec_id", "f"), "vec_id")
+        .join(qvecs, "qid")
+        .select(
+            "qid", "probe_cell", "vec_id",
+            dot.alias("__dot"), vnorm.alias("__vn"),
+        )
+        .select(
+            "qid", "probe_cell", "vec_id",
+            (F.col("__dot") / F.col("__vn")).alias("_c"),
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= k)
+        .select("qid", "probe_cell", "vec_id",
+                F.round("_c", 6).alias("cosine"), "rank")
+    )
+
+
 def ivfpq_residual_topk(vecs: DataFrame, queries: list[list[float]],
                         coarse_centers: list[list[float]],
                         codebooks: list[list[list[float]]], k: int = 5,

@@ -619,6 +619,121 @@ SELECT qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM (
 ORACLE_SIM_IVF_BATCH_TOPK = _oracle_ivf_batch_topk()
 
 
+def q_sim_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving driven by a query TABLE
+    (`similarity.ivfpq_batch_topk`) — the PQ tier of the batch serving
+    matrix: per-query ADC lookup tables computed IN PLAN (each query
+    row's `pq_encode_lut` distance matrix is its own LUT — no
+    plan-literal per query), probe cells chosen in-plan from the
+    trained centers, ADC over the trained codebooks, exact cosine
+    re-rank of the refine shortlist. Same query set as
+    `sim_ivf_batch_topk`; trained parameters are the numpy twin's
+    literals, so the oracle replays every stage."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    _warn_if_not_train_sf(sf_dir, "sim_ivfpq_batch_topk")
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    qtab = emb.filter(
+        F.col("vec_id") % BATCH_Q_MOD == BATCH_Q_RESIDUE
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return SIM.ivfpq_batch_topk(
+        ANN.l2_normalize(io.load_points(spark, sf_dir)), qtab,
+        TRAINED_CENTERS, TRAINED_CODEBOOKS,
+        IVFPQ_TOPK, IVFPQ_NPROBE, refine=IVFPQ_REFINE,
+    )
+
+
+def _oracle_ivfpq_batch_topk() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    dists = [
+        f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)
+    ]
+    argmin = OG.sql_argmin_case(
+        [f"d{i}" for i in range(len(TRAINED_CENTERS))], "coarse_id"
+    )
+    dsub = DIM // IVFPQ_M
+    dcols = []
+    for s in range(IVFPQ_M):
+        for c in range(IVFPQ_KSUB):
+            terms = " + ".join(
+                f"(e[{s * dsub + j + 1}] - ({float(v)!r}))"
+                f"*(e[{s * dsub + j + 1}] - ({float(v)!r}))"
+                for j, v in enumerate(TRAINED_CODEBOOKS[s][c])
+            )
+            dcols.append(f"({terms}) AS d_{s}_{c}")
+    argmins = [
+        OG.sql_argmin_case([f"d_{s}_{c}" for c in range(IVFPQ_KSUB)], f"c{s}")
+        for s in range(IVFPQ_M)
+    ]
+    # query-side: fold-structured normalization (the operator's shape),
+    # probe ranking over the literal centers, and the in-plan LUT —
+    # m·ksub unrolled squared-L2 columns over the normalized q
+    qnsq = "list_sum(list_transform(e, x -> x*x))"
+    cell_structs = ", ".join(
+        f"struct_pack(cell := {i}, d := {OG.sql_l2_sq('q', c)})"
+        for i, c in enumerate(TRAINED_CENTERS)
+    )
+    lcols = []
+    for s in range(IVFPQ_M):
+        for c in range(IVFPQ_KSUB):
+            terms = " + ".join(
+                f"(q[{s * dsub + j + 1}] - ({float(v)!r}))"
+                f"*(q[{s * dsub + j + 1}] - ({float(v)!r}))"
+                for j, v in enumerate(TRAINED_CODEBOOKS[s][c])
+            )
+            lcols.append(f"({terms}) AS lq_{s}_{c}")
+    adc = " + ".join(
+        f"([{', '.join(f'l.lq_{s}_{c}' for c in range(IVFPQ_KSUB))}])[co.c{s} + 1]"
+        for s in range(IVFPQ_M)
+    )
+    dot = OG.sql_dot_cols("en.e", "qn.q")
+    vn = "sqrt(list_sum(list_transform(en.e, x -> x*x)))"
+    return f"""
+WITH en AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
+  FROM {_E2} t WHERE {nsq} > 0),
+ca AS MATERIALIZED (
+  SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}
+  FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))),
+d AS MATERIALIZED (SELECT vec_id, coarse_id, {', '.join(dcols)} FROM ca),
+codes AS MATERIALIZED (SELECT vec_id, coarse_id, {', '.join(argmins)} FROM d),
+qn AS MATERIALIZED (
+  SELECT vec_id AS qid, list_transform(e, x -> x / sqrt({qnsq})) AS q
+  FROM {_E2} t
+  WHERE vec_id % {BATCH_Q_MOD} = {BATCH_Q_RESIDUE} AND {qnsq} > 0),
+qd AS (SELECT qid, q, unnest([{cell_structs}]) AS s FROM qn),
+probes AS (
+  SELECT qid, probe_cell FROM (
+    SELECT qid, s.cell AS probe_cell,
+           row_number() OVER (PARTITION BY qid ORDER BY s.d, s.cell) AS rn
+    FROM qd) WHERE rn <= {IVFPQ_NPROBE}),
+ql AS MATERIALIZED (SELECT qid, {', '.join(lcols)} FROM qn),
+adc AS (
+  SELECT p.qid, p.probe_cell, co.vec_id, ({adc}) AS ad
+  FROM probes p JOIN ql l ON l.qid = p.qid
+  JOIN codes co ON co.coarse_id = p.probe_cell),
+sl AS (
+  SELECT qid, probe_cell, vec_id FROM (
+    SELECT qid, probe_cell, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY ad ASC, vec_id ASC) AS adc_rank
+    FROM adc) WHERE adc_rank <= {IVFPQ_REFINE})
+SELECT qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM (
+  SELECT sl.qid, sl.probe_cell, sl.vec_id, {dot} / {vn} AS c,
+         CAST(row_number() OVER (PARTITION BY sl.qid
+                                 ORDER BY {dot} / {vn} DESC,
+                                          sl.vec_id ASC) AS INTEGER) AS rank
+  FROM sl JOIN en ON en.vec_id = sl.vec_id
+          JOIN qn ON qn.qid = sl.qid
+) WHERE rank <= {IVFPQ_TOPK}
+"""
+
+
+ORACLE_SIM_IVFPQ_BATCH_TOPK = _oracle_ivfpq_batch_topk()
+
+
 # ---------------------------------------------- AnnIndex lifecycle (r11)
 
 # The facade's append batch: every ANN_APPEND_MOD-th embedding re-enters
@@ -1935,4 +2050,5 @@ QUERIES = {
     "sim_ivf_trained_indexed": (q_sim_ivf_trained_indexed, ORACLE_SIM_IVF_TRAINED_INDEXED),
     "ann_index_roundtrip": (q_ann_index_roundtrip, ORACLE_ANN_INDEX_ROUNDTRIP),
     "sim_ivf_batch_topk": (q_sim_ivf_batch_topk, ORACLE_SIM_IVF_BATCH_TOPK),
+    "sim_ivfpq_batch_topk": (q_sim_ivfpq_batch_topk, ORACLE_SIM_IVFPQ_BATCH_TOPK),
 }
