@@ -1641,6 +1641,158 @@ FROM (SELECT vec_id, unnest([{structs}]) AS s FROM en)
 ORACLE_SIM_PCA_PROJECT = _oracle_pca_project()
 
 
+# ------------------------------------- PCA-space IVF serving (r11)
+
+# The width-reducer pipeline made real end-to-end: project to PCA_DIM,
+# train a coarse quantizer IN THE REDUCED SPACE, serve IVF top-k there.
+# Every downstream byte (train shuffle, probe scan, cosine arithmetic)
+# is dim/PCA_DIM smaller — the documented reason pca_project exists.
+# Projections are rounded to PCA_IVF_ROUND decimals on BOTH engines
+# before anything consumes them (the rounded-covariance contract,
+# applied to the projected table): the fold, the numpy GEMM, and the
+# unrolled SQL all land on identical doubles, so the reduced-space
+# trainer twin stays bit-exact.
+PCA_IVF_K = 4
+PCA_IVF_NPROBE = 2
+PCA_IVF_TOPK = 5
+PCA_IVF_ROUND = 4
+
+
+def _pca_space_centers_np() -> list[list[float]]:
+    """Numpy twin: normalize → project onto the trained basis → round →
+    Lloyd in the 16-dim space (seed "pcaivf")."""
+    import numpy as np
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    ids, mat = ANN.normalized_embeddings_np(TRAIN_SF_DIR)
+    y = np.round(
+        (mat - np.asarray(PCA_TRAINED_MEAN))
+        @ np.asarray(PCA_TRAINED_COMPONENTS).T,
+        PCA_IVF_ROUND,
+    )
+    return ANN.round_mat(
+        ANN.ivf_train_np(ids, y, PCA_IVF_K, IVFPQ_ITERS, "pcaivf")
+    )
+
+
+try:
+    PCA_IVF_CENTERS = _pca_space_centers_np()
+except (FileNotFoundError, OSError) as _e:
+    import sys
+
+    print(
+        f"[queries_similarity] WARNING: PCA-space IVF training fell back "
+        f"to identity-ish literals ({_e!r})",
+        file=sys.stderr,
+    )
+    PCA_IVF_CENTERS = [
+        [0.1 if j == c else 0.0 for j in range(PCA_DIM)]
+        for c in range(PCA_IVF_K)
+    ]
+
+
+def _project_query(q: list[float]) -> list[float]:
+    """Driver-side twin of the fold projection for one literal query:
+    normalize, center, left-associated dot per component, round —
+    computed once and embedded as the SAME doubles in the Spark plan
+    and the oracle."""
+    qn = _norm_q(q)
+    out = []
+    for comp in PCA_TRAINED_COMPONENTS:
+        t = 0.0
+        for j in range(DIM):
+            t += (qn[j] - PCA_TRAINED_MEAN[j]) * comp[j]
+        out.append(round(t, PCA_IVF_ROUND))
+    return out
+
+
+PCA_QUERY_VECS = [_project_query(q) for q in QUERY_VECS]
+
+
+def q_sim_pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full width-reduced ANN pipeline in ONE query: normalize →
+    PCA-project to 16 dims (certified fold, rounded per the contract
+    above) → train the coarse quantizer IN the reduced space (the
+    engine's own `ivf_train`; the oracle embeds the numpy twin's
+    literals, so the reduced-space trainer is certified exactly like
+    `sim_ivf_train`) → IVF top-k over the projected table for the
+    standard queries, themselves projected driver-side with the same
+    arithmetic. At real widths (768 → 64) this pipeline cuts the
+    serving scan and every distance to dim/out_dim — the claim
+    `sim_pca_project`'s docstring makes, now a registered end-to-end
+    plan. Recall fitness on this near-isotropic corpus is weak by
+    design (the PCA module docstring's honest note); the pipeline
+    mechanics are what certify."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    _warn_if_not_train_sf(sf_dir, "sim_pca_ivf_topk")
+    base = ANN.l2_normalize(io.load_points(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    proj = SIM.pca_project(
+        base, PCA_TRAINED_MEAN, PCA_TRAINED_COMPONENTS
+    ).select(
+        "vec_id",
+        F.transform("pc", lambda v: F.round(v, PCA_IVF_ROUND)).alias("pc"),
+    ).localCheckpoint(eager=False)
+    centers = [
+        [ANN.round_param(v) for v in c]
+        for c in ANN.ivf_train(
+            proj, PCA_IVF_K, IVFPQ_ITERS, "pcaivf",
+            id_col="vec_id", features_col="pc",
+        )
+    ]
+    return SIM.ivf_topk(
+        proj, PCA_QUERY_VECS, centers, PCA_IVF_TOPK, PCA_IVF_NPROBE,
+        id_col="vec_id", features_col="pc",
+    )
+
+
+def _oracle_pca_ivf_topk() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    pcs = ", ".join(
+        "round({}, {}) AS p{}".format(
+            OG.sql_dot_centered("e", PCA_TRAINED_MEAN, w), PCA_IVF_ROUND, j
+        )
+        for j, w in enumerate(PCA_TRAINED_COMPONENTS)
+    )
+    pc_list = "[" + ", ".join(f"p{j}" for j in range(PCA_DIM)) + "]"
+    dists = [
+        f"{OG.sql_l2_sq('pc', c)} AS d{i}" for i, c in enumerate(PCA_IVF_CENTERS)
+    ]
+    argmin = OG.sql_argmin_case(
+        [f"d{i}" for i in range(PCA_IVF_K)], "coarse_id"
+    )
+    parts = []
+    for qid, q in enumerate(PCA_QUERY_VECS):
+        probes = SIM.nearest_centers(q, PCA_IVF_CENTERS, PCA_IVF_NPROBE)
+        in_list = ", ".join(str(p) for p in probes)
+        cos = OG.sql_cosine_lit("pc", q, PCA_DIM)
+        parts.append(
+            f"SELECT {qid} AS qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM ("
+            f"  SELECT coarse_id AS probe_cell, vec_id, c,"
+            f"    CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank"
+            f"  FROM (SELECT vec_id, coarse_id, {cos} AS c FROM ca"
+            f"        WHERE coarse_id IN ({in_list}))"
+            f") WHERE rank <= {PCA_IVF_TOPK}"
+        )
+    return (
+        f"WITH en AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e"
+        f" FROM {_E2} t WHERE {nsq} > 0), "
+        f"pj AS MATERIALIZED (SELECT vec_id, {pc_list} AS pc FROM"
+        f" (SELECT vec_id, {pcs} FROM en)), "
+        f"ca AS MATERIALIZED (SELECT vec_id, pc, coarse_id FROM (SELECT vec_id, pc, {argmin}"
+        f" FROM (SELECT vec_id, pc, {', '.join(dists)} FROM pj))) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_SIM_PCA_IVF_TOPK = _oracle_pca_ivf_topk()
+
+
 # ------------------------------------------- kNN label propagation
 
 # Every 10th vector keeps its true label — the "small labeled subset"
@@ -2051,4 +2203,5 @@ QUERIES = {
     "ann_index_roundtrip": (q_ann_index_roundtrip, ORACLE_ANN_INDEX_ROUNDTRIP),
     "sim_ivf_batch_topk": (q_sim_ivf_batch_topk, ORACLE_SIM_IVF_BATCH_TOPK),
     "sim_ivfpq_batch_topk": (q_sim_ivfpq_batch_topk, ORACLE_SIM_IVFPQ_BATCH_TOPK),
+    "sim_pca_ivf_topk": (q_sim_pca_ivf_topk, ORACLE_SIM_PCA_IVF_TOPK),
 }

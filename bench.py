@@ -117,6 +117,7 @@ HEADLINE = [
     "sim_pca_project_arrow",
     "sim_ivf_batch_topk",
     "sim_ivfpq_batch_topk",
+    "sim_pca_ivf_topk",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

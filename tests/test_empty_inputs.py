@@ -47,9 +47,11 @@ NEEDS_DATA = {
     "sim_label_propagation",
     # r11: the AnnIndex lifecycle trains its coarse quantizer in-query
     # (ivf_train's ValueError); the facade model gate fits the
-    # classifier in-query (fit_quality_model's ValueError).
+    # classifier in-query (fit_quality_model's ValueError); the
+    # PCA-space pipeline trains its reduced-space quantizer in-query.
     "ann_index_roundtrip",
     "curation_model_gate",
+    "sim_pca_ivf_topk",
 }
 
 QUERIES = all_queries()
