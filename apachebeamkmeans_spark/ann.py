@@ -69,10 +69,12 @@ class AnnIndex:
     _PARAMS = "_ann_params"
 
     def __init__(self, spark: SparkSession, path: str,
-                 centers: list[list[float]]):
+                 centers: list[list[float]],
+                 codebooks: list[list[list[float]]] | None = None):
         self._spark = spark
         self.path = path
         self.centers = centers
+        self.codebooks = codebooks  # None = flat IVF (v1 layout)
 
     @property
     def n_cells(self) -> int:
@@ -82,11 +84,21 @@ class AnnIndex:
     def train(spark: SparkSession, embeddings: DataFrame, path: str,
               k: int | None = None, n_iters: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding",
+              pq_m: int | None = None, pq_ksub: int = 16,
               ) -> "AnnIndex":
         """Train a √n-cell coarse quantizer (FAISS cell rule unless `k`
         is given) over the L2-normalized embeddings, materialize the
-        partitioned layout at `path`, and persist the trained centers
-        as the sidecar. One training, any number of later sessions."""
+        partitioned layout at `path`, and persist the trained
+        parameters as the sidecar. One training, any number of later
+        sessions.
+
+        `pq_m` switches the index to the IVF-PQ tier (the documented
+        escalation past ~10⁷ vectors per cell budget): additionally
+        train `pq_m`×`pq_ksub` product-quantization codebooks, store m
+        codes per row alongside the raw vector in the layout, and
+        serve ADC-shortlist + exact-refine searches — per candidate,
+        the scan reads m ints and the exact distance runs on refine
+        rows only."""
         vecs = _normalize(embeddings, id_col, vec_col).localCheckpoint(
             eager=False
         )
@@ -98,16 +110,30 @@ class AnnIndex:
             [ANN.round_param(v) for v in c]
             for c in ANN.ivf_train(vecs, k, n_iters)
         ]
-        SIM.build_ivf_index(vecs, centers, path)
-        payload = json.dumps({"centers": centers, "version": 1})
+        if pq_m is None:
+            SIM.build_ivf_index(vecs, centers, path)
+            payload = json.dumps({"centers": centers, "version": 1})
+            idx = AnnIndex(spark, path, centers)
+        else:
+            books = [
+                [[ANN.round_param(v) for v in cent] for cent in book]
+                for book in ANN.pq_train(vecs, pq_m, pq_ksub, n_iters)
+            ]
+            SIM.build_ivfpq_index(vecs, centers, books, path)
+            payload = json.dumps(
+                {"centers": centers, "codebooks": books, "version": 2}
+            )
+            idx = AnnIndex(spark, path, centers, books)
         spark.createDataFrame([(payload,)], "v string").coalesce(1).write.mode(
             "overwrite"
         ).text(os.path.join(path, AnnIndex._PARAMS))
-        return AnnIndex(spark, path, centers)
+        return idx
 
     # formats this code knows how to read; bump alongside _PARAMS
-    # layout changes so an old library fails loudly on a newer index
-    _KNOWN_VERSIONS = (1,)
+    # layout changes so an old library fails loudly on a newer index.
+    # v1 = flat IVF layout; v2 = IVF-PQ layout (codes column +
+    # codebooks in the sidecar).
+    _KNOWN_VERSIONS = (1, 2)
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "AnnIndex":
@@ -145,43 +171,62 @@ class AnnIndex:
                 f"is not one this library reads ({AnnIndex._KNOWN_VERSIONS}) "
                 f"— index written by an incompatible AnnIndex build"
             )
-        return AnnIndex(spark, path, params["centers"])
+        return AnnIndex(
+            spark, path, params["centers"], params.get("codebooks")
+        )
 
     def append(self, embeddings: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> None:
-        """Coarse-assign a new batch and append it to the layout —
-        dynamic-partition append, existing directories untouched.
-        Post-append searches equal a from-scratch rebuild over the
-        union (the operator-level guarantee, asserted in
-        tests/test_similarity_mm.py)."""
-        SIM.append_to_ivf_index(
-            _normalize(embeddings, id_col, vec_col), self.centers, self.path
-        )
+        """Coarse-assign (and on the PQ tier, encode) a new batch and
+        append it to the layout — dynamic-partition append, existing
+        directories untouched. Post-append searches equal a
+        from-scratch rebuild over the union (the operator-level
+        guarantee, asserted in tests/test_similarity_mm.py and
+        tests/test_ann_index.py)."""
+        vecs = _normalize(embeddings, id_col, vec_col)
+        if self.codebooks is None:
+            SIM.append_to_ivf_index(vecs, self.centers, self.path)
+        else:
+            SIM.append_to_ivfpq_index(
+                vecs, self.centers, self.codebooks, self.path
+            )
 
     def topk(self, queries: list[list[float]], k: int = 5,
-             nprobe: int = 1) -> DataFrame:
+             nprobe: int = 1, refine: int = 50) -> DataFrame:
         """Top-k cosine per literal query vector, all queries in one
         partition-pruned scan: (qid, probe_cell, vec_id, cosine,
-        rank)."""
-        return SIM.ivf_topk_indexed(
-            self._spark, self.path, queries, self.centers, k, nprobe
+        rank). On the PQ tier the scan ranks by ADC over the stored
+        codes and re-ranks the top-`refine` shortlist exactly
+        (`refine` is ignored on the flat tier)."""
+        if self.codebooks is None:
+            return SIM.ivf_topk_indexed(
+                self._spark, self.path, queries, self.centers, k, nprobe
+            )
+        return SIM.ivfpq_topk_indexed(
+            self._spark, self.path, queries, self.centers, self.codebooks,
+            k, nprobe, refine,
         )
 
     def topk_table(self, queries: DataFrame, k: int = 5, nprobe: int = 1,
-                   qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
-        """Top-k cosine per QUERY-TABLE row — the batch serving shape
-        (`similarity.ivf_batch_topk`): probe cells picked in-plan from
-        the trained centers, candidates joined from the layout, one
-        per-qid window. Use this when the queries are data (an
-        embedding batch, a probe set), `topk` when they are a handful
-        of literals; certified by `sim_ivf_batch_topk`."""
+                   refine: int = 50, qid_col: str = "qid",
+                   qvec_col: str = "qvec") -> DataFrame:
+        """Top-k cosine per QUERY-TABLE row — the batch serving shape:
+        probe cells picked in-plan from the trained centers,
+        candidates joined from the layout, one per-qid window. On the
+        PQ tier each query row computes its own ADC LUT in-plan and
+        only the refine shortlist is re-ranked exactly. Use this when
+        the queries are data (an embedding batch, a probe set), `topk`
+        when they are a handful of literals; certified by
+        `sim_ivf_batch_topk` / `sim_ivfpq_batch_topk`."""
         from pyspark.sql import functions as F
 
-        index = self._spark.read.schema(SIM.INDEX_SCHEMA).parquet(self.path)
-        return SIM.ivf_batch_topk(
-            index,
-            queries.select(
-                F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
-            ),
-            self.centers, k, nprobe,
+        qtab = queries.select(
+            F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
+        )
+        if self.codebooks is None:
+            index = self._spark.read.schema(SIM.INDEX_SCHEMA).parquet(self.path)
+            return SIM.ivf_batch_topk(index, qtab, self.centers, k, nprobe)
+        return SIM.ivfpq_batch_topk_indexed(
+            self._spark, self.path, qtab, self.centers, self.codebooks,
+            k, nprobe, refine,
         )

@@ -55,7 +55,8 @@ def _ivf_index_path(sf_dir: str) -> str:
     path = os.path.join(scratch.repo_root(), ".ivf_index", f"{base}_m{mt}")
     scratch.reap(
         os.path.dirname(path), base,
-        keep=(path, path + "-trained", path + "-roundtrip"),
+        keep=(path, path + "-trained", path + "-roundtrip",
+              path + "-pqroundtrip"),
     )
     return path
 
@@ -789,7 +790,41 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ANN_INDEX_ROUNDTRIP = _oracle_ivf_trained_indexed(_E2_ROUNDTRIP)
 
 
-def _oracle_ivfpq_trained() -> str:
+def q_ann_index_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_index_roundtrip`'s PQ-tier twin — the facade's documented
+    escalation path exercised through the same whole lifecycle:
+    `AnnIndex.train(pq_m=...)` (coarse + PQ codebooks, both equal to
+    the numpy twins), layout with m codes + raw vector per row, v2
+    sidecar, LOAD (version dispatch), shifted-id append (assign +
+    encode), then ADC-shortlist + exact-refine top-k over the grown
+    index. Oracle = the `sim_ivfpq_trained` replay over base ∪
+    appended batch."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_pq_roundtrip")
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    path = _ivf_index_path(sf_dir) + "-pqroundtrip"
+    AnnIndex.train(
+        spark, emb, path, k=IVFPQ_K, n_iters=IVFPQ_ITERS,
+        pq_m=IVFPQ_M, pq_ksub=IVFPQ_KSUB,
+    )
+    idx = AnnIndex.load(spark, path)
+    batch = emb.filter(
+        F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_RESIDUE
+    ).withColumn("vec_id", F.col("vec_id") + F.lit(ANN_APPEND_OFFSET))
+    idx.append(batch)
+    return idx.topk(
+        NQUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE
+    )
+
+
+# ORACLE_ANN_INDEX_PQ_ROUNDTRIP is assigned after _oracle_ivfpq_trained
+# is defined (the builder lives below this section).
+
+
+def _oracle_ivfpq_trained(table: str = _E2) -> str:
     nsq = OG.sql_norm_sq("e", DIM)
     dists = [f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)]
     argmin = OG.sql_argmin_case([f"d{i}" for i in range(IVFPQ_K)], "coarse_id")
@@ -843,7 +878,7 @@ def _oracle_ivfpq_trained() -> str:
     # stage computed once is instant (and is also what Spark does).
     return (
         f"WITH en AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e"
-        f" FROM {_E2} t WHERE {nsq} > 0), "
+        f" FROM {table} t WHERE {nsq} > 0), "
         f"ca AS MATERIALIZED (SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}"
         f" FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))"
         f" WHERE coarse_id IN ({all_cells})), "
@@ -854,6 +889,7 @@ def _oracle_ivfpq_trained() -> str:
 
 
 ORACLE_SIM_IVFPQ_TRAINED = _oracle_ivfpq_trained()
+ORACLE_ANN_INDEX_PQ_ROUNDTRIP = _oracle_ivfpq_trained(_E2_ROUNDTRIP)
 
 
 # ------------------------------------------------- residual IVF-PQ (r6)
@@ -2204,4 +2240,8 @@ QUERIES = {
     "sim_ivf_batch_topk": (q_sim_ivf_batch_topk, ORACLE_SIM_IVF_BATCH_TOPK),
     "sim_ivfpq_batch_topk": (q_sim_ivfpq_batch_topk, ORACLE_SIM_IVFPQ_BATCH_TOPK),
     "sim_pca_ivf_topk": (q_sim_pca_ivf_topk, ORACLE_SIM_PCA_IVF_TOPK),
+    "ann_index_pq_roundtrip": (
+        q_ann_index_pq_roundtrip,
+        ORACLE_ANN_INDEX_PQ_ROUNDTRIP,
+    ),
 }

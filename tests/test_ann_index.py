@@ -172,3 +172,74 @@ def test_batch_topk_plan_is_single_join_no_python(spark, sf_dir, tmp_path):
     assert "Cartesian" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Join") >= 1
+
+
+def test_pq_tier_lifecycle_and_pruning(spark, sf_dir, tmp_path):
+    """AnnIndex PQ tier: train(pq_m) -> v2 sidecar -> load (version
+    dispatch, codebooks restored) -> append -> topk equals the inline
+    ivfpq_topk over the union with the same trained params, and the
+    probe scan stays partition-pruned."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.plans import explain as X
+
+    path = str(tmp_path / "pq_idx")
+    emb = _emb(spark, sf_dir)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    trained = AnnIndex.train(spark, first, path, k=4, pq_m=8, pq_ksub=16)
+    assert trained.codebooks is not None
+    idx = AnnIndex.load(spark, path)
+    assert idx.codebooks == trained.codebooks
+    idx.append(rest)
+
+    res = idx.topk(QUERIES, k=5, nprobe=2, refine=30)
+    plan = X.formatted_plan(res)
+    after = plan.split("PartitionFilters", 1)
+    assert len(after) == 2 and "coarse_id" in after[1][:200]
+
+    vecs = ANN.l2_normalize(
+        emb.selectExpr(
+            "vec_id AS id", "CAST(embedding AS array<double>) AS features"
+        )
+    )
+    want = sorted(map(tuple, SIM.ivfpq_topk(
+        vecs, QUERIES, idx.centers, idx.codebooks,
+        k=5, nprobe=2, refine=30,
+    ).collect()))
+    got = sorted(map(tuple, res.collect()))
+    assert got == want and got
+
+
+def test_pq_tier_topk_table_matches_literal(spark, sf_dir, tmp_path):
+    """The PQ tier's batch (query-table) search must rank the same
+    (qid, vec_id, rank) sets as the literal PQ path for identical
+    query vectors (cosines differ only in the |f| normalization the
+    batch path adds)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "pq_idx_tab")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4, pq_m=8, pq_ksub=16)
+    qrows = (
+        emb.filter(F.col("vec_id") % 100 == 7)
+        .orderBy("vec_id").limit(3).collect()
+    )
+    qtab = spark.createDataFrame(
+        [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in qrows],
+        "qid long, qvec array<double>",
+    )
+    got = {
+        (r["qid"], r["vec_id"], r["rank"])
+        for r in idx.topk_table(qtab, k=5, nprobe=2, refine=30).collect()
+    }
+
+    def _norm(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    lits = [_norm([float(v) for v in r["embedding"]]) for r in qrows]
+    lit = idx.topk(lits, k=5, nprobe=2, refine=30).collect()
+    qid_map = {i: r["vec_id"] for i, r in enumerate(qrows)}
+    want = {(qid_map[r["qid"]], r["vec_id"], r["rank"]) for r in lit}
+    assert got == want and got

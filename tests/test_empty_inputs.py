@@ -50,6 +50,7 @@ NEEDS_DATA = {
     # classifier in-query (fit_quality_model's ValueError); the
     # PCA-space pipeline trains its reduced-space quantizer in-query.
     "ann_index_roundtrip",
+    "ann_index_pq_roundtrip",
     "curation_model_gate",
     "sim_pca_ivf_topk",
 }
