@@ -61,6 +61,10 @@ SHOWCASE = {
     "q8_market_share": "Q8 conditional share: every dim broadcast, CASE-cents numerator and denominator in one partial agg",
     # round 9
     "pipeline_facade": "CurationPipeline library capstone: exact-dedup window + LSH near-dedup + components + lang gate + summary composed into ONE plan — loser sets broadcast into LeftAnti joins, shared one-tokenize signature/set frames, no cartesian anywhere",
+    # round 11
+    "sim_ivf_batch_topk": "query-TABLE IVF search: in-plan probe argsort per query row, ONE join on coarse_id against the partitioned layout, per-qid WindowGroupLimit — no Python, no cartesian",
+    "sim_ivfpq_batch_topk": "query-TABLE IVF-PQ: each query row's pq_encode_lut distance matrix doubles as its ADC table, candidates ride as m codes vs m*ksub LUT doubles, exact dot for refine rows only",
+    "ann_index_pq_roundtrip": "AnnIndex PQ tier end-to-end: partition-pruned ADC scan over stored codes (PartitionFilters on coarse_id), broadcast shortlist, exact refine re-reads raw vectors from the same pruned directories",
 }
 
 
