@@ -37,6 +37,15 @@ from apachebeamkmeans_spark.operators import ann_train as ANN
 from apachebeamkmeans_spark.operators import similarity as SIM
 
 
+def _norm_vec(q: list[float]) -> list[float]:
+    """Driver-side L2 normalization of one literal query — the exact
+    left-to-right formula `queries_similarity._norm_q` uses, so a
+    facade-normalized raw query embeds the same doubles an oracle
+    built from pre-normalized literals expects."""
+    n = sum(float(v) * float(v) for v in q) ** 0.5
+    return [float(v) / n for v in q]
+
+
 def _normalize(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
@@ -195,21 +204,25 @@ class AnnIndex:
              nprobe: int = 1, refine: int = 50) -> DataFrame:
         """Top-k cosine per literal query vector, all queries in one
         partition-pruned scan: (qid, probe_cell, vec_id, cosine,
-        rank). On the PQ tier the scan ranks by ADC over the stored
-        codes and re-ranks the top-`refine` shortlist exactly
+        rank). Queries are L2-normalized HERE (the facade contract —
+        callers pass raw vectors), which keeps the PQ tier's LUTs,
+        probe choice, and dot-as-cosine consistent regardless of the
+        input's scale. On the PQ tier the scan ranks by ADC over the
+        stored codes and re-ranks the top-`refine` shortlist exactly
         (`refine` is ignored on the flat tier)."""
+        qn = [_norm_vec(q) for q in queries]
         if self.codebooks is None:
             return SIM.ivf_topk_indexed(
-                self._spark, self.path, queries, self.centers, k, nprobe
+                self._spark, self.path, qn, self.centers, k, nprobe
             )
         return SIM.ivfpq_topk_indexed(
-            self._spark, self.path, queries, self.centers, self.codebooks,
+            self._spark, self.path, qn, self.centers, self.codebooks,
             k, nprobe, refine,
         )
 
     def topk_table(self, queries: DataFrame, k: int = 5, nprobe: int = 1,
-                   refine: int = 50, qid_col: str = "qid",
-                   qvec_col: str = "qvec") -> DataFrame:
+                   qid_col: str = "qid", qvec_col: str = "qvec",
+                   refine: int = 50) -> DataFrame:
         """Top-k cosine per QUERY-TABLE row — the batch serving shape:
         probe cells picked in-plan from the trained centers,
         candidates joined from the layout, one per-qid window. On the

@@ -200,11 +200,15 @@ def _curate_run(args, spark) -> int:
             try:
                 model = LogisticRegressionModel.load(args.model_path)
             except Exception as e:
+                # could be a partially-written save OR a transient
+                # IO/executor failure — never instruct deletion as the
+                # first move (r11 review)
                 raise SystemExit(
-                    f"--model-path {args.model_path!r} exists but is not a "
-                    f"loadable LogisticRegressionModel (partially-written "
-                    f"save?): {type(e).__name__}. Delete it to refit, or "
-                    f"point at a complete model."
+                    f"--model-path {args.model_path!r} exists but failed to "
+                    f"load as a LogisticRegressionModel "
+                    f"({type(e).__name__}: {e}). If this persists across "
+                    f"retries the save is likely incomplete — delete the "
+                    f"directory to refit, or point at a complete model."
                 ) from e
         if model is None:
             # trained on the INPUT corpus (pre-dedup), gating whatever

@@ -208,6 +208,22 @@ def pq_encode_lut(vecs: DataFrame, codebooks: list[list[list[float]]],
     return with_lut.select("vec_id", codes.alias("codes"), "lut", *carry)
 
 
+
+def _adc_expr(lut, codes, m: int):
+    """Σ_s lut[s][codes[s]] — the asymmetric-distance sum shared by
+    every ADC consumer (literal-LUT transforms pass a lambda-bound
+    array, column-LUT callers pass the column). One definition so the
+    lookup/tie arithmetic can never drift between the certified
+    paths (r11 review)."""
+    t = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(lut, s + 1), F.element_at(codes, s + 1) + 1
+        )
+        t = term if t is None else t + term
+    return t
+
+
 def knn_graph_pq(normed: DataFrame, centers: list[list[float]],
                  codebooks: list[list[list[float]]], knn_k: int = 3,
                  nprobe: int = 4, refine: int = 100, dim: int | None = None,
@@ -289,14 +305,7 @@ def knn_graph_pq(normed: DataFrame, centers: list[list[float]],
     ).localCheckpoint(eager=True)
 
     def _adc(lut_col, codes_col):
-        t = None
-        for s in range(m):
-            term = F.element_at(
-                F.element_at(lut_col, s + 1),
-                F.element_at(codes_col, s + 1) + 1,
-            )
-            t = term if t is None else t + term
-        return t
+        return _adc_expr(lut_col, codes_col, m)
 
     half = (
         salted_self_pairs(enc, ["coarse_id"], "vec_id")
@@ -382,12 +391,7 @@ def pq_adc_topk(encoded: DataFrame, queries: list[list[float]],
     codes = F.col("codes")
 
     def _adc(lut_q):
-        t = None
-        for s in range(m):
-            term = F.element_at(F.element_at(lut_q, s + 1),
-                                F.element_at(codes, s + 1) + 1)
-            t = term if t is None else t + term
-        return t
+        return _adc_expr(lut_q, codes, m)
 
     adc_arr = F.transform(F.lit(luts), _adc)
     exploded = encoded.select("vec_id", F.posexplode(adc_arr).alias("qid", "_d"))
@@ -452,12 +456,7 @@ def ivfpq_topk(vecs: DataFrame, queries: list[list[float]],
     codes = F.col("codes")
 
     def _adc(lut_q):
-        t = None
-        for s in range(m):
-            term = F.element_at(F.element_at(lut_q, s + 1),
-                                F.element_at(codes, s + 1) + 1)
-            t = term if t is None else t + term
-        return t
+        return _adc_expr(lut_q, codes, m)
 
     # ADC stage ships NARROW rows only — (vec_id, probe_cell, qid, d):
     # the raw vector must NOT ride through the posexplode fan-out and
@@ -584,14 +583,7 @@ def ivfpq_batch_topk(vecs: DataFrame, queries: DataFrame,
     )
 
     def _adc(lut_col, codes_col):
-        t = None
-        for s in range(m):
-            term = F.element_at(
-                F.element_at(lut_col, s + 1),
-                F.element_at(codes_col, s + 1) + 1,
-            )
-            t = term if t is None else t + term
-        return t
+        return _adc_expr(lut_col, codes_col, m)
 
     cand = encoded.join(probes, F.col("probe_cell") == F.col("q_cell"))
     adc = cand.select(
@@ -695,14 +687,7 @@ def ivfpq_batch_topk_indexed(spark, index_path: str, queries: DataFrame,
     probes = qside.select("qid", "lut", F.explode("probes").alias("q_cell"))
 
     def _adc(lut_col, codes_col):
-        t = None
-        for s in range(m):
-            term = F.element_at(
-                F.element_at(lut_col, s + 1),
-                F.element_at(codes_col, s + 1) + 1,
-            )
-            t = term if t is None else t + term
-        return t
+        return _adc_expr(lut_col, codes_col, m)
 
     cand = index.select("vec_id", "codes", "coarse_id").join(
         probes, F.col("coarse_id") == F.col("q_cell")
@@ -725,9 +710,20 @@ def ivfpq_batch_topk_indexed(spark, index_path: str, queries: DataFrame,
         F.zip_with(f, F.col("__q"), lambda a, b: a * b),
         F.lit(0.0), lambda a, v: a + v,
     )
+    # refine join includes the partition column: probe_cell IS the
+    # shortlist row's coarse_id, so joining on (vec_id, probe_cell)
+    # lets partition pruning / DPP cut the raw-vector re-read to the
+    # probed directories instead of scanning f corpus-wide (r11
+    # review) — the batch twin of ivfpq_topk_indexed's pruned refine
     scored = (
         shortlist
-        .join(index.select("vec_id", "f"), "vec_id")
+        .join(
+            index.select(
+                "vec_id", "f",
+                F.col("coarse_id").cast("int").alias("probe_cell"),
+            ),
+            ["vec_id", "probe_cell"],
+        )
         .join(normed_q, "qid")
         .select(
             "qid", "probe_cell", "vec_id",
@@ -1117,12 +1113,7 @@ def ivfpq_topk_indexed(spark, index_path: str, queries: list[list[float]],
     codes = F.col("codes")
 
     def _adc(lut_q):
-        t = None
-        for s in range(m):
-            term = F.element_at(F.element_at(lut_q, s + 1),
-                                F.element_at(codes, s + 1) + 1)
-            t = term if t is None else t + term
-        return t
+        return _adc_expr(lut_q, codes, m)
 
     adc_arr = F.transform(F.lit(luts), _adc)
     exploded = pruned.select(

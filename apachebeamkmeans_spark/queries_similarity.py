@@ -487,6 +487,10 @@ def q_sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIM.build_ivf_index(
         ANN.l2_normalize(io.load_points(spark, sf_dir)), TRAINED_CENTERS, path
     )
+    # stamp the centers fingerprint so `sim_ivf_batch_topk`'s
+    # skip-if-built check can trust this layout (the overwrite above
+    # wipes any previous marker)
+    _write_layout_fp(path, TRAINED_CENTERS)
     return SIM.ivf_topk_indexed(
         spark, path, NQUERY_VECS, TRAINED_CENTERS, IVFPQ_TOPK, IVFPQ_NPROBE
     )
@@ -534,6 +538,32 @@ BATCH_Q_MOD = 50
 BATCH_Q_RESIDUE = 11
 
 
+def _centers_fp(centers: list[list[float]]) -> str:
+    import hashlib
+    import json as _json
+
+    return hashlib.md5(_json.dumps(centers).encode()).hexdigest()
+
+
+def _layout_matches(path: str, centers: list[list[float]]) -> bool:
+    """True iff the layout at `path` is complete AND was assigned under
+    exactly these centers (the `_centers_fp` marker written at build)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    try:
+        with open(os.path.join(path, "_centers_fp")) as f:
+            return f.read().strip() == _centers_fp(centers)
+    except OSError:
+        return False
+
+
+def _write_layout_fp(path: str, centers: list[list[float]]) -> None:
+    tmp = os.path.join(path, f"_centers_fp.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(_centers_fp(centers))
+    os.replace(tmp, os.path.join(path, "_centers_fp"))
+
+
 def q_sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search driven by a query TABLE (`similarity.ivf_batch_topk`)
     — the serving shape every literal-query variant above can't
@@ -552,15 +582,20 @@ def q_sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _warn_if_not_train_sf(sf_dir, "sim_ivf_batch_topk")
     path = _ivf_index_path(sf_dir) + "-trained"
-    # build only if the mtime-keyed layout isn't already materialized —
-    # `sim_ivf_trained_indexed` writes the identical bytes at the same
-    # generation path, and this query is about the SEARCH, not the
-    # build (r11 review)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # build only if the mtime-keyed layout isn't already materialized
+    # WITH the current trained centers — `sim_ivf_trained_indexed`
+    # writes the identical bytes at the same generation path, and this
+    # query is about the SEARCH, not the build. The centers
+    # fingerprint closes the cross-environment hole (same data mtime,
+    # different SPARK_GRAFT_TRAIN_SF_DIR ⇒ different centers): a
+    # layout assigned under other centers must rebuild, never serve
+    # probes from the wrong directories (r11 review).
+    if not _layout_matches(path, TRAINED_CENTERS):
         SIM.build_ivf_index(
             ANN.l2_normalize(io.load_points(spark, sf_dir)),
             TRAINED_CENTERS, path,
         )
+        _write_layout_fp(path, TRAINED_CENTERS)
     emb = io.read_table(spark, sf_dir, "embeddings")
     qtab = emb.filter(
         F.col("vec_id") % BATCH_Q_MOD == BATCH_Q_RESIDUE
@@ -784,7 +819,10 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_RESIDUE
     ).withColumn("vec_id", F.col("vec_id") + F.lit(ANN_APPEND_OFFSET))
     idx.append(batch)
-    return idx.topk(NQUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
+    # RAW query vectors: the facade normalizes (ann._norm_vec is the
+    # same left-to-right formula as _norm_q), so the plan literals are
+    # bit-identical to the oracle's NQUERY_VECS
+    return idx.topk(QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
 
 
 ORACLE_ANN_INDEX_ROUNDTRIP = _oracle_ivf_trained_indexed(_E2_ROUNDTRIP)
@@ -815,8 +853,9 @@ def q_ann_index_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_RESIDUE
     ).withColumn("vec_id", F.col("vec_id") + F.lit(ANN_APPEND_OFFSET))
     idx.append(batch)
+    # RAW queries, facade-normalized — see q_ann_index_roundtrip
     return idx.topk(
-        NQUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE
+        QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE
     )
 
 

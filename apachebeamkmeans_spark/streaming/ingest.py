@@ -79,6 +79,25 @@ def _read_fold_state(
     return out
 
 
+def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str | None:
+    """The streaming query id from `<checkpoint>/metadata`, through the
+    Hadoop FS API so hdfs://-style checkpoints resolve (the id is
+    minted at first start and survives restarts — a fresh checkpoint
+    has none). None when the metadata file doesn't exist yet."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return json.loads(baos.toString("UTF-8")).get("id")
+    finally:
+        stream.close()
+
+
 def run_ingest_gate_stream(
     spark: SparkSession,
     corpus: DataFrame,
@@ -155,11 +174,11 @@ def run_ingest_gate_stream(
         with open(lineage_path) as f:
             recorded_lineage = json.load(f)["query_id"]
     if recorded_lineage is not None:
-        ckpt_meta = os.path.join(checkpoint, "metadata")
-        current = None
-        if os.path.exists(ckpt_meta):
-            with open(ckpt_meta) as f:
-                current = json.load(f).get("id")
+        # the checkpoint may live on any Hadoop filesystem (hdfs://,
+        # s3a://, file:) — read its metadata through the FS API, not
+        # driver-local os.path, or a legitimate remote resume would be
+        # misread as FRESH and refused (r11 review)
+        current = _checkpoint_query_id(spark, checkpoint)
         if current != recorded_lineage:
             raise RuntimeError(
                 f"ingest gate: state_store {state_store!r} belongs to "

@@ -14,6 +14,11 @@ from apachebeamkmeans_spark.sources import io
 QUERIES = [
     [0.1 * ((i * 7 + j) % 5 - 2) for j in range(64)] for i in range(3)
 ]
+# the facade normalizes queries itself (ann._norm_vec); inline-operator
+# comparisons must hand the operator the SAME normalized vectors
+from apachebeamkmeans_spark.ann import _norm_vec  # noqa: E402
+
+NQUERIES = [_norm_vec(q) for q in QUERIES]
 
 
 def _emb(spark, sf_dir):
@@ -33,7 +38,7 @@ def test_train_topk_matches_inline_ivf(spark, sf_dir, tmp_path):
     want = sorted(
         map(
             tuple,
-            SIM.ivf_topk(vecs, QUERIES, idx.centers, k=5, nprobe=2).collect(),
+            SIM.ivf_topk(vecs, NQUERIES, idx.centers, k=5, nprobe=2).collect(),
         )
     )
     assert got == want and got
@@ -73,7 +78,7 @@ def test_append_equals_rebuild(spark, sf_dir, tmp_path):
         map(
             tuple,
             SIM.ivf_topk_indexed(
-                spark, p2, QUERIES, idx.centers, k=5, nprobe=2
+                spark, p2, NQUERIES, idx.centers, k=5, nprobe=2
             ).collect(),
         )
     )
@@ -204,7 +209,7 @@ def test_pq_tier_lifecycle_and_pruning(spark, sf_dir, tmp_path):
         )
     )
     want = sorted(map(tuple, SIM.ivfpq_topk(
-        vecs, QUERIES, idx.centers, idx.codebooks,
+        vecs, NQUERIES, idx.centers, idx.codebooks,
         k=5, nprobe=2, refine=30,
     ).collect()))
     got = sorted(map(tuple, res.collect()))
@@ -234,11 +239,9 @@ def test_pq_tier_topk_table_matches_literal(spark, sf_dir, tmp_path):
         for r in idx.topk_table(qtab, k=5, nprobe=2, refine=30).collect()
     }
 
-    def _norm(v):
-        n = sum(x * x for x in v) ** 0.5
-        return [x / n for x in v]
-
-    lits = [_norm([float(v) for v in r["embedding"]]) for r in qrows]
+    # raw vectors both ways: the facade normalizes literal queries,
+    # the batch path fold-normalizes rows — identical doubles
+    lits = [[float(v) for v in r["embedding"]] for r in qrows]
     lit = idx.topk(lits, k=5, nprobe=2, refine=30).collect()
     qid_map = {i: r["vec_id"] for i, r in enumerate(qrows)}
     want = {(qid_map[r["qid"]], r["vec_id"], r["rank"]) for r in lit}

@@ -271,3 +271,48 @@ def test_batch_id_alias_from_stale_state_store_fails_loudly(
         finally:
             q2.stop()
             q2.awaitTermination(60)
+
+
+def test_markerless_store_alias_caught_per_batch(spark, sf_dir, tmp_path):
+    """A store WITHOUT a _lineage marker (pre-r11 store, or a crash
+    between .start() and the marker write) can't be refused at stream
+    start — the per-batch doc_id-set comparison is the remaining
+    guard and must still raise on an aliased batch of NEW docs."""
+    import pytest
+
+    from apachebeamkmeans_spark.sources import io
+    from apachebeamkmeans_spark.streaming.ingest import run_ingest_gate_stream
+
+    src1, src2, out_dir, ckpt1, ckpt2, store = (
+        str(tmp_path / d)
+        for d in ("src1", "src2", "out", "ckpt1", "ckpt2", "state")
+    )
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    ts = F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+    first = docs.filter(F.col("doc_id") % 10 == 0).withColumn("ts", ts)
+    first.coalesce(1).write.mode("append").parquet(src1)
+
+    def start(name, src, ckpt):
+        return run_ingest_gate_stream(
+            spark, corpus, src, first.schema, out_dir, ckpt,
+            8, 3, 0.5, name=name, fold_accepted=True, state_store=store,
+        )
+
+    q1 = start("ml_alias_p1", src1, ckpt1)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+        q1.awaitTermination(60)
+    os.remove(os.path.join(store, "_lineage"))  # the markerless store
+
+    second = docs.filter(F.col("doc_id") % 10 == 5).withColumn("ts", ts)
+    second.coalesce(1).write.mode("append").parquet(src2)
+    q2 = start("ml_alias_p2", src2, ckpt2)
+    with pytest.raises(Exception, match="ALIAS"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+            q2.awaitTermination(60)
