@@ -288,7 +288,7 @@ def _substring_runs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    fp = scratch.data_fingerprint(sf_dir, "documents")
+    fp = scratch.data_fingerprint(sf_dir, table)
     # v2: r9 interval-merge semantics — the version tag invalidates any
     # staged table built by the pre-merge generator (the fingerprint
     # alone only tracks DATA changes, not generator semantics)
@@ -636,7 +636,7 @@ def _gate_state_artifact(
 
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    fp = scratch.data_fingerprint(sf_dir, "documents")
+    fp = scratch.data_fingerprint(sf_dir, table)
     path = os.path.join(
         scratch.repo_root(), ".scratch",
         f"gate_state_{sfx}_{ph}_b{BANDS}_s{SHINGLE}_f{fp}",
@@ -705,7 +705,7 @@ LEFT JOIN p ON d.doc_id = p.new_id
 
 
 def _stream_scratch_roots(spark: SparkSession, sf_dir: str, tag: str,
-                          batches) -> tuple[str, str, str]:
+                          batches, table: str = "documents") -> tuple[str, str, str]:
     """Scratch plumbing shared by the streaming-gate queries: returns
     (src, out, ckpt). The STAGED SOURCE is keyed by the documents
     CONTENT fingerprint and published atomically (tmp + rename), so
@@ -723,7 +723,7 @@ def _stream_scratch_roots(spark: SparkSession, sf_dir: str, tag: str,
     from apachebeamkmeans_spark import scratch
 
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    fp = scratch.data_fingerprint(sf_dir, "documents")
+    fp = scratch.data_fingerprint(sf_dir, table)
     root = os.path.join(
         scratch.repo_root(), ".scratch",
         f"ingest_stream_{tag}_{sfx}_f{fp}_{spark.sparkContext.applicationId}",

@@ -770,6 +770,115 @@ SELECT qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM (
 ORACLE_SIM_IVFPQ_BATCH_TOPK = _oracle_ivfpq_batch_topk()
 
 
+# ------------------------------------- streaming embedding gate (r11)
+
+EMB_GATE_TAU = 0.35  # the semantic_dedup prune threshold, reused
+
+
+def q_stream_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING embedding-ingest gate driven to completion — the
+    vector twin of `stream_ingest_gate`: arriving embedding batches
+    (every 10th vector, staged as two micro-batch files) are near-dup
+    checked against a STANDING corpus-only IVF layout via the batch
+    query-table search (`streaming.ingest.run_embedding_gate_stream`
+    → `similarity.ivf_batch_topk`, k=1), and any vector whose best
+    probed-cell cosine reaches `EMB_GATE_TAU` is rejected. One verdict
+    row per arriving vector: (vec_id, max_cosine, accept). The oracle
+    replays the whole thing as a batch query — probe ranking, top-1
+    cosine (max of the rounded cosines: rounding is monotone, so
+    max∘round = round∘max), NULL-as-accept — which IS the claim: the
+    stateless-per-batch gate's union of verdict directories equals the
+    one-shot batch computation."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.queries_dedup import _stream_scratch_roots
+    from apachebeamkmeans_spark.streaming.ingest import (
+        run_embedding_gate_stream,
+    )
+
+    _warn_if_not_train_sf(sf_dir, "stream_embedding_gate")
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    first = new.filter(F.col("vec_id") % 20 == 0)
+    rest = new.filter(F.col("vec_id") % 20 != 0)
+    src, out, ckpt = _stream_scratch_roots(
+        spark, sf_dir, "embgate", (first, rest), table="embeddings"
+    )
+    # corpus-only layout, built once per (fingerprint, session) root
+    index_path = os.path.join(os.path.dirname(ckpt.rstrip("/")), "index")
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        SIM.build_ivf_index(
+            ANN.l2_normalize(
+                corpus.selectExpr(
+                    "vec_id AS id",
+                    "CAST(embedding AS array<double>) AS features",
+                )
+            ),
+            TRAINED_CENTERS, index_path,
+        )
+    q = run_embedding_gate_stream(
+        spark, index_path, TRAINED_CENTERS, src, new.schema, out, ckpt,
+        tau=EMB_GATE_TAU, nprobe=IVFPQ_NPROBE, max_files_per_trigger=1,
+        name=f"q_embgate_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return spark.read.option("basePath", out).parquet(
+        f"{out}/batch=*"
+    ).select("vec_id", "max_cosine", "accept")
+
+
+def _oracle_stream_embedding_gate() -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    dists = [
+        f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)
+    ]
+    argmin = OG.sql_argmin_case(
+        [f"d{i}" for i in range(len(TRAINED_CENTERS))], "coarse_id"
+    )
+    qnsq = "list_sum(list_transform(e, x -> x*x))"
+    cell_structs = ", ".join(
+        f"struct_pack(cell := {i}, d := {OG.sql_l2_sq('q', c)})"
+        for i, c in enumerate(TRAINED_CENTERS)
+    )
+    dot = OG.sql_dot_cols("ca.e", "p.q")
+    vn = "sqrt(list_sum(list_transform(ca.e, x -> x*x)))"
+    return f"""
+WITH en AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
+  FROM {_E2} t WHERE vec_id % 10 <> 0 AND {nsq} > 0),
+ca AS MATERIALIZED (
+  SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}
+  FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))),
+qn AS (
+  SELECT vec_id AS qid, list_transform(e, x -> x / sqrt({qnsq})) AS q
+  FROM {_E2} t
+  WHERE vec_id % 10 = 0 AND {qnsq} > 0),
+qd AS (SELECT qid, q, unnest([{cell_structs}]) AS s FROM qn),
+probes AS (
+  SELECT qid, q, probe_cell FROM (
+    SELECT qid, q, s.cell AS probe_cell,
+           row_number() OVER (PARTITION BY qid ORDER BY s.d, s.cell) AS rn
+    FROM qd) WHERE rn <= {IVFPQ_NPROBE}),
+top1 AS (
+  SELECT p.qid, max(round({dot} / {vn}, 6)) AS max_cosine
+  FROM probes p JOIN ca ON ca.coarse_id = p.probe_cell
+  GROUP BY p.qid)
+SELECT nv.vec_id, t.max_cosine,
+       coalesce(t.max_cosine < {EMB_GATE_TAU}, TRUE) AS accept
+FROM (SELECT vec_id FROM {_E2} t WHERE vec_id % 10 = 0) nv
+LEFT JOIN top1 t ON t.qid = nv.vec_id
+"""
+
+
+ORACLE_STREAM_EMBEDDING_GATE = _oracle_stream_embedding_gate()
+
+
 # ---------------------------------------------- AnnIndex lifecycle (r11)
 
 # The facade's append batch: every ANN_APPEND_MOD-th embedding re-enters
@@ -2282,5 +2391,9 @@ QUERIES = {
     "ann_index_pq_roundtrip": (
         q_ann_index_pq_roundtrip,
         ORACLE_ANN_INDEX_PQ_ROUNDTRIP,
+    ),
+    "stream_embedding_gate": (
+        q_stream_embedding_gate,
+        ORACLE_STREAM_EMBEDDING_GATE,
     ),
 }

@@ -327,3 +327,69 @@ def run_ingest_gate_stream(
             json.dump({"query_id": str(q.id)}, f)
         os.replace(tmp, lineage_path)
     return q
+
+
+def run_embedding_gate_stream(
+    spark: SparkSession,
+    index_path: str,
+    centers: list[list[float]],
+    src_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint: str,
+    tau: float = 0.35,
+    nprobe: int = 2,
+    max_files_per_trigger: int | None = None,
+    name: str = "embedding_gate_stream",
+):
+    """Embedding-side ingest gate — the vector twin of the MinHash text
+    gate above: each arriving micro-batch of embeddings is near-dup
+    checked against a STANDING `build_ivf_index` layout (top-1 cosine
+    within each vector's probed cells, via the batch query-table
+    search `similarity.ivf_batch_topk`), and vectors whose best match
+    reaches `tau` are rejected. One verdict row per arriving vector:
+    (vec_id, max_cosine, accept) — max_cosine NULL when no candidate
+    (empty probe cells, or a zero-norm vector that has no direction).
+
+    State discipline: the gate is STATELESS per batch (the index side
+    is a static layout; the batch side joins against it), and the sink
+    writes one partition directory per micro-batch id — the idempotent
+    overwrite-by-batch-id contract shared with the text gate, so
+    checkpoint recovery re-delivers and rewrites rather than
+    double-appends. At cluster scale the source becomes Kafka and the
+    layout an AnnIndex a separate job maintains (accepted batches
+    appended offline); the per-batch plan is identical."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import similarity as SIM
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+    index = spark.read.schema(SIM.INDEX_SCHEMA).parquet(index_path)
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qtab = batch_df.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        top1 = SIM.ivf_batch_topk(
+            index, qtab, centers, k=1, nprobe=nprobe
+        ).select("qid", F.col("cosine").alias("max_cosine"))
+        verdicts = qtab.select("qid").join(top1, "qid", "left").select(
+            F.col("qid").alias("vec_id"),
+            "max_cosine",
+            # rounded-cosine threshold (ivf_batch_topk emits round-6)
+            # so the verdict boolean is cross-engine stable; no match
+            # at all = accept
+            F.coalesce(F.col("max_cosine") < tau, F.lit(True)).alias("accept"),
+        )
+        verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint)
+        .queryName(name)
+        .start()
+    )

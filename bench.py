@@ -119,6 +119,7 @@ HEADLINE = [
     "sim_ivfpq_batch_topk",
     "sim_pca_ivf_topk",
     "ann_index_pq_roundtrip",
+    "stream_embedding_gate",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

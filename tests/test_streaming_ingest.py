@@ -188,3 +188,89 @@ def test_fold_accepted_rejects_copy_of_earlier_accepted_batch(
             assert copy == (copy[0], 1.0, False), (oid, copy)
             folded_checked += 1
     assert folded_checked, "no accepted batch-1 doc to verify the fold with"
+
+
+def test_embedding_gate_stream_equals_batch_and_resumes(spark, sf_dir, tmp_path):
+    """The embedding gate's union of per-batch verdicts equals the
+    one-shot batch computation (top-1 probed-cell cosine vs the
+    standing layout, tau threshold, no-match = accept), and a restart
+    with the same checkpoint does not re-gate committed batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators import similarity as SIM
+    from apachebeamkmeans_spark.sources import io
+    from apachebeamkmeans_spark.streaming.ingest import (
+        run_embedding_gate_stream,
+    )
+
+    src, out, ckpt, idx = (
+        str(tmp_path / d) for d in ("src", "out", "ckpt", "idx")
+    )
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    centers = ANN.round_mat(
+        ANN.ivf_train(
+            ANN.l2_normalize(
+                corpus.selectExpr(
+                    "vec_id AS id", "CAST(embedding AS array<double>) AS features"
+                )
+            ),
+            4, 2, "eg",
+        )
+    )
+    SIM.build_ivf_index(
+        ANN.l2_normalize(
+            corpus.selectExpr(
+                "vec_id AS id", "CAST(embedding AS array<double>) AS features"
+            )
+        ),
+        centers, idx,
+    )
+    new.coalesce(1).write.mode("append").parquet(src)
+
+    def start(name):
+        return run_embedding_gate_stream(
+            spark, idx, centers, src, new.schema, out, ckpt,
+            tau=0.35, nprobe=2, name=name,
+        )
+
+    q = start("embgate_p1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    got = {
+        r["vec_id"]: (r["max_cosine"], r["accept"])
+        for r in spark.read.option("basePath", out)
+        .parquet(f"{out}/batch=*").collect()
+    }
+
+    index = spark.read.schema(SIM.INDEX_SCHEMA).parquet(idx)
+    qtab = new.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top1 = SIM.ivf_batch_topk(index, qtab, centers, k=1, nprobe=2).select(
+        "qid", F.col("cosine").alias("mc")
+    )
+    want = {
+        r["qid"]: (r["mc"], r["mc"] is None or r["mc"] < 0.35)
+        for r in qtab.select("qid").join(top1, "qid", "left").collect()
+    }
+    assert got == want and got
+    assert any(not a for _mc, a in got.values()), "fixture rejected nothing"
+    assert any(a for _mc, a in got.values()), "fixture accepted nothing"
+
+    # restart: no new files -> no new batch dirs, verdicts unchanged
+    before = sorted(os.listdir(out))
+    q2 = start("embgate_p2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+    assert sorted(os.listdir(out)) == before
