@@ -288,7 +288,7 @@ def _substring_runs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    fp = scratch.data_fingerprint(sf_dir, table)
+    fp = scratch.data_fingerprint(sf_dir, "documents")
     # v2: r9 interval-merge semantics — the version tag invalidates any
     # staged table built by the pre-merge generator (the fingerprint
     # alone only tracks DATA changes, not generator semantics)
@@ -636,7 +636,7 @@ def _gate_state_artifact(
 
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    fp = scratch.data_fingerprint(sf_dir, table)
+    fp = scratch.data_fingerprint(sf_dir, "documents")
     path = os.path.join(
         scratch.repo_root(), ".scratch",
         f"gate_state_{sfx}_{ph}_b{BANDS}_s{SHINGLE}_f{fp}",
