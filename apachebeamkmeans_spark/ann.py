@@ -16,7 +16,9 @@ The on-disk layout is the certified hive-partitioned IVF table (one
 plan-locked in tests/test_plans.py) plus a `_ann_params` sidecar (one-row Spark text table)
 holding the trained centers and config, so a later session searches
 without retraining. Vectors are L2-normalized at train/append time;
-queries are normalized by the cosine itself.
+raw query vectors are L2-normalized by `topk` / `topk_table`
+themselves (the facade contract — callers pass raw vectors; an
+all-zero query has no direction and is rejected/dropped).
 
 Scale posture: training is the k-row-collect Lloyd the engine uses
 everywhere; the search reads nprobe/k of the partitions; appends touch
@@ -41,8 +43,17 @@ def _norm_vec(q: list[float]) -> list[float]:
     """Driver-side L2 normalization of one literal query — the exact
     left-to-right formula `queries_similarity._norm_q` uses, so a
     facade-normalized raw query embeds the same doubles an oracle
-    built from pre-normalized literals expects."""
+    built from pre-normalized literals expects. A zero-norm query has
+    no direction: raise the same descriptive error class the batch
+    paths express as their `__nsq > 0` drop-filter (ADVICE r11 — the
+    facade's two entry points must agree on invalid input)."""
     n = sum(float(v) * float(v) for v in q) ** 0.5
+    if n == 0.0:
+        raise ValueError(
+            "AnnIndex query vector has zero L2 norm (no direction to "
+            "search in); topk_table drops such rows, literal topk "
+            "rejects them"
+        )
     return [float(v) / n for v in q]
 
 

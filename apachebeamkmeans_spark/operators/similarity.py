@@ -414,7 +414,8 @@ def ivfpq_topk(vecs: DataFrame, queries: list[list[float]],
     union of all queries' probe cells, PQ-encode the survivors
     (m codes/row), ADC-rank per query with a (qid, cell) membership
     filter, keep the top-`refine` shortlist, then re-rank the shortlist
-    by EXACT cosine (dot on unit vectors) for the final top-k. With a
+    by EXACT cosine (dot / |f|, the one convention every serving path
+    shares) for the final top-k. With a
     materialized coarse-partitioned layout (`build_ivf_index`) the cell
     filter becomes partition pruning, so at 100 TB the scan touches
     nprobe/k of the data; the ADC stage reads m bytes per row, and the
@@ -481,15 +482,25 @@ def ivfpq_topk(vecs: DataFrame, queries: list[list[float]],
     # exact refine: fetch the raw vectors for the <= refine·n_queries
     # shortlisted rows via a broadcast hash join against the pruned
     # cells (a second column-pruned scan of nprobe/k of the corpus —
-    # with a materialized IVF layout this scan partition-prunes too);
-    # vectors are unit-normalized, so cosine = dot.
+    # with a materialized IVF layout this scan partition-prunes too).
+    # cosine = dot / |f| — ONE convention across the whole serving
+    # matrix (ADVICE r11: the batch twins divide by |f|; with |f| = 1
+    # by the normalization contract the values agree to ~1e-16, but
+    # the facade must report the SAME number through every entry
+    # point). |f| staged as a column — no CSE inside HOF lambdas.
     dots = F.transform(
         F.lit([list(map(float, q)) for q in queries]),
         lambda q: D.dot(F.col("f"), q),
     )
-    scored = pruned.select("vec_id", "f").join(
+    vn = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("f"), lambda x: x * x),
+            F.lit(0.0), lambda a, v: a + v,
+        )
+    )
+    scored = pruned.select("vec_id", "f", vn.alias("__vn")).join(
         F.broadcast(shortlist), "vec_id"
-    ).withColumn("_c", F.element_at(dots, F.col("qid") + 1))
+    ).withColumn("_c", F.element_at(dots, F.col("qid") + 1) / F.col("__vn"))
     wc = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(wc))
@@ -830,13 +841,21 @@ def ivfpq_residual_topk(vecs: DataFrame, queries: list[list[float]],
         hits.withColumn("adc_rank", F.row_number().over(wa))
         .filter(F.col("adc_rank") <= refine)
     )
+    # cosine = dot / |f| — the serving-matrix-wide convention (see
+    # ivfpq_topk's refine note; ADVICE r11)
     dots = F.transform(
         F.lit([list(map(float, q)) for q in queries]),
         lambda q: D.dot(F.col("f"), q),
     )
-    scored = pruned.select("vec_id", "f").join(
+    vn = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("f"), lambda x: x * x),
+            F.lit(0.0), lambda a, v: a + v,
+        )
+    )
+    scored = pruned.select("vec_id", "f", vn.alias("__vn")).join(
         F.broadcast(shortlist), "vec_id"
-    ).withColumn("_c", F.element_at(dots, F.col("qid") + 1))
+    ).withColumn("_c", F.element_at(dots, F.col("qid") + 1) / F.col("__vn"))
     wc = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(wc))
@@ -1131,13 +1150,21 @@ def ivfpq_topk_indexed(spark, index_path: str, queries: list[list[float]],
         hits.withColumn("adc_rank", F.row_number().over(wa))
         .filter(F.col("adc_rank") <= refine)
     )
+    # cosine = dot / |f| — the serving-matrix-wide convention (see
+    # ivfpq_topk's refine note; ADVICE r11)
     dots = F.transform(
         F.lit([list(map(float, q)) for q in queries]),
         lambda q: D.dot(F.col("f"), q),
     )
-    scored = pruned.select("vec_id", "f").join(
+    vn = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("f"), lambda x: x * x),
+            F.lit(0.0), lambda a, v: a + v,
+        )
+    )
+    scored = pruned.select("vec_id", "f", vn.alias("__vn")).join(
         F.broadcast(shortlist), "vec_id"
-    ).withColumn("_c", F.element_at(dots, F.col("qid") + 1))
+    ).withColumn("_c", F.element_at(dots, F.col("qid") + 1) / F.col("__vn"))
     wc = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(wc))

@@ -1001,15 +1001,18 @@ def _oracle_ivfpq_trained(table: str = _E2) -> str:
         in_list = ", ".join(str(p) for p in probe_cells[qid])
         # Twin of ivfpq_topk's two-stage rank: ADC shortlist of
         # `refine` rows (d ASC, vec_id ASC), then exact re-rank of the
-        # shortlist by dot on the unit vectors (cosine) DESC with
-        # vec_id tie-break — emits `cosine`, same as the Spark side.
+        # shortlist by cosine = dot / |f| (the serving-matrix-wide
+        # convention since r12 — ADVICE r11 unified the literal paths
+        # with the batch twins' |f| division) DESC with vec_id
+        # tie-break — emits `cosine`, same as the Spark side.
         dot = OG.sql_dot("en.e", q)
+        vn = "sqrt(list_sum(list_transform(en.e, x -> x*x)))"
         parts.append(
             f"SELECT {qid} AS qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM ("
             f"  SELECT probe_cell, vec_id, c,"
             f"    CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank"
             f"  FROM ("
-            f"    SELECT sl.probe_cell, sl.vec_id, {dot} AS c"
+            f"    SELECT sl.probe_cell, sl.vec_id, ({dot}) / {vn} AS c"
             f"    FROM ("
             f"      SELECT coarse_id AS probe_cell, vec_id,"
             f"        row_number() OVER (ORDER BY d ASC, vec_id ASC) AS adc_rank"
@@ -1134,13 +1137,16 @@ def _oracle_ivfpq_residual() -> str:
             adc_terms.append(f"(([{cell_lists}])[coarse_id + 1])[c{s} + 1]")
         adc = " + ".join(adc_terms)
         in_list = ", ".join(str(p) for p in probe_cells[qid])
+        # cosine = dot / |f| — the serving-matrix-wide refine
+        # convention (see _oracle_ivfpq_trained)
         dot = OG.sql_dot("en.e", q)
+        vn = "sqrt(list_sum(list_transform(en.e, x -> x*x)))"
         parts.append(
             f"SELECT {qid} AS qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM ("
             f"  SELECT probe_cell, vec_id, c,"
             f"    CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank"
             f"  FROM ("
-            f"    SELECT sl.probe_cell, sl.vec_id, {dot} AS c"
+            f"    SELECT sl.probe_cell, sl.vec_id, ({dot}) / {vn} AS c"
             f"    FROM ("
             f"      SELECT coarse_id AS probe_cell, vec_id,"
             f"        row_number() OVER (ORDER BY d ASC, vec_id ASC) AS adc_rank"
@@ -1781,9 +1787,16 @@ def q_sim_pca_project_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     at this width on this host (max |Δ| = 0.0 at sf0.01 and sf0.1,
     r11), and both sides round to 6 dp, so even a BLAS build whose
     64-term summation diverges at the ~1e-15 level has a ~1e-9
-    per-value chance of crossing a rounding boundary. The projection
-    itself stays a zero-shuffle narrow map; the Python crossing is
-    Arrow-batched (one matmul per batch, never per row)."""
+    per-value chance of crossing a rounding boundary. Portability
+    caveat (ADVICE r11): at n·out_dim ≈ 64k certified values that
+    per-value chance compounds, so on a host whose BLAS is NOT
+    bit-identical to the fold this one query may hash-mismatch
+    nondeterministically — that is an environment signal, not an
+    engine bug; the numeric agreement itself is tolerance-asserted in
+    tests/test_pca.py, and the hash gate is the bit-equality claim
+    scoped to builds where it holds. The projection itself stays a
+    zero-shuffle narrow map; the Python crossing is Arrow-batched
+    (one matmul per batch, never per row)."""
     from pyspark.sql import functions as F
 
     from apachebeamkmeans_spark.operators import ann_train as ANN

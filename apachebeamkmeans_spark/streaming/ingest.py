@@ -79,6 +79,31 @@ def _read_fold_state(
     return out
 
 
+def _require_local_dir(path: str, what: str) -> str:
+    """The fold-state store is driver-local by implementation — the
+    restart refold scans it with os.listdir, the `_lineage` marker is
+    read/written with plain open(), and the replay-skip checks
+    `_SUCCESS` with os.path.exists. Handed a remote URI (hdfs://,
+    s3a://), every one of those would silently see an EMPTY store: no
+    refold, no lineage guard, no replay skip — the exact hazards the
+    store exists to close (ADVICE r11). Reject loudly up front;
+    `file:`-scheme URIs normalize to plain paths."""
+    if "://" in path:
+        scheme, rest = path.split("://", 1)
+        if scheme == "file":
+            return "/" + rest.lstrip("/") if rest else "/"
+        raise ValueError(
+            f"ingest gate: {what} {path!r} has a non-local filesystem "
+            f"scheme {scheme!r}, but the fold-state store is driver-local "
+            f"(os.listdir refold scan, _lineage marker via open()) — a "
+            f"remote store would silently read as empty instead of "
+            f"refolding. Use a local path, or mount the store locally."
+        )
+    if path.startswith("file:"):
+        return path[len("file:"):] or "/"
+    return path
+
+
 def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str | None:
     """The streaming query id from `<checkpoint>/metadata`, through the
     Hadoop FS API so hdfs://-style checkpoints resolve (the id is
@@ -158,6 +183,8 @@ def run_ingest_gate_stream(
     changed; a doc-level check cannot see that); and per batch, the
     replay skip additionally verifies the batch's doc_id set against
     the committed verdicts before draining."""
+    if fold_accepted and state_store is not None:
+        state_store = _require_local_dir(state_store, "state_store")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -217,10 +217,11 @@ def test_pq_tier_lifecycle_and_pruning(spark, sf_dir, tmp_path):
 
 
 def test_pq_tier_topk_table_matches_literal(spark, sf_dir, tmp_path):
-    """The PQ tier's batch (query-table) search must rank the same
-    (qid, vec_id, rank) sets as the literal PQ path for identical
-    query vectors (cosines differ only in the |f| normalization the
-    batch path adds)."""
+    """The PQ tier's batch (query-table) search must report the same
+    (qid, vec_id, cosine, rank) rows as the literal PQ path for
+    identical query vectors — since r12 both refine stages score
+    cosine = dot / |f| (ADVICE r11 unified the convention), so the
+    VALUES must agree at the emitted 6-dp rounding, not just ranks."""
     from pyspark.sql import functions as F
 
     path = str(tmp_path / "pq_idx_tab")
@@ -235,7 +236,7 @@ def test_pq_tier_topk_table_matches_literal(spark, sf_dir, tmp_path):
         "qid long, qvec array<double>",
     )
     got = {
-        (r["qid"], r["vec_id"], r["rank"])
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
         for r in idx.topk_table(qtab, k=5, nprobe=2, refine=30).collect()
     }
 
@@ -244,5 +245,7 @@ def test_pq_tier_topk_table_matches_literal(spark, sf_dir, tmp_path):
     lits = [[float(v) for v in r["embedding"]] for r in qrows]
     lit = idx.topk(lits, k=5, nprobe=2, refine=30).collect()
     qid_map = {i: r["vec_id"] for i, r in enumerate(qrows)}
-    want = {(qid_map[r["qid"]], r["vec_id"], r["rank"]) for r in lit}
+    want = {
+        (qid_map[r["qid"]], r["vec_id"], r["cosine"], r["rank"]) for r in lit
+    }
     assert got == want and got
