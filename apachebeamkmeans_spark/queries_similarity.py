@@ -912,7 +912,10 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sim_ivf_trained_indexed` oracle extended with the append set
     (r10 verdict item 1). Scale posture is the facade's own: train is
     k-row-collect Lloyd, the search reads nprobe/k partitions, the
-    append touches only the directories its batch lands in."""
+    append touches only the directories its batch lands in. This
+    query's anchor is the LIFECYCLE cost (re-train + re-build every
+    run, by design); the amortized serving-only cost a user pays per
+    search session is anchored separately by `ann_index_search`."""
     from pyspark.sql import functions as F
 
     from apachebeamkmeans_spark.ann import AnnIndex
@@ -945,7 +948,10 @@ def q_ann_index_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sidecar, LOAD (version dispatch), shifted-id append (assign +
     encode), then ADC-shortlist + exact-refine top-k over the grown
     index. Oracle = the `sim_ivfpq_trained` replay over base ∪
-    appended batch."""
+    appended batch. The anchor is the LIFECYCLE cost (two trainings +
+    full-corpus encode + layout write, every run by design); the
+    amortized serving-only cost is anchored separately by
+    `ann_index_pq_search`."""
     from pyspark.sql import functions as F
 
     from apachebeamkmeans_spark.ann import AnnIndex
@@ -1041,6 +1047,119 @@ def _oracle_ivfpq_trained(table: str = _E2) -> str:
 
 ORACLE_SIM_IVFPQ_TRAINED = _oracle_ivfpq_trained()
 ORACLE_ANN_INDEX_PQ_ROUNDTRIP = _oracle_ivfpq_trained(_E2_ROUNDTRIP)
+
+
+# -------------------------------------- AnnIndex amortized serving (r12)
+
+
+def _ann_serve_index_path(sf_dir: str, tier: str) -> str:
+    """Home of the PERSISTED serving index for the `ann_index_*search`
+    queries: one directory per (tier, sf, embeddings CONTENT
+    fingerprint) under `.ivf_index/` — the `_knn_quantizer` artifact
+    pattern applied to a whole index. The fingerprint in the name is
+    the staleness key (regenerated-identical data reads through, any
+    real change rebuilds); stale generations are reaped on entry. The
+    `serve_` prefix is disjoint from the mtime-keyed `{base}_m*` family
+    `_ivf_index_path` reaps, so neither reaper touches the other's
+    dirs."""
+    import hashlib
+
+    from apachebeamkmeans_spark import scratch
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    fp = scratch.data_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(
+        scratch.repo_root(), ".ivf_index", f"serve_{tier}_{sfx}_{ph}_f{fp}"
+    )
+    scratch.reap(
+        os.path.dirname(path), f"serve_{tier}_{sfx}_{ph}_", keep=path
+    )
+    return path
+
+
+def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool) -> str:
+    """Build-once publish of the serving index: the roundtrip queries'
+    exact corpus (train at the certified config, then the
+    deterministic shifted-id append), staged in a pid-suffixed tmp dir
+    and PUBLISHED with one atomic os.rename — a concurrent builder
+    either wins the rename or discards its identical bytes, so the
+    published layout can never hold a double append. Repeat sessions
+    pay only the `_serve_ready` stat — the amortization the serving
+    queries measure."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    path = _ann_serve_index_path(sf_dir, "pq" if pq else "flat")
+    if os.path.exists(os.path.join(path, "_serve_ready")):
+        return path
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    tmp = f"{path}.build.{os.getpid()}"
+    if pq:
+        AnnIndex.train(
+            spark, emb, tmp, k=IVFPQ_K, n_iters=IVFPQ_ITERS,
+            pq_m=IVFPQ_M, pq_ksub=IVFPQ_KSUB,
+        )
+    else:
+        AnnIndex.train(spark, emb, tmp, k=IVFPQ_K, n_iters=IVFPQ_ITERS)
+    idx = AnnIndex.load(spark, tmp)
+    batch = emb.filter(
+        F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_RESIDUE
+    ).withColumn("vec_id", F.col("vec_id") + F.lit(ANN_APPEND_OFFSET))
+    idx.append(batch)
+    with open(os.path.join(tmp, "_serve_ready"), "w") as f:
+        f.write("1")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent builder published first; training is
+        # deterministic, so its bytes equal ours — drop the duplicate
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade's AMORTIZED serving cost (r11 verdict item 1):
+    `AnnIndex.load` + `topk` against a PERSISTED fingerprint-keyed
+    index — the number a serving user actually pays per search
+    session, split off from `ann_index_roundtrip`'s train+build+append
+    lifecycle anchor. The one-time build (identical corpus: train at
+    the certified config + the deterministic shifted-id append) is
+    content-keyed and atomic-published, so every run after the first —
+    across sessions — executes ONLY sidecar read + partition-pruned
+    probe. Oracle: the same trained-probe replay the lifecycle query
+    certifies (identical result by construction)."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_search")
+    path = _ensure_serve_index(spark, sf_dir, pq=False)
+    idx = AnnIndex.load(spark, path)
+    return idx.topk(QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
+
+
+ORACLE_ANN_INDEX_SEARCH = ORACLE_ANN_INDEX_ROUNDTRIP
+
+
+def q_ann_index_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_index_search`'s PQ-tier twin: load + ADC-shortlist +
+    exact-refine `topk` against the persisted v2 index — splits the
+    serving cost out of `ann_index_pq_roundtrip`'s two-trainings +
+    full-encode + layout-write anchor (the suite's biggest single
+    cost, r11 verdict)."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_pq_search")
+    path = _ensure_serve_index(spark, sf_dir, pq=True)
+    idx = AnnIndex.load(spark, path)
+    return idx.topk(
+        QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE
+    )
+
+
+ORACLE_ANN_INDEX_PQ_SEARCH = ORACLE_ANN_INDEX_PQ_ROUNDTRIP
 
 
 # ------------------------------------------------- residual IVF-PQ (r6)
@@ -2405,6 +2524,8 @@ QUERIES = {
         q_ann_index_pq_roundtrip,
         ORACLE_ANN_INDEX_PQ_ROUNDTRIP,
     ),
+    "ann_index_search": (q_ann_index_search, ORACLE_ANN_INDEX_SEARCH),
+    "ann_index_pq_search": (q_ann_index_pq_search, ORACLE_ANN_INDEX_PQ_SEARCH),
     "stream_embedding_gate": (
         q_stream_embedding_gate,
         ORACLE_STREAM_EMBEDDING_GATE,

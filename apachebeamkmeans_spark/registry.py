@@ -48,6 +48,12 @@ SEMANTICS_CHANGED: dict[str, int] = {
     # r9: q20's part filter moved to the spec-shaped name-prefix+size
     # form so the semi-join actually prunes (r8 fixture saturation)
     "q20_promotion_suppliers": 9,
+    # r12: PQ refine cosine unified on dot/|f| (ADVICE r11) — values
+    # verified identical at 6 dp locally, but the oracle text changed
+    # with the implementation, so the comparison must re-certify
+    "sim_ivfpq_trained": 12,
+    "sim_ivfpq_residual": 12,
+    "ann_index_pq_roundtrip": 12,
 }
 
 

@@ -249,3 +249,38 @@ def test_pq_tier_topk_table_matches_literal(spark, sf_dir, tmp_path):
         (qid_map[r["qid"]], r["vec_id"], r["cosine"], r["rank"]) for r in lit
     }
     assert got == want and got
+
+
+def test_serve_index_builds_once_and_serves(spark, sf_dir):
+    """The amortized serving artifact (`ann_index_search`'s build-once
+    publish): the first _ensure_serve_index call trains+appends and
+    atomically publishes; a second call must short-circuit on the
+    `_serve_ready` marker without touching the layout (same inode
+    mtimes), and the served result equals the roundtrip lifecycle's
+    search over the identical corpus."""
+    from apachebeamkmeans_spark import queries_similarity as QS
+
+    path = QS._ensure_serve_index(spark, sf_dir, pq=False)
+    assert os.path.exists(os.path.join(path, "_serve_ready"))
+    mt = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+    }
+    path2 = QS._ensure_serve_index(spark, sf_dir, pq=False)
+    assert path2 == path
+    assert {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+    } == mt
+
+    idx = AnnIndex.load(spark, path)
+    got = idx.topk(
+        QS.QUERY_VECS, k=QS.IVFPQ_TOPK, nprobe=QS.IVFPQ_NPROBE
+    ).collect()
+    want = QS.q_ann_index_roundtrip(spark, sf_dir).collect()
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["qid"], r["vec_id"], r["cosine"], r["rank"]) for r in got]
+    ) == sorted(
+        [(r["qid"], r["vec_id"], r["cosine"], r["rank"]) for r in want]
+    )
