@@ -645,13 +645,19 @@ def ivfpq_batch_topk_indexed(spark, index_path: str, queries: DataFrame,
                              codebooks: list[list[list[float]]],
                              k: int = 5, nprobe: int = 2, refine: int = 50,
                              qid_col: str = "qid",
-                             qvec_col: str = "qvec") -> DataFrame:
+                             qvec_col: str = "qvec",
+                             prune_scan: bool = True) -> DataFrame:
     """`ivfpq_batch_topk` over a materialized `build_ivfpq_index`
     layout: assign/encode already paid at build time, candidates come
     from the codes scan joined to the in-plan per-query LUTs, the
     refine re-reads raw vectors from the layout. Query-side shape is
     identical to the inline batch operator (fold-normalize →
-    checkpoint → probes + LUT via `pq_encode_lut`)."""
+    checkpoint → probes + LUT via `pq_encode_lut`). With `prune_scan`
+    (default) the distinct probed-cell set is collected (≤ k cells)
+    and pushed as a static `coarse_id IN (...)` filter, so BOTH layout
+    reads — the codes scan and the refine raw-vector fetch — partition
+    prune to the probed directories (see `ivf_batch_topk`; r11 verdict
+    item 2)."""
     m = len(codebooks)
     index = spark.read.schema(PQ_INDEX_SCHEMA).parquet(index_path)
 
@@ -696,6 +702,12 @@ def ivfpq_batch_topk_indexed(spark, index_path: str, queries: DataFrame,
         .select("qid", "lut", "probes")
     )
     probes = qside.select("qid", "lut", F.explode("probes").alias("q_cell"))
+    if prune_scan:
+        cells = sorted(
+            r["q_cell"] for r in probes.select("q_cell").distinct().collect()
+        )
+        if cells:
+            index = index.filter(F.col("coarse_id").isin(cells))
 
     def _adc(lut_col, codes_col):
         return _adc_expr(lut_col, codes_col, m)
@@ -971,7 +983,8 @@ def ivf_topk(vecs: DataFrame, queries: list[list[float]],
 
 def ivf_batch_topk(index: DataFrame, queries: DataFrame,
                    centers: list[list[float]], k: int = 5, nprobe: int = 1,
-                   qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+                   qid_col: str = "qid", qvec_col: str = "qvec",
+                   prune_scan: bool = True) -> DataFrame:
     """IVF search driven by a query TABLE — the batch serving shape.
     Every literal-query variant above embeds the query matrix in the
     plan; at production scale the queries ARE a table (millions of
@@ -991,9 +1004,18 @@ def ivf_batch_topk(index: DataFrame, queries: DataFrame,
     n_cell·q_cell — the real IVF work — and the join key has only
     `len(centers)` distinct values, so at real scale the QUERY side
     should be the broadcast/replicated side (per-batch serving chunks
-    it; AQE decides here) and Spark's dynamic partition pruning can
-    skip cells no query probes. The window shuffles by qid — k rows
-    per query survive the map-side WindowGroupLimit."""
+    it; AQE decides here). With `prune_scan` (default) the distinct
+    probed-cell set — at most `len(centers)` values, a legitimate
+    k-row collect — is computed up front and pushed as a STATIC
+    `coarse_id IN (...)` filter on the index side, so a
+    hive-partitioned layout reads only the probed directories
+    (plan-locked in tests/test_plans.py; r11 verdict item 2 — DPP
+    does not fire on this join shape, the data-dependent probe set
+    must be made a plan constant to prune). The one extra pass over
+    the query table is a normalize + k-distance argsort — paid once,
+    vs scanning (k − probed)/k of the layout for nothing. The window
+    shuffles by qid — k rows per query survive the map-side
+    WindowGroupLimit."""
     qn = F.col(qvec_col).cast("array<double>")
     nsq = F.aggregate(
         F.transform(qn, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
@@ -1032,6 +1054,13 @@ def ivf_batch_topk(index: DataFrame, queries: DataFrame,
             )
         ).alias("probe_cell"),
     )
+    if prune_scan:
+        cells = sorted(
+            r["probe_cell"]
+            for r in probes.select("probe_cell").distinct().collect()
+        )
+        if cells:
+            index = index.filter(F.col("coarse_id").isin(cells))
     cand = index.join(probes, F.col("coarse_id") == F.col("probe_cell"))
     f = F.col("f")
     vnorm = F.sqrt(

@@ -540,3 +540,61 @@ def test_ann_index_roundtrip_topk_is_partition_pruned(spark, sf_dir, tmp_path):
     after = plan.split("PartitionFilters", 1)
     assert len(after) == 2 and "coarse_id" in after[1][:200]
     assert plan.count("PartitionFilters") == 1
+
+
+def test_batch_topk_table_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """r11 verdict item 2: the BATCH serving path (`AnnIndex.topk_table`
+    → `ivf_batch_topk`) must prune the hive-partitioned layout scan to
+    the data-dependent probed cells. DPP does not fire on the
+    `coarse_id == probe_cell` join shape, so the operator collects the
+    ≤ k distinct probed cells (a k-row driver list — legitimate) into
+    a static `coarse_id IN (...)` pushdown. Locked: a query batch that
+    probes exactly one cell (rows AT a trained center, nprobe=1) must
+    reach the scan as a PartitionFilters entry naming that single
+    cell, and the search result over the probed cell must be intact."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    path = str(tmp_path / "batch_prune_idx")
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    # every query row IS a trained center -> probes only its own cell
+    qtab = spark.createDataFrame(
+        [(0, [float(v) for v in idx.centers[1]])],
+        "qid long, qvec array<double>",
+    )
+    res = idx.topk_table(qtab, k=3, nprobe=1)
+    plan = X.formatted_plan(res)
+    after = plan.split("PartitionFilters", 1)
+    assert len(after) == 2 and "coarse_id" in after[1][:200]
+    # the single probed cell appears as an equality/one-element IN —
+    # never an empty PartitionFilters: []
+    assert "PartitionFilters: []" not in plan
+    rows = res.collect()
+    assert rows and all(r["probe_cell"] == rows[0]["probe_cell"] for r in rows)
+
+
+def test_pq_batch_topk_table_both_scans_partition_pruned(
+    spark, sf_dir, tmp_path
+):
+    """The PQ tier's batch path (`ivfpq_batch_topk_indexed`) reads the
+    layout TWICE — the codes scan and the refine raw-vector fetch —
+    and with the r12 static probe pushdown BOTH must partition-prune
+    (two non-empty PartitionFilters over coarse_id)."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    path = str(tmp_path / "pq_batch_prune_idx")
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    idx = AnnIndex.train(spark, emb, path, k=4, pq_m=8, pq_ksub=16)
+    qtab = emb.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = idx.topk_table(qtab, k=3, nprobe=1, refine=20)
+    plan = X.formatted_plan(res)
+    assert plan.count("PartitionFilters") == 2
+    assert "PartitionFilters: []" not in plan
+    for chunk in plan.split("PartitionFilters")[1:]:
+        assert "coarse_id" in chunk[:200]
