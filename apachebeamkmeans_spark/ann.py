@@ -132,18 +132,39 @@ class AnnIndex:
         ]
         if pq_m is None:
             SIM.build_ivf_index(vecs, centers, path)
-            payload = json.dumps({"centers": centers, "version": 1})
-            idx = AnnIndex(spark, path, centers)
+            books = None
         else:
             books = [
                 [[ANN.round_param(v) for v in cent] for cent in book]
                 for book in ANN.pq_train(vecs, pq_m, pq_ksub, n_iters)
             ]
             SIM.build_ivfpq_index(vecs, centers, books, path)
+        # the sidecar write is `adopt`'s job — train IS an adopt of the
+        # layout it just built, under the parameters it just trained
+        return AnnIndex.adopt(spark, path, centers, books)
+
+    @staticmethod
+    def adopt(spark: SparkSession, path: str,
+              centers: list[list[float]],
+              codebooks: list[list[list[float]]] | None = None,
+              ) -> "AnnIndex":
+        """Attach a `_ann_params` sidecar to an EXISTING layout built
+        by the operator layer (`similarity.build_ivf_index` /
+        `build_ivfpq_index` with externally trained parameters),
+        making it loadable/searchable through the facade — the bridge
+        for layouts a separate training job materialized. The caller
+        asserts `centers` (and `codebooks`, for a PQ layout) are the
+        parameters the layout was ASSIGNED under; adopting a layout
+        with foreign centers would probe the wrong directories.
+        Idempotent (overwrite)."""
+        if codebooks is None:
+            payload = json.dumps({"centers": centers, "version": 1})
+            idx = AnnIndex(spark, path, centers)
+        else:
             payload = json.dumps(
-                {"centers": centers, "codebooks": books, "version": 2}
+                {"centers": centers, "codebooks": codebooks, "version": 2}
             )
-            idx = AnnIndex(spark, path, centers, books)
+            idx = AnnIndex(spark, path, centers, codebooks)
         spark.createDataFrame([(payload,)], "v string").coalesce(1).write.mode(
             "overwrite"
         ).text(os.path.join(path, AnnIndex._PARAMS))

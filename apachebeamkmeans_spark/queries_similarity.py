@@ -797,6 +797,8 @@ def q_stream_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_embedding_gate_stream,
     )
 
+    from apachebeamkmeans_spark.ann import AnnIndex
+
     _warn_if_not_train_sf(sf_dir, "stream_embedding_gate")
     emb = io.read_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 10 != 0)
@@ -806,7 +808,10 @@ def q_stream_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, out, ckpt = _stream_scratch_roots(
         spark, sf_dir, "embgate", (first, rest), table="embeddings"
     )
-    # corpus-only layout, built once per (fingerprint, session) root
+    # corpus-only layout, built once per (fingerprint, session) root,
+    # ADOPTED into the facade (sidecar write) so the gate loads it as
+    # an AnnIndex — version dispatch + probed-cell pruning included
+    # (r11 verdict item 4)
     index_path = os.path.join(os.path.dirname(ckpt.rstrip("/")), "index")
     if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
         SIM.build_ivf_index(
@@ -818,8 +823,11 @@ def q_stream_embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             TRAINED_CENTERS, index_path,
         )
+    # unconditional (idempotent one-row write): a root whose build
+    # finished but whose adopt crashed must heal on the next run
+    AnnIndex.adopt(spark, index_path, TRAINED_CENTERS)
     q = run_embedding_gate_stream(
-        spark, index_path, TRAINED_CENTERS, src, new.schema, out, ckpt,
+        spark, index_path, src, new.schema, out, ckpt,
         tau=EMB_GATE_TAU, nprobe=IVFPQ_NPROBE, max_files_per_trigger=1,
         name=f"q_embgate_{os.path.basename(sf_dir.rstrip('/'))}",
     )

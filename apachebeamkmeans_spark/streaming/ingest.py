@@ -358,8 +358,7 @@ def run_ingest_gate_stream(
 
 def run_embedding_gate_stream(
     spark: SparkSession,
-    index_path: str,
-    centers: list[list[float]],
+    index,
     src_dir: str,
     schema,
     out_dir: str,
@@ -371,12 +370,20 @@ def run_embedding_gate_stream(
 ):
     """Embedding-side ingest gate — the vector twin of the MinHash text
     gate above: each arriving micro-batch of embeddings is near-dup
-    checked against a STANDING `build_ivf_index` layout (top-1 cosine
-    within each vector's probed cells, via the batch query-table
-    search `similarity.ivf_batch_topk`), and vectors whose best match
-    reaches `tau` are rejected. One verdict row per arriving vector:
-    (vec_id, max_cosine, accept) — max_cosine NULL when no candidate
-    (empty probe cells, or a zero-norm vector that has no direction).
+    checked against a STANDING `AnnIndex` (top-1 cosine within each
+    vector's probed cells, via the facade's batch query-table search
+    `AnnIndex.topk_table`), and vectors whose best match reaches `tau`
+    are rejected. One verdict row per arriving vector: (vec_id,
+    max_cosine, accept) — max_cosine NULL when no candidate (empty
+    probe cells, or a zero-norm vector that has no direction).
+
+    `index` is an `ann.AnnIndex` handle or a path string —  a path is
+    loaded through the `_ann_params` sidecar (r11 verdict item 4: the
+    gate previously took a raw layout path + literal centers,
+    bypassing the facade's version dispatch; going through the facade
+    the gate serves the PQ tier and the probed-cell partition pruning
+    for free, and an operator-built layout joins via
+    `AnnIndex.adopt`).
 
     State discipline: the gate is STATELESS per batch (the index side
     is a static layout; the batch side joins against it), and the sink
@@ -384,25 +391,27 @@ def run_embedding_gate_stream(
     overwrite-by-batch-id contract shared with the text gate, so
     checkpoint recovery re-delivers and rewrites rather than
     double-appends. At cluster scale the source becomes Kafka and the
-    layout an AnnIndex a separate job maintains (accepted batches
+    AnnIndex is maintained by a separate job (accepted batches
     appended offline); the per-batch plan is identical."""
     from pyspark.sql import functions as F
 
-    from apachebeamkmeans_spark.operators import similarity as SIM
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    if isinstance(index, str):
+        index = AnnIndex.load(spark, index)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(src_dir)
-    index = spark.read.schema(SIM.INDEX_SCHEMA).parquet(index_path)
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         qtab = batch_df.select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
-        top1 = SIM.ivf_batch_topk(
-            index, qtab, centers, k=1, nprobe=nprobe
-        ).select("qid", F.col("cosine").alias("max_cosine"))
+        top1 = index.topk_table(qtab, k=1, nprobe=nprobe).select(
+            "qid", F.col("cosine").alias("max_cosine")
+        )
         verdicts = qtab.select("qid").join(top1, "qid", "left").select(
             F.col("qid").alias("vec_id"),
             "max_cosine",

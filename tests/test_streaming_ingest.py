@@ -230,11 +230,17 @@ def test_embedding_gate_stream_equals_batch_and_resumes(spark, sf_dir, tmp_path)
         ),
         centers, idx,
     )
+    # operator-built layout joins the facade via adopt; the gate loads
+    # it back through the sidecar (r12: the gate takes an AnnIndex or
+    # a path, never raw centers)
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    AnnIndex.adopt(spark, idx, centers)
     new.coalesce(1).write.mode("append").parquet(src)
 
     def start(name):
         return run_embedding_gate_stream(
-            spark, idx, centers, src, new.schema, out, ckpt,
+            spark, idx, src, new.schema, out, ckpt,
             tau=0.35, nprobe=2, name=name,
         )
 
