@@ -29,6 +29,17 @@ engages as a leading literal):
       --input docs.parquet --output survivors \
       --exact-dedup --near-dedup --quality-gate --min-chars 30 \
       --langs en --summary-file summary.json
+
+and an `ann` subcommand gives the AnnIndex facade the same shell
+surface (r11 verdict item 7 — `curate` is CurationPipeline's shell,
+`ann` is AnnIndex's):
+
+  python -m apachebeamkmeans_spark.cli ann train \
+      --embeddings emb.parquet --index-path /data/idx [--pq-m 8]
+  python -m apachebeamkmeans_spark.cli ann append \
+      --embeddings new.parquet --index-path /data/idx
+  python -m apachebeamkmeans_spark.cli ann search \
+      --index-path /data/idx --queries q.parquet --output hits
 """
 
 from __future__ import annotations
@@ -124,6 +135,103 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--summary-file", default=None,
                    help="write the per-(lang, source) doc/char accounting as one JSON file")
     return p
+
+
+def build_ann_parser() -> argparse.ArgumentParser:
+    """AnnIndex's shell surface — one verb per facade method, with
+    `--index-path` playing the role `--model-path` plays for `curate`:
+    train persists the layout + sidecar there, append/search load it
+    back (a session that never trained can serve)."""
+    p = argparse.ArgumentParser(
+        prog="apachebeamkmeans_spark ann",
+        description="Train, grow, and search a persisted ANN (IVF / IVF-PQ) index.",
+    )
+    sub = p.add_subparsers(dest="action", required=True)
+
+    t = sub.add_parser(
+        "train", help="train quantizer(s), materialize layout + sidecar"
+    )
+    t.add_argument("--embeddings", required=True,
+                   help="embeddings parquet with (id, vector) columns")
+    t.add_argument("--index-path", required=True,
+                   help="directory for the partitioned layout + _ann_params sidecar")
+    t.add_argument("--k", type=int, default=None,
+                   help="coarse cells (default: the FAISS √n rule)")
+    t.add_argument("--iters", type=int, default=5, help="Lloyd iterations")
+    t.add_argument("--pq-m", type=int, default=None,
+                   help="PQ subspaces — switches the index to the IVF-PQ tier")
+    t.add_argument("--pq-ksub", type=int, default=16,
+                   help="PQ centroids per subspace")
+    t.add_argument("--id-col", default="vec_id")
+    t.add_argument("--vec-col", default="embedding")
+
+    a = sub.add_parser(
+        "append", help="coarse-assign (and PQ-encode) a batch into the layout"
+    )
+    a.add_argument("--embeddings", required=True)
+    a.add_argument("--index-path", required=True)
+    a.add_argument("--id-col", default="vec_id")
+    a.add_argument("--vec-col", default="embedding")
+
+    s = sub.add_parser(
+        "search", help="batch top-k over a query parquet (AnnIndex.topk_table)"
+    )
+    s.add_argument("--index-path", required=True)
+    s.add_argument("--queries", required=True,
+                   help="query parquet with (qid, qvec) columns")
+    s.add_argument("--output", required=True,
+                   help="output parquet: (qid, probe_cell, vec_id, cosine, rank)")
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--nprobe", type=int, default=2)
+    s.add_argument("--refine", type=int, default=50,
+                   help="PQ tier: ADC shortlist size re-ranked exactly")
+    s.add_argument("--qid-col", default="qid")
+    s.add_argument("--qvec-col", default="qvec")
+    return p
+
+
+def ann_main(argv: list[str], spark=None) -> int:
+    args = build_ann_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark("abk-ann-cli")
+    try:
+        return _ann_run(args, spark)
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+def _ann_run(args, spark) -> int:
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    if args.action == "train":
+        emb = spark.read.parquet(args.embeddings)
+        idx = AnnIndex.train(
+            spark, emb, args.index_path, k=args.k, n_iters=args.iters,
+            id_col=args.id_col, vec_col=args.vec_col,
+            pq_m=args.pq_m, pq_ksub=args.pq_ksub,
+        )
+        tier = "ivf-pq" if idx.codebooks is not None else "flat ivf"
+        print(f"ann train: {idx.n_cells} cells ({tier}) -> {args.index_path}")
+    elif args.action == "append":
+        idx = AnnIndex.load(spark, args.index_path)
+        idx.append(
+            spark.read.parquet(args.embeddings),
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        print(f"ann append: batch appended to {args.index_path}")
+    else:  # search
+        idx = AnnIndex.load(spark, args.index_path)
+        hits = idx.topk_table(
+            spark.read.parquet(args.queries), k=args.k, nprobe=args.nprobe,
+            qid_col=args.qid_col, qvec_col=args.qvec_col,
+            refine=args.refine,
+        )
+        hits.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"ann search: {n} hit rows -> {args.output}")
+    return 0
 
 
 def _hadoop_path_exists(spark, path: str) -> bool:
@@ -245,6 +353,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     raw = argv if argv is not None else sys.argv[1:]
     if raw and raw[0] == "curate":
         return curate_main(raw[1:], spark=spark)
+    if raw and raw[0] == "ann":
+        return ann_main(raw[1:], spark=spark)
     args = build_parser().parse_args(_normalize(raw))
     owns_session = spark is None
     if owns_session:
