@@ -120,6 +120,10 @@ HEADLINE = [
     "sim_pca_ivf_topk",
     "ann_index_pq_roundtrip",
     "stream_embedding_gate",
+    # round 12 additions: amortized AnnIndex serving (load + search
+    # against the persisted fingerprint-keyed index)
+    "ann_index_search",
+    "ann_index_pq_search",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

@@ -284,3 +284,26 @@ def test_serve_index_builds_once_and_serves(spark, sf_dir):
     ) == sorted(
         [(r["qid"], r["vec_id"], r["cosine"], r["rank"]) for r in want]
     )
+
+
+def test_batch_prune_scan_is_semantically_transparent(spark, sf_dir, tmp_path):
+    """The r12 probed-cell pushdown only removes partitions the join
+    would discard anyway: ivf_batch_topk with prune_scan=False must
+    return exactly the rows the pruned (default) path returns."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "prune_equiv_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    qtab = emb.filter(F.col("vec_id") % 100 == 13).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    index = spark.read.schema(SIM.INDEX_SCHEMA).parquet(path)
+    pruned = SIM.ivf_batch_topk(index, qtab, idx.centers, k=5, nprobe=2)
+    unpruned = SIM.ivf_batch_topk(
+        index, qtab, idx.centers, k=5, nprobe=2, prune_scan=False
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, unpruned.collect())
+    )
+    assert pruned.count() > 0
