@@ -606,7 +606,8 @@ def q_sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ivf_batch_topk() -> str:
+def _oracle_ivf_batch_topk(corpus_table: str = _E2,
+                           query_table: str = _E2) -> str:
     nsq = OG.sql_norm_sq("e", DIM)
     dists = [
         f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)
@@ -628,13 +629,13 @@ def _oracle_ivf_batch_topk() -> str:
     return f"""
 WITH en AS MATERIALIZED (
   SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
-  FROM {_E2} t WHERE {nsq} > 0),
+  FROM {corpus_table} t WHERE {nsq} > 0),
 ca AS MATERIALIZED (
   SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}
   FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))),
 qn AS (
   SELECT vec_id AS qid, list_transform(e, x -> x / sqrt({qnsq})) AS q
-  FROM {_E2} t
+  FROM {query_table} t
   WHERE vec_id % {BATCH_Q_MOD} = {BATCH_Q_RESIDUE} AND {qnsq} > 0),
 qd AS (SELECT qid, q, unnest([{cell_structs}]) AS s FROM qn),
 probes AS (
@@ -1168,6 +1169,35 @@ def q_ann_index_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANN_INDEX_PQ_SEARCH = ORACLE_ANN_INDEX_PQ_ROUNDTRIP
+
+
+def q_ann_index_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized serving matrix's BATCH cell: `AnnIndex.topk_table`
+    (queries as a TABLE — every 50th embedding) against the same
+    persisted fingerprint-keyed index `ann_index_search` serves. This
+    is the production retrieval shape end-to-end amortized: load the
+    sidecar, choose probes in-plan per query row, collect the ≤ k
+    distinct probed cells into the static partition-pruning pushdown
+    (r12), one join against the pruned layout, per-qid window. Oracle:
+    the `sim_ivf_batch_topk` replay with the corpus extended to
+    base ∪ appended batch (the serve index's contents)."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_batch_search")
+    path = _ensure_serve_index(spark, sf_dir, pq=False)
+    idx = AnnIndex.load(spark, path)
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    qtab = emb.filter(
+        F.col("vec_id") % BATCH_Q_MOD == BATCH_Q_RESIDUE
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return idx.topk_table(qtab, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
+
+
+ORACLE_ANN_INDEX_BATCH_SEARCH = _oracle_ivf_batch_topk(
+    corpus_table=_E2_ROUNDTRIP
+)
 
 
 # ------------------------------------------------- residual IVF-PQ (r6)
@@ -2534,6 +2564,10 @@ QUERIES = {
     ),
     "ann_index_search": (q_ann_index_search, ORACLE_ANN_INDEX_SEARCH),
     "ann_index_pq_search": (q_ann_index_pq_search, ORACLE_ANN_INDEX_PQ_SEARCH),
+    "ann_index_batch_search": (
+        q_ann_index_batch_search,
+        ORACLE_ANN_INDEX_BATCH_SEARCH,
+    ),
     "stream_embedding_gate": (
         q_stream_embedding_gate,
         ORACLE_STREAM_EMBEDDING_GATE,

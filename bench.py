@@ -124,6 +124,7 @@ HEADLINE = [
     # against the persisted fingerprint-keyed index)
     "ann_index_search",
     "ann_index_pq_search",
+    "ann_index_batch_search",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",
