@@ -157,6 +157,8 @@ class AnnIndex:
         parameters the layout was ASSIGNED under; adopting a layout
         with foreign centers would probe the wrong directories.
         Idempotent (overwrite)."""
+        from pyspark.sql import functions as F
+
         if codebooks is None:
             payload = json.dumps({"centers": centers, "version": 1})
             idx = AnnIndex(spark, path, centers)
@@ -165,9 +167,14 @@ class AnnIndex:
                 {"centers": centers, "codebooks": codebooks, "version": 2}
             )
             idx = AnnIndex(spark, path, centers, codebooks)
-        spark.createDataFrame([(payload,)], "v string").coalesce(1).write.mode(
-            "overwrite"
-        ).text(os.path.join(path, AnnIndex._PARAMS))
+        # one-row frame built AS one partition (spark.range(...,
+        # numPartitions=1) + lit), not createDataFrame().coalesce(1):
+        # the coalesced local relation costs ~5-7 s per write on this
+        # stack (32 Arrow partitions funneled through one task);
+        # the single-partition range write is ~0.15 s (measured r12)
+        spark.range(0, 1, 1, 1).select(
+            F.lit(payload).alias("value")
+        ).write.mode("overwrite").text(os.path.join(path, AnnIndex._PARAMS))
         return idx
 
     # formats this code knows how to read; bump alongside _PARAMS

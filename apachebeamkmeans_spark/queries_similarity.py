@@ -682,7 +682,19 @@ def q_sim_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ivfpq_batch_topk() -> str:
+def _oracle_ivfpq_batch_topk(corpus_pred: str = "TRUE",
+                             query_pred: str | None = None,
+                             topk: int | None = None,
+                             gate_tau: float | None = None) -> str:
+    """DuckDB replay of the PQ-tier batch search (coarse assign → PQ
+    encode → per-query in-SQL LUT → ADC shortlist → exact refine).
+    `corpus_pred`/`query_pred` carve the corpus and query sets out of
+    the embeddings table; with `gate_tau` the final SELECT becomes the
+    streaming-embedding-gate wrap (top-1 per query, NULL-as-accept)
+    instead of the top-k rows."""
+    if query_pred is None:
+        query_pred = f"vec_id % {BATCH_Q_MOD} = {BATCH_Q_RESIDUE}"
+    topk = (1 if gate_tau is not None else IVFPQ_TOPK) if topk is None else topk
     nsq = OG.sql_norm_sq("e", DIM)
     dists = [
         f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)
@@ -727,10 +739,10 @@ def _oracle_ivfpq_batch_topk() -> str:
     )
     dot = OG.sql_dot_cols("en.e", "qn.q")
     vn = "sqrt(list_sum(list_transform(en.e, x -> x*x)))"
-    return f"""
+    with_block = f"""
 WITH en AS MATERIALIZED (
   SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e
-  FROM {_E2} t WHERE {nsq} > 0),
+  FROM {_E2} t WHERE ({corpus_pred}) AND {nsq} > 0),
 ca AS MATERIALIZED (
   SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}
   FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))),
@@ -739,7 +751,7 @@ codes AS MATERIALIZED (SELECT vec_id, coarse_id, {', '.join(argmins)} FROM d),
 qn AS MATERIALIZED (
   SELECT vec_id AS qid, list_transform(e, x -> x / sqrt({qnsq})) AS q
   FROM {_E2} t
-  WHERE vec_id % {BATCH_Q_MOD} = {BATCH_Q_RESIDUE} AND {qnsq} > 0),
+  WHERE ({query_pred}) AND {qnsq} > 0),
 qd AS (SELECT qid, q, unnest([{cell_structs}]) AS s FROM qn),
 probes AS (
   SELECT qid, probe_cell FROM (
@@ -756,16 +768,30 @@ sl AS (
     SELECT qid, probe_cell, vec_id,
            row_number() OVER (PARTITION BY qid
                               ORDER BY ad ASC, vec_id ASC) AS adc_rank
-    FROM adc) WHERE adc_rank <= {IVFPQ_REFINE})
-SELECT qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM (
-  SELECT sl.qid, sl.probe_cell, sl.vec_id, {dot} / {vn} AS c,
-         CAST(row_number() OVER (PARTITION BY sl.qid
-                                 ORDER BY {dot} / {vn} DESC,
-                                          sl.vec_id ASC) AS INTEGER) AS rank
-  FROM sl JOIN en ON en.vec_id = sl.vec_id
-          JOIN qn ON qn.qid = sl.qid
-) WHERE rank <= {IVFPQ_TOPK}
+    FROM adc) WHERE adc_rank <= {IVFPQ_REFINE}),
+ranked AS (
+  SELECT qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM (
+    SELECT sl.qid, sl.probe_cell, sl.vec_id, {dot} / {vn} AS c,
+           CAST(row_number() OVER (PARTITION BY sl.qid
+                                   ORDER BY {dot} / {vn} DESC,
+                                            sl.vec_id ASC) AS INTEGER) AS rank
+    FROM sl JOIN en ON en.vec_id = sl.vec_id
+            JOIN qn ON qn.qid = sl.qid
+  ) WHERE rank <= {topk})"""
+    if gate_tau is None:
+        return with_block + "\nSELECT * FROM ranked"
+    # the gate wrap: one verdict row per ARRIVING vector (query_pred),
+    # top-1 probed-cell cosine, NULL (no candidate / zero-norm) = accept
+    return (
+        with_block
+        + f"""
+SELECT nv.vec_id, b.max_cosine,
+       coalesce(b.max_cosine < {gate_tau}, TRUE) AS accept
+FROM (SELECT vec_id FROM {_E2} t WHERE {query_pred}) nv
+LEFT JOIN (SELECT qid, cosine AS max_cosine FROM ranked WHERE rank = 1) b
+  ON b.qid = nv.vec_id
 """
+    )
 
 
 ORACLE_SIM_IVFPQ_BATCH_TOPK = _oracle_ivfpq_batch_topk()
@@ -886,6 +912,68 @@ LEFT JOIN top1 t ON t.qid = nv.vec_id
 
 
 ORACLE_STREAM_EMBEDDING_GATE = _oracle_stream_embedding_gate()
+
+
+def q_stream_embedding_gate_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_embedding_gate`'s PQ-TIER twin (r12): the same arriving
+    batches gated against a corpus-only IVF-PQ layout ADOPTED into the
+    facade with the trained codebooks — the gate's per-batch search is
+    `AnnIndex.topk_table`'s v2 dispatch (`ivfpq_batch_topk_indexed`:
+    in-plan per-vector ADC LUT, shortlist, exact top-1 refine over the
+    pruned cells), proving the streaming gate rides the escalation
+    tier with zero gate-code changes. The oracle replays ADC +
+    refine + the NULL-as-accept wrap in one SQL."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.queries_dedup import _stream_scratch_roots
+    from apachebeamkmeans_spark.streaming.ingest import (
+        run_embedding_gate_stream,
+    )
+
+    _warn_if_not_train_sf(sf_dir, "stream_embedding_gate_pq")
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    first = new.filter(F.col("vec_id") % 20 == 0)
+    rest = new.filter(F.col("vec_id") % 20 != 0)
+    src, out, ckpt = _stream_scratch_roots(
+        spark, sf_dir, "embgatepq", (first, rest), table="embeddings"
+    )
+    index_path = os.path.join(os.path.dirname(ckpt.rstrip("/")), "index")
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        SIM.build_ivfpq_index(
+            ANN.l2_normalize(
+                corpus.selectExpr(
+                    "vec_id AS id",
+                    "CAST(embedding AS array<double>) AS features",
+                )
+            ),
+            TRAINED_CENTERS, TRAINED_CODEBOOKS, index_path,
+        )
+    AnnIndex.adopt(spark, index_path, TRAINED_CENTERS, TRAINED_CODEBOOKS)
+    q = run_embedding_gate_stream(
+        spark, index_path, src, new.schema, out, ckpt,
+        tau=EMB_GATE_TAU, nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE,
+        max_files_per_trigger=1,
+        name=f"q_embgatepq_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return spark.read.option("basePath", out).parquet(
+        f"{out}/batch=*"
+    ).select("vec_id", "max_cosine", "accept")
+
+
+ORACLE_STREAM_EMBEDDING_GATE_PQ = _oracle_ivfpq_batch_topk(
+    corpus_pred="vec_id % 10 <> 0",
+    query_pred="vec_id % 10 = 0",
+    gate_tau=EMB_GATE_TAU,
+)
 
 
 # ---------------------------------------------- AnnIndex lifecycle (r11)
@@ -2571,5 +2659,9 @@ QUERIES = {
     "stream_embedding_gate": (
         q_stream_embedding_gate,
         ORACLE_STREAM_EMBEDDING_GATE,
+    ),
+    "stream_embedding_gate_pq": (
+        q_stream_embedding_gate_pq,
+        ORACLE_STREAM_EMBEDDING_GATE_PQ,
     ),
 }

@@ -365,6 +365,7 @@ def run_embedding_gate_stream(
     checkpoint: str,
     tau: float = 0.35,
     nprobe: int = 2,
+    refine: int = 50,
     max_files_per_trigger: int | None = None,
     name: str = "embedding_gate_stream",
 ):
@@ -409,7 +410,7 @@ def run_embedding_gate_stream(
         qtab = batch_df.select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
-        top1 = index.topk_table(qtab, k=1, nprobe=nprobe).select(
+        top1 = index.topk_table(qtab, k=1, nprobe=nprobe, refine=refine).select(
             "qid", F.col("cosine").alias("max_cosine")
         )
         verdicts = qtab.select("qid").join(top1, "qid", "left").select(
