@@ -53,6 +53,12 @@ NEEDS_DATA = {
     "ann_index_pq_roundtrip",
     "curation_model_gate",
     "sim_pca_ivf_topk",
+    # r12: the amortized serving queries build their persisted index
+    # in-query on a fingerprint miss (train + append), so an empty
+    # corpus hits the same trainer ValueError before any serving
+    "ann_index_search",
+    "ann_index_pq_search",
+    "ann_index_batch_search",
 }
 
 QUERIES = all_queries()
