@@ -239,6 +239,43 @@ class AnnIndex:
                 vecs, self.centers, self.codebooks, self.path
             )
 
+    def compact(self) -> None:
+        """Rewrite the layout to ~one file per coarse cell — the
+        maintenance job an append-heavy index needs: every `append`
+        adds at least one file per touched cell directory, and at
+        ingest-pipeline rates the layout degrades into a small-file
+        scan (each probe pays per-file open/footer costs instead of
+        one sequential read). One shuffle keyed by `coarse_id`
+        (`repartition(n_cells, col)` → each cell's rows land in one
+        task → one file per cell directory), staged into a sibling
+        dir with the sidecar re-attached, then swapped in with two
+        renames. Search results are IDENTICAL before and after
+        (certified by `ann_index_compact_search` against the same
+        oracle as the uncompacted lifecycle). The swap is two
+        directory renames on the index's filesystem — atomic enough
+        for the local/posix case; a cluster deployment would stage
+        generations behind a catalog pointer instead (the same
+        generational pattern the engine's scratch artifacts use)."""
+        import shutil
+
+        schema = (
+            SIM.PQ_INDEX_SCHEMA if self.codebooks is not None
+            else SIM.INDEX_SCHEMA
+        )
+        tmp = f"{self.path}.compact.{os.getpid()}"
+        (
+            self._spark.read.schema(schema).parquet(self.path)
+            .repartition(self.n_cells, "coarse_id")
+            .write.partitionBy("coarse_id")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        AnnIndex.adopt(self._spark, tmp, self.centers, self.codebooks)
+        old = f"{self.path}.pre-compact.{os.getpid()}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
     def topk(self, queries: list[list[float]], k: int = 5,
              nprobe: int = 1, refine: int = 50) -> DataFrame:
         """Top-k cosine per literal query vector, all queries in one

@@ -1175,7 +1175,8 @@ def _ann_serve_index_path(sf_dir: str, tier: str) -> str:
     return path
 
 
-def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool) -> str:
+def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
+                        compact: bool = False) -> str:
     """Build-once publish of the serving index: the roundtrip queries'
     exact corpus (train at the certified config, then the
     deterministic shifted-id append), staged in a pid-suffixed tmp dir
@@ -1188,7 +1189,8 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool) -> str:
 
     from apachebeamkmeans_spark.ann import AnnIndex
 
-    path = _ann_serve_index_path(sf_dir, "pq" if pq else "flat")
+    tier = ("pq" if pq else "flat") + ("c" if compact else "")
+    path = _ann_serve_index_path(sf_dir, tier)
     if os.path.exists(os.path.join(path, "_serve_ready")):
         return path
     emb = io.read_table(spark, sf_dir, "embeddings")
@@ -1205,6 +1207,11 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool) -> str:
         F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_RESIDUE
     ).withColumn("vec_id", F.col("vec_id") + F.lit(ANN_APPEND_OFFSET))
     idx.append(batch)
+    if compact:
+        # the maintenance pass: merge the append's small files back to
+        # one file per cell (facade compact — semantics-preserving,
+        # certified by ann_index_compact_search's shared oracle)
+        idx.compact()
     with open(os.path.join(tmp, "_serve_ready"), "w") as f:
         f.write("1")
     try:
@@ -1286,6 +1293,27 @@ def q_ann_index_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ANN_INDEX_BATCH_SEARCH = _oracle_ivf_batch_topk(
     corpus_table=_E2_ROUNDTRIP
 )
+
+
+def q_ann_index_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`AnnIndex.compact` certified semantics-preserving: the serve
+    corpus (train + shifted-id append) is COMPACTED — the maintenance
+    pass an append-heavy index needs, one shuffle keyed by coarse_id
+    rewriting each fragmented cell directory to one file — and then
+    searched through a LOADED handle. The oracle is the SAME
+    trained-probe replay as `ann_index_search` / the roundtrip
+    lifecycle: compaction must change the physical layout (file
+    counts) and nothing else. Amortized like the other serving
+    queries (fingerprint-keyed build-once)."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_compact_search")
+    path = _ensure_serve_index(spark, sf_dir, pq=False, compact=True)
+    idx = AnnIndex.load(spark, path)
+    return idx.topk(QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
+
+
+ORACLE_ANN_INDEX_COMPACT_SEARCH = ORACLE_ANN_INDEX_ROUNDTRIP
 
 
 # ------------------------------------------------- residual IVF-PQ (r6)
@@ -2655,6 +2683,10 @@ QUERIES = {
     "ann_index_batch_search": (
         q_ann_index_batch_search,
         ORACLE_ANN_INDEX_BATCH_SEARCH,
+    ),
+    "ann_index_compact_search": (
+        q_ann_index_compact_search,
+        ORACLE_ANN_INDEX_COMPACT_SEARCH,
     ),
     "stream_embedding_gate": (
         q_stream_embedding_gate,

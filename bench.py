@@ -125,6 +125,7 @@ HEADLINE = [
     "ann_index_search",
     "ann_index_pq_search",
     "ann_index_batch_search",
+    "ann_index_compact_search",
     "stream_embedding_gate_pq",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting

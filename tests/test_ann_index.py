@@ -307,3 +307,43 @@ def test_batch_prune_scan_is_semantically_transparent(spark, sf_dir, tmp_path):
         map(tuple, unpruned.collect())
     )
     assert pruned.count() > 0
+
+
+def test_compact_merges_small_files_and_preserves_results(
+    spark, sf_dir, tmp_path
+):
+    """AnnIndex.compact: after several appends a cell directory holds
+    many small files; compaction rewrites to ~one file per cell, the
+    sidecar survives (loadable), and search results are identical."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "compact_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    for r in (3, 7, 11):
+        idx.append(
+            emb.filter(F.col("vec_id") % 20 == r).withColumn(
+                "vec_id", F.col("vec_id") + F.lit(1_000_000 * r)
+            )
+        )
+    before = idx.topk(QUERIES, k=5, nprobe=4).collect()
+
+    def files_per_cell():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("coarse_id="):
+                out[d] = len(
+                    [
+                        f
+                        for f in os.listdir(os.path.join(path, d))
+                        if f.endswith(".parquet")
+                    ]
+                )
+        return out
+
+    assert max(files_per_cell().values()) > 1  # appends fragmented it
+    idx.compact()
+    assert max(files_per_cell().values()) == 1
+    reloaded = AnnIndex.load(spark, path)  # sidecar survived the swap
+    after = reloaded.topk(QUERIES, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before)) and after
