@@ -514,7 +514,8 @@ def ivfpq_batch_topk(vecs: DataFrame, queries: DataFrame,
                      codebooks: list[list[list[float]]], k: int = 5,
                      nprobe: int = 2, refine: int = 50,
                      id_col: str = "id", features_col: str = "features",
-                     qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+                     qid_col: str = "qid", qvec_col: str = "qvec",
+                     prune_scan: bool = True) -> DataFrame:
     """IVF-PQ serving driven by a query TABLE — `ivfpq_topk`'s batch
     twin, completing the serving matrix ({literal, table} ×
     {flat IVF, IVF-PQ}): when the queries are data, the per-query ADC
@@ -540,11 +541,6 @@ def ivfpq_batch_topk(vecs: DataFrame, queries: DataFrame,
     assigned = coarse_assign(
         vecs, coarse_centers, id_col, features_col
     ).localCheckpoint(eager=False)
-    encoded = pq_encode(
-        assigned.withColumn("probe_cell", F.col("coarse_id").cast("int")),
-        codebooks, id_col="vec_id", features_col="f",
-        carry=("probe_cell",),
-    )
 
     qv = F.col(qvec_col).cast("array<double>")
     nsq = F.aggregate(
@@ -591,6 +587,24 @@ def ivfpq_batch_topk(vecs: DataFrame, queries: DataFrame,
     )
     probes = qside.select(
         "qid", "lut", F.explode("probes").alias("q_cell")
+    )
+    # prune BEFORE the encode: the literal paths filter `coarse_id IN
+    # (plan-time cells)` before pq_encode; on the batch path the probe
+    # set is data, so collect the ≤ k distinct cells (same k-row-class
+    # collect as the indexed paths, r12) and skip encoding cells no
+    # query probes — at scale the encode is the dominant inline cost
+    # and unprobed cells are pure waste. Full-probe batches skip the
+    # no-op filter (identical plan to the pre-r12 shape).
+    if prune_scan:
+        cells = sorted(
+            r["q_cell"] for r in probes.select("q_cell").distinct().collect()
+        )
+        if cells and len(cells) < len(coarse_centers):
+            assigned = assigned.filter(F.col("coarse_id").isin(cells))
+    encoded = pq_encode(
+        assigned.withColumn("probe_cell", F.col("coarse_id").cast("int")),
+        codebooks, id_col="vec_id", features_col="f",
+        carry=("probe_cell",),
     )
 
     def _adc(lut_col, codes_col):
