@@ -251,13 +251,28 @@ class AnnIndex:
         dir with the sidecar re-attached, then swapped in with two
         renames. Search results are IDENTICAL before and after
         (certified by `ann_index_compact_search` against the same
-        oracle as the uncompacted lifecycle). The swap is two
-        directory renames on the index's filesystem — atomic enough
-        for the local/posix case; a cluster deployment would stage
-        generations behind a catalog pointer instead (the same
-        generational pattern the engine's scratch artifacts use)."""
+        oracle as the uncompacted lifecycle, and by the PQ-tier test
+        in tests/test_ann_index.py).
+
+        The generation swap is two directory renames, which is a
+        DRIVER-LOCAL posix operation — a remote (hdfs://, s3a://)
+        index is rejected up front rather than failing after the full
+        rewrite (r12 review); a cluster deployment stages generations
+        behind a catalog pointer instead (the same generational
+        pattern the engine's scratch artifacts use). If the second
+        rename fails, the original layout is restored before the
+        error propagates; only a process death INSIDE the two-rename
+        window can leave the path absent, in which case the
+        `.pre-compact.<pid>` sibling holds the intact original."""
         import shutil
 
+        if "://" in self.path and not self.path.startswith("file://"):
+            raise ValueError(
+                f"AnnIndex.compact: index path {self.path!r} is on a "
+                f"remote filesystem, but the compaction generation swap "
+                f"is a driver-local rename — compact a local index, or "
+                f"stage generations behind a catalog pointer instead"
+            )
         schema = (
             SIM.PQ_INDEX_SCHEMA if self.codebooks is not None
             else SIM.INDEX_SCHEMA
@@ -273,7 +288,13 @@ class AnnIndex:
         AnnIndex.adopt(self._spark, tmp, self.centers, self.codebooks)
         old = f"{self.path}.pre-compact.{os.getpid()}"
         os.rename(self.path, old)
-        os.rename(tmp, self.path)
+        try:
+            os.rename(tmp, self.path)
+        except OSError:
+            # restore the original generation before propagating — the
+            # index path must never be left empty by a failed swap
+            os.rename(old, self.path)
+            raise
         shutil.rmtree(old, ignore_errors=True)
 
     def topk(self, queries: list[list[float]], k: int = 5,

@@ -423,8 +423,6 @@ def ivfpq_topk(vecs: DataFrame, queries: list[list[float]],
     No residual encoding (codes are over raw normalized vectors, not
     center residuals) — one codebook serves all cells, the common
     memory/simplicity trade."""
-    from apachebeamkmeans_spark.functions import distance as D
-
     m = len(codebooks)
     probe_cells = [nearest_centers(q, coarse_centers, nprobe) for q in queries]
     all_cells = sorted({c for cells in probe_cells for c in cells})
@@ -479,34 +477,15 @@ def ivfpq_topk(vecs: DataFrame, queries: list[list[float]],
         hits.withColumn("adc_rank", F.row_number().over(wa))
         .filter(F.col("adc_rank") <= refine)
     )
-    # exact refine: fetch the raw vectors for the <= refine·n_queries
-    # shortlisted rows via a broadcast hash join against the pruned
-    # cells (a second column-pruned scan of nprobe/k of the corpus —
-    # with a materialized IVF layout this scan partition-prunes too).
-    # cosine = dot / |f| — ONE convention across the whole serving
-    # matrix (ADVICE r11: the batch twins divide by |f|; with |f| = 1
-    # by the normalization contract the values agree to ~1e-16, but
-    # the facade must report the SAME number through every entry
-    # point). |f| staged as a column — no CSE inside HOF lambdas.
-    dots = F.transform(
-        F.lit([list(map(float, q)) for q in queries]),
-        lambda q: D.dot(F.col("f"), q),
-    )
-    vn = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("f"), lambda x: x * x),
-            F.lit(0.0), lambda a, v: a + v,
-        )
-    )
-    scored = pruned.select("vec_id", "f", vn.alias("__vn")).join(
-        F.broadcast(shortlist), "vec_id"
-    ).withColumn("_c", F.element_at(dots, F.col("qid") + 1) / F.col("__vn"))
-    wc = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wc))
-        .filter(F.col("rank") <= k)
-        .select("qid", "probe_cell", "vec_id", F.round("_c", 6).alias("cosine"), "rank")
-    )
+    # exact refine: the shared literal-refine implementation — a
+    # broadcast fetch of raw vectors for shortlist rows against the
+    # pruned cells (a second column-pruned scan of nprobe/k of the
+    # corpus — with a materialized IVF layout this scan
+    # partition-prunes too), cosine = dot / |f| (ONE convention across
+    # the whole serving matrix, ADVICE r11: with |f| = 1 by the
+    # normalization contract the values agree to ~1e-16, but the
+    # facade must report the SAME number through every entry point).
+    return _refine_exact_literal(pruned, shortlist, queries, k)
 
 
 def ivfpq_batch_topk(vecs: DataFrame, queries: DataFrame,
@@ -596,9 +575,7 @@ def ivfpq_batch_topk(vecs: DataFrame, queries: DataFrame,
     # and unprobed cells are pure waste. Full-probe batches skip the
     # no-op filter (identical plan to the pre-r12 shape).
     if prune_scan:
-        cells = sorted(
-            r["q_cell"] for r in probes.select("q_cell").distinct().collect()
-        )
+        cells = _collected_probe_cells(probes, "q_cell")
         if cells and len(cells) < len(coarse_centers):
             assigned = assigned.filter(F.col("coarse_id").isin(cells))
     encoded = pq_encode(
@@ -717,10 +694,8 @@ def ivfpq_batch_topk_indexed(spark, index_path: str, queries: DataFrame,
     )
     probes = qside.select("qid", "lut", F.explode("probes").alias("q_cell"))
     if prune_scan:
-        cells = sorted(
-            r["q_cell"] for r in probes.select("q_cell").distinct().collect()
-        )
-        if cells:
+        cells = _collected_probe_cells(probes, "q_cell")
+        if cells and len(cells) < len(centers):
             index = index.filter(F.col("coarse_id").isin(cells))
 
     def _adc(lut_col, codes_col):
@@ -805,8 +780,6 @@ def ivfpq_residual_topk(vecs: DataFrame, queries: list[list[float]],
     lacks. On clustered real corpora the residual variance shrinks
     per cell and this path wins; both are certified so the choice is
     a config, not a rewrite."""
-    from apachebeamkmeans_spark.functions import distance as D
-
     m = len(codebooks)
     probe_cells = [nearest_centers(q, coarse_centers, nprobe) for q in queries]
     all_cells = sorted({c for cells in probe_cells for c in cells})
@@ -867,8 +840,33 @@ def ivfpq_residual_topk(vecs: DataFrame, queries: list[list[float]],
         hits.withColumn("adc_rank", F.row_number().over(wa))
         .filter(F.col("adc_rank") <= refine)
     )
-    # cosine = dot / |f| — the serving-matrix-wide convention (see
-    # ivfpq_topk's refine note; ADVICE r11)
+    # cosine = dot / |f| — the serving-matrix-wide convention, via the
+    # shared literal-refine implementation (ADVICE r11 / r12 review)
+    return _refine_exact_literal(pruned, shortlist, queries, k)
+
+
+def _collected_probe_cells(probes: DataFrame, cell_col: str) -> list[int]:
+    """Distinct probed cells of a query batch, collected to the driver
+    — at most n_centers values (cells, not queries): the k-row-class
+    collect that turns a data-dependent probe set into a static
+    `coarse_id IN (...)` partition/encode prune (r12; DPP does not
+    fire on the probe-join shape, so the plan needs the constant)."""
+    return sorted(
+        r[cell_col] for r in probes.select(cell_col).distinct().collect()
+    )
+
+
+def _refine_exact_literal(pruned: DataFrame, shortlist: DataFrame,
+                          queries: list[list[float]], k: int) -> DataFrame:
+    """Exact re-rank of an ADC shortlist for LITERAL queries — the one
+    refine implementation every literal PQ serving path shares
+    (deduplicated r12 review): fetch raw vectors for the <=
+    refine·n_queries shortlisted rows via a broadcast join against the
+    pruned cells, score cosine = dot / |f| (the serving-matrix-wide
+    convention, ADVICE r11; |f| staged as a column — no CSE inside HOF
+    lambdas), one per-qid window for the final top-k."""
+    from apachebeamkmeans_spark.functions import distance as D
+
     dots = F.transform(
         F.lit([list(map(float, q)) for q in queries]),
         lambda q: D.dot(F.col("f"), q),
@@ -886,7 +884,8 @@ def ivfpq_residual_topk(vecs: DataFrame, queries: list[list[float]],
     return (
         scored.withColumn("rank", F.row_number().over(wc))
         .filter(F.col("rank") <= k)
-        .select("qid", "probe_cell", "vec_id", F.round("_c", 6).alias("cosine"), "rank")
+        .select("qid", "probe_cell", "vec_id",
+                F.round("_c", 6).alias("cosine"), "rank")
     )
 
 
@@ -1069,11 +1068,8 @@ def ivf_batch_topk(index: DataFrame, queries: DataFrame,
         ).alias("probe_cell"),
     )
     if prune_scan:
-        cells = sorted(
-            r["probe_cell"]
-            for r in probes.select("probe_cell").distinct().collect()
-        )
-        if cells:
+        cells = _collected_probe_cells(probes, "probe_cell")
+        if cells and len(cells) < len(centers):
             index = index.filter(F.col("coarse_id").isin(cells))
     cand = index.join(probes, F.col("coarse_id") == F.col("probe_cell"))
     f = F.col("f")
@@ -1159,8 +1155,6 @@ def ivfpq_topk_indexed(spark, index_path: str, queries: list[list[float]],
     partitions. The production IVF-PQ serving shape at 100 TB: a
     search touches nprobe/k of the directories and computes exact
     distances for refine rows per query only."""
-    from apachebeamkmeans_spark.functions import distance as D
-
     m = len(codebooks)
     probe_cells = [nearest_centers(q, centers, nprobe) for q in queries]
     all_cells = sorted({c for cells in probe_cells for c in cells})
@@ -1193,28 +1187,9 @@ def ivfpq_topk_indexed(spark, index_path: str, queries: list[list[float]],
         hits.withColumn("adc_rank", F.row_number().over(wa))
         .filter(F.col("adc_rank") <= refine)
     )
-    # cosine = dot / |f| — the serving-matrix-wide convention (see
-    # ivfpq_topk's refine note; ADVICE r11)
-    dots = F.transform(
-        F.lit([list(map(float, q)) for q in queries]),
-        lambda q: D.dot(F.col("f"), q),
-    )
-    vn = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("f"), lambda x: x * x),
-            F.lit(0.0), lambda a, v: a + v,
-        )
-    )
-    scored = pruned.select("vec_id", "f", vn.alias("__vn")).join(
-        F.broadcast(shortlist), "vec_id"
-    ).withColumn("_c", F.element_at(dots, F.col("qid") + 1) / F.col("__vn"))
-    wc = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wc))
-        .filter(F.col("rank") <= k)
-        .select("qid", "probe_cell", "vec_id",
-                F.round("_c", 6).alias("cosine"), "rank")
-    )
+    # cosine = dot / |f| — the serving-matrix-wide convention, via the
+    # shared literal-refine implementation (ADVICE r11 / r12 review)
+    return _refine_exact_literal(pruned, shortlist, queries, k)
 
 
 def ivf_topk_indexed(spark, index_path: str, queries: list[list[float]],

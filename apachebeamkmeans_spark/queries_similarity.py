@@ -1166,11 +1166,17 @@ def _ann_serve_index_path(sf_dir: str, tier: str) -> str:
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     fp = scratch.data_fingerprint(sf_dir, "embeddings")
+    # the BUILD CONFIG joins the key (r12 review): a later round that
+    # bumps a training constant must rebuild, not serve an index
+    # trained under the old config against an oracle built from the
+    # new one (the fingerprint alone can't see constant changes)
+    cfg = f"k{IVFPQ_K}i{IVFPQ_ITERS}m{IVFPQ_M}s{IVFPQ_KSUB}"
     path = os.path.join(
-        scratch.repo_root(), ".ivf_index", f"serve_{tier}_{sfx}_{ph}_f{fp}"
+        scratch.repo_root(), ".ivf_index",
+        f"serve_{tier}_{cfg}_{sfx}_{ph}_f{fp}",
     )
     scratch.reap(
-        os.path.dirname(path), f"serve_{tier}_{sfx}_{ph}_", keep=path
+        os.path.dirname(path), f"serve_{tier}_", keep=path
     )
     return path
 
@@ -1217,8 +1223,14 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
     try:
         os.rename(tmp, path)
     except OSError:
-        # a concurrent builder published first; training is
-        # deterministic, so its bytes equal ours — drop the duplicate
+        # only a CONFIRMED concurrent publish (a complete index now at
+        # the target) justifies discarding our build — training is
+        # deterministic, so its bytes equal ours. Any other rename
+        # failure (EACCES, vanished parent) must propagate, not
+        # silently destroy the work and return a nonexistent path
+        # (r12 review)
+        if not os.path.exists(os.path.join(path, "_serve_ready")):
+            raise
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)

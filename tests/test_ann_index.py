@@ -278,7 +278,6 @@ def test_serve_index_builds_once_and_serves(spark, sf_dir):
         QS.QUERY_VECS, k=QS.IVFPQ_TOPK, nprobe=QS.IVFPQ_NPROBE
     ).collect()
     want = QS.q_ann_index_roundtrip(spark, sf_dir).collect()
-    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
     assert sorted(
         [(r["qid"], r["vec_id"], r["cosine"], r["rank"]) for r in got]
     ) == sorted(
@@ -347,3 +346,34 @@ def test_compact_merges_small_files_and_preserves_results(
     reloaded = AnnIndex.load(spark, path)  # sidecar survived the swap
     after = reloaded.topk(QUERIES, k=5, nprobe=4).collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before)) and after
+
+
+def test_compact_pq_tier_preserves_codes_and_results(spark, sf_dir, tmp_path):
+    """compact() on the PQ (v2) tier: the rewrite must carry the
+    `codes` column through the shuffle, re-attach a v2 sidecar
+    (codebooks survive a reload), and leave ADC+refine search results
+    identical (r12 review: only the flat tier was covered)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "compact_pq_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4, pq_m=8, pq_ksub=16)
+    idx.append(
+        emb.filter(F.col("vec_id") % 20 == 5).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(5_000_000)
+        )
+    )
+    before = idx.topk(QUERIES, k=5, nprobe=4, refine=30).collect()
+    idx.compact()
+    reloaded = AnnIndex.load(spark, path)
+    assert reloaded.codebooks == idx.codebooks  # v2 sidecar survived
+    after = reloaded.topk(QUERIES, k=5, nprobe=4, refine=30).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before)) and after
+
+
+def test_compact_rejects_remote_paths(spark):
+    import pytest
+
+    idx = AnnIndex(spark, "hdfs://ns/idx", [[0.0] * 64])
+    with pytest.raises(ValueError, match="remote filesystem"):
+        idx.compact()

@@ -59,6 +59,7 @@ NEEDS_DATA = {
     "ann_index_search",
     "ann_index_pq_search",
     "ann_index_batch_search",
+    "ann_index_compact_search",
 }
 
 QUERIES = all_queries()
