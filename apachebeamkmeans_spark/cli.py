@@ -38,6 +38,7 @@ surface (r11 verdict item 7 — `curate` is CurationPipeline's shell,
       --embeddings emb.parquet --index-path /data/idx [--pq-m 8]
   python -m apachebeamkmeans_spark.cli ann append \
       --embeddings new.parquet --index-path /data/idx
+  python -m apachebeamkmeans_spark.cli ann compact --index-path /data/idx
   python -m apachebeamkmeans_spark.cli ann search \
       --index-path /data/idx --queries q.parquet --output hits
 """
@@ -173,6 +174,12 @@ def build_ann_parser() -> argparse.ArgumentParser:
     a.add_argument("--id-col", default="vec_id")
     a.add_argument("--vec-col", default="embedding")
 
+    c = sub.add_parser(
+        "compact",
+        help="rewrite an append-fragmented layout to one file per cell",
+    )
+    c.add_argument("--index-path", required=True)
+
     s = sub.add_parser(
         "search", help="batch top-k over a query parquet (AnnIndex.topk_table)"
     )
@@ -221,6 +228,10 @@ def _ann_run(args, spark) -> int:
             id_col=args.id_col, vec_col=args.vec_col,
         )
         print(f"ann append: batch appended to {args.index_path}")
+    elif args.action == "compact":
+        idx = AnnIndex.load(spark, args.index_path)
+        idx.compact()
+        print(f"ann compact: {args.index_path} rewritten to one file per cell")
     else:  # search
         idx = AnnIndex.load(spark, args.index_path)
         hits = idx.topk_table(

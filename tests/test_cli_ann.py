@@ -103,3 +103,35 @@ def test_ann_train_pq_tier(spark, sf_dir, tmp_path):
     assert rc == 0
     idx = AnnIndex.load(spark, idx_path)
     assert idx.codebooks is not None and len(idx.codebooks) == 8
+
+
+def test_ann_compact_verb(spark, sf_dir, tmp_path):
+    idx_path = str(tmp_path / "cli_compact_idx")
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    base_src = str(tmp_path / "cbase")
+    emb.write.parquet(base_src)
+    add_src = str(tmp_path / "cadd")
+    emb.filter(F.col("vec_id") % 10 == 1).selectExpr(
+        "vec_id + 9000000 AS vec_id", "embedding"
+    ).write.parquet(add_src)
+    assert cli.main(
+        ["ann", "train", "--embeddings", base_src,
+         "--index-path", idx_path, "--k", "4"], spark=spark,
+    ) == 0
+    assert cli.main(
+        ["ann", "append", "--embeddings", add_src,
+         "--index-path", idx_path], spark=spark,
+    ) == 0
+    assert cli.main(
+        ["ann", "compact", "--index-path", idx_path], spark=spark,
+    ) == 0
+    for d in os.listdir(idx_path):
+        if d.startswith("coarse_id="):
+            n = len(
+                [f for f in os.listdir(os.path.join(idx_path, d))
+                 if f.endswith(".parquet")]
+            )
+            assert n == 1, (d, n)
+    assert AnnIndex.load(spark, idx_path).topk(
+        [[0.1] * 64], k=1, nprobe=4
+    ).count() == 1
