@@ -180,6 +180,11 @@ def build_ann_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--index-path", required=True)
 
+    st = sub.add_parser(
+        "stats", help="per-cell occupancy (index health / retrain signal)"
+    )
+    st.add_argument("--index-path", required=True)
+
     s = sub.add_parser(
         "search", help="batch top-k over a query parquet (AnnIndex.topk_table)"
     )
@@ -232,6 +237,20 @@ def _ann_run(args, spark) -> int:
         idx = AnnIndex.load(spark, args.index_path)
         idx.compact()
         print(f"ann compact: {args.index_path} rewritten to one file per cell")
+    elif args.action == "stats":
+        idx = AnnIndex.load(spark, args.index_path)
+        rows = sorted(
+            (r["coarse_id"], r["n_rows"]) for r in idx.cell_stats().collect()
+        )
+        for cell, n in rows:
+            print(f"cell {cell}: {n} rows")
+        counts = [n for _, n in rows]
+        if counts:
+            med = sorted(counts)[len(counts) // 2]
+            print(
+                f"ann stats: {len(rows)}/{idx.n_cells} cells occupied, "
+                f"max/median occupancy {max(counts)}/{med}"
+            )
     else:  # search
         idx = AnnIndex.load(spark, args.index_path)
         hits = idx.topk_table(

@@ -1328,6 +1328,49 @@ def q_ann_index_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ANN_INDEX_COMPACT_SEARCH = ORACLE_ANN_INDEX_ROUNDTRIP
 
 
+def q_ann_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`AnnIndex.cell_stats` — per-cell occupancy of the persisted
+    serve index (base ∪ appended): the index-health view (balanced
+    cells = balanced probe costs; occupancy drifting from the trained
+    distribution is the retrain signal). The scan reads only the
+    partition column, so at 100 TB this is a metadata pass, not a
+    vector read. Oracle: the coarse-assign replay grouped by cell
+    over the same corpus."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_cell_stats")
+    path = _ensure_serve_index(spark, sf_dir, pq=False)
+    idx = AnnIndex.load(spark, path)
+    return idx.cell_stats().select(
+        F.col("coarse_id").cast("int"),
+        F.col("n_rows").cast("long"),
+    )
+
+
+def _oracle_cell_stats(table: str = _E2_ROUNDTRIP) -> str:
+    nsq = OG.sql_norm_sq("e", DIM)
+    dists = [
+        f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)
+    ]
+    argmin = OG.sql_argmin_case(
+        [f"d{i}" for i in range(len(TRAINED_CENTERS))], "coarse_id"
+    )
+    return (
+        f"WITH en AS MATERIALIZED (SELECT vec_id,"
+        f" list_transform(e, x -> x / sqrt({nsq})) AS e"
+        f" FROM {table} t WHERE {nsq} > 0), "
+        f"ca AS (SELECT {argmin} FROM"
+        f" (SELECT vec_id, e, {', '.join(dists)} FROM en)) "
+        f"SELECT CAST(coarse_id AS INTEGER) AS coarse_id,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows FROM ca GROUP BY coarse_id"
+    )
+
+
+ORACLE_ANN_INDEX_CELL_STATS = _oracle_cell_stats()
+
+
 # ------------------------------------------------- residual IVF-PQ (r6)
 
 
@@ -2699,6 +2742,10 @@ QUERIES = {
     "ann_index_compact_search": (
         q_ann_index_compact_search,
         ORACLE_ANN_INDEX_COMPACT_SEARCH,
+    ),
+    "ann_index_cell_stats": (
+        q_ann_index_cell_stats,
+        ORACLE_ANN_INDEX_CELL_STATS,
     ),
     "stream_embedding_gate": (
         q_stream_embedding_gate,

@@ -126,6 +126,7 @@ HEADLINE = [
     "ann_index_pq_search",
     "ann_index_batch_search",
     "ann_index_compact_search",
+    "ann_index_cell_stats",
     "stream_embedding_gate_pq",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting

@@ -377,3 +377,26 @@ def test_compact_rejects_remote_paths(spark):
     idx = AnnIndex(spark, "hdfs://ns/idx", [[0.0] * 64])
     with pytest.raises(ValueError, match="remote filesystem"):
         idx.compact()
+
+
+def test_cell_stats_reads_no_vector_bytes(spark, sf_dir, tmp_path):
+    """cell_stats counts from the partition column alone: the scan's
+    ReadSchema must be EMPTY (coarse_id comes from directory names),
+    and the counts must equal a full-read groupBy."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.plans import explain as X
+
+    path = str(tmp_path / "stats_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    stats = idx.cell_stats()
+    plan = X.formatted_plan(stats)
+    assert "ReadSchema: struct<>" in plan  # zero data columns read
+    got = {(r["coarse_id"], r["n_rows"]) for r in stats.collect()}
+    full = spark.read.schema(SIM.INDEX_SCHEMA).parquet(path)
+    want = {
+        (r["coarse_id"], r["n"])
+        for r in full.groupBy("coarse_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and sum(n for _, n in got) == emb.count()
