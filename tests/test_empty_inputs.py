@@ -60,6 +60,7 @@ NEEDS_DATA = {
     "ann_index_pq_search",
     "ann_index_batch_search",
     "ann_index_compact_search",
+    "ann_index_cell_stats",
 }
 
 QUERIES = all_queries()
