@@ -54,6 +54,12 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "sim_ivfpq_trained": 12,
     "sim_ivfpq_residual": 12,
     "ann_index_pq_roundtrip": 12,
+    # r12 (bumped in r13 per ADVICE): the batch-topk oracle text was
+    # restructured (_oracle_ivfpq_batch_topk parameterization) and the
+    # implementation gained the probed-cell encode prune in the same
+    # diff — it must re-certify under the new form, not ride its
+    # pre-change green row
+    "sim_ivfpq_batch_topk": 12,
 }
 
 
