@@ -39,6 +39,43 @@ from apachebeamkmeans_spark.operators import ann_train as ANN
 from apachebeamkmeans_spark.operators import similarity as SIM
 
 
+def _local_path(path: str) -> str | None:
+    """Plain posix path when `path` is driver-local (no scheme, or a
+    `file:`-scheme URI — same normalization rule as
+    streaming/ingest._require_local_dir, ADVICE r12: a file:// URI let
+    past a scheme guard and handed raw to os.rename fails only AFTER
+    the expensive rewrite); None for any remote scheme (hdfs://,
+    s3a://, ...)."""
+    if "://" in path:
+        scheme, rest = path.split("://", 1)
+        if scheme == "file":
+            return "/" + rest.lstrip("/") if rest else "/"
+        return None
+    if path.startswith("file:"):
+        return path[len("file:"):] or "/"
+    return path
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FS API — works on whatever
+    filesystem the path's scheme names (the scheme-portable twin of
+    shutil.rmtree), so pointer-mode maintenance can reclaim superseded
+    generations on hdfs://, s3a://, or local alike."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def _fs_glob(spark: SparkSession, pattern: str) -> list[str]:
+    """Glob through the Hadoop FS API (scheme-portable listing)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(p)
+    return [str(s.getPath()) for s in statuses] if statuses is not None else []
+
+
 def _norm_vec(q: list[float]) -> list[float]:
     """Driver-side L2 normalization of one literal query — the exact
     left-to-right formula `queries_similarity._norm_q` uses, so a
@@ -57,7 +94,15 @@ def _norm_vec(q: list[float]) -> list[float]:
     return [float(v) / n for v in q]
 
 
-def _normalize(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+# column names the layout/engine owns — a metadata column may not
+# shadow them (the write would silently produce an ambiguous layout)
+_RESERVED_COLS = frozenset(
+    {"id", "features", "vec_id", "f", "codes", "coarse_id"}
+)
+
+
+def _normalize(embeddings: DataFrame, id_col: str, vec_col: str,
+               meta_cols: tuple[str, ...] = ()) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -70,11 +115,19 @@ def _normalize(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             f"AnnIndex id column {id_col!r} must be an integral type "
             f"(the index layout stores vec_id as bigint), got {dt.simpleString()}"
         )
+    bad = sorted(set(meta_cols) & _RESERVED_COLS)
+    if bad:
+        raise ValueError(
+            f"AnnIndex metadata columns {bad} collide with the layout's "
+            f"own column names ({sorted(_RESERVED_COLS)})"
+        )
     return ANN.l2_normalize(
         embeddings.select(
             F.col(id_col).cast("long").alias("id"),
             F.col(vec_col).cast("array<double>").alias("features"),
-        )
+            *[F.col(c) for c in meta_cols],
+        ),
+        carry=tuple(meta_cols),
     )
 
 
@@ -87,24 +140,61 @@ class AnnIndex:
     # driver-local open(), so the sidecar lands on the same filesystem
     # as the layout — hdfs://, s3a://, or local alike.
     _PARAMS = "_ann_params"
+    # generation pointer (catalog file): when present at the index
+    # root, it names the child directory holding the CURRENT layout +
+    # sidecar; maintenance (compact/retrain) on a remote filesystem
+    # stages a new generation and flips this pointer instead of
+    # renaming directories (r12 verdict item 4). Same one-row-text,
+    # through-Spark convention as the sidecar. Single-maintainer
+    # contract: the flip is overwrite-in-place, so concurrent
+    # MAINTENANCE jobs must be externally serialized (searches are
+    # fine — a loaded handle keeps serving its resolved generation).
+    _POINTER = "_ann_current"
 
     def __init__(self, spark: SparkSession, path: str,
                  centers: list[list[float]],
-                 codebooks: list[list[list[float]]] | None = None):
+                 codebooks: list[list[list[float]]] | None = None,
+                 meta: list | None = None,
+                 data_root: str | None = None):
         self._spark = spark
         self.path = path
         self.centers = centers
         self.codebooks = codebooks  # None = flat IVF (v1 layout)
+        # [(name, ddl_type), ...] metadata columns stored in the layout
+        self.meta = [tuple(mc) for mc in (meta or [])]
+        # directory the layout + sidecar actually live in: the index
+        # root itself, or the generation the root's pointer names
+        self.data_root = path if data_root is None else data_root
 
     @property
     def n_cells(self) -> int:
         return len(self.centers)
+
+    def _read_schema(self) -> str:
+        """Layout read schema: the tier's base columns plus this
+        index's metadata columns (partition column stays last —
+        parquet resolves by name, the order is cosmetic)."""
+        base = (
+            SIM.PQ_INDEX_SCHEMA if self.codebooks is not None
+            else SIM.INDEX_SCHEMA
+        )
+        if not self.meta:
+            return base
+        head, part = base.rsplit(", ", 1)
+        metas = ", ".join(f"{n} {t}" for n, t in self.meta)
+        return f"{head}, {metas}, {part}"
+
+    def _layout(self) -> DataFrame:
+        return self._spark.read.schema(self._read_schema()).parquet(
+            self.data_root
+        )
 
     @staticmethod
     def train(spark: SparkSession, embeddings: DataFrame, path: str,
               k: int | None = None, n_iters: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding",
               pq_m: int | None = None, pq_ksub: int = 16,
+              meta_cols: tuple[str, ...] = (),
               ) -> "AnnIndex":
         """Train a √n-cell coarse quantizer (FAISS cell rule unless `k`
         is given) over the L2-normalized embeddings, materialize the
@@ -118,10 +208,20 @@ class AnnIndex:
         codes per row alongside the raw vector in the layout, and
         serve ADC-shortlist + exact-refine searches — per candidate,
         the scan reads m ints and the exact distance runs on refine
-        rows only."""
-        vecs = _normalize(embeddings, id_col, vec_col).localCheckpoint(
-            eager=False
-        )
+        rows only.
+
+        `meta_cols` names metadata columns of `embeddings` (label,
+        source, date, ...) to store IN the layout rows: `topk` /
+        `topk_table` can then take a `where` predicate on them that
+        reaches the parquet scan as a data filter inside the probed
+        partitions — the filtered-search shape (filter first, rank
+        within the matching rows)."""
+        vecs = _normalize(embeddings, id_col, vec_col, meta_cols
+                          ).localCheckpoint(eager=False)
+        meta = [
+            (c, embeddings.schema[c].dataType.simpleString())
+            for c in meta_cols
+        ]
         if k is None:
             from apachebeamkmeans_spark.operators.ann_train import knn_cells
 
@@ -131,22 +231,24 @@ class AnnIndex:
             for c in ANN.ivf_train(vecs, k, n_iters)
         ]
         if pq_m is None:
-            SIM.build_ivf_index(vecs, centers, path)
+            SIM.build_ivf_index(vecs, centers, path, carry=tuple(meta_cols))
             books = None
         else:
             books = [
                 [[ANN.round_param(v) for v in cent] for cent in book]
                 for book in ANN.pq_train(vecs, pq_m, pq_ksub, n_iters)
             ]
-            SIM.build_ivfpq_index(vecs, centers, books, path)
+            SIM.build_ivfpq_index(vecs, centers, books, path,
+                                  carry=tuple(meta_cols))
         # the sidecar write is `adopt`'s job — train IS an adopt of the
         # layout it just built, under the parameters it just trained
-        return AnnIndex.adopt(spark, path, centers, books)
+        return AnnIndex.adopt(spark, path, centers, books, meta)
 
     @staticmethod
     def adopt(spark: SparkSession, path: str,
               centers: list[list[float]],
               codebooks: list[list[list[float]]] | None = None,
+              meta: list | None = None,
               ) -> "AnnIndex":
         """Attach a `_ann_params` sidecar to an EXISTING layout built
         by the operator layer (`similarity.build_ivf_index` /
@@ -156,17 +258,24 @@ class AnnIndex:
         asserts `centers` (and `codebooks`, for a PQ layout) are the
         parameters the layout was ASSIGNED under; adopting a layout
         with foreign centers would probe the wrong directories.
-        Idempotent (overwrite)."""
+        `meta` records the layout's metadata columns as
+        [(name, ddl_type), ...]. Idempotent (overwrite)."""
         from pyspark.sql import functions as F
 
+        meta_field = [list(mc) for mc in (meta or [])]
         if codebooks is None:
-            payload = json.dumps({"centers": centers, "version": 1})
-            idx = AnnIndex(spark, path, centers)
+            payload = {"centers": centers, "version": 1}
+            idx = AnnIndex(spark, path, centers, meta=meta_field)
         else:
-            payload = json.dumps(
-                {"centers": centers, "codebooks": codebooks, "version": 2}
-            )
-            idx = AnnIndex(spark, path, centers, codebooks)
+            payload = {
+                "centers": centers, "codebooks": codebooks, "version": 2
+            }
+            idx = AnnIndex(spark, path, centers, codebooks, meta=meta_field)
+        if meta_field:
+            # written only when present: a meta-less sidecar stays
+            # byte-compatible with every earlier AnnIndex build
+            payload["meta"] = meta_field
+        payload = json.dumps(payload)
         # one-row frame built AS one partition (spark.range(...,
         # numPartitions=1) + lit), not createDataFrame().coalesce(1):
         # the coalesced local relation costs ~5-7 s per write on this
@@ -184,10 +293,36 @@ class AnnIndex:
     _KNOWN_VERSIONS = (1, 2)
 
     @staticmethod
+    def _resolve_data_root(spark: SparkSession, path: str) -> str:
+        """Where the served layout lives: `path` itself unless the root
+        carries a generation pointer, in which case the generation dir
+        it names. Existence-probed through the Hadoop FS API (quiet
+        and jobless — a read-and-catch would log a Java stack trace on
+        EVERY pointer-less load), content read through Spark, so any
+        filesystem scheme works."""
+        ptr = os.path.join(path, AnnIndex._POINTER)
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(ptr)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hp):
+            return path
+        rows = spark.read.text(ptr).collect()
+        gen = rows[0]["value"].strip() if rows else ""
+        # a pointer must name a direct child generation directory —
+        # anything else is corruption, not a searchable index
+        if not gen or "/" in gen or gen.startswith("."):
+            raise ValueError(
+                f"AnnIndex: corrupt generation pointer at {ptr!r} "
+                f"(content {gen!r}); expected a child directory name"
+            )
+        return os.path.join(path, gen)
+
+    @staticmethod
     def load(spark: SparkSession, path: str) -> "AnnIndex":
         from pyspark.errors import AnalysisException
 
-        sidecar = os.path.join(path, AnnIndex._PARAMS)
+        root = AnnIndex._resolve_data_root(spark, path)
+        sidecar = os.path.join(root, AnnIndex._PARAMS)
         try:
             rows = spark.read.text(sidecar).collect()
         except AnalysisException as e:
@@ -220,7 +355,8 @@ class AnnIndex:
                 f"— index written by an incompatible AnnIndex build"
             )
         return AnnIndex(
-            spark, path, params["centers"], params.get("codebooks")
+            spark, path, params["centers"], params.get("codebooks"),
+            params.get("meta"), data_root=root,
         )
 
     def append(self, embeddings: DataFrame,
@@ -230,13 +366,17 @@ class AnnIndex:
         directories untouched. Post-append searches equal a
         from-scratch rebuild over the union (the operator-level
         guarantee, asserted in tests/test_similarity_mm.py and
-        tests/test_ann_index.py)."""
-        vecs = _normalize(embeddings, id_col, vec_col)
+        tests/test_ann_index.py). On a meta-carrying index the batch
+        must supply the same metadata columns."""
+        names = tuple(n for n, _ in self.meta)
+        vecs = _normalize(embeddings, id_col, vec_col, names)
         if self.codebooks is None:
-            SIM.append_to_ivf_index(vecs, self.centers, self.path)
+            SIM.append_to_ivf_index(vecs, self.centers, self.data_root,
+                                    carry=names)
         else:
             SIM.append_to_ivfpq_index(
-                vecs, self.centers, self.codebooks, self.path
+                vecs, self.centers, self.codebooks, self.data_root,
+                carry=names,
             )
 
     def cell_stats(self) -> DataFrame:
@@ -252,17 +392,13 @@ class AnnIndex:
         grouped by cell)."""
         from pyspark.sql import functions as F
 
-        schema = (
-            SIM.PQ_INDEX_SCHEMA if self.codebooks is not None
-            else SIM.INDEX_SCHEMA
-        )
         return (
-            self._spark.read.schema(schema).parquet(self.path)
+            self._layout()
             .groupBy("coarse_id")
             .agg(F.count("*").alias("n_rows"))
         )
 
-    def compact(self) -> None:
+    def compact(self, strategy: str = "auto") -> None:
         """Rewrite the layout to ~one file per coarse cell — the
         maintenance job an append-heavy index needs: every `append`
         adds at least one file per touched cell directory, and at
@@ -270,58 +406,217 @@ class AnnIndex:
         scan (each probe pays per-file open/footer costs instead of
         one sequential read). One shuffle keyed by `coarse_id`
         (`repartition(n_cells, col)` → each cell's rows land in one
-        task → one file per cell directory), staged into a sibling
-        dir with the sidecar re-attached, then swapped in with two
-        renames. Search results are IDENTICAL before and after
-        (certified by `ann_index_compact_search` against the same
-        oracle as the uncompacted lifecycle, and by the PQ-tier test
-        in tests/test_ann_index.py).
+        task → one file per cell directory), staged into a fresh
+        generation with the sidecar re-attached, then published (see
+        `_rewrite_generation` for the two publish strategies). Search
+        results are IDENTICAL before and after (certified by
+        `ann_index_compact_search` against the same oracle as the
+        uncompacted lifecycle, and by the PQ-tier test in
+        tests/test_ann_index.py)."""
+        schema = self._read_schema()
+        src = self.data_root
+        n_cells = self.n_cells
 
-        The generation swap is two directory renames, which is a
-        DRIVER-LOCAL posix operation — a remote (hdfs://, s3a://)
-        index is rejected up front rather than failing after the full
-        rewrite (r12 review); a cluster deployment stages generations
-        behind a catalog pointer instead (the same generational
-        pattern the engine's scratch artifacts use). If the second
-        rename fails, the original layout is restored before the
-        error propagates; only a process death INSIDE the two-rename
-        window can leave the path absent, in which case the
-        `.pre-compact.<pid>` sibling holds the intact original."""
-        import shutil
-
-        if "://" in self.path and not self.path.startswith("file://"):
-            raise ValueError(
-                f"AnnIndex.compact: index path {self.path!r} is on a "
-                f"remote filesystem, but the compaction generation swap "
-                f"is a driver-local rename — compact a local index, or "
-                f"stage generations behind a catalog pointer instead"
+        def build(dest: str) -> None:
+            (
+                self._spark.read.schema(schema).parquet(src)
+                .repartition(n_cells, "coarse_id")
+                .write.partitionBy("coarse_id")
+                .mode("overwrite")
+                .parquet(dest)
             )
-        schema = (
-            SIM.PQ_INDEX_SCHEMA if self.codebooks is not None
-            else SIM.INDEX_SCHEMA
+
+        self._rewrite_generation(
+            build, self.centers, self.codebooks, strategy, "compact"
         )
-        tmp = f"{self.path}.compact.{os.getpid()}"
-        (
-            self._spark.read.schema(schema).parquet(self.path)
-            .repartition(self.n_cells, "coarse_id")
-            .write.partitionBy("coarse_id")
-            .mode("overwrite")
-            .parquet(tmp)
-        )
-        AnnIndex.adopt(self._spark, tmp, self.centers, self.codebooks)
-        old = f"{self.path}.pre-compact.{os.getpid()}"
-        os.rename(self.path, old)
+
+    def retrain(self, k: int | None = None, n_iters: int = 5,
+                strategy: str = "auto") -> None:
+        """Rebuild the index for the corpus it has GROWN into — the
+        verb that acts on `cell_stats`' drift signal (r12 verdict
+        item 1): retrain the coarse quantizer (and, on the PQ tier,
+        the PQ codebooks) over the CURRENT contents (base ∪ appends),
+        re-assign every row, rewrite the layout into a staged
+        generation with the new sidecar, and publish it atomically.
+        The handle serves the retrained index afterwards.
+
+        `k=None` re-derives the cell count by the √n rule over the
+        grown corpus — the reason to retrain in the first place (a
+        corpus that doubled wants more cells, not fuller ones).
+        Training reads the stored vectors, which are already
+        L2-normalized at ingest, so the retrained quantizer is exactly
+        what `train` would produce on the union corpus (certified by
+        `ann_index_retrain_search` against the retrained-probe replay
+        oracle).
+
+        Cost honesty: this is the expensive lifecycle verb — a full
+        corpus re-read, Lloyd over it, and a full layout rewrite (plus
+        PQ re-encode on v2). At 100 TB it is an offline job triggered
+        by occupancy drift, not a routine pass; `compact` handles the
+        small-files problem without retraining."""
+        from pyspark.sql import functions as F
+
+        names = tuple(n for n, _ in self.meta)
+        # one logical read of the current generation; Lloyd's driver
+        # loop re-reads it per iteration, so stage it once
+        vecs = self._layout().select(
+            F.col("vec_id").alias("id"), F.col("f").alias("features"),
+            *[F.col(n) for n in names],
+        ).localCheckpoint(eager=False)
+        if k is None:
+            from apachebeamkmeans_spark.operators.ann_train import knn_cells
+
+            k = knn_cells(vecs.count())
+        centers = [
+            [ANN.round_param(v) for v in c]
+            for c in ANN.ivf_train(vecs, k, n_iters)
+        ]
+        if self.codebooks is None:
+            books = None
+
+            def build(dest: str) -> None:
+                SIM.build_ivf_index(vecs, centers, dest, carry=names)
+        else:
+            books = [
+                [[ANN.round_param(v) for v in cent] for cent in book]
+                for book in ANN.pq_train(
+                    vecs, len(self.codebooks), len(self.codebooks[0]),
+                    n_iters,
+                )
+            ]
+
+            def build(dest: str) -> None:
+                SIM.build_ivfpq_index(vecs, centers, books, dest,
+                                      carry=names)
+
+        self._rewrite_generation(build, centers, books, strategy, "retrain")
+        self.centers = centers
+        self.codebooks = books
+
+    def _rewrite_generation(self, build_fn, centers, codebooks,
+                            strategy: str, verb: str) -> None:
+        """Stage a new layout generation written by `build_fn(dest)`,
+        attach its sidecar, and make it the served one. Two publish
+        strategies:
+
+        - `rename` (driver-local paths): build into a pid-suffixed
+          sibling, swap with two posix renames. If the second rename
+          fails the original is restored before the error propagates;
+          the staged sibling is removed on ANY failure (ADVICE r12 —
+          no orphaned full copy). Only a process death INSIDE the
+          two-rename window can leave the path absent, in which case
+          the `.pre-<verb>.<pid>` sibling holds the intact original.
+        - `pointer` (any filesystem scheme): build into a fresh
+          `gen-*` child directory, flip the `_ann_current` pointer to
+          it (one-row text written through Spark — the catalog-pointer
+          pattern, r12 verdict item 4), then reclaim the superseded
+          generation through the Hadoop FS API. Lifts the
+          driver-local-rename restriction for hdfs:// / s3a:// indexes.
+
+        `auto` picks `rename` for driver-local paths (including
+        normalized `file:` URIs — ADVICE r12) and `pointer` for remote
+        schemes. After either publish, `self.data_root` tracks the new
+        generation."""
+        import shutil
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        local = _local_path(self.path)
+        if strategy == "auto":
+            strategy = "rename" if local is not None else "pointer"
+        if strategy == "rename":
+            if local is None:
+                raise ValueError(
+                    f"AnnIndex.{verb}: index path {self.path!r} is on a "
+                    f"remote filesystem — the rename publish is a "
+                    f"driver-local posix operation; use "
+                    f"strategy='pointer' (the catalog-pointer publish) "
+                    f"for remote indexes"
+                )
+            tmp = f"{local}.{verb}.{os.getpid()}"
+            old = f"{local}.pre-{verb}.{os.getpid()}"
+            try:
+                build_fn(tmp)
+                AnnIndex.adopt(self._spark, tmp, centers, codebooks,
+                               self.meta)
+                os.rename(local, old)
+                try:
+                    os.rename(tmp, local)
+                except OSError:
+                    # restore the original generation before
+                    # propagating — the index path must never be left
+                    # empty by a failed swap
+                    os.rename(old, local)
+                    raise
+            except BaseException:
+                # a failed stage or swap must not orphan a full copy
+                # of the index on disk (ADVICE r12)
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            shutil.rmtree(old, ignore_errors=True)
+            # a rename publish flattens any previous pointer layout
+            # back to the root (the staged dir replaced the whole root,
+            # pointer file included)
+            self.data_root = self.path
+            return
+        if strategy != "pointer":
+            raise ValueError(
+                f"AnnIndex.{verb}: unknown publish strategy {strategy!r} "
+                f"(expected 'auto', 'rename', or 'pointer')"
+            )
+        gen = f"gen-{uuid.uuid4().hex[:12]}"
+        dest = os.path.join(self.path, gen)
+        prev_root = self.data_root
         try:
-            os.rename(tmp, self.path)
-        except OSError:
-            # restore the original generation before propagating — the
-            # index path must never be left empty by a failed swap
-            os.rename(old, self.path)
+            build_fn(dest)
+            AnnIndex.adopt(self._spark, dest, centers, codebooks, self.meta)
+            # the flip: one-row text overwrite through Spark — after
+            # this, loads resolve the new generation
+            self._spark.range(0, 1, 1, 1).select(
+                F.lit(gen).alias("value")
+            ).write.mode("overwrite").text(
+                os.path.join(self.path, AnnIndex._POINTER)
+            )
+        except BaseException:
+            # same no-orphan rule as the rename path, through the
+            # scheme-portable FS API; a failed publish also must not
+            # leave a non-partition gen-* dir to confuse a later
+            # root-level partition discovery
+            try:
+                _fs_delete(self._spark, dest)
+            except Exception:
+                pass
             raise
-        shutil.rmtree(old, ignore_errors=True)
+        # reclaim the superseded generation
+        if prev_root == self.path:
+            # first flip on a root-flat index: the old layout is the
+            # root's partition dirs (+ its now-unreachable sidecar)
+            for p in _fs_glob(self._spark,
+                              os.path.join(self.path, "coarse_id=*")):
+                _fs_delete(self._spark, p)
+            _fs_delete(self._spark,
+                       os.path.join(self.path, AnnIndex._PARAMS))
+        else:
+            _fs_delete(self._spark, prev_root)
+        self.data_root = dest
+
+    def _filtered_layout(self, where) -> DataFrame:
+        """The layout scan with an optional metadata predicate applied
+        — a string (SQL) or Column over the layout's columns
+        (`vec_id`, the `meta_cols`). The predicate filters CANDIDATES
+        (filter-then-rank: top-k is computed within the matching rows,
+        the real retrieval-filter semantics), and Catalyst pushes a
+        simple comparison into the parquet scan as a data filter
+        INSIDE the probed partitions (plan-locked in
+        tests/test_plans.py) — at 100 TB a filtered search reads the
+        probed directories' row groups minus whatever the pushed
+        predicate's stats exclude."""
+        index = self._layout()
+        return index if where is None else index.filter(where)
 
     def topk(self, queries: list[list[float]], k: int = 5,
-             nprobe: int = 1, refine: int = 50) -> DataFrame:
+             nprobe: int = 1, refine: int = 50, where=None) -> DataFrame:
         """Top-k cosine per literal query vector, all queries in one
         partition-pruned scan: (qid, probe_cell, vec_id, cosine,
         rank). Queries are L2-normalized HERE (the facade contract —
@@ -329,20 +624,20 @@ class AnnIndex:
         probe choice, and dot-as-cosine consistent regardless of the
         input's scale. On the PQ tier the scan ranks by ADC over the
         stored codes and re-ranks the top-`refine` shortlist exactly
-        (`refine` is ignored on the flat tier)."""
+        (`refine` is ignored on the flat tier). `where` is an optional
+        metadata predicate (see `_filtered_layout`) — filtered search,
+        certified by `ann_index_filtered_search`."""
         qn = [_norm_vec(q) for q in queries]
+        index = self._filtered_layout(where)
         if self.codebooks is None:
-            return SIM.ivf_topk_indexed(
-                self._spark, self.path, qn, self.centers, k, nprobe
-            )
-        return SIM.ivfpq_topk_indexed(
-            self._spark, self.path, qn, self.centers, self.codebooks,
-            k, nprobe, refine,
+            return SIM.ivf_probe_topk(index, qn, self.centers, k, nprobe)
+        return SIM.ivfpq_probe_topk(
+            index, qn, self.centers, self.codebooks, k, nprobe, refine,
         )
 
     def topk_table(self, queries: DataFrame, k: int = 5, nprobe: int = 1,
                    qid_col: str = "qid", qvec_col: str = "qvec",
-                   refine: int = 50) -> DataFrame:
+                   refine: int = 50, where=None) -> DataFrame:
         """Top-k cosine per QUERY-TABLE row — the batch serving shape:
         probe cells picked in-plan from the trained centers,
         candidates joined from the layout, one per-qid window. On the
@@ -350,16 +645,17 @@ class AnnIndex:
         only the refine shortlist is re-ranked exactly. Use this when
         the queries are data (an embedding batch, a probe set), `topk`
         when they are a handful of literals; certified by
-        `sim_ivf_batch_topk` / `sim_ivfpq_batch_topk`."""
+        `sim_ivf_batch_topk` / `sim_ivfpq_batch_topk`. `where` is an
+        optional metadata predicate shared with `topk` (applies to
+        both the codes scan and the refine fetch on the PQ tier)."""
         from pyspark.sql import functions as F
 
         qtab = queries.select(
             F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
         )
+        index = self._filtered_layout(where)
         if self.codebooks is None:
-            index = self._spark.read.schema(SIM.INDEX_SCHEMA).parquet(self.path)
             return SIM.ivf_batch_topk(index, qtab, self.centers, k, nprobe)
-        return SIM.ivfpq_batch_topk_indexed(
-            self._spark, self.path, qtab, self.centers, self.codebooks,
-            k, nprobe, refine,
+        return SIM.ivfpq_batch_probe_topk(
+            index, qtab, self.centers, self.codebooks, k, nprobe, refine,
         )

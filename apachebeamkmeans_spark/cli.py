@@ -39,8 +39,11 @@ surface (r11 verdict item 7 — `curate` is CurationPipeline's shell,
   python -m apachebeamkmeans_spark.cli ann append \
       --embeddings new.parquet --index-path /data/idx
   python -m apachebeamkmeans_spark.cli ann compact --index-path /data/idx
+  python -m apachebeamkmeans_spark.cli ann retrain \
+      --index-path /data/idx [--k 32] [--strategy pointer]
   python -m apachebeamkmeans_spark.cli ann search \
-      --index-path /data/idx --queries q.parquet --output hits
+      --index-path /data/idx --queries q.parquet --output hits \
+      [--where "label = 1"]
 """
 
 from __future__ import annotations
@@ -165,6 +168,9 @@ def build_ann_parser() -> argparse.ArgumentParser:
                    help="PQ centroids per subspace")
     t.add_argument("--id-col", default="vec_id")
     t.add_argument("--vec-col", default="embedding")
+    t.add_argument("--meta-cols", default=None,
+                   help="comma-separated metadata columns stored in the "
+                        "layout for filtered search (search --where)")
 
     a = sub.add_parser(
         "append", help="coarse-assign (and PQ-encode) a batch into the layout"
@@ -179,6 +185,23 @@ def build_ann_parser() -> argparse.ArgumentParser:
         help="rewrite an append-fragmented layout to one file per cell",
     )
     c.add_argument("--index-path", required=True)
+    c.add_argument("--strategy", default="auto",
+                   choices=("auto", "rename", "pointer"),
+                   help="generation publish: posix rename (local) or "
+                        "catalog-pointer flip (any filesystem)")
+
+    rt = sub.add_parser(
+        "retrain",
+        help="rebuild for the grown corpus: retrain quantizer(s) over "
+             "the current contents, rewrite + publish a new generation",
+    )
+    rt.add_argument("--index-path", required=True)
+    rt.add_argument("--k", type=int, default=None,
+                    help="new coarse cell count (default: √n over the "
+                         "grown corpus)")
+    rt.add_argument("--iters", type=int, default=5, help="Lloyd iterations")
+    rt.add_argument("--strategy", default="auto",
+                    choices=("auto", "rename", "pointer"))
 
     st = sub.add_parser(
         "stats", help="per-cell occupancy (index health / retrain signal)"
@@ -199,6 +222,9 @@ def build_ann_parser() -> argparse.ArgumentParser:
                    help="PQ tier: ADC shortlist size re-ranked exactly")
     s.add_argument("--qid-col", default="qid")
     s.add_argument("--qvec-col", default="qvec")
+    s.add_argument("--where", default=None,
+                   help="SQL predicate over the layout's metadata "
+                        "columns (filter-then-rank filtered search)")
     return p
 
 
@@ -219,13 +245,18 @@ def _ann_run(args, spark) -> int:
 
     if args.action == "train":
         emb = spark.read.parquet(args.embeddings)
+        meta = tuple(
+            c.strip() for c in (args.meta_cols or "").split(",") if c.strip()
+        )
         idx = AnnIndex.train(
             spark, emb, args.index_path, k=args.k, n_iters=args.iters,
             id_col=args.id_col, vec_col=args.vec_col,
-            pq_m=args.pq_m, pq_ksub=args.pq_ksub,
+            pq_m=args.pq_m, pq_ksub=args.pq_ksub, meta_cols=meta,
         )
         tier = "ivf-pq" if idx.codebooks is not None else "flat ivf"
-        print(f"ann train: {idx.n_cells} cells ({tier}) -> {args.index_path}")
+        extra = f", meta {list(meta)}" if meta else ""
+        print(f"ann train: {idx.n_cells} cells ({tier}{extra}) "
+              f"-> {args.index_path}")
     elif args.action == "append":
         idx = AnnIndex.load(spark, args.index_path)
         idx.append(
@@ -235,8 +266,16 @@ def _ann_run(args, spark) -> int:
         print(f"ann append: batch appended to {args.index_path}")
     elif args.action == "compact":
         idx = AnnIndex.load(spark, args.index_path)
-        idx.compact()
+        idx.compact(strategy=args.strategy)
         print(f"ann compact: {args.index_path} rewritten to one file per cell")
+    elif args.action == "retrain":
+        idx = AnnIndex.load(spark, args.index_path)
+        old = idx.n_cells
+        idx.retrain(k=args.k, n_iters=args.iters, strategy=args.strategy)
+        print(
+            f"ann retrain: {args.index_path} rebuilt "
+            f"{old} -> {idx.n_cells} cells"
+        )
     elif args.action == "stats":
         idx = AnnIndex.load(spark, args.index_path)
         rows = sorted(
@@ -256,7 +295,7 @@ def _ann_run(args, spark) -> int:
         hits = idx.topk_table(
             spark.read.parquet(args.queries), k=args.k, nprobe=args.nprobe,
             qid_col=args.qid_col, qvec_col=args.qvec_col,
-            refine=args.refine,
+            refine=args.refine, where=args.where,
         )
         hits.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()

@@ -58,20 +58,25 @@ def py_hash01(value, seed) -> float:
 
 
 def l2_normalize(vecs: DataFrame, id_col: str = "id",
-                 features_col: str = "features") -> DataFrame:
+                 features_col: str = "features",
+                 carry: tuple[str, ...] = ()) -> DataFrame:
     """Unit-normalize: x / sqrt(Σx²), zero-norm rows dropped. On unit
     vectors squared L2 is a monotone transform of cosine
     (‖a−b‖² = 2 − 2·cos), so L2-trained PQ/IVF serve cosine queries.
     Norm is materialized before the transform — HOF lambdas get no
-    CSE, inlining it would recompute the fold per element."""
+    CSE, inlining it would recompute the fold per element. `carry`
+    names extra columns to keep (metadata riding into an index
+    layout)."""
     f = F.col(features_col)
     nsq = F.aggregate(F.transform(f, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
     return (
-        vecs.select(F.col(id_col).alias(id_col), f.alias(features_col), nsq.alias("__nsq"))
+        vecs.select(F.col(id_col).alias(id_col), f.alias(features_col),
+                    nsq.alias("__nsq"), *[F.col(c) for c in carry])
         .filter(F.col("__nsq") > 0)
         .select(
             id_col,
             F.transform(f, lambda x: x / F.sqrt(F.col("__nsq"))).alias(features_col),
+            *carry,
         )
     )
 

@@ -649,8 +649,25 @@ def ivfpq_batch_topk_indexed(spark, index_path: str, queries: DataFrame,
     reads — the codes scan and the refine raw-vector fetch — partition
     prune to the probed directories (see `ivf_batch_topk`; r11 verdict
     item 2)."""
+    return ivfpq_batch_probe_topk(
+        spark.read.schema(PQ_INDEX_SCHEMA).parquet(index_path),
+        queries, centers, codebooks, k, nprobe, refine,
+        qid_col, qvec_col, prune_scan,
+    )
+
+
+def ivfpq_batch_probe_topk(index: DataFrame, queries: DataFrame,
+                           centers: list[list[float]],
+                           codebooks: list[list[list[float]]],
+                           k: int = 5, nprobe: int = 2, refine: int = 50,
+                           qid_col: str = "qid",
+                           qvec_col: str = "qvec",
+                           prune_scan: bool = True) -> DataFrame:
+    """`ivfpq_batch_topk_indexed` over an already-constructed layout
+    FRAME — the filtered-search seam (see `ivfpq_probe_topk`): a
+    caller-applied metadata predicate on `index` reaches BOTH layout
+    reads (codes scan and refine fetch) as a parquet data filter."""
     m = len(codebooks)
-    index = spark.read.schema(PQ_INDEX_SCHEMA).parquet(index_path)
 
     qv = F.col(qvec_col).cast("array<double>")
     nsq = F.aggregate(
@@ -904,30 +921,38 @@ def nearest_center(q: list[float], centers: list[list[float]]) -> int:
 
 
 def coarse_assign(vecs: DataFrame, centers: list[list[float]],
-                  id_col: str = "id", features_col: str = "features") -> DataFrame:
-    """(vec_id, f, coarse_id): each vector quantized to its nearest
-    coarse centroid — the same shuffle-free literal-center argmin map
-    as K-Means assignment."""
+                  id_col: str = "id", features_col: str = "features",
+                  carry: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id, f, *carry, coarse_id): each vector quantized to its
+    nearest coarse centroid — the same shuffle-free literal-center
+    argmin map as K-Means assignment. `carry` names extra columns to
+    keep alongside (metadata riding into a filtered-search layout)."""
     return lloyd.assign(
-        vecs.select(F.col(id_col).alias("vec_id"), F.col(features_col).alias("f")),
+        vecs.select(F.col(id_col).alias("vec_id"), F.col(features_col).alias("f"),
+                    *[F.col(c) for c in carry]),
         centers, 2.0, features_col="f", mode="hof",
     ).withColumnRenamed("center_id", "coarse_id")
 
 
 def build_ivf_index(vecs: DataFrame, centers: list[list[float]], path: str,
-                    id_col: str = "id", features_col: str = "features") -> None:
+                    id_col: str = "id", features_col: str = "features",
+                    carry: tuple[str, ...] = ()) -> None:
     """Materialize the IVF layout: the coarse-assigned vectors written
     hive-partitioned by `coarse_id`, one directory per cell. A probe is
     then a partition-pruned scan — at 100 TB the search reads
-    nprobe/k of the directories, never the table."""
+    nprobe/k of the directories, never the table. `carry` columns land
+    in the row as filterable metadata (a predicate on them is a
+    parquet data filter INSIDE the probed partitions — the filtered-
+    search shape)."""
     from apachebeamkmeans_spark.sources import io
 
-    io.write_parquet(coarse_assign(vecs, centers, id_col, features_col),
+    io.write_parquet(coarse_assign(vecs, centers, id_col, features_col, carry),
                      path, partition_by=["coarse_id"])
 
 
 def append_to_ivf_index(vecs: DataFrame, centers: list[list[float]], path: str,
-                        id_col: str = "id", features_col: str = "features") -> None:
+                        id_col: str = "id", features_col: str = "features",
+                        carry: tuple[str, ...] = ()) -> None:
     """Incremental index maintenance: coarse-assign a NEW batch of
     vectors and append it to an existing `build_ivf_index` layout —
     dynamic-partition append, so only the touched `coarse_id=`
@@ -936,10 +961,11 @@ def append_to_ivf_index(vecs: DataFrame, centers: list[list[float]], path: str,
     append per arriving batch; the quantizer is retrained offline and
     the layout rebuilt only when cell balance drifts). Search results
     after an append equal a from-scratch rebuild over the union —
-    asserted in tests/test_similarity_mm.py."""
+    asserted in tests/test_similarity_mm.py. `carry` must name the
+    same metadata columns the layout was built with."""
     from apachebeamkmeans_spark.sources import io
 
-    io.write_parquet(coarse_assign(vecs, centers, id_col, features_col),
+    io.write_parquet(coarse_assign(vecs, centers, id_col, features_col, carry),
                      path, mode="append", partition_by=["coarse_id"])
 
 
@@ -1107,7 +1133,8 @@ PQ_INDEX_SCHEMA = (
 def build_ivfpq_index(vecs: DataFrame, centers: list[list[float]],
                       codebooks: list[list[list[float]]], path: str,
                       id_col: str = "id",
-                      features_col: str = "features") -> None:
+                      features_col: str = "features",
+                      carry: tuple[str, ...] = ()) -> None:
     """Materialize the IVF-PQ layout: coarse-assigned vectors PLUS
     their m PQ codes, hive-partitioned by `coarse_id`. The codes make
     the ADC stage a scan of m ints per row; the raw vector stays in
@@ -1116,30 +1143,33 @@ def build_ivfpq_index(vecs: DataFrame, centers: list[list[float]],
     engine keeps honesty: refine is what holds recall on real data)."""
     from apachebeamkmeans_spark.sources import io
 
-    assigned = coarse_assign(vecs, centers, id_col, features_col)
+    assigned = coarse_assign(vecs, centers, id_col, features_col, carry)
     encoded = pq_encode(
         assigned.withColumnRenamed("coarse_id", "__cell"),
         codebooks, id_col="vec_id", features_col="f",
-        carry=("f", "__cell"),
-    ).select("vec_id", "f", "codes", F.col("__cell").alias("coarse_id"))
+        carry=("f", "__cell", *carry),
+    ).select("vec_id", "f", "codes", *carry,
+             F.col("__cell").alias("coarse_id"))
     io.write_parquet(encoded, path, partition_by=["coarse_id"])
 
 
 def append_to_ivfpq_index(vecs: DataFrame, centers: list[list[float]],
                           codebooks: list[list[list[float]]], path: str,
                           id_col: str = "id",
-                          features_col: str = "features") -> None:
+                          features_col: str = "features",
+                          carry: tuple[str, ...] = ()) -> None:
     """Incremental IVF-PQ maintenance: assign + encode a new batch,
     dynamic-partition append — same contract as `append_to_ivf_index`
     (post-append searches equal a from-scratch rebuild)."""
     from apachebeamkmeans_spark.sources import io
 
-    assigned = coarse_assign(vecs, centers, id_col, features_col)
+    assigned = coarse_assign(vecs, centers, id_col, features_col, carry)
     encoded = pq_encode(
         assigned.withColumnRenamed("coarse_id", "__cell"),
         codebooks, id_col="vec_id", features_col="f",
-        carry=("f", "__cell"),
-    ).select("vec_id", "f", "codes", F.col("__cell").alias("coarse_id"))
+        carry=("f", "__cell", *carry),
+    ).select("vec_id", "f", "codes", *carry,
+             F.col("__cell").alias("coarse_id"))
     io.write_parquet(encoded, path, mode="append", partition_by=["coarse_id"])
 
 
@@ -1155,10 +1185,26 @@ def ivfpq_topk_indexed(spark, index_path: str, queries: list[list[float]],
     partitions. The production IVF-PQ serving shape at 100 TB: a
     search touches nprobe/k of the directories and computes exact
     distances for refine rows per query only."""
+    return ivfpq_probe_topk(
+        spark.read.schema(PQ_INDEX_SCHEMA).parquet(index_path),
+        queries, centers, codebooks, k, nprobe, refine,
+    )
+
+
+def ivfpq_probe_topk(index: DataFrame, queries: list[list[float]],
+                     centers: list[list[float]],
+                     codebooks: list[list[list[float]]], k: int = 5,
+                     nprobe: int = 2, refine: int = 50) -> DataFrame:
+    """`ivfpq_topk_indexed` over an already-constructed layout FRAME —
+    the seam the AnnIndex facade's filtered search needs: the caller
+    can apply a metadata predicate to `index` first (it lands in the
+    parquet scan alongside the partition prune; filter-then-rank
+    semantics), and both the ADC pass and the refine fetch read the
+    same filtered frame. `index` must carry (vec_id, f, codes,
+    coarse_id) at least."""
     m = len(codebooks)
     probe_cells = [nearest_centers(q, centers, nprobe) for q in queries]
     all_cells = sorted({c for cells in probe_cells for c in cells})
-    index = spark.read.schema(PQ_INDEX_SCHEMA).parquet(index_path)
     # no checkpoint here, unlike inline ivfpq_topk: there `assigned` is
     # EXPRESSION work worth staging; this is a partition-pruned SCAN —
     # the ADC pass and the refine fetch each re-read nprobe/k of the

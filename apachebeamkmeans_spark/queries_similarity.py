@@ -1149,6 +1149,87 @@ ORACLE_ANN_INDEX_PQ_ROUNDTRIP = _oracle_ivfpq_trained(_E2_ROUNDTRIP)
 # -------------------------------------- AnnIndex amortized serving (r12)
 
 
+# r13: the cell count the retrain serving query rebuilds to — grown
+# from IVFPQ_K=8, the drift response cell_stats signals (the √n default
+# is covered by tests/test_ann_index.py; a pinned k keeps the replay
+# oracle's unrolled distance expressions bounded).
+RETRAIN_K = 12
+# r13: the metadata predicate of the filtered serving query
+FILTER_LABEL = 3
+
+
+def _retrain_np() -> list[list[float]]:
+    """Numpy twin of `AnnIndex.retrain(k=RETRAIN_K)` on the serve
+    corpus: normalize, extend by the deterministic shifted-id append
+    batch (the layout's contents ARE that union, already normalized),
+    re-sort by id, Lloyd with the engine's "ivf" seed — the retrained
+    centers the replay oracle embeds as literals."""
+    import numpy as np
+
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+
+    ids, mat = ANN.normalized_embeddings_np(TRAIN_SF_DIR)
+    keep = ids % ANN_APPEND_MOD == ANN_APPEND_RESIDUE
+    ids2 = np.concatenate([ids, ids[keep] + ANN_APPEND_OFFSET])
+    mat2 = np.concatenate([mat, mat[keep]])
+    order = np.argsort(ids2)
+    return ANN.round_mat(
+        ANN.ivf_train_np(ids2[order], mat2[order], RETRAIN_K, IVFPQ_ITERS,
+                         "ivf")
+    )
+
+
+try:
+    RETRAIN_CENTERS = _retrain_np()
+except (FileNotFoundError, OSError):
+    # same missing-testdata-only fallback contract as TRAINED_CENTERS
+    RETRAIN_CENTERS = CENTERS
+
+
+def _oracle_probe_replay(table: str, centers: list[list[float]],
+                         pred: str | None = None) -> str:
+    """Flat-IVF probe replay against ARBITRARY trained-center literals
+    with an optional metadata predicate — the oracle of the retrain
+    and filtered serving queries. Same structure as
+    `_oracle_ivf_trained_indexed` (normalize → argmin coarse assign →
+    per-query probe-cell IN filter → cosine rank), with `pred` ANDed
+    into each query's candidate filter exactly where the engine
+    applies `where` (filter-then-rank: the rank is computed within
+    the matching rows). When `pred` is given, `table` must expose the
+    `label` column it references."""
+    nsq = OG.sql_norm_sq("e", DIM)
+    carry = ", label" if pred else ""
+    dists = [f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(centers)]
+    argmin = OG.sql_argmin_case(
+        [f"d{i}" for i in range(len(centers))], "coarse_id"
+    )
+    parts = []
+    for qid, q in enumerate(NQUERY_VECS):
+        probes = SIM.nearest_centers(q, centers, IVFPQ_NPROBE)
+        in_list = ", ".join(str(p) for p in probes)
+        where = f"coarse_id IN ({in_list})"
+        if pred:
+            where += f" AND ({pred})"
+        cos = OG.sql_cosine_lit("e", q, DIM)
+        parts.append(
+            f"SELECT {qid} AS qid, probe_cell, vec_id, round(c, 6) AS cosine, rank FROM ("
+            f"  SELECT coarse_id AS probe_cell, vec_id, c,"
+            f"    CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank"
+            f"  FROM (SELECT vec_id, coarse_id, {cos} AS c FROM ca"
+            f"        WHERE {where})"
+            f") WHERE rank <= {IVFPQ_TOPK}"
+        )
+    return (
+        f"WITH en AS MATERIALIZED (SELECT vec_id{carry},"
+        f" list_transform(e, x -> x / sqrt({nsq})) AS e"
+        f" FROM {table} t WHERE {nsq} > 0), "
+        f"ca AS MATERIALIZED (SELECT vec_id{carry}, e, coarse_id FROM"
+        f" (SELECT vec_id{carry}, e, {argmin}"
+        f" FROM (SELECT vec_id{carry}, e, {', '.join(dists)} FROM en))) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 def _ann_serve_index_path(sf_dir: str, tier: str) -> str:
     """Home of the PERSISTED serving index for the `ann_index_*search`
     queries: one directory per (tier, sf, embeddings CONTENT
@@ -1169,8 +1250,11 @@ def _ann_serve_index_path(sf_dir: str, tier: str) -> str:
     # the BUILD CONFIG joins the key (r12 review): a later round that
     # bumps a training constant must rebuild, not serve an index
     # trained under the old config against an oracle built from the
-    # new one (the fingerprint alone can't see constant changes)
-    cfg = f"k{IVFPQ_K}i{IVFPQ_ITERS}m{IVFPQ_M}s{IVFPQ_KSUB}"
+    # new one (the fingerprint alone can't see constant changes).
+    # "ml" = the r13 meta-label layout revision (every serve tier now
+    # carries `label` for filtered search — values unchanged, but a
+    # pre-r13 layout has no label column to filter on)
+    cfg = f"k{IVFPQ_K}i{IVFPQ_ITERS}m{IVFPQ_M}s{IVFPQ_KSUB}ml"
     path = os.path.join(
         scratch.repo_root(), ".ivf_index",
         f"serve_{tier}_{cfg}_{sfx}_{ph}_f{fp}",
@@ -1182,7 +1266,8 @@ def _ann_serve_index_path(sf_dir: str, tier: str) -> str:
 
 
 def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
-                        compact: bool = False) -> str:
+                        compact: bool = False,
+                        retrain: bool = False) -> str:
     """Build-once publish of the serving index: the roundtrip queries'
     exact corpus (train at the certified config, then the
     deterministic shifted-id append), staged in a pid-suffixed tmp dir
@@ -1190,12 +1275,19 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
     either wins the rename or discards its identical bytes, so the
     published layout can never hold a double append. Repeat sessions
     pay only the `_serve_ready` stat — the amortization the serving
-    queries measure."""
+    queries measure. Every tier carries `label` as a layout metadata
+    column (r13 — the filtered-search query needs it; values of the
+    unfiltered queries are unchanged, the column is pruned from their
+    scans). `retrain` additionally rebuilds to RETRAIN_K cells via the
+    catalog-pointer publish — the generation-swap path a remote-
+    filesystem index uses, exercised through the driver gate here."""
     from pyspark.sql import functions as F
 
     from apachebeamkmeans_spark.ann import AnnIndex
 
-    tier = ("pq" if pq else "flat") + ("c" if compact else "")
+    tier = ("pq" if pq else "flat") + ("c" if compact else "") + (
+        f"r{RETRAIN_K}" if retrain else ""
+    )
     path = _ann_serve_index_path(sf_dir, tier)
     if os.path.exists(os.path.join(path, "_serve_ready")):
         return path
@@ -1204,10 +1296,11 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
     if pq:
         AnnIndex.train(
             spark, emb, tmp, k=IVFPQ_K, n_iters=IVFPQ_ITERS,
-            pq_m=IVFPQ_M, pq_ksub=IVFPQ_KSUB,
+            pq_m=IVFPQ_M, pq_ksub=IVFPQ_KSUB, meta_cols=("label",),
         )
     else:
-        AnnIndex.train(spark, emb, tmp, k=IVFPQ_K, n_iters=IVFPQ_ITERS)
+        AnnIndex.train(spark, emb, tmp, k=IVFPQ_K, n_iters=IVFPQ_ITERS,
+                       meta_cols=("label",))
     idx = AnnIndex.load(spark, tmp)
     batch = emb.filter(
         F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_RESIDUE
@@ -1218,6 +1311,11 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
         # one file per cell (facade compact — semantics-preserving,
         # certified by ann_index_compact_search's shared oracle)
         idx.compact()
+    if retrain:
+        # the drift response: rebuild the coarse quantizer over the
+        # grown corpus and publish as a pointer generation (the remote-
+        # filesystem maintenance path, on local disk here)
+        idx.retrain(k=RETRAIN_K, n_iters=IVFPQ_ITERS, strategy="pointer")
     with open(os.path.join(tmp, "_serve_ready"), "w") as f:
         f.write("1")
     try:
@@ -1369,6 +1467,65 @@ def _oracle_cell_stats(table: str = _E2_ROUNDTRIP) -> str:
 
 
 ORACLE_ANN_INDEX_CELL_STATS = _oracle_cell_stats()
+
+
+def q_ann_index_retrain_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`AnnIndex.retrain` certified end-to-end (r12 verdict item 1 —
+    the verb that acts on `cell_stats`' drift signal): the serve
+    corpus (train at IVFPQ_K + shifted-id append) is REBUILT to
+    RETRAIN_K cells — coarse quantizer retrained over the grown
+    corpus, every row re-assigned, layout rewritten — and published
+    through the CATALOG-POINTER generation swap (r12 verdict item 4:
+    the maintenance path that works on hdfs://s3a:// too, exercised
+    here through the driver gate), then searched through a LOADED
+    handle that resolves the pointer. Oracle: the probe replay against
+    the RETRAINED centers (numpy twin of Lloyd over the union corpus —
+    the layout's stored vectors ARE that corpus). Amortized like the
+    other serving queries (fingerprint-keyed build-once)."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_retrain_search")
+    path = _ensure_serve_index(spark, sf_dir, pq=False, retrain=True)
+    idx = AnnIndex.load(spark, path)
+    return idx.topk(QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
+
+
+ORACLE_ANN_INDEX_RETRAIN_SEARCH = _oracle_probe_replay(
+    _E2_ROUNDTRIP, RETRAIN_CENTERS
+)
+
+
+def q_ann_index_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN search (r12 verdict item 7): top-k WITH a metadata
+    predicate — the retrieval shape real serving needs (restrict by
+    label/source/date while ranking by similarity). The serve layout
+    carries `label` as a metadata column; `where="label = 3"` reaches
+    the parquet scan as a pushed data filter INSIDE the probed
+    partitions (plan-locked in tests/test_plans.py), and the rank is
+    computed within the matching rows (filter-then-rank). Oracle: the
+    same trained-probe replay with the predicate applied at the
+    candidate stage."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_filtered_search")
+    path = _ensure_serve_index(spark, sf_dir, pq=False)
+    idx = AnnIndex.load(spark, path)
+    return idx.topk(
+        QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE,
+        where=f"label = {FILTER_LABEL}",
+    )
+
+
+_E2L_ROUNDTRIP = (
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings"
+    f" UNION ALL SELECT vec_id + {ANN_APPEND_OFFSET},"
+    " CAST(embedding AS DOUBLE[]), label FROM embeddings"
+    f" WHERE vec_id % {ANN_APPEND_MOD} = {ANN_APPEND_RESIDUE})"
+)
+
+ORACLE_ANN_INDEX_FILTERED_SEARCH = _oracle_probe_replay(
+    _E2L_ROUNDTRIP, TRAINED_CENTERS, pred=f"label = {FILTER_LABEL}"
+)
 
 
 # ------------------------------------------------- residual IVF-PQ (r6)
@@ -2107,24 +2264,30 @@ def q_sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The arrow (BLAS-GEMM) certification rounds at a MARGIN-CHECKED
+# precision (r12 verdict item 2): 4 dp, with tests/test_pca.py
+# asserting every projected value at TRAIN_SF_DIR sits ≥ 1e-11 from
+# its nearest 4-dp rounding boundary — ~1000× the worst-case deviation
+# a differently-ordered 64-term BLAS summation can introduce (~1.4e-14
+# = dim·eps on unit-normalized inputs). Any BLAS build therefore
+# rounds every certified value identically; the old 6-dp contract
+# relied on bit-equality of this host's BLAS to the fold.
+PCA_ARROW_ROUND = 4
+PCA_ARROW_MARGIN = 1e-11
+
+
 def q_sim_pca_project_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`pca_project(impl="arrow")` — the BLAS-GEMM-per-Arrow-batch
     physical plan that serves real embedding widths (r10 verdict
-    item 3) — certified against the SAME oracle as the fold form.
-    Why the shared oracle is safe: the two impls measure bit-identical
-    at this width on this host (max |Δ| = 0.0 at sf0.01 and sf0.1,
-    r11), and both sides round to 6 dp, so even a BLAS build whose
-    64-term summation diverges at the ~1e-15 level has a ~1e-9
-    per-value chance of crossing a rounding boundary. Portability
-    caveat (ADVICE r11): at n·out_dim ≈ 64k certified values that
-    per-value chance compounds, so on a host whose BLAS is NOT
-    bit-identical to the fold this one query may hash-mismatch
-    nondeterministically — that is an environment signal, not an
-    engine bug; the numeric agreement itself is tolerance-asserted in
-    tests/test_pca.py, and the hash gate is the bit-equality claim
-    scoped to builds where it holds. The projection itself stays a
-    zero-shuffle narrow map; the Python crossing is Arrow-batched
-    (one matmul per batch, never per row)."""
+    item 3). Certified portably (r12 verdict item 2): both engines
+    round at PCA_ARROW_ROUND, and the margin check above guarantees
+    a host whose BLAS sums in a different order still lands on the
+    same rounded values — the certification no longer depends on
+    bit-identical BLAS (the exact-agreement claim for THIS host's
+    build stays tolerance-asserted in tests/test_pca.py). The
+    projection itself stays a zero-shuffle narrow map; the Python
+    crossing is Arrow-batched (one matmul per batch, never per
+    row)."""
     from pyspark.sql import functions as F
 
     from apachebeamkmeans_spark.operators import ann_train as ANN
@@ -2141,15 +2304,25 @@ def q_sim_pca_project_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         F.col("pc_dim").cast("int"),
-        F.round("__v", 6).alias("val"),
+        # + 0.0 normalizes IEEE negative zero: at 4 dp, values in
+        # (-5e-5, 0) round to zero and the engines disagree on its
+        # sign (both sides apply the same normalization)
+        (F.round("__v", PCA_ARROW_ROUND) + F.lit(0.0)).alias("val"),
     )
 
 
-def _oracle_pca_project() -> str:
+def _oracle_pca_project(round_nd: int = 6) -> str:
     nsq = OG.sql_norm_sq("e", DIM)
+    # the 4-dp arrow contract also normalizes negative zero (+ 0.0 on
+    # both engines); the 6-dp text stays byte-identical to its
+    # certified form
+    vexpr = "round({}, {})" if round_nd == 6 else "round({}, {}) + 0.0"
     structs = ", ".join(
-        "struct_pack(d := {}, v := round({}, 6))".format(
-            j, OG.sql_dot_centered("e", PCA_TRAINED_MEAN, w)
+        "struct_pack(d := {}, v := {})".format(
+            j,
+            vexpr.format(
+                OG.sql_dot_centered("e", PCA_TRAINED_MEAN, w), round_nd
+            ),
         )
         for j, w in enumerate(PCA_TRAINED_COMPONENTS)
     )
@@ -2164,6 +2337,7 @@ FROM (SELECT vec_id, unnest([{structs}]) AS s FROM en)
 
 
 ORACLE_SIM_PCA_PROJECT = _oracle_pca_project()
+ORACLE_SIM_PCA_PROJECT_ARROW = _oracle_pca_project(PCA_ARROW_ROUND)
 
 
 # ------------------------------------- PCA-space IVF serving (r11)
@@ -2710,7 +2884,10 @@ QUERIES = {
     "sim_knn_graph_pq": (q_sim_knn_graph_pq, ORACLE_SIM_KNN_GRAPH_PQ),
     "sim_pca_train": (q_sim_pca_train, ORACLE_SIM_PCA_TRAIN),
     "sim_pca_project": (q_sim_pca_project, ORACLE_SIM_PCA_PROJECT),
-    "sim_pca_project_arrow": (q_sim_pca_project_arrow, ORACLE_SIM_PCA_PROJECT),
+    "sim_pca_project_arrow": (
+        q_sim_pca_project_arrow,
+        ORACLE_SIM_PCA_PROJECT_ARROW,
+    ),
     "sim_label_propagation": (
         q_sim_label_propagation,
         ORACLE_SIM_LABEL_PROPAGATION,
@@ -2746,6 +2923,14 @@ QUERIES = {
     "ann_index_cell_stats": (
         q_ann_index_cell_stats,
         ORACLE_ANN_INDEX_CELL_STATS,
+    ),
+    "ann_index_retrain_search": (
+        q_ann_index_retrain_search,
+        ORACLE_ANN_INDEX_RETRAIN_SEARCH,
+    ),
+    "ann_index_filtered_search": (
+        q_ann_index_filtered_search,
+        ORACLE_ANN_INDEX_FILTERED_SEARCH,
     ),
     "stream_embedding_gate": (
         q_stream_embedding_gate,

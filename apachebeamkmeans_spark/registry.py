@@ -54,6 +54,10 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "sim_ivfpq_trained": 12,
     "sim_ivfpq_residual": 12,
     "ann_index_pq_roundtrip": 12,
+    # r13: the arrow (BLAS-GEMM) PCA certification moved from 6 dp
+    # (bit-identical-BLAS assumption) to the margin-checked 4 dp
+    # contract — values and oracle text both changed
+    "sim_pca_project_arrow": 13,
     # r12 (bumped in r13 per ADVICE): the batch-topk oracle text was
     # restructured (_oracle_ivfpq_batch_topk parameterization) and the
     # implementation gained the probed-cell encode prune in the same

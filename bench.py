@@ -128,6 +128,12 @@ HEADLINE = [
     "ann_index_compact_search",
     "ann_index_cell_stats",
     "stream_embedding_gate_pq",
+    # round 13 additions: index lifecycle completion (retrain — the
+    # drift response, published via the catalog-pointer generation
+    # swap) and filtered search (metadata predicate pushed into the
+    # pruned layout scan)
+    "ann_index_retrain_search",
+    "ann_index_filtered_search",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",
@@ -273,32 +279,37 @@ def main() -> None:
     # a partial total must never be compared against a full-suite total
     # (r6 ADVICE): with errors present, `value` is null and the explicit
     # counts make the gap impossible to miss
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_sec",
-            "value": round(sum(timings.values()), 3) if not errors else None,
-            "unit": "sec",
-            "queries": timings,
-            "warmup_pass": warmups,
-            "session_warmup_sec": session_warmup_sec,
-            "sf": sf,
-            "n_completed": len(timings),
-            **(
-                {"errors": errors, "n_errors": len(errors),
-                 "partial_total_sec": round(sum(timings.values()), 3)}
-                if errors
-                else {}
-            ),
-        }
-    )
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3) if not errors else None,
+        "unit": "sec",
+        "queries": timings,
+        "warmup_pass": warmups,
+        "session_warmup_sec": session_warmup_sec,
+        "sf": sf,
+        "n_completed": len(timings),
+        **(
+            {"errors": errors, "n_errors": len(errors),
+             "partial_total_sec": round(sum(timings.values()), 3)}
+            if errors
+            else {}
+        ),
+    }
     # stdout is the driver contract; the file copy exists because the
     # r5 driver captured only a truncated stdout tail (BENCH_r05.json's
     # `parsed` was null) — round-over-round comparison must not depend
-    # on tail parsing
+    # on tail parsing. stdout gets the TIMED-ONLY record (r12 verdict
+    # item 8: a truncated stdout tail whose visible numbers were the
+    # warmup_pass dict nearly false-flagged two 5-8× regressions —
+    # warmup readings live only in the parsed BENCH_LATEST.json).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LATEST.json"), "w") as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(json.dumps(record) + "\n")
+    stdout_record = {
+        k: v for k, v in record.items()
+        if k not in ("warmup_pass", "session_warmup_sec")
+    }
+    print(json.dumps(stdout_record))
 
 
 if __name__ == "__main__":

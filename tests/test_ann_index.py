@@ -308,6 +308,50 @@ def test_batch_prune_scan_is_semantically_transparent(spark, sf_dir, tmp_path):
     assert pruned.count() > 0
 
 
+def test_pq_batch_prune_scan_is_semantically_transparent(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r12: the PQ-tier prunes (ivfpq_batch_topk's pre-encode
+    corpus filter and ivfpq_batch_topk_indexed's IN pushdown over both
+    layout reads) get the same direct pruned-vs-unpruned assertion the
+    flat tier has."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "pq_prune_equiv_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4, pq_m=8, pq_ksub=16)
+    qtab = emb.filter(F.col("vec_id") % 100 == 13).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # indexed form: the IN pushdown over both layout reads
+    kw = dict(k=5, nprobe=2, refine=30)
+    pruned = SIM.ivfpq_batch_topk_indexed(
+        spark, path, qtab, idx.centers, idx.codebooks, **kw
+    )
+    unpruned = SIM.ivfpq_batch_topk_indexed(
+        spark, path, qtab, idx.centers, idx.codebooks,
+        prune_scan=False, **kw
+    )
+    rows = sorted(map(tuple, pruned.collect()))
+    assert rows == sorted(map(tuple, unpruned.collect())) and rows
+    # inline form: the pre-encode corpus filter
+    vecs = ANN.l2_normalize(
+        emb.selectExpr(
+            "vec_id AS id", "CAST(embedding AS array<double>) AS features"
+        )
+    )
+    pruned_i = SIM.ivfpq_batch_topk(
+        vecs, qtab, idx.centers, idx.codebooks, **kw
+    )
+    unpruned_i = SIM.ivfpq_batch_topk(
+        vecs, qtab, idx.centers, idx.codebooks, prune_scan=False, **kw
+    )
+    rows_i = sorted(map(tuple, pruned_i.collect()))
+    assert rows_i == sorted(map(tuple, unpruned_i.collect())) and rows_i
+    # the layout-backed and inline forms agree with each other too
+    assert rows == rows_i
+
+
 def test_compact_merges_small_files_and_preserves_results(
     spark, sf_dir, tmp_path
 ):
@@ -371,12 +415,182 @@ def test_compact_pq_tier_preserves_codes_and_results(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, after)) == sorted(map(tuple, before)) and after
 
 
-def test_compact_rejects_remote_paths(spark):
+def test_rename_publish_rejects_remote_paths(spark):
     import pytest
 
     idx = AnnIndex(spark, "hdfs://ns/idx", [[0.0] * 64])
     with pytest.raises(ValueError, match="remote filesystem"):
+        idx.compact(strategy="rename")
+
+
+def test_compact_accepts_file_scheme_uri(spark, sf_dir, tmp_path):
+    """ADVICE r12: a file:// URI used to pass the remote guard and then
+    fail at os.rename only AFTER the full rewrite. The rename publish
+    must normalize file:-scheme URIs to plain local paths up front."""
+    from pyspark.sql import functions as F
+
+    plain = str(tmp_path / "file_uri_idx")
+    emb = _emb(spark, sf_dir)
+    AnnIndex.train(spark, emb, plain, k=4)
+    idx = AnnIndex.load(spark, f"file://{plain}")
+    idx.append(
+        emb.filter(F.col("vec_id") % 20 == 3).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(3_000_000)
+        )
+    )
+    before = idx.topk(QUERIES, k=5, nprobe=4).collect()
+    idx.compact()  # auto → rename (file:// IS driver-local)
+    after = idx.topk(QUERIES, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before)) and after
+    # swapped in place, no orphaned siblings
+    sibs = [d for d in os.listdir(tmp_path) if d.startswith("file_uri_idx")]
+    assert sibs == ["file_uri_idx"]
+
+
+def test_failed_rename_swap_cleans_staged_dir(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r12: a failed swap must remove the fully-written staged
+    sibling (no orphaned full copy) AND restore the original layout."""
+    import pytest
+
+    path = str(tmp_path / "failswap_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    before = idx.topk(QUERIES, k=5, nprobe=4).collect()
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the tmp -> path swap
+            raise OSError("simulated swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated swap failure"):
         idx.compact()
+    monkeypatch.undo()
+    # original restored, staged sibling gone
+    sibs = [d for d in os.listdir(tmp_path) if d.startswith("failswap_idx")]
+    assert sibs == ["failswap_idx"]
+    after = AnnIndex.load(spark, path).topk(QUERIES, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before)) and after
+
+
+def test_compact_pointer_strategy_flips_generation(spark, sf_dir, tmp_path):
+    """The catalog-pointer publish (the remote-filesystem maintenance
+    path, exercised on a local root): compaction writes a gen-* child,
+    flips _ann_current, reclaims the superseded root layout — and
+    search results are identical through a RELOADED handle."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ptr_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    idx.append(
+        emb.filter(F.col("vec_id") % 20 == 7).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(7_000_000)
+        )
+    )
+    before = idx.topk(QUERIES, k=5, nprobe=4).collect()
+    idx.compact(strategy="pointer")
+    entries = sorted(os.listdir(path))
+    gens = [d for d in entries if d.startswith("gen-")]
+    assert len(gens) == 1 and "_ann_current" in entries
+    # superseded root layout reclaimed (no coarse_id= dirs, no stale
+    # root sidecar left behind)
+    assert not [d for d in entries if d.startswith("coarse_id=")]
+    assert "_ann_params" not in entries
+    reloaded = AnnIndex.load(spark, path)
+    assert reloaded.data_root == os.path.join(path, gens[0])
+    after = reloaded.topk(QUERIES, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before)) and after
+    # a second pointer-mode pass reclaims the first generation
+    reloaded.compact(strategy="pointer")
+    gens2 = [d for d in os.listdir(path) if d.startswith("gen-")]
+    assert len(gens2) == 1 and gens2 != gens
+    again = AnnIndex.load(spark, path).topk(QUERIES, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, before))
+
+
+def test_retrain_equals_fresh_train_on_union(spark, sf_dir, tmp_path):
+    """retrain(): after appends, the rebuilt index must serve exactly
+    what a from-scratch train over the union corpus serves — same
+    retrained centers (the stored vectors ARE the normalized corpus),
+    same layout, same search results — and the handle serves the new
+    quantizer immediately."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    batch = emb.filter(F.col("vec_id") % 20 == 9).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(9_000_000)
+    )
+    path = str(tmp_path / "retrain_idx")
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    idx.append(batch)
+    old_centers = [list(c) for c in idx.centers]
+    idx.retrain(k=6)
+    assert len(idx.centers) == 6 and idx.centers != old_centers
+
+    fresh_path = str(tmp_path / "fresh_idx")
+    fresh = AnnIndex.train(
+        spark, emb.unionByName(batch), fresh_path, k=6
+    )
+    assert idx.centers == fresh.centers
+    got = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=3).collect()))
+    want = sorted(map(tuple, fresh.topk(QUERIES, k=5, nprobe=3).collect()))
+    assert got == want and got
+    # the sidecar survived the swap: a fresh session load serves the
+    # retrained quantizer
+    assert AnnIndex.load(spark, path).centers == fresh.centers
+
+
+def test_retrain_pq_tier_retrains_codebooks(spark, sf_dir, tmp_path):
+    """retrain() on the v2 tier retrains BOTH quantizers over the grown
+    corpus and equals a fresh PQ train on the union."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    batch = emb.filter(F.col("vec_id") % 20 == 13).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(13_000_000)
+    )
+    path = str(tmp_path / "retrain_pq_idx")
+    idx = AnnIndex.train(spark, emb, path, k=4, pq_m=8, pq_ksub=16)
+    idx.append(batch)
+    idx.retrain(k=4)
+    fresh = AnnIndex.train(
+        spark, emb.unionByName(batch), str(tmp_path / "fresh_pq_idx"),
+        k=4, pq_m=8, pq_ksub=16,
+    )
+    assert idx.centers == fresh.centers
+    assert idx.codebooks == fresh.codebooks
+    got = sorted(map(tuple,
+                     idx.topk(QUERIES, k=5, nprobe=3, refine=30).collect()))
+    want = sorted(map(tuple,
+                      fresh.topk(QUERIES, k=5, nprobe=3, refine=30).collect()))
+    assert got == want and got
+
+
+def test_retrain_default_k_uses_sqrt_rule_on_grown_corpus(
+    spark, sf_dir, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators.ann_train import knn_cells
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "retrain_sqrt_idx")
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    idx.append(
+        emb.filter(F.col("vec_id") % 4 == 1).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(4_000_000)
+        )
+    )
+    n = (
+        spark.read.schema(SIM.INDEX_SCHEMA).parquet(path).count()
+    )
+    idx.retrain()
+    assert idx.n_cells == knn_cells(n)
 
 
 def test_cell_stats_reads_no_vector_bytes(spark, sf_dir, tmp_path):
@@ -400,3 +614,154 @@ def test_cell_stats_reads_no_vector_bytes(spark, sf_dir, tmp_path):
         for r in full.groupBy("coarse_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and sum(n for _, n in got) == emb.count()
+
+
+# ------------------------------- metadata columns + filtered search (r13)
+
+
+def test_meta_index_filtered_topk_matches_inline(spark, sf_dir, tmp_path):
+    """A label-carrying index searched with `where="label = ..."` must
+    equal the inline IVF search over the PRE-FILTERED corpus (filter-
+    then-rank semantics), and an unfiltered search must be unaffected
+    by the extra column."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "meta_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4, meta_cols=("label",))
+    assert idx.meta == [("label", "int")]
+
+    vecs = ANN.l2_normalize(
+        emb.selectExpr(
+            "vec_id AS id", "CAST(embedding AS array<double>) AS features",
+            "label",
+        ),
+        carry=("label",),
+    )
+    got = sorted(map(tuple, idx.topk(
+        QUERIES, k=5, nprobe=2, where="label = 1"
+    ).collect()))
+    want = sorted(map(tuple, SIM.ivf_topk(
+        vecs.filter(F.col("label") == 1), NQUERIES, idx.centers,
+        k=5, nprobe=2,
+    ).collect()))
+    assert got == want and got
+    # unfiltered search on a meta index == search on a meta-less twin
+    plain = AnnIndex.train(spark, emb, str(tmp_path / "plain_idx"), k=4)
+    assert sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=2).collect())) \
+        == sorted(map(tuple, plain.topk(QUERIES, k=5, nprobe=2).collect()))
+
+
+def test_meta_index_filtered_pq_tier(spark, sf_dir, tmp_path):
+    """Filtered search on the v2 tier: the predicate reaches both the
+    codes scan and the refine fetch; results equal the inline IVF-PQ
+    over the pre-filtered corpus."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "meta_pq_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(
+        spark, emb, path, k=4, pq_m=8, pq_ksub=16, meta_cols=("label",)
+    )
+    vecs = ANN.l2_normalize(
+        emb.selectExpr(
+            "vec_id AS id", "CAST(embedding AS array<double>) AS features",
+            "label",
+        ),
+        carry=("label",),
+    )
+    got = sorted(map(tuple, idx.topk(
+        QUERIES, k=5, nprobe=3, refine=30, where="label = 2"
+    ).collect()))
+    want = sorted(map(tuple, SIM.ivfpq_topk(
+        vecs.filter(F.col("label") == 2), NQUERIES, idx.centers,
+        idx.codebooks, k=5, nprobe=3, refine=30,
+    ).collect()))
+    assert got == want and got
+
+
+def test_meta_index_filtered_topk_table(spark, sf_dir, tmp_path):
+    """`where` on the batch path (topk_table) — same filter-then-rank
+    contract as the literal path."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "meta_batch_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4, meta_cols=("label",))
+    qtab = emb.filter(F.col("vec_id") % 100 == 17).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = sorted(map(tuple, idx.topk_table(
+        qtab, k=5, nprobe=2, where="label >= 2"
+    ).collect()))
+    vecs = ANN.l2_normalize(
+        emb.selectExpr(
+            "vec_id AS id", "CAST(embedding AS array<double>) AS features",
+            "label",
+        ),
+        carry=("label",),
+    ).filter(F.col("label") >= 2)
+    index = SIM.coarse_assign(vecs, idx.centers, carry=("label",))
+    want = sorted(map(tuple, SIM.ivf_batch_topk(
+        index, qtab, idx.centers, k=5, nprobe=2
+    ).collect()))
+    assert got == want and got
+
+
+def test_meta_survives_append_load_and_maintenance(spark, sf_dir, tmp_path):
+    """meta columns ride through the whole lifecycle: append (with the
+    same meta), reload (sidecar carries the meta schema), compact and
+    retrain (carry through the rewrite) — filtered search stays
+    correct at every step."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "meta_life_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4, meta_cols=("label",))
+    idx.append(
+        emb.filter(F.col("vec_id") % 20 == 15).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(15_000_000)
+        )
+    )
+    loaded = AnnIndex.load(spark, path)
+    assert loaded.meta == [("label", "int")]
+    before = loaded.topk(QUERIES, k=5, nprobe=4, where="label = 0").collect()
+    assert before
+    loaded.compact()
+    mid = loaded.topk(QUERIES, k=5, nprobe=4, where="label = 0").collect()
+    assert sorted(map(tuple, mid)) == sorted(map(tuple, before))
+    loaded.retrain(k=4)
+    reloaded = AnnIndex.load(spark, path)
+    assert reloaded.meta == [("label", "int")]
+    # post-retrain filtered results equal a fresh meta train on the
+    # union (centers retrained over the grown corpus)
+    batch = emb.filter(F.col("vec_id") % 20 == 15).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(15_000_000)
+    )
+    fresh = AnnIndex.train(
+        spark, emb.unionByName(batch), str(tmp_path / "meta_fresh_idx"),
+        k=4, meta_cols=("label",),
+    )
+    got = sorted(map(tuple, reloaded.topk(
+        QUERIES, k=5, nprobe=4, where="label = 0"
+    ).collect()))
+    want = sorted(map(tuple, fresh.topk(
+        QUERIES, k=5, nprobe=4, where="label = 0"
+    ).collect()))
+    assert got == want and got
+
+
+def test_meta_cols_reject_reserved_names(spark, sf_dir, tmp_path):
+    import pytest
+
+    emb = _emb(spark, sf_dir).withColumn("codes", _F_lit0())
+    with pytest.raises(ValueError, match="collide"):
+        AnnIndex.train(
+            spark, emb, str(tmp_path / "bad_idx"), k=4, meta_cols=("codes",)
+        )
+
+
+def _F_lit0():
+    from pyspark.sql import functions as F
+
+    return F.lit(0)

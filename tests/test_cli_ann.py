@@ -135,3 +135,77 @@ def test_ann_compact_verb(spark, sf_dir, tmp_path):
     assert AnnIndex.load(spark, idx_path).topk(
         [[0.1] * 64], k=1, nprobe=4
     ).count() == 1
+
+
+def test_ann_retrain_verb(spark, sf_dir, tmp_path):
+    """`ann retrain` equals the library verb: cells rebuilt to --k,
+    the sidecar serves the retrained quantizer on a fresh load."""
+    idx_path = str(tmp_path / "cli_retrain_idx")
+    assert cli.main(
+        ["ann", "train", "--embeddings", _emb_path(sf_dir),
+         "--index-path", idx_path, "--k", "4"],
+        spark=spark,
+    ) == 0
+    assert cli.main(
+        ["ann", "retrain", "--index-path", idx_path, "--k", "6"],
+        spark=spark,
+    ) == 0
+    idx = AnnIndex.load(spark, idx_path)
+    assert idx.n_cells == 6
+    assert idx.topk([[0.1] * 64], k=3, nprobe=2).count() == 3
+
+
+def test_ann_retrain_pointer_strategy(spark, sf_dir, tmp_path):
+    """--strategy pointer publishes a gen-* child + _ann_current
+    instead of renaming — the remote-filesystem maintenance path."""
+    idx_path = str(tmp_path / "cli_ptr_idx")
+    assert cli.main(
+        ["ann", "train", "--embeddings", _emb_path(sf_dir),
+         "--index-path", idx_path, "--k", "4"],
+        spark=spark,
+    ) == 0
+    assert cli.main(
+        ["ann", "retrain", "--index-path", idx_path, "--k", "5",
+         "--strategy", "pointer"],
+        spark=spark,
+    ) == 0
+    entries = os.listdir(idx_path)
+    assert "_ann_current" in entries
+    assert [d for d in entries if d.startswith("gen-")]
+    assert AnnIndex.load(spark, idx_path).n_cells == 5
+
+
+def test_ann_search_where_filters(spark, sf_dir, tmp_path):
+    """search --where on a meta-trained index: every returned hit
+    satisfies the predicate and equals the library filtered call."""
+    idx_path = str(tmp_path / "cli_where_idx")
+    assert cli.main(
+        ["ann", "train", "--embeddings", _emb_path(sf_dir),
+         "--index-path", idx_path, "--k", "4", "--meta-cols", "label"],
+        spark=spark,
+    ) == 0
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    qsrc = str(tmp_path / "where_queries")
+    emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).write.parquet(qsrc)
+    out = str(tmp_path / "where_hits")
+    assert cli.main(
+        ["ann", "search", "--index-path", idx_path, "--queries", qsrc,
+         "--output", out, "--k", "5", "--nprobe", "2",
+         "--where", "label = 1"],
+        spark=spark,
+    ) == 0
+    idx = AnnIndex.load(spark, idx_path)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, idx.topk_table(
+        spark.read.parquet(qsrc), k=5, nprobe=2, where="label = 1"
+    ).collect()))
+    assert got == want and got
+    # every hit's vec_id really has label 1
+    hit_ids = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    lab1 = {
+        r["vec_id"]
+        for r in emb.filter(F.col("label") == 1).select("vec_id").collect()
+    }
+    assert hit_ids <= lab1

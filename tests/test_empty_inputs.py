@@ -61,6 +61,9 @@ NEEDS_DATA = {
     "ann_index_batch_search",
     "ann_index_compact_search",
     "ann_index_cell_stats",
+    # r13: same build-in-query contract (train + append + maintain)
+    "ann_index_retrain_search",
+    "ann_index_filtered_search",
 }
 
 QUERIES = all_queries()

@@ -98,6 +98,34 @@ def test_arrow_impl_matches_fold(spark):
     ) < 1e-9
 
 
+def test_arrow_certification_margin(spark):
+    """The portability contract behind `sim_pca_project_arrow`'s 4-dp
+    rounding (r12 verdict item 2): every projected value at the
+    certification sf must sit at least PCA_ARROW_MARGIN from its
+    nearest PCA_ARROW_ROUND-dp rounding boundary. The margin (1e-11)
+    is ~1000× the worst deviation a differently-ordered 64-term BLAS
+    summation can introduce on unit inputs (~dim·eps ≈ 1.4e-14), so
+    ANY BLAS build rounds every certified value to the same 4-dp
+    number — the driver row can no longer read false on a host whose
+    BLAS isn't bit-identical to the fold. If the data ever violates
+    this, the fix is bumping PCA_ARROW_ROUND down, not weakening the
+    margin."""
+    _ids, mat = _np_corpus()
+    proj = (mat - np.asarray(QS.PCA_TRAINED_MEAN)) @ np.asarray(
+        QS.PCA_TRAINED_COMPONENTS
+    ).T
+    scaled = np.abs(proj.ravel()) * (10.0 ** QS.PCA_ARROW_ROUND)
+    # distance to the nearest half-integer (the round-half-away
+    # boundary both engines share), back in value units
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    margin = frac.min() / (10.0 ** QS.PCA_ARROW_ROUND)
+    assert margin >= QS.PCA_ARROW_MARGIN, (
+        f"min boundary margin {margin:.3e} < {QS.PCA_ARROW_MARGIN:.0e}: "
+        f"a 4-dp value sits too close to a rounding boundary for the "
+        f"portability contract"
+    )
+
+
 def test_zero_variance_dimension_keeps_twin_contract(spark):
     """A constant feature dimension makes Pearson corr NaN; the Spark
     trainer must force its covariance to the true 0.0 (what np.cov

@@ -598,3 +598,46 @@ def test_pq_batch_topk_table_both_scans_partition_pruned(
     assert "PartitionFilters: []" not in plan
     for chunk in plan.split("PartitionFilters")[1:]:
         assert "coarse_id" in chunk[:200]
+
+
+def test_filtered_search_predicate_reaches_parquet_scan(
+    spark, sf_dir, tmp_path
+):
+    """Filtered ANN search (r12 verdict item 7): a `where` predicate on
+    a layout metadata column must land in the parquet scan as a
+    PushedFilters entry — ALONGSIDE the coarse_id partition prune —
+    never as a post-rank filter. Locked on both tiers; on the PQ tier
+    both layout reads (codes scan + refine fetch) carry it."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    emb = io.read_table(spark, sf_dir, "embeddings")
+
+    flat = AnnIndex.train(
+        spark, emb, str(tmp_path / "filt_idx"), k=4, meta_cols=("label",)
+    )
+    plan = X.formatted_plan(
+        flat.topk([[0.1] * 64], k=3, nprobe=2, where="label = 1")
+    )
+    pushed = [c for c in plan.split("PushedFilters")[1:] if "label" in c[:250]]
+    assert pushed, "label predicate did not reach PushedFilters"
+    after = plan.split("PartitionFilters", 1)
+    assert len(after) == 2 and "coarse_id" in after[1][:200]
+    # filter-then-rank: the predicate must sit under the scan, so the
+    # final plan has no Filter ABOVE the window rank node
+    assert "PartitionFilters: []" not in plan
+
+    pq = AnnIndex.train(
+        spark, emb, str(tmp_path / "filt_pq_idx"), k=4,
+        pq_m=8, pq_ksub=16, meta_cols=("label",),
+    )
+    plan_pq = X.formatted_plan(
+        pq.topk([[0.1] * 64], k=3, nprobe=2, refine=20, where="label = 1")
+    )
+    pushed_pq = [
+        c for c in plan_pq.split("PushedFilters")[1:] if "label" in c[:250]
+    ]
+    assert len(pushed_pq) >= 2, (
+        "label predicate must reach BOTH PQ layout reads"
+    )
