@@ -398,6 +398,68 @@ class AnnIndex:
             .agg(F.count("*").alias("n_rows"))
         )
 
+    def delete(self, where) -> int:
+        """Delete layout rows matching a predicate (a SQL string or
+        Column over `vec_id` / the metadata columns) — the
+        right-to-be-forgotten maintenance verb, completing the CRUD
+        lifecycle (train → append → delete → compact → retrain).
+        Returns the number of rows deleted.
+
+        Partition-scoped rewrite, not a full-layout pass: the distinct
+        cells CONTAINING matching rows are collected (≤ n_cells values
+        — the k-row-class collect), survivors of only those cells are
+        rewritten via dynamic partition overwrite (untouched cell
+        directories keep their files byte-identical), and cells whose
+        rows all matched are removed through the Hadoop FS API (a
+        dynamic overwrite cannot replace a partition with zero rows).
+        At 100 TB a delete touching 3 of 10⁴ cells rewrites 3
+        directories.
+
+        Not atomic across cells (each partition commits
+        independently, like `append`): a crash mid-delete leaves some
+        cells rewritten and others not — safe to re-run, the operation
+        is idempotent. For an atomic generation-swap delete, filter
+        into a fresh `train`/`adopt` instead."""
+        from pyspark.sql import functions as F
+
+        pred = F.expr(where) if isinstance(where, str) else where
+        layout = self._layout()
+        cells = sorted(
+            r["coarse_id"]
+            for r in layout.filter(pred).select("coarse_id")
+            .distinct().collect()
+        )
+        if not cells:
+            return 0
+        affected = layout.filter(F.col("coarse_id").isin(cells))
+        n_del = affected.filter(pred).count()
+        # eager snapshot BEFORE the write: Spark (correctly) refuses to
+        # overwrite a path its own plan reads from, and the post-write
+        # emptied-cell check below must see the pre-delete survivors,
+        # not a re-read of the mutated layout. The checkpoint holds the
+        # AFFECTED cells' survivors only — the delete's working set.
+        survivors = affected.filter(~pred).localCheckpoint()
+        (
+            survivors.repartition(len(cells), "coarse_id")
+            .write.partitionBy("coarse_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(self.data_root)
+        )
+        # cells emptied entirely: dynamic overwrite wrote nothing for
+        # them, so their old files are still on disk — remove the dirs
+        kept = {
+            r["coarse_id"]
+            for r in survivors.select("coarse_id").distinct().collect()
+        }
+        for c in cells:
+            if c not in kept:
+                _fs_delete(
+                    self._spark,
+                    os.path.join(self.data_root, f"coarse_id={c}"),
+                )
+        return n_del
+
     def compact(self, strategy: str = "auto") -> None:
         """Rewrite the layout to ~one file per coarse cell — the
         maintenance job an append-heavy index needs: every `append`

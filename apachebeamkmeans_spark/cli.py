@@ -39,6 +39,8 @@ surface (r11 verdict item 7 — `curate` is CurationPipeline's shell,
   python -m apachebeamkmeans_spark.cli ann append \
       --embeddings new.parquet --index-path /data/idx
   python -m apachebeamkmeans_spark.cli ann compact --index-path /data/idx
+  python -m apachebeamkmeans_spark.cli ann delete \
+      --index-path /data/idx --where "label = 9"
   python -m apachebeamkmeans_spark.cli ann retrain \
       --index-path /data/idx [--k 32] [--strategy pointer]
   python -m apachebeamkmeans_spark.cli ann search \
@@ -190,6 +192,15 @@ def build_ann_parser() -> argparse.ArgumentParser:
                    help="generation publish: posix rename (local) or "
                         "catalog-pointer flip (any filesystem)")
 
+    d = sub.add_parser(
+        "delete",
+        help="delete rows matching a predicate (partition-scoped "
+             "rewrite of only the cells containing matches)",
+    )
+    d.add_argument("--index-path", required=True)
+    d.add_argument("--where", required=True,
+                   help="SQL predicate over vec_id / metadata columns")
+
     rt = sub.add_parser(
         "retrain",
         help="rebuild for the grown corpus: retrain quantizer(s) over "
@@ -268,6 +279,10 @@ def _ann_run(args, spark) -> int:
         idx = AnnIndex.load(spark, args.index_path)
         idx.compact(strategy=args.strategy)
         print(f"ann compact: {args.index_path} rewritten to one file per cell")
+    elif args.action == "delete":
+        idx = AnnIndex.load(spark, args.index_path)
+        n = idx.delete(args.where)
+        print(f"ann delete: {n} rows removed from {args.index_path}")
     elif args.action == "retrain":
         idx = AnnIndex.load(spark, args.index_path)
         old = idx.n_cells

@@ -1267,7 +1267,8 @@ def _ann_serve_index_path(sf_dir: str, tier: str) -> str:
 
 def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
                         compact: bool = False,
-                        retrain: bool = False) -> str:
+                        retrain: bool = False,
+                        delete: bool = False) -> str:
     """Build-once publish of the serving index: the roundtrip queries'
     exact corpus (train at the certified config, then the
     deterministic shifted-id append), staged in a pid-suffixed tmp dir
@@ -1287,7 +1288,7 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
 
     tier = ("pq" if pq else "flat") + ("c" if compact else "") + (
         f"r{RETRAIN_K}" if retrain else ""
-    )
+    ) + (f"d{DELETE_PRED_RESIDUE}" if delete else "")
     path = _ann_serve_index_path(sf_dir, tier)
     if os.path.exists(os.path.join(path, "_serve_ready")):
         return path
@@ -1316,6 +1317,10 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
         # grown corpus and publish as a pointer generation (the remote-
         # filesystem maintenance path, on local disk here)
         idx.retrain(k=RETRAIN_K, n_iters=IVFPQ_ITERS, strategy="pointer")
+    if delete:
+        # the right-to-be-forgotten pass: partition-scoped rewrite of
+        # only the cells containing matches
+        idx.delete(f"vec_id % {DELETE_PRED_MOD} = {DELETE_PRED_RESIDUE}")
     with open(os.path.join(tmp, "_serve_ready"), "w") as f:
         f.write("1")
     try:
@@ -1525,6 +1530,40 @@ _E2L_ROUNDTRIP = (
 
 ORACLE_ANN_INDEX_FILTERED_SEARCH = _oracle_probe_replay(
     _E2L_ROUNDTRIP, TRAINED_CENTERS, pred=f"label = {FILTER_LABEL}"
+)
+
+# r13: the delete serving query's predicate — every 10th id leaves the
+# index (the appended shifted copies share id % 10, so the union
+# corpus minus the predicate is exactly the oracle table below)
+DELETE_PRED_MOD = 10
+DELETE_PRED_RESIDUE = 4
+
+
+def q_ann_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`AnnIndex.delete` certified end-to-end — the
+    right-to-be-forgotten verb completing the CRUD lifecycle: the
+    serve corpus (train + shifted-id append) has every
+    `vec_id % 10 = 4` row DELETED via the partition-scoped rewrite
+    (only cells containing matches are rewritten — dynamic partition
+    overwrite; untouched directories keep their files), then is
+    searched through a loaded handle. Oracle: the trained-probe
+    replay over the union corpus MINUS the deleted ids. Amortized
+    like the other serving queries (fingerprint-keyed build-once)."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_delete_search")
+    path = _ensure_serve_index(spark, sf_dir, pq=False, delete=True)
+    idx = AnnIndex.load(spark, path)
+    return idx.topk(QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
+
+
+_E2D_ROUNDTRIP = (
+    f"(SELECT * FROM {_E2_ROUNDTRIP} u"
+    f" WHERE NOT (vec_id % {DELETE_PRED_MOD} = {DELETE_PRED_RESIDUE}))"
+)
+
+ORACLE_ANN_INDEX_DELETE_SEARCH = _oracle_probe_replay(
+    _E2D_ROUNDTRIP, TRAINED_CENTERS
 )
 
 
@@ -2931,6 +2970,10 @@ QUERIES = {
     "ann_index_filtered_search": (
         q_ann_index_filtered_search,
         ORACLE_ANN_INDEX_FILTERED_SEARCH,
+    ),
+    "ann_index_delete_search": (
+        q_ann_index_delete_search,
+        ORACLE_ANN_INDEX_DELETE_SEARCH,
     ),
     "stream_embedding_gate": (
         q_stream_embedding_gate,

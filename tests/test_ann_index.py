@@ -765,3 +765,123 @@ def _F_lit0():
     from pyspark.sql import functions as F
 
     return F.lit(0)
+
+
+# ----------------------------------------------- delete verb (r13)
+
+
+def test_delete_removes_rows_and_preserves_untouched_cells(
+    spark, sf_dir, tmp_path
+):
+    """delete(): matching rows gone, survivors intact, search equals a
+    fresh index built from the filtered corpus, and cell directories
+    with no matching rows keep their files byte-identical (the
+    partition-scoped rewrite contract)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "del_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    n_before = spark.read.schema(SIM.INDEX_SCHEMA).parquet(path).count()
+
+    # snapshot per-cell file listings before the delete
+    def cell_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("coarse_id="):
+                full = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full) if f.endswith(".parquet")
+                )
+        return out
+
+    before_files = cell_files()
+    # which cells contain the to-be-deleted ids?
+    hit_cells = {
+        r["coarse_id"]
+        for r in spark.read.schema(SIM.INDEX_SCHEMA).parquet(path)
+        .filter("vec_id % 10 = 4").select("coarse_id").distinct().collect()
+    }
+    assert hit_cells and len(hit_cells) <= 4
+
+    n_del = idx.delete("vec_id % 10 = 4")
+    rest = spark.read.schema(SIM.INDEX_SCHEMA).parquet(path)
+    assert n_del > 0
+    assert rest.count() == n_before - n_del
+    assert rest.filter("vec_id % 10 = 4").count() == 0
+
+    after_files = cell_files()
+    for d, files in before_files.items():
+        cell = int(d.split("=")[1])
+        if cell not in hit_cells:
+            assert after_files[d] == files, f"untouched cell {d} rewritten"
+
+    # search equality vs a fresh index over the filtered corpus under
+    # the SAME centers
+    fresh = str(tmp_path / "del_fresh_idx")
+    vecs = ANN.l2_normalize(
+        emb.filter(~(F.col("vec_id") % 10 == 4)).selectExpr(
+            "vec_id AS id", "CAST(embedding AS array<double>) AS features"
+        )
+    )
+    SIM.build_ivf_index(vecs, idx.centers, fresh)
+    got = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=4).collect()))
+    want = sorted(map(tuple, SIM.ivf_topk_indexed(
+        spark, fresh, NQUERIES, idx.centers, k=5, nprobe=4
+    ).collect()))
+    assert got == want and got
+
+
+def test_delete_empties_whole_cell(spark, sf_dir, tmp_path):
+    """Deleting every row of a cell must remove its directory (dynamic
+    overwrite can't write an empty partition), and searches keep
+    working with the emptied cell simply absent."""
+    path = str(tmp_path / "del_cell_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    layout = spark.read.schema(SIM.INDEX_SCHEMA).parquet(path)
+    target = layout.groupBy("coarse_id").count().orderBy("count").first()
+    n_del = idx.delete(f"coarse_id = {target['coarse_id']}")
+    assert n_del == target["count"]
+    assert f"coarse_id={target['coarse_id']}" not in os.listdir(path)
+    assert idx.topk(QUERIES, k=3, nprobe=4).count() > 0
+
+
+def test_delete_is_idempotent_and_zero_match_is_noop(
+    spark, sf_dir, tmp_path
+):
+    path = str(tmp_path / "del_idem_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    assert idx.delete("vec_id = -1") == 0  # no match: no-op
+    first = idx.delete("vec_id % 7 = 2")
+    assert first > 0
+    assert idx.delete("vec_id % 7 = 2") == 0  # re-run deletes nothing
+
+
+def test_delete_by_metadata_on_pq_tier(spark, sf_dir, tmp_path):
+    """delete() by a metadata predicate on the v2 tier: codes column
+    survives the partition rewrite, filtered rows gone, PQ search
+    equals a fresh PQ index over the filtered corpus."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "del_pq_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(
+        spark, emb, path, k=4, pq_m=8, pq_ksub=16, meta_cols=("label",)
+    )
+    n_del = idx.delete("label = 5")
+    assert n_del == emb.filter(F.col("label") == 5).count()
+    got = sorted(map(tuple,
+                     idx.topk(QUERIES, k=5, nprobe=4, refine=30).collect()))
+    vecs = ANN.l2_normalize(
+        emb.filter(F.col("label") != 5).selectExpr(
+            "vec_id AS id", "CAST(embedding AS array<double>) AS features"
+        )
+    )
+    want = sorted(map(tuple, SIM.ivfpq_topk(
+        vecs, NQUERIES, idx.centers, idx.codebooks,
+        k=5, nprobe=4, refine=30,
+    ).collect()))
+    assert got == want and got

@@ -209,3 +209,25 @@ def test_ann_search_where_filters(spark, sf_dir, tmp_path):
         for r in emb.filter(F.col("label") == 1).select("vec_id").collect()
     }
     assert hit_ids <= lab1
+
+
+def test_ann_delete_verb(spark, sf_dir, tmp_path):
+    """`ann delete` removes the matching rows through the same
+    partition-scoped rewrite the library verb runs."""
+    idx_path = str(tmp_path / "cli_del_idx")
+    assert cli.main(
+        ["ann", "train", "--embeddings", _emb_path(sf_dir),
+         "--index-path", idx_path, "--k", "4"],
+        spark=spark,
+    ) == 0
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    n_match = emb.filter("vec_id % 10 = 4").count()
+    n_before = spark.read.parquet(idx_path).count()
+    assert cli.main(
+        ["ann", "delete", "--index-path", idx_path,
+         "--where", "vec_id % 10 = 4"],
+        spark=spark,
+    ) == 0
+    layout = spark.read.parquet(idx_path)
+    assert layout.count() == n_before - n_match
+    assert layout.filter("vec_id % 10 = 4").count() == 0

@@ -64,6 +64,7 @@ NEEDS_DATA = {
     # r13: same build-in-query contract (train + append + maintain)
     "ann_index_retrain_search",
     "ann_index_filtered_search",
+    "ann_index_delete_search",
 }
 
 QUERIES = all_queries()
