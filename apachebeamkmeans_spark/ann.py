@@ -69,11 +69,20 @@ def _fs_delete(spark: SparkSession, path: str) -> None:
 
 def _fs_glob(spark: SparkSession, pattern: str) -> list[str]:
     """Glob through the Hadoop FS API (scheme-portable listing)."""
+    return [p for p, _ in _fs_glob_mtimes(spark, pattern)]
+
+
+def _fs_glob_mtimes(spark: SparkSession, pattern: str) -> list[tuple[str, int]]:
+    """(path, modification_time_ms) pairs for a Hadoop FS glob — the
+    age ordering generation retention needs (generation names are
+    uuids, deliberately unordered)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(pattern)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     statuses = fs.globStatus(p)
-    return [str(s.getPath()) for s in statuses] if statuses is not None else []
+    if statuses is None:
+        return []
+    return [(str(s.getPath()), int(s.getModificationTime())) for s in statuses]
 
 
 def _norm_vec(q: list[float]) -> list[float]:
@@ -147,8 +156,12 @@ class AnnIndex:
     # renaming directories (r12 verdict item 4). Same one-row-text,
     # through-Spark convention as the sidecar. Single-maintainer
     # contract: the flip is overwrite-in-place, so concurrent
-    # MAINTENANCE jobs must be externally serialized (searches are
-    # fine — a loaded handle keeps serving its resolved generation).
+    # MAINTENANCE jobs must be externally serialized. Readers load a
+    # generation and keep serving it; with the default retain=0 the
+    # superseded generation is reclaimed at the flip (an in-flight
+    # search on it can fail and retries via a fresh load) — pass
+    # retain>=1 to compact/retrain for a reader grace window (the
+    # snapshot-retention convention).
     _POINTER = "_ann_current"
 
     def __init__(self, spark: SparkSession, path: str,
@@ -460,7 +473,7 @@ class AnnIndex:
                 )
         return n_del
 
-    def compact(self, strategy: str = "auto") -> None:
+    def compact(self, strategy: str = "auto", retain: int = 0) -> None:
         """Rewrite the layout to ~one file per coarse cell — the
         maintenance job an append-heavy index needs: every `append`
         adds at least one file per touched cell directory, and at
@@ -489,11 +502,12 @@ class AnnIndex:
             )
 
         self._rewrite_generation(
-            build, self.centers, self.codebooks, strategy, "compact"
+            build, self.centers, self.codebooks, strategy, "compact",
+            retain,
         )
 
     def retrain(self, k: int | None = None, n_iters: int = 5,
-                strategy: str = "auto") -> None:
+                strategy: str = "auto", retain: int = 0) -> None:
         """Rebuild the index for the corpus it has GROWN into — the
         verb that acts on `cell_stats`' drift signal (r12 verdict
         item 1): retrain the coarse quantizer (and, on the PQ tier,
@@ -551,12 +565,14 @@ class AnnIndex:
                 SIM.build_ivfpq_index(vecs, centers, books, dest,
                                       carry=names)
 
-        self._rewrite_generation(build, centers, books, strategy, "retrain")
+        self._rewrite_generation(build, centers, books, strategy, "retrain",
+                                 retain)
         self.centers = centers
         self.codebooks = books
 
     def _rewrite_generation(self, build_fn, centers, codebooks,
-                            strategy: str, verb: str) -> None:
+                            strategy: str, verb: str,
+                            retain: int = 0) -> None:
         """Stage a new layout generation written by `build_fn(dest)`,
         attach its sidecar, and make it the served one. Two publish
         strategies:
@@ -571,8 +587,9 @@ class AnnIndex:
         - `pointer` (any filesystem scheme): build into a fresh
           `gen-*` child directory, flip the `_ann_current` pointer to
           it (one-row text written through Spark — the catalog-pointer
-          pattern, r12 verdict item 4), then reclaim the superseded
-          generation through the Hadoop FS API. Lifts the
+          pattern, r12 verdict item 4), then reclaim superseded
+          generations beyond the `retain` window through the Hadoop
+          FS API (see `_reclaim_generations`). Lifts the
           driver-local-rename restriction for hdfs:// / s3a:// indexes.
 
         `auto` picks `rename` for driver-local paths (including
@@ -629,7 +646,6 @@ class AnnIndex:
             )
         gen = f"gen-{uuid.uuid4().hex[:12]}"
         dest = os.path.join(self.path, gen)
-        prev_root = self.data_root
         try:
             build_fn(dest)
             AnnIndex.adopt(self._spark, dest, centers, codebooks, self.meta)
@@ -650,18 +666,43 @@ class AnnIndex:
             except Exception:
                 pass
             raise
-        # reclaim the superseded generation
-        if prev_root == self.path:
-            # first flip on a root-flat index: the old layout is the
-            # root's partition dirs (+ its now-unreachable sidecar)
-            for p in _fs_glob(self._spark,
-                              os.path.join(self.path, "coarse_id=*")):
+        # reclaim superseded generations beyond the retention window
+        self._reclaim_generations(dest, retain)
+        self.data_root = dest
+
+    def _reclaim_generations(self, current: str, retain: int) -> None:
+        """Keep the `retain` most-recent superseded generations (grace
+        for in-flight readers of a just-replaced generation — the
+        snapshot-retention convention), delete anything older through
+        the Hadoop FS API. The pre-pointer ROOT layout counts as the
+        OLDEST generation: its partition dirs (+ root sidecar) are
+        reclaimed once `retain` newer superseded generations exist.
+        With the default retain=0, the superseded generation is
+        reclaimed immediately — an in-flight search against it can
+        fail mid-query and should retry via a fresh `load`; pass
+        retain>=1 for reader grace (each further maintenance pass
+        slides the window)."""
+        cur = os.path.basename(current.rstrip("/"))
+        others = sorted(
+            (
+                (p, m)
+                for p, m in _fs_glob_mtimes(
+                    self._spark, os.path.join(self.path, "gen-*")
+                )
+                if os.path.basename(p.rstrip("/")) != cur
+            ),
+            key=lambda x: -x[1],
+        )
+        for p, _m in others[retain:]:
+            _fs_delete(self._spark, p)
+        root_parts = _fs_glob(
+            self._spark, os.path.join(self.path, "coarse_id=*")
+        )
+        if root_parts and len(others) >= retain:
+            for p in root_parts:
                 _fs_delete(self._spark, p)
             _fs_delete(self._spark,
                        os.path.join(self.path, AnnIndex._PARAMS))
-        else:
-            _fs_delete(self._spark, prev_root)
-        self.data_root = dest
 
     def _filtered_layout(self, where) -> DataFrame:
         """The layout scan with an optional metadata predicate applied

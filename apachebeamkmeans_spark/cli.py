@@ -191,6 +191,9 @@ def build_ann_parser() -> argparse.ArgumentParser:
                    choices=("auto", "rename", "pointer"),
                    help="generation publish: posix rename (local) or "
                         "catalog-pointer flip (any filesystem)")
+    c.add_argument("--retain", type=int, default=0,
+                   help="pointer publish: superseded generations kept "
+                        "as a reader grace window")
 
     d = sub.add_parser(
         "delete",
@@ -213,6 +216,9 @@ def build_ann_parser() -> argparse.ArgumentParser:
     rt.add_argument("--iters", type=int, default=5, help="Lloyd iterations")
     rt.add_argument("--strategy", default="auto",
                     choices=("auto", "rename", "pointer"))
+    rt.add_argument("--retain", type=int, default=0,
+                    help="pointer publish: superseded generations kept "
+                         "as a reader grace window")
 
     st = sub.add_parser(
         "stats", help="per-cell occupancy (index health / retrain signal)"
@@ -277,7 +283,7 @@ def _ann_run(args, spark) -> int:
         print(f"ann append: batch appended to {args.index_path}")
     elif args.action == "compact":
         idx = AnnIndex.load(spark, args.index_path)
-        idx.compact(strategy=args.strategy)
+        idx.compact(strategy=args.strategy, retain=args.retain)
         print(f"ann compact: {args.index_path} rewritten to one file per cell")
     elif args.action == "delete":
         idx = AnnIndex.load(spark, args.index_path)
@@ -286,7 +292,8 @@ def _ann_run(args, spark) -> int:
     elif args.action == "retrain":
         idx = AnnIndex.load(spark, args.index_path)
         old = idx.n_cells
-        idx.retrain(k=args.k, n_iters=args.iters, strategy=args.strategy)
+        idx.retrain(k=args.k, n_iters=args.iters, strategy=args.strategy,
+                    retain=args.retain)
         print(
             f"ann retrain: {args.index_path} rebuilt "
             f"{old} -> {idx.n_cells} cells"

@@ -885,3 +885,36 @@ def test_delete_by_metadata_on_pq_tier(spark, sf_dir, tmp_path):
         k=5, nprobe=4, refine=30,
     ).collect()))
     assert got == want and got
+
+
+def test_pointer_generation_retention_window(spark, sf_dir, tmp_path):
+    """retain=1 keeps the just-superseded generation as a reader grace
+    window (snapshot-retention convention): the first flip keeps the
+    root layout, the second keeps exactly one prior generation and
+    reclaims the root, the third slides the window."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "retain_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+
+    def gens():
+        return sorted(d for d in os.listdir(path) if d.startswith("gen-"))
+
+    def root_parts():
+        return [d for d in os.listdir(path) if d.startswith("coarse_id=")]
+
+    idx.compact(strategy="pointer", retain=1)
+    g1 = gens()
+    assert len(g1) == 1 and root_parts(), "root layout is the grace gen"
+    idx.compact(strategy="pointer", retain=1)
+    g2 = gens()
+    assert len(g2) == 2 and not root_parts(), "window slid past the root"
+    assert g1[0] in g2
+    idx.compact(strategy="pointer", retain=1)
+    g3 = gens()
+    assert len(g3) == 2 and g1[0] not in g3, "oldest gen reclaimed"
+    # the served generation is always the pointer's target
+    served = AnnIndex.load(spark, path)
+    assert os.path.basename(served.data_root) in g3
+    assert served.topk(QUERIES, k=3, nprobe=4).count() > 0
