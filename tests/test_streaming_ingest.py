@@ -280,3 +280,63 @@ def test_embedding_gate_stream_equals_batch_and_resumes(spark, sf_dir, tmp_path)
         q2.stop()
         q2.awaitTermination(60)
     assert sorted(os.listdir(out)) == before
+
+
+def test_embedding_gate_serves_pointer_generation_index(
+    spark, sf_dir, tmp_path
+):
+    """An index maintained via the catalog-pointer publish (r13) feeds
+    the streaming gate transparently: the gate's path load resolves
+    _ann_current, and verdicts equal a one-shot batch against the
+    RETRAINED generation's quantizer."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+    from apachebeamkmeans_spark.operators import ann_train as ANN
+    from apachebeamkmeans_spark.operators import similarity as SIM
+    from apachebeamkmeans_spark.sources import io
+    from apachebeamkmeans_spark.streaming.ingest import (
+        run_embedding_gate_stream,
+    )
+
+    src, out, ckpt, idx_path = (
+        str(tmp_path / d) for d in ("psrc", "pout", "pckpt", "pidx")
+    )
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+
+    idx = AnnIndex.train(spark, corpus, idx_path, k=4)
+    idx.retrain(k=5, strategy="pointer")  # served layout now in gen-*
+    new.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_embedding_gate_stream(
+        spark, idx_path, src, new.schema, out, ckpt, tau=0.35, nprobe=2,
+        name="embgate_ptr",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    got = {
+        r["vec_id"]: (r["max_cosine"], r["accept"])
+        for r in spark.read.option("basePath", out)
+        .parquet(f"{out}/batch=*").collect()
+    }
+    served = AnnIndex.load(spark, idx_path)
+    assert len(served.centers) == 5  # the retrained generation
+    want = {
+        r["qid"]: r["cosine"]
+        for r in served.topk_table(
+            new.select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")),
+            k=1, nprobe=2,
+        ).collect()
+    }
+    assert set(got) == {r["vec_id"] for r in new.collect()}
+    for vid, (mc, acc) in got.items():
+        if vid in want:
+            assert mc == want[vid] and acc == (mc < 0.35)
+        else:
+            assert mc is None and acc
