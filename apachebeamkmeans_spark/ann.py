@@ -473,6 +473,70 @@ class AnnIndex:
                 )
         return n_del
 
+    def upsert(self, embeddings: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> int:
+        """Replace-by-id: delete any existing rows carrying the
+        batch's ids, then append the batch — the re-embedding refresh
+        shape (documents re-encoded by a newer model, corrected
+        vectors). Returns the number of rows REPLACED (rows whose id
+        already existed); new ids are plain appends.
+
+        The delete half is a partition-scoped rewrite like `delete`,
+        but matched by an id JOIN instead of a predicate (the batch
+        may hold millions of ids — never a collected list): affected
+        cells = the distinct cells holding matching ids (k-row-class
+        collect), survivors = an anti-join of only those cells against
+        the batch ids, dynamic partition overwrite. An updated
+        vector's row moves to whatever cell the NEW embedding
+        quantizes to — exactly a fresh build over (corpus \\ ids) ∪
+        batch (asserted in tests). Same per-cell commit contract as
+        `append`/`delete`: idempotent, re-run on failure."""
+        from pyspark.sql import functions as F
+
+        names = tuple(n for n, _ in self.meta)
+        vecs = _normalize(embeddings, id_col, vec_col, names)
+        ids = vecs.select(F.col("id").alias("vec_id")).distinct()
+        layout = self._layout()
+        hits = layout.join(ids, "vec_id")
+        cells = sorted(
+            r["coarse_id"]
+            for r in hits.select("coarse_id").distinct().collect()
+        )
+        n_replaced = 0
+        if cells:
+            affected = layout.filter(F.col("coarse_id").isin(cells))
+            n_replaced = affected.join(ids, "vec_id").count()
+            # eager snapshot before the self-overwrite (see `delete`)
+            survivors = affected.join(
+                ids, "vec_id", "left_anti"
+            ).localCheckpoint()
+            (
+                survivors.repartition(len(cells), "coarse_id")
+                .write.partitionBy("coarse_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(self.data_root)
+            )
+            kept = {
+                r["coarse_id"]
+                for r in survivors.select("coarse_id").distinct().collect()
+            }
+            for c in cells:
+                if c not in kept:
+                    _fs_delete(
+                        self._spark,
+                        os.path.join(self.data_root, f"coarse_id={c}"),
+                    )
+        if self.codebooks is None:
+            SIM.append_to_ivf_index(vecs, self.centers, self.data_root,
+                                    carry=names)
+        else:
+            SIM.append_to_ivfpq_index(
+                vecs, self.centers, self.codebooks, self.data_root,
+                carry=names,
+            )
+        return n_replaced
+
     def compact(self, strategy: str = "auto", retain: int = 0) -> None:
         """Rewrite the layout to ~one file per coarse cell — the
         maintenance job an append-heavy index needs: every `append`

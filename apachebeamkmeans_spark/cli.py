@@ -195,6 +195,16 @@ def build_ann_parser() -> argparse.ArgumentParser:
                    help="pointer publish: superseded generations kept "
                         "as a reader grace window")
 
+    u = sub.add_parser(
+        "upsert",
+        help="replace-by-id: delete existing rows with the batch's ids, "
+             "append the batch (re-embedding refresh)",
+    )
+    u.add_argument("--embeddings", required=True)
+    u.add_argument("--index-path", required=True)
+    u.add_argument("--id-col", default="vec_id")
+    u.add_argument("--vec-col", default="embedding")
+
     d = sub.add_parser(
         "delete",
         help="delete rows matching a predicate (partition-scoped "
@@ -285,6 +295,13 @@ def _ann_run(args, spark) -> int:
         idx = AnnIndex.load(spark, args.index_path)
         idx.compact(strategy=args.strategy, retain=args.retain)
         print(f"ann compact: {args.index_path} rewritten to one file per cell")
+    elif args.action == "upsert":
+        idx = AnnIndex.load(spark, args.index_path)
+        n = idx.upsert(
+            spark.read.parquet(args.embeddings),
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        print(f"ann upsert: {n} rows replaced in {args.index_path}")
     elif args.action == "delete":
         idx = AnnIndex.load(spark, args.index_path)
         n = idx.delete(args.where)

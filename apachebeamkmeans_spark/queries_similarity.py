@@ -1268,7 +1268,8 @@ def _ann_serve_index_path(sf_dir: str, tier: str) -> str:
 def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
                         compact: bool = False,
                         retrain: bool = False,
-                        delete: bool = False) -> str:
+                        delete: bool = False,
+                        upsert: bool = False) -> str:
     """Build-once publish of the serving index: the roundtrip queries'
     exact corpus (train at the certified config, then the
     deterministic shifted-id append), staged in a pid-suffixed tmp dir
@@ -1288,7 +1289,9 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
 
     tier = ("pq" if pq else "flat") + ("c" if compact else "") + (
         f"r{RETRAIN_K}" if retrain else ""
-    ) + (f"d{DELETE_PRED_RESIDUE}" if delete else "")
+    ) + (f"d{DELETE_PRED_RESIDUE}" if delete else "") + (
+        f"u{UPSERT_RESIDUE}" if upsert else ""
+    )
     path = _ann_serve_index_path(sf_dir, tier)
     if os.path.exists(os.path.join(path, "_serve_ready")):
         return path
@@ -1321,6 +1324,14 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
         # the right-to-be-forgotten pass: partition-scoped rewrite of
         # only the cells containing matches
         idx.delete(f"vec_id % {DELETE_PRED_MOD} = {DELETE_PRED_RESIDUE}")
+    if upsert:
+        # the re-embedding refresh: replace-by-id with reversed vectors
+        idx.upsert(
+            emb.filter(
+                F.col("vec_id") % UPSERT_MOD == UPSERT_RESIDUE
+            ).select("vec_id", F.reverse(F.col("embedding")).alias("embedding"),
+                     "label")
+        )
     with open(os.path.join(tmp, "_serve_ready"), "w") as f:
         f.write("1")
     try:
@@ -1564,6 +1575,46 @@ _E2D_ROUNDTRIP = (
 
 ORACLE_ANN_INDEX_DELETE_SEARCH = _oracle_probe_replay(
     _E2D_ROUNDTRIP, TRAINED_CENTERS
+)
+
+# r13: the upsert serving query's batch — ids % 20 = 7 re-embedded as
+# their REVERSED vectors (a deterministic direction change both engines
+# express: F.reverse / list_reverse), disjoint from the append residue
+UPSERT_MOD = 20
+UPSERT_RESIDUE = 7
+
+
+def q_ann_index_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`AnnIndex.upsert` certified end-to-end — the re-embedding
+    refresh verb: rows whose ids arrive in the batch are REPLACED
+    (the new vector's row moves to whatever cell the new embedding
+    quantizes to; the delete half is the id-join partition-scoped
+    rewrite, the insert half a dynamic-partition append), then the
+    index is searched through a loaded handle. Batch: every
+    `vec_id % 20 = 7` embedding re-encoded as its reversed vector.
+    Oracle: the trained-probe replay over (base minus the upserted
+    ids) ∪ shifted append ∪ the reversed rows."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_upsert_search")
+    path = _ensure_serve_index(spark, sf_dir, pq=False, upsert=True)
+    idx = AnnIndex.load(spark, path)
+    return idx.topk(QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
+
+
+_E2U_ROUNDTRIP = (
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+    f" WHERE NOT vec_id % {UPSERT_MOD} = {UPSERT_RESIDUE}"
+    f" UNION ALL SELECT vec_id + {ANN_APPEND_OFFSET},"
+    " CAST(embedding AS DOUBLE[]) FROM embeddings"
+    f" WHERE vec_id % {ANN_APPEND_MOD} = {ANN_APPEND_RESIDUE}"
+    " UNION ALL SELECT vec_id, list_reverse(CAST(embedding AS DOUBLE[]))"
+    " FROM embeddings"
+    f" WHERE vec_id % {UPSERT_MOD} = {UPSERT_RESIDUE})"
+)
+
+ORACLE_ANN_INDEX_UPSERT_SEARCH = _oracle_probe_replay(
+    _E2U_ROUNDTRIP, TRAINED_CENTERS
 )
 
 
@@ -2974,6 +3025,10 @@ QUERIES = {
     "ann_index_delete_search": (
         q_ann_index_delete_search,
         ORACLE_ANN_INDEX_DELETE_SEARCH,
+    ),
+    "ann_index_upsert_search": (
+        q_ann_index_upsert_search,
+        ORACLE_ANN_INDEX_UPSERT_SEARCH,
     ),
     "stream_embedding_gate": (
         q_stream_embedding_gate,

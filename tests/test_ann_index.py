@@ -918,3 +918,68 @@ def test_pointer_generation_retention_window(spark, sf_dir, tmp_path):
     served = AnnIndex.load(spark, path)
     assert os.path.basename(served.data_root) in g3
     assert served.topk(QUERIES, k=3, nprobe=4).count() > 0
+
+
+def test_upsert_replaces_rows_and_moves_cells(spark, sf_dir, tmp_path):
+    """upsert(): rows with batch ids are REPLACED (the new vector's
+    row lands in whatever cell the new embedding quantizes to), new
+    ids append, and the result equals a fresh index over
+    (corpus \\ ids) ∪ batch under the same centers."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "upsert_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    n0 = spark.read.schema(SIM.INDEX_SCHEMA).parquet(path).count()
+
+    # update: existing ids (%20==7) get REVERSED embeddings (direction
+    # change -> possibly a different cell); plus two brand-new ids
+    updates = emb.filter(F.col("vec_id") % 20 == 7).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    news = emb.filter(F.col("vec_id") % 100 == 11).select(
+        (F.col("vec_id") + F.lit(77_000_000)).alias("vec_id"), "embedding"
+    )
+    batch = updates.unionByName(news)
+    n_upd = updates.count()
+    n_new = news.count()
+
+    replaced = idx.upsert(batch)
+    assert replaced == n_upd
+    layout = spark.read.schema(SIM.INDEX_SCHEMA).parquet(path)
+    assert layout.count() == n0 + n_new  # replaced in place, news added
+    assert layout.select("vec_id").distinct().count() == n0 + n_new
+
+    fresh_path = str(tmp_path / "upsert_fresh")
+    target = emb.filter(~(F.col("vec_id") % 20 == 7)).select(
+        "vec_id", "embedding"
+    ).unionByName(batch)
+    vecs = ANN.l2_normalize(
+        target.selectExpr(
+            "vec_id AS id", "CAST(embedding AS array<double>) AS features"
+        )
+    )
+    SIM.build_ivf_index(vecs, idx.centers, fresh_path)
+    got = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=4).collect()))
+    want = sorted(map(tuple, SIM.ivf_topk_indexed(
+        spark, fresh_path, NQUERIES, idx.centers, k=5, nprobe=4
+    ).collect()))
+    assert got == want and got
+    # idempotent: re-upserting the same batch replaces the batch itself
+    assert idx.upsert(batch) == batch.count()
+    layout2 = spark.read.schema(SIM.INDEX_SCHEMA).parquet(path)
+    assert layout2.count() == n0 + n_new
+
+
+def test_upsert_all_new_ids_is_pure_append(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "upsert_new_idx")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    n0 = spark.read.schema(SIM.INDEX_SCHEMA).parquet(path).count()
+    batch = emb.limit(7).select(
+        (F.col("vec_id") + F.lit(88_000_000)).alias("vec_id"), "embedding"
+    )
+    assert idx.upsert(batch) == 0
+    assert spark.read.schema(SIM.INDEX_SCHEMA).parquet(path).count() == n0 + 7

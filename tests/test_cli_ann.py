@@ -231,3 +231,26 @@ def test_ann_delete_verb(spark, sf_dir, tmp_path):
     layout = spark.read.parquet(idx_path)
     assert layout.count() == n_before - n_match
     assert layout.filter("vec_id % 10 = 4").count() == 0
+
+
+def test_ann_upsert_verb(spark, sf_dir, tmp_path):
+    idx_path = str(tmp_path / "cli_ups_idx")
+    assert cli.main(
+        ["ann", "train", "--embeddings", _emb_path(sf_dir),
+         "--index-path", idx_path, "--k", "4"],
+        spark=spark,
+    ) == 0
+    emb = io.read_table(spark, sf_dir, "embeddings")
+    n0 = spark.read.parquet(idx_path).count()
+    batch_src = str(tmp_path / "ups_batch")
+    emb.filter(F.col("vec_id") % 20 == 7).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    ).write.parquet(batch_src)
+    assert cli.main(
+        ["ann", "upsert", "--embeddings", batch_src,
+         "--index-path", idx_path],
+        spark=spark,
+    ) == 0
+    layout = spark.read.parquet(idx_path)
+    assert layout.count() == n0  # pure replace, no growth
+    assert layout.select("vec_id").distinct().count() == n0

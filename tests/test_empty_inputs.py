@@ -65,6 +65,7 @@ NEEDS_DATA = {
     "ann_index_retrain_search",
     "ann_index_filtered_search",
     "ann_index_delete_search",
+    "ann_index_upsert_search",
 }
 
 QUERIES = all_queries()
