@@ -906,6 +906,89 @@ def _refine_exact_literal(pruned: DataFrame, shortlist: DataFrame,
     )
 
 
+def hybrid_rrf_topk(docs: DataFrame, vecs: DataFrame,
+                    queries: list[tuple[list[str], list[float]]],
+                    k: int = 10, rrf_k: int = 60, per_side: int = 50,
+                    doc_id_col: str = "doc_id", text_col: str = "text",
+                    id_col: str = "id",
+                    features_col: str = "features") -> DataFrame:
+    """Hybrid retrieval: keyword rank ⊕ vector rank fused by
+    Reciprocal Rank Fusion (Cormack & Clarke & Buettcher 2009 — the
+    standard engine-agnostic fusion, used by every production hybrid
+    search). Each query is a (terms, query_vector) pair over
+    id-aligned document and embedding tables:
+
+    - text side: per-doc keyword score = Σ_t occurrences of term t in
+      the lower-cased whitespace tokens (the engine's certified
+      tokenizer, `functions.text.tokens`); zero-score docs don't rank;
+      per-query row_number (score DESC, id ASC) keeps the top
+      `per_side`.
+    - vector side: exact cosine rank (the `cosine_topk` arithmetic —
+      one scan, all queries), top `per_side` per query.
+    - fusion: FULL OUTER join of the two rankings per (qid, id);
+      rrf = Σ_sides 1/(rrf_k + rank), a missing side contributes 0;
+      final top-`k` by (rrf DESC, id ASC).
+
+    All queries ride one plan: both sides fan out via posexplode over
+    plan-literal query arrays, ONE join, two per-qid windows. At
+    100 TB the text side is a token scan (at real scale the keyword
+    ranking comes from the materialized `inverted_index` instead —
+    same rank rule), the vector side the certified brute/IVF path,
+    and the fusion joins two k·n_q-row sides — tiny. Output: (qid,
+    doc_id, rrf_score, text_rank, vec_rank, rank)."""
+    from apachebeamkmeans_spark.functions import text as T
+
+    toks = T.tokens(F.col(text_col))
+    staged = docs.select(
+        F.col(doc_id_col).alias("id"), toks.alias("__toks")
+    )
+    # per-query keyword score: left-associated sum of per-term
+    # occurrence counts (matches the oracle's `a + b + c` structure).
+    # The term must bind via a one-arg closure factory: a two-arg
+    # lambda (even `t=t` defaulted) makes F.filter pass (element,
+    # INDEX) and the term silently becomes the array index.
+    def _is_term(term: str):
+        return lambda x: x == F.lit(term)
+
+    score_exprs = []
+    for terms, _qv in queries:
+        s = None
+        for t in terms:
+            cnt = F.size(F.filter(F.col("__toks"), _is_term(t)))
+            s = cnt if s is None else s + cnt
+        score_exprs.append(s)
+    texp = staged.select(
+        "id", F.posexplode(F.array(*score_exprs)).alias("qid", "__ts")
+    ).filter(F.col("__ts") > 0)
+    wt = Window.partitionBy("qid").orderBy(F.desc("__ts"), F.asc("id"))
+    tranked = (
+        texp.withColumn("text_rank", F.row_number().over(wt))
+        .filter(F.col("text_rank") <= per_side)
+        .select("qid", "id", "text_rank")
+    )
+    vranked = cosine_topk(
+        vecs, [qv for _t, qv in queries], per_side, id_col, features_col
+    ).select(
+        "qid", F.col("vec_id").alias("id"), F.col("rank").alias("vec_rank")
+    )
+    fused = tranked.join(vranked, ["qid", "id"], "full_outer")
+    rrf = (
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("text_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0))
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("__rrf"), F.asc("id"))
+    return (
+        fused.withColumn("__rrf", rrf)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", F.col("id").alias("doc_id"),
+            F.round("__rrf", 6).alias("rrf_score"),
+            "text_rank", "vec_rank", "rank",
+        )
+    )
+
+
 def nearest_centers(q: list[float], centers: list[list[float]],
                     nprobe: int = 1) -> list[int]:
     """Plan-time coarse-quantizer probe: the `nprobe` nearest cells of a

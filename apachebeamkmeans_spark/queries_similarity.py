@@ -2966,6 +2966,85 @@ SELECT vec_id, cell, round(d, 6) AS dist_sq, rank FROM (
 ORACLE_SIM_CURATION_PIPELINE = _oracle_curation_pipeline()
 
 
+# ------------------------------------------- hybrid retrieval (r13)
+
+# (terms, query_vector) pairs over the id-aligned documents/embeddings
+# tables — keyword relevance fused with vector similarity by RRF.
+HYBRID_QUERIES: list[tuple[list[str], list[float]]] = [
+    (["join", "hash"], QUERY_VECS[0]),
+    (["customer", "order", "merge"], QUERY_VECS[1]),
+    (["slow", "scan"], QUERY_VECS[2]),
+]
+HYBRID_TOPK = 10
+HYBRID_RRF_K = 60
+HYBRID_PER_SIDE = 50
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (keyword ⊕ vector, Reciprocal Rank Fusion):
+    per query, the keyword top-50 (term-occurrence score over the
+    certified tokenizer, zero-score docs unranked) and the exact
+    cosine top-50 are fused by rrf = Σ 1/(60 + rank) — the standard
+    production hybrid-search shape (a missing side contributes 0).
+    One plan: both sides fan out via posexplode over plan-literal
+    query arrays, one FULL OUTER join on (qid, id), two per-qid
+    windows. Oracle: the same two rankings and fusion in SQL."""
+    return SIM.hybrid_rrf_topk(
+        io.read_table(spark, sf_dir, "documents"),
+        io.load_points(spark, sf_dir),
+        HYBRID_QUERIES, k=HYBRID_TOPK, rrf_k=HYBRID_RRF_K,
+        per_side=HYBRID_PER_SIDE,
+    )
+
+
+def _oracle_hybrid_rrf() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+    parts = []
+    for qid, (terms, qv) in enumerate(HYBRID_QUERIES):
+        ts = " + ".join(
+            f"len(list_filter(tk, x -> x = '{t}'))" for t in terms
+        )
+        cos = OG.sql_cosine_lit("e", qv, DIM)
+        t_q = (
+            f"(SELECT doc_id, CAST(row_number() OVER"
+            f" (ORDER BY ts DESC, doc_id ASC) AS INTEGER) AS text_rank"
+            f" FROM (SELECT doc_id, ({ts}) AS ts FROM tk) WHERE ts > 0"
+            f" QUALIFY text_rank <= {HYBRID_PER_SIDE})"
+        )
+        v_q = (
+            f"(SELECT vec_id, CAST(row_number() OVER"
+            f" (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS vec_rank"
+            f" FROM (SELECT vec_id, {cos} AS c FROM en)"
+            f" QUALIFY vec_rank <= {HYBRID_PER_SIDE})"
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id, round(rrf, 6) AS rrf_score,"
+            f" text_rank, vec_rank, rank FROM ("
+            f"  SELECT doc_id, rrf, text_rank, vec_rank,"
+            f"    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)"
+            f"         AS INTEGER) AS rank"
+            f"  FROM ("
+            f"    SELECT coalesce(t.doc_id, v.vec_id) AS doc_id,"
+            f"      coalesce(CAST(1 AS DOUBLE) / ({HYBRID_RRF_K} + t.text_rank), 0)"
+            f"      + coalesce(CAST(1 AS DOUBLE) / ({HYBRID_RRF_K} + v.vec_rank), 0)"
+            f"      AS rrf, t.text_rank, v.vec_rank"
+            f"    FROM {t_q} t FULL OUTER JOIN {v_q} v"
+            f"      ON t.doc_id = v.vec_id"
+            f"  )"
+            f") WHERE rank <= {HYBRID_TOPK}"
+        )
+    return (
+        "WITH tk AS MATERIALIZED (SELECT doc_id, "
+        f"{toks} AS tk FROM documents), "
+        "en AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_HYBRID_SEARCH_RRF = _oracle_hybrid_rrf()
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "sim_coverage_sample": (q_sim_coverage_sample, ORACLE_SIM_COVERAGE_SAMPLE),
@@ -3030,6 +3109,7 @@ QUERIES = {
         q_ann_index_upsert_search,
         ORACLE_ANN_INDEX_UPSERT_SEARCH,
     ),
+    "hybrid_search_rrf": (q_hybrid_search_rrf, ORACLE_HYBRID_SEARCH_RRF),
     "stream_embedding_gate": (
         q_stream_embedding_gate,
         ORACLE_STREAM_EMBEDDING_GATE,

@@ -134,3 +134,62 @@ def test_resize_and_histogram_plumbing(spark, sf_dir):
                  F.col("features").cast("array<double>")).alias("self_cos")
     ).collect()
     assert all(abs(r["self_cos"] - 1.0) < 1e-9 for r in sim)
+
+
+def test_hybrid_rrf_matches_python_fusion(spark, sf_dir):
+    """hybrid_rrf_topk equals a driver-side RRF fusion of the two
+    rankings computed independently (tokens in Python, cosine in
+    numpy), and the plan stays JVM-only (no Python nodes)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import similarity as SIM
+    from apachebeamkmeans_spark.plans import explain as X
+    from apachebeamkmeans_spark.sources import io
+
+    queries = [
+        (["join", "hash"], [0.1 * ((j % 5) - 2) for j in range(64)]),
+        (["slow"], [0.05 * ((j % 7) - 3) for j in range(64)]),
+    ]
+    docs = io.read_table(spark, sf_dir, "documents")
+    vecs = io.load_points(spark, sf_dir)
+    res = SIM.hybrid_rrf_topk(docs, vecs, queries, k=8, per_side=30)
+    plan = X.formatted_plan(res)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    got = {
+        (r["qid"], r["doc_id"]): (r["rrf_score"], r["rank"])
+        for r in res.collect()
+    }
+
+    drows = docs.select("doc_id", "text").collect()
+    vrows = vecs.collect()
+    ids = np.array([r["id"] for r in vrows])
+    mat = np.array([list(map(float, r["features"])) for r in vrows])
+    for qid, (terms, qv) in enumerate(queries):
+        tscore = {}
+        for r in drows:
+            toks = [t for t in r["text"].lower().split() if t]
+            s = sum(toks.count(t) for t in terms)
+            if s > 0:
+                tscore[r["doc_id"]] = s
+        tr = {
+            d: i + 1
+            for i, (d, _s) in enumerate(
+                sorted(tscore.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+            )
+        }
+        q = np.array(qv)
+        cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = sorted(zip(ids.tolist(), cos.tolist()),
+                       key=lambda p: (-p[1], p[0]))[:30]
+        vr = {d: i + 1 for i, (d, _c) in enumerate(order)}
+        rrf = {
+            d: (1.0 / (60 + tr[d]) if d in tr else 0.0)
+            + (1.0 / (60 + vr[d]) if d in vr else 0.0)
+            for d in set(tr) | set(vr)
+        }
+        top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+        for rank, (d, s) in enumerate(top, start=1):
+            assert (qid, d) in got
+            gs, gr = got[(qid, d)]
+            assert gr == rank and abs(gs - s) < 2e-6
