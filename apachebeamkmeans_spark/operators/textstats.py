@@ -395,6 +395,82 @@ def bpe_encode_stats(docs: DataFrame, n_merges: int = 50,
     )
 
 
+def bm25_topk(docs: DataFrame, queries: list[list[str]], k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 ranked retrieval for literal term-set queries — the
+    standard keyword relevance function (Robertson & Zaragoza 2009),
+    with the engine's log-free IDF convention:
+    ``idf_t = (N − df_t + 0.5) / (df_t + 0.5)`` instead of its ln —
+    the same deviation `tfidf_top_terms` documents (ln differs by ulps
+    between JVM and libm and makes near-tie ranks flap cross-engine;
+    every remaining operation is IEEE +·/ which both engines evaluate
+    bit-identically). Per query q: score(d) = Σ_t idf_t · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)); zero-score docs don't rank.
+
+    Plan shape (scales to 100 TB): tokens staged once per doc; ALL
+    corpus statistics (N, Σdl, and df per query term) come from ONE
+    aggregate producing a single row, broadcast back via crossJoin —
+    never a data-sized collect (df per literal term is a handful of
+    scalars, the probe-cell class). Per-query scores are expression
+    COLUMNS (left-associated term sums — deterministic, no float
+    aggregation), fanned out by posexplode, one per-qid window for
+    top-k. At real scale df/avgdl come from the materialized
+    `inverted_index` stats instead — same formula. Output: (qid,
+    doc_id, bm25, rank)."""
+    toks = T.tokens(F.col("text"))
+    staged = docs.select(
+        F.col("doc_id"), toks.alias("__toks"),
+        F.size(toks).alias("__dl"),
+    )
+
+    def _is_term(term: str):
+        return lambda x: x == F.lit(term)
+
+    def _tf(term: str):
+        return F.size(F.filter(F.col("__toks"), _is_term(term)))
+
+    # one corpus-stats row: N, Σdl, df per distinct query term
+    terms = sorted({t for q in queries for t in q})
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sdl"),
+        *[
+            F.count_if(_tf(t) > 0).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    df_col = {t: F.col(f"__df_{i}") for i, t in enumerate(terms)}
+    joined = staged.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sdl").cast("double") / F.col("__n").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0) - F.lit(float(b))
+        + F.lit(float(b)) * (F.col("__dl").cast("double") / avgdl)
+    )
+    score_exprs = []
+    for q in queries:
+        s = None
+        for t in q:
+            idf = (
+                F.col("__n").cast("double") - df_col[t].cast("double")
+                + F.lit(0.5)
+            ) / (df_col[t].cast("double") + F.lit(0.5))
+            tf = _tf(t).cast("double")
+            term_score = idf * (
+                tf * F.lit(float(k1) + 1.0) / (tf + norm)
+            )
+            s = term_score if s is None else s + term_score
+        score_exprs.append(s)
+    exploded = joined.select(
+        "doc_id", F.posexplode(F.array(*score_exprs)).alias("qid", "__s")
+    ).filter(F.col("__s") > 0)
+    w = Window.partitionBy("qid").orderBy(F.desc("__s"), F.asc("doc_id"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", F.round("__s", 6).alias("bm25"), "rank")
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
     """Per-document top-N TF-IDF terms — the standard relevance /
     keyword-extraction primitive of a text pipeline.

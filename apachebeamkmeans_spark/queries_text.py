@@ -431,6 +431,77 @@ FROM t
 ORACLE_TOKEN_COUNTS = _oracle_token_counts()
 
 
+BM25_QUERIES = [
+    ["join", "hash"],
+    ["customer", "order", "merge"],
+    ["slow", "scan"],
+    ["the", "data", "table"],
+]
+BM25_TOPK = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for four literal term-set queries (top-10
+    docs each) — the keyword side of hybrid search as a first-class
+    certified ranking, log-free IDF per the engine's tfidf convention
+    (`textstats.bm25_topk`). One corpus-stats aggregate (N, Σdl, df
+    per term) broadcast back; per-query scores are expression columns
+    (deterministic left-associated sums)."""
+    return TX.bm25_topk(
+        _docs(spark, sf_dir), BM25_QUERIES,
+        k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+    )
+
+
+def _oracle_bm25() -> str:
+    k1 = float(BM25_K1)
+    b = float(BM25_B)
+    terms = sorted({t for q in BM25_QUERIES for t in q})
+    df_idx = {t: i for i, t in enumerate(terms)}
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN len(list_filter(tk, x -> x = '{t}')) > 0"
+        f" THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    parts = []
+    for qid, q in enumerate(BM25_QUERIES):
+        term_exprs = []
+        for t in q:
+            df = f"df_{df_idx[t]}"
+            tf = f"CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+            idf = f"((n - {df} + 0.5) / ({df} + 0.5))"
+            norm = (
+                f"{k1!r} * (1.0 - {b!r} + {b!r} *"
+                f" (CAST(dl AS DOUBLE) / (sdl / n)))"
+            )
+            term_exprs.append(
+                f"{idf} * ({tf} * {k1 + 1.0!r} / ({tf} + {norm}))"
+            )
+        score = " + ".join(term_exprs)
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id, round(s, 6) AS bm25, rank FROM ("
+            f"  SELECT doc_id, s,"
+            f"    CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC)"
+            f"         AS INTEGER) AS rank"
+            f"  FROM (SELECT doc_id, ({score}) AS s FROM d CROSS JOIN st)"
+            f"  WHERE s > 0"
+            f") WHERE rank <= {BM25_TOPK}"
+        )
+    return (
+        f"WITH tkn AS MATERIALIZED (SELECT doc_id, {_TOKS} AS tk"
+        f" FROM documents), "
+        f"d AS MATERIALIZED (SELECT doc_id, tk, len(tk) AS dl FROM tkn), "
+        f"st AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
+        f" CAST(sum(dl) AS DOUBLE) AS sdl, {df_cols} FROM d) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_TEXT_BM25_TOPK = _oracle_bm25()
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (log-free tf*N/df scoring)."""
     return TX.tfidf_top_terms(_docs(spark, sf_dir), top_n=3)
@@ -1020,6 +1091,7 @@ QUERIES = {
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
+    "text_bm25_topk": (q_text_bm25_topk, ORACLE_TEXT_BM25_TOPK),
     "text_contamination": (q_text_contamination, ORACLE_TEXT_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "pack_with_split": (q_pack_with_split, ORACLE_PACK_WITH_SPLIT),

@@ -137,6 +137,7 @@ HEADLINE = [
     "ann_index_delete_search",
     "ann_index_upsert_search",
     "hybrid_search_rrf",
+    "text_bm25_topk",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

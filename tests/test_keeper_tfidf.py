@@ -64,3 +64,50 @@ def test_corpus_health_counts_null_text_docs(spark, monkeypatch):
     # other — the dashboard counts them, it does not hide them
     assert row["n_exact_dups"] == 2
     assert row["n_langs"] == 2
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    """bm25_topk equals a driver-side BM25 with the same log-free IDF
+    (the cross-engine determinism convention) computed from raw
+    tokens, and the plan stays JVM-only."""
+    from apachebeamkmeans_spark.operators import textstats as TX
+    from apachebeamkmeans_spark.plans import explain as X
+    from apachebeamkmeans_spark.sources import io
+
+    queries = [["join", "hash"], ["slow"]]
+    k1, b = 1.2, 0.75
+    docs = io.read_table(spark, sf_dir, "documents")
+    res = TX.bm25_topk(docs, queries, k=8, k1=k1, b=b)
+    plan = X.formatted_plan(res)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    got = {
+        (r["qid"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in res.collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+    toks = {
+        r["doc_id"]: [t for t in r["text"].lower().split() if t]
+        for r in rows
+    }
+    n = float(len(toks))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    for qid, q in enumerate(queries):
+        df = {
+            t: float(sum(1 for v in toks.values() if t in v)) for t in q
+        }
+        scores = {}
+        for d, v in toks.items():
+            s = 0.0
+            for t in q:
+                tf = float(v.count(t))
+                idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+                norm = k1 * (1.0 - b + b * (len(v) / avgdl))
+                s += idf * (tf * (k1 + 1.0) / (tf + norm))
+            if s > 0:
+                scores[d] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+        for rank, (d, s) in enumerate(top, start=1):
+            assert (qid, d) in got
+            gs, gr = got[(qid, d)]
+            assert gr == rank and abs(gs - s) < 2e-6
