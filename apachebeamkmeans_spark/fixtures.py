@@ -43,6 +43,20 @@ def query_vectors(n: int = 5, dim: int = EMBEDDING_DIM) -> list[list[float]]:
     return [[_grid(i + 301, j, 0.3, 0.83) for j in range(dim)] for i in range(n)]
 
 
+def maxsim_query_tokens(n: int = 3, tq: int = 3,
+                        dsub: int = EMBEDDING_DIM // 4) -> list[list[list[float]]]:
+    """Multi-vector (late-interaction) queries: `n` queries × `tq`
+    token vectors × `dsub` dims. Doc-side token vectors are the
+    EMBEDDING_DIM/dsub contiguous `dsub`-wide slices of the flat
+    embedding, so queries live in the same sub-space width. Frozen
+    literals, like `query_vectors`."""
+    return [
+        [[_grid(i * tq + t + 601, j, 0.3, 0.71) for j in range(dsub)]
+         for t in range(tq)]
+        for i in range(n)
+    ]
+
+
 def pq_codebooks(m: int = 8, ksub: int = 16,
                  dsub: int = EMBEDDING_DIM // 8) -> list[list[list[float]]]:
     """Product-quantization codebooks: `m` subspaces × `ksub` centroids

@@ -144,3 +144,26 @@ def dot_cols_unrolled(a: Column, b: Column, dim: int) -> Column:
     HOF `dot` costs ~3× on a many-million-pair join; measured on
     sim_knn_graph: 20 s → 6 s at sf0.1)."""
     return _sum_terms([a[j] * b[j] for j in range(dim)])
+
+
+# ------------------------------------------------------- slice family
+# Multi-vector (late-interaction) support: a document's token vectors
+# live as contiguous `dsub`-wide slices of one flat embedding array,
+# so per-token arithmetic is the unrolled family shifted by a plan-time
+# offset — no array_slice materialization per row.
+
+
+def dot_slice_unrolled(col: Column, vec: list[float], offset: int) -> Column:
+    """Σ_j col[offset+j]·v_j — `dot_unrolled` against the slice
+    starting at 0-based `offset` (same left-associated term order as
+    oraclegen.sql_dot_slice)."""
+    return _sum_terms(
+        [col[offset + j] * F.lit(float(v)) for j, v in enumerate(vec)]
+    )
+
+
+def norm_sq_slice_unrolled(col: Column, offset: int, dsub: int) -> Column:
+    """Σ_j col[offset+j]² over the `dsub`-wide slice at `offset`."""
+    return _sum_terms(
+        [col[offset + j] * col[offset + j] for j in range(dsub)]
+    )

@@ -720,3 +720,41 @@ def substring_purge(docs: DataFrame, runs: DataFrame) -> DataFrame:
             .alias("text"),
         )
     )
+
+
+def fuzzy_name_pairs(df: DataFrame, name_col: str, block_col,
+                     max_dist: int = 2) -> DataFrame:
+    """Blocked edit-distance entity resolution: candidate pairs of
+    DISTINCT values of `name_col` whose Levenshtein distance is ≤
+    `max_dist`, restricted to pairs sharing the blocking key
+    `block_col` (a Column over the distinct-name frame's `name`).
+
+    Classic record-linkage shape: names are first collapsed to their
+    distinct domain with support counts (one map-side-combined
+    groupBy — at 100 TB the pair join runs on the name DOMAIN, not
+    the row count), then a self-equi-join on the block key generates
+    candidates and the BOUNDED Levenshtein (`levenshtein(l, r,
+    threshold)`, banded O(max_dist·len) DP, -1 beyond the bound —
+    never the full O(len²) matrix) verifies. Like LSH banding, the
+    block key bounds recall by construction: only same-block pairs are
+    comparable, and per-block work is |block|² — pick keys (last
+    token, soundex, length band) that keep blocks small and recall
+    acceptable. `name_a < name_b` emits each unordered pair once."""
+    names = (
+        df.groupBy(F.col(name_col).alias("name"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("block", block_col)
+    )
+    a = names.select(
+        "block", F.col("name").alias("name_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = names.select(
+        "block", F.col("name").alias("name_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b", max_dist))
+        .filter(F.col("lev") >= 0)
+        .select("block", "name_a", "name_b", "lev", "cnt_a", "cnt_b")
+    )

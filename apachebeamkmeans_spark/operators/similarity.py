@@ -989,6 +989,202 @@ def hybrid_rrf_topk(docs: DataFrame, vecs: DataFrame,
     )
 
 
+def maxsim_topk(vecs: DataFrame, queries: list[list[list[float]]],
+                k: int = 10, dim: int = 64,
+                id_col: str = "id",
+                features_col: str = "features") -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) multi-vector retrieval:
+    each document is T token vectors — the T contiguous `dsub`-wide
+    slices of its flat embedding — and each query is a list of `dsub`-
+    dim token vectors; score(q, d) = Σ_i max_t cos(q_i, d_t).
+
+    ONE narrow scan: per row, the T slice norms are staged once as an
+    array column (HOF/expression trees get no CSE — inlining them would
+    recompute T·Σ|q_i| times), every query's score is a fully unrolled
+    plan-time expression (greatest over T slice cosines per query
+    token, left-associated sum over tokens — exactly the oracle's
+    `greatest(...) + greatest(...)` structure), posexplode fans out
+    (qid, score), one per-qid window ranks. No join, no UDF: at 100 TB
+    this is the same single-pass shape as `cosine_topk`, ~T·Tq·dsub
+    codegen multiply-adds per row."""
+    dsub = len(queries[0][0])
+    f = F.col(features_col)
+    dim_terms = {len(tok) for q in queries for tok in q}
+    assert dim_terms == {dsub}, "ragged query token dims"
+    assert dim % dsub == 0, "dim must be a multiple of the token width"
+    n_tokens_doc = dim // dsub
+    # Compact HOF expressions, NOT the unrolled family: a fully
+    # unrolled T·Tq·dsub score tree (~1700 leaf terms for 3 queries)
+    # blows janino's 64 KB method limit — whole-stage codegen fails
+    # and the whole stage falls back to interpreted evaluation
+    # (measured 4-6 s vs 0.9 s at sf0.1). HOF aggregate sums are
+    # bit-identical to the unrolled left-associated oracle chains
+    # because IEEE 0.0 + x == x exactly (the house cosine_topk /
+    # sql_dot pairing relies on the same identity).
+    snorms = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tokens_doc - 1)),
+        lambda t: F.sqrt(F.aggregate(
+            F.slice(f, t * dsub + 1, dsub), F.lit(0.0),
+            lambda a, x: a + x * x,
+        )),
+    )
+    base = vecs.select(
+        F.col(id_col).alias("vec_id"), f.alias("__f"),
+        snorms.alias("__snorm"),
+    )
+    scores = []
+    for q in queries:
+        s = None
+        for tok in q:
+            qn = sum(float(v) * float(v) for v in tok) ** 0.5
+            tok_lit = F.lit(list(map(float, tok)))
+
+            # one-arg closure factory: a defaulted second parameter
+            # would make F.transform pass (element, INDEX) and the
+            # token literal silently becomes the slice index (same
+            # trap documented in hybrid_rrf_topk's term filter)
+            def _slice_cos_fn(tok_lit):
+                def _slice_cos(t):
+                    dot = F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("__f"), t * dsub + 1, dsub),
+                            tok_lit, lambda x, y: x * y,
+                        ),
+                        F.lit(0.0), lambda a, v: a + v,
+                    )
+                    return dot / F.element_at(F.col("__snorm"), t + 1)
+                return _slice_cos
+
+            _slice_cos = _slice_cos_fn(tok_lit)
+
+            # query norm is constant across slices, so it divides the
+            # MAX, not each candidate — the oracle mirrors this shape
+            g = F.array_max(F.transform(
+                F.sequence(F.lit(0), F.lit(n_tokens_doc - 1)), _slice_cos
+            )) / F.lit(qn)
+            s = g if s is None else s + g
+        scores.append(s)
+    exploded = base.select(
+        "vec_id", F.posexplode(F.array(*scores)).alias("qid", "_s")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_s"), F.asc("vec_id"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.round("_s", 6).alias("maxsim"), "rank")
+    )
+
+
+def sign_codes(vecs: DataFrame, dim: int, id_col: str = "id",
+               features_col: str = "features") -> DataFrame:
+    """Binary (sign) quantization: bit (width-1-j) of word w is 1 iff
+    features[w·32+j] > 0 (MSB-first fold), packed as ⌈dim/32⌉
+    non-negative 32-bit words in BIGINT columns `code_0..code_{w-1}` —
+    two words for dim=64. Words stay < 2³² (no sign-bit overflow);
+    integer arithmetic is exact, so the compact `acc·2 + bit` HOF fold
+    here and the oracle's unrolled power-of-two CASE sum are equal by
+    value regardless of summation structure. 32× smaller than float32:
+    at 100 TB of embeddings the code table is ~3 TB, and Hamming
+    screening is two XOR+popcount ops per word."""
+    f = F.col(features_col)
+
+    def word(lo: int, width: int):
+        return F.aggregate(
+            F.slice(f, lo + 1, width), F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + F.when(x > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+
+    cols = [F.col(id_col).alias("vec_id")]
+    for w in range((dim + 31) // 32):
+        lo = w * 32
+        cols.append(word(lo, min(32, dim - lo)).alias(f"code_{w}"))
+    return vecs.select(*cols)
+
+
+def pack_sign_bits(vec: list[float]) -> list[int]:
+    """Driver-side twin of `sign_codes` for literal query vectors
+    (same MSB-first fold)."""
+    words = []
+    for lo in range(0, len(vec), 32):
+        w = 0
+        for v in vec[lo:lo + 32]:
+            w = w * 2 + (1 if float(v) > 0 else 0)
+        words.append(w)
+    return words
+
+
+def binary_hamming_topk(vecs: DataFrame, queries: list[list[float]],
+                        k: int = 10, shortlist: int = 50,
+                        id_col: str = "id",
+                        features_col: str = "features") -> DataFrame:
+    """Binary-quantized ANN: sign-code Hamming screening + exact cosine
+    rerank — the 32×-compression tier between int8 (4×) and PQ (the
+    FAISS `IndexBinaryFlat`-then-refine shape).
+
+    Stage 1 reads only the packed codes (2 BIGINTs/row for dim=64) and
+    ranks ΣW bit_count(code_w XOR qcode_w) per query — query codes fold
+    at plan time, so the screen is a narrow integer scan + one window.
+    Stage 2 re-reads features for the ≤ shortlist·n_queries survivors
+    via a broadcast semi-join and ranks exact cosine. Ties on integer
+    Hamming break by vec_id, making the shortlist (hence the final
+    ranking) deterministic."""
+    dim = len(queries[0])
+    n_words = (dim + 31) // 32
+    codes = sign_codes(vecs, dim, id_col, features_col)
+    ham_exprs = []
+    for q in queries:
+        qwords = pack_sign_bits(q)
+        h = None
+        for w in range(n_words):
+            t = F.bit_count(
+                F.col(f"code_{w}").bitwiseXOR(F.lit(qwords[w]).cast("long"))
+            )
+            h = t if h is None else h + t
+        ham_exprs.append(h)
+    screened = codes.select(
+        "vec_id", F.posexplode(F.array(*ham_exprs)).alias("qid", "_h")
+    )
+    ws = Window.partitionBy("qid").orderBy(F.asc("_h"), F.asc("vec_id"))
+    short = (
+        screened.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= shortlist)
+        .select("qid", "vec_id", F.col("_h").alias("hamming"))
+    )
+    # cosines are computed AFTER the broadcast semi-join so the n_q·dim
+    # multiply-adds run only on the ≤ shortlist·n_queries survivors,
+    # never on the full scan (the screen already paid its pass). HOF
+    # form, not the unrolled family: an unrolled n_q·2·dim expression
+    # array costs ~3 s of janino compile alone at 5 queries (measured),
+    # while the HOF dot is bit-identical to the oracle's unrolled chain
+    # (0.0 + x == x) — the same pairing cosine_topk certifies.
+    qnorms = [sum(float(v) * float(v) for v in q) ** 0.5 for q in queries]
+    dots = F.transform(
+        F.lit([list(map(float, q)) for q in queries]),
+        lambda q: D.dot(F.col("__f"), q),
+    )
+    vn = F.sqrt(F.aggregate(
+        F.transform(F.col("__f"), lambda x: x * x),
+        F.lit(0.0), lambda a, v: a + v,
+    ))
+    reranked = vecs.select(
+        F.col(id_col).alias("vec_id"), F.col(features_col).alias("__f")
+    ).join(F.broadcast(short), "vec_id").withColumn(
+        "__vn", vn
+    ).withColumn(
+        "_c",
+        F.element_at(dots, F.col("qid") + 1)
+        / (F.col("__vn") * F.element_at(F.lit(qnorms), F.col("qid") + 1)),
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("_c"), F.asc("vec_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "hamming",
+                F.round("_c", 6).alias("cosine"), "rank")
+    )
+
+
 def nearest_centers(q: list[float], centers: list[list[float]],
                     nprobe: int = 1) -> list[int]:
     """Plan-time coarse-quantizer probe: the `nprobe` nearest cells of a

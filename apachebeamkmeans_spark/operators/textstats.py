@@ -865,3 +865,83 @@ def near_dup_by_fingerprint(docs: DataFrame, n: int = 5) -> DataFrame:
         .filter(F.col("group_size") > 1)
         .withColumn("keeper_id", F.min("doc_id").over(w))
     )
+
+
+def leakproof_split(docs: DataFrame, group_col: str = "source",
+                    fracs: tuple[float, float] = (0.8, 0.1),
+                    seed: str = "split") -> DataFrame:
+    """Group-aware train/val/test split: the split label is a function
+    of the GROUP key's seeded hash01 (never the row), so every document
+    of a source lands in the same split — templated/near-duplicate
+    documents from one source can never straddle the train/eval
+    boundary (the leakage mode row-level splits are blind to; the
+    WebText/C4 dedup papers' held-out discipline).
+
+    Pure narrow map (one md5 per row, no shuffle, no sampling state):
+    at 100 TB this costs the scan. `fracs` are the train/val target
+    fractions of GROUPS (group sizes skew actual row fractions — the
+    trade this split makes for leakproofness by construction)."""
+    u = H.hash01(F.col(group_col), seed)
+    split = (
+        F.when(u <= fracs[0], "train")
+        .when(u <= fracs[0] + fracs[1], "val")
+        .otherwise("test")
+    )
+    return docs.withColumn("split", split)
+
+
+def split_summary(docs: DataFrame, group_col: str = "source",
+                  fracs: tuple[float, float] = (0.8, 0.1),
+                  seed: str = "split") -> DataFrame:
+    """Per-split audit of `leakproof_split`: group/doc/char volumes —
+    the sanity view a curation run records next to the split."""
+    return (
+        leakproof_split(docs, group_col, fracs, seed)
+        .groupBy("split")
+        .agg(
+            F.countDistinct(group_col).alias("n_sources"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+def negative_samples(docs: DataFrame, k: int = 5, n_buckets: int = 16,
+                     anchor_mod: int = 20,
+                     seed: str = "neg") -> DataFrame:
+    """Deterministic bucketed negative sampling for contrastive-pair
+    training: every candidate doc is hash-assigned to one of
+    `n_buckets` buckets; each anchor (ids ≡ 0 mod `anchor_mod`)
+    probes its own seeded pseudo-random bucket and takes the k
+    lowest-hash candidates from a DIFFERENT source (in-source
+    "negatives" are usually near-duplicates, not negatives).
+
+    The bucket equi-join bounds per-anchor candidates to n/n_buckets —
+    never the n² cross join — and every draw is a pure function of
+    (anchor_id, neg_id, seed), so the sample is replayable: the
+    engine-wide no-unseeded-randomness rule (functions/hashing.py)
+    applied to contrastive dataset construction."""
+    cands = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        H.bucket(F.col("doc_id"), n_buckets, seed + "b").alias("bucket"),
+    )
+    anchors = docs.filter(F.col("doc_id") % anchor_mod == 0).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("anchor_source"),
+        H.bucket(F.col("doc_id"), n_buckets, seed + "p").alias("bucket"),
+    )
+    pairs = anchors.join(cands, "bucket").filter(
+        (F.col("neg_source") != F.col("anchor_source"))
+        & (F.col("neg_id") != F.col("anchor_id"))
+    )
+    u = H.hash01(
+        F.concat_ws("|", F.col("anchor_id"), F.col("neg_id")), seed + "o"
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.asc("__u"), F.asc("neg_id"))
+    return (
+        pairs.withColumn("__u", u)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", F.round("__u", 6).alias("draw"), "rank")
+    )

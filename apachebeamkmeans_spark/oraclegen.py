@@ -64,6 +64,35 @@ def sql_cosine_lit(col: str, vec: list[float], dim: int) -> str:
     return f"({sql_dot(col, vec)} / (sqrt({sql_norm_sq(col, dim)}) * ({vnorm!r})))"
 
 
+def sql_dot_slice(col: str, vec: list[float], offset: int) -> str:
+    """Σ_j col[offset+j]·v_j (0-based offset, 1-based SQL index) —
+    twin of distance.dot_slice_unrolled."""
+    terms = [
+        f"{col}[{offset + j + 1}]*({float(v)!r})" for j, v in enumerate(vec)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_norm_sq_slice(col: str, offset: int, dsub: int) -> str:
+    """Σ_j col[offset+j]² over the dsub-wide slice at 0-based offset —
+    twin of distance.norm_sq_slice_unrolled."""
+    terms = [
+        f"{col}[{offset + j + 1}]*{col}[{offset + j + 1}]"
+        for j in range(dsub)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_cosine_slice(col: str, vec: list[float], offset: int) -> str:
+    """cosine(col[offset:offset+len(vec)], literal vec) — the slice
+    twin of sql_cosine_lit (query norm folded at generation time)."""
+    vnorm = sum(float(v) * float(v) for v in vec) ** 0.5
+    return (
+        f"({sql_dot_slice(col, vec, offset)} / "
+        f"(sqrt({sql_norm_sq_slice(col, offset, len(vec))}) * ({vnorm!r})))"
+    )
+
+
 def sql_l2_sq_cols_unrolled(a: str, b: str, dim: int) -> str:
     """Squared L2 between two list columns, unrolled left-associated —
     exact twin of distance.l2_sq_unrolled when the Spark side's center
@@ -110,6 +139,12 @@ def sql_hash01(col: str, seed) -> str:
     range (0, 1], so -ln(u) is always finite on both engines."""
     h = f"substr(md5(concat('{seed}|', CAST({col} AS VARCHAR))), 1, 8)"
     return f"(CAST({sql_hex_to_int(h)} + 1 AS DOUBLE) / {TWO32!r})"
+
+
+def sql_bucket(col: str, n_buckets: int, seed) -> str:
+    """Twin of hashing.bucket: 32-bit md5 hash mod n, in [0, n)."""
+    h = f"substr(md5(concat('{seed}|', CAST({col} AS VARCHAR))), 1, 8)"
+    return f"CAST(({sql_hex_to_int(h)}) % {n_buckets} AS INTEGER)"
 
 
 def sql_argmin_case(dist_cols: list[str], out: str = "center_id") -> str:

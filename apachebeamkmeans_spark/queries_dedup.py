@@ -1492,6 +1492,42 @@ GROUP BY doc_id
 ORACLE_DOC_TRIANGLES = _triangles_oracle()
 
 
+# ----------------------- blocked fuzzy entity resolution (r13)
+
+FUZZY_MAX_DIST = 2
+
+
+def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance entity resolution over part names:
+    distinct `p_name` values (with support counts) are blocked by
+    their last token (the product noun), same-block pairs verified by
+    BOUNDED Levenshtein ≤ 2 (Spark's banded `levenshtein(l, r,
+    threshold)` — -1 beyond the bound, never the full DP matrix).
+    The record-linkage workhorse for catalog/name reconciliation:
+    pair generation runs on the distinct-name DOMAIN (100-ish names),
+    not the row count, exactly like LSH banding bounds MinHash."""
+    from pyspark.sql import functions as F
+
+    return DD.fuzzy_name_pairs(
+        io.read_table(spark, sf_dir, "part"), "p_name",
+        F.element_at(F.split(F.col("name"), " "), -1),
+        FUZZY_MAX_DIST,
+    )
+
+
+ORACLE_FUZZY_PART_PAIRS = f"""
+WITH names AS MATERIALIZED (
+  SELECT p_name AS name, count(*) AS cnt,
+         string_split(p_name, ' ')[-1] AS block
+  FROM part GROUP BY p_name)
+SELECT a.block AS block, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS lev,
+       a.cnt AS cnt_a, b.cnt AS cnt_b
+FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = {
     "doc_pagerank": (q_doc_pagerank, ORACLE_DOC_PAGERANK),
     "doc_triangles": (q_doc_triangles, ORACLE_DOC_TRIANGLES),
@@ -1516,4 +1552,5 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, ORACLE_DEDUP_SIMHASH_PAIRS),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING_PAIRS),
+    "fuzzy_part_pairs": (q_fuzzy_part_pairs, ORACLE_FUZZY_PART_PAIRS),
 }

@@ -3045,6 +3045,122 @@ def _oracle_hybrid_rrf() -> str:
 ORACLE_HYBRID_SEARCH_RRF = _oracle_hybrid_rrf()
 
 
+# --------------------------- late-interaction (MaxSim) retrieval (r13)
+
+MAXSIM_DSUB = 16                      # token-vector width
+MAXSIM_T = DIM // MAXSIM_DSUB         # doc tokens per embedding
+MAXSIM_QUERIES = fixtures.maxsim_query_tokens(3, 3, MAXSIM_DSUB)
+MAXSIM_K = 10
+
+
+def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: each doc is
+    its 4 contiguous 16-dim embedding slices (token vectors), each
+    query 3 literal 16-dim token vectors; score = Σ_i max_t
+    cos(q_i, d_t). One narrow scan — slice norms staged once per row,
+    fully unrolled plan-time score per query, posexplode + one per-qid
+    window. The multi-vector analogue of sim_topk_bruteforce: no join,
+    no UDF, whole-stage-codegen arithmetic only."""
+    return SIM.maxsim_topk(
+        io.load_points(spark, sf_dir), MAXSIM_QUERIES, MAXSIM_K, DIM
+    )
+
+
+def _oracle_maxsim() -> str:
+    parts = []
+    for qid, q in enumerate(MAXSIM_QUERIES):
+        toks = []
+        for tok in q:
+            # query norm divides the MAX, not each slice cosine —
+            # mirrors the Spark shape (qn is slice-invariant)
+            qn = sum(float(v) * float(v) for v in tok) ** 0.5
+            cands = [
+                f"({OG.sql_dot_slice('e', tok, t * MAXSIM_DSUB)}"
+                f" / sqrt({OG.sql_norm_sq_slice('e', t * MAXSIM_DSUB, MAXSIM_DSUB)}))"
+                for t in range(MAXSIM_T)
+            ]
+            toks.append(
+                "(greatest(" + ", ".join(cands) + f") / ({qn!r}))"
+            )
+        score = "(" + " + ".join(toks) + ")"
+        parts.append(
+            f"SELECT {qid} AS qid, vec_id, round(s, 6) AS maxsim, rank FROM ("
+            f"  SELECT vec_id, s, CAST(row_number() OVER"
+            f"    (ORDER BY s DESC, vec_id ASC) AS INTEGER) AS rank"
+            f"  FROM (SELECT vec_id, {score} AS s FROM {_E2} t)"
+            f") WHERE rank <= {MAXSIM_K}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+ORACLE_SIM_MAXSIM_TOPK = _oracle_maxsim()
+
+
+# ------------------- binary (sign) quantization + Hamming screen (r13)
+
+BINARY_SHORTLIST = 50
+BINARY_K = 10
+
+
+def q_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (FAISS IndexBinaryFlat-then-refine shape):
+    sign-bit codes packed as two 32-bit words, Hamming screening via
+    XOR+popcount over a 16-byte/row scan, exact cosine rerank of the
+    50-per-query shortlist through a broadcast semi-join. The 32×-
+    compression tier between int8 (sim_quantize_int8, 4×) and PQ."""
+    return SIM.binary_hamming_topk(
+        io.load_points(spark, sf_dir), QUERY_VECS, BINARY_K,
+        BINARY_SHORTLIST,
+    )
+
+
+def _sql_sign_word(col: str, lo: int, width: int) -> str:
+    # unrolled power-of-two CASE sum — equal by VALUE to the Spark
+    # side's MSB-first acc·2+bit fold (integer arithmetic is exact)
+    terms = [
+        f"(CASE WHEN {col}[{lo + j + 1}] > 0"
+        f" THEN {1 << (width - 1 - j)} ELSE 0 END)"
+        for j in range(width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_binary_hamming() -> str:
+    parts = []
+    for qid, q in enumerate(QUERY_VECS):
+        qw = SIM.pack_sign_bits(q)
+        ham = (
+            f"(bit_count(xor(code_0, CAST({qw[0]} AS BIGINT)))"
+            f" + bit_count(xor(code_1, CAST({qw[1]} AS BIGINT))))"
+        )
+        cos = OG.sql_cosine_lit("e", q, DIM)
+        short = (
+            f"(SELECT vec_id, CAST(ham AS INTEGER) AS hamming"
+            f" FROM (SELECT vec_id, {ham} AS ham FROM codes)"
+            f" QUALIFY row_number() OVER (ORDER BY ham ASC, vec_id ASC)"
+            f"   <= {BINARY_SHORTLIST})"
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, vec_id, hamming,"
+            f" round(c, 6) AS cosine, rank FROM ("
+            f"  SELECT s.vec_id, s.hamming, {cos} AS c,"
+            f"    CAST(row_number() OVER (ORDER BY {cos} DESC, s.vec_id ASC)"
+            f"         AS INTEGER) AS rank"
+            f"  FROM {short} s JOIN {_E2} t ON s.vec_id = t.vec_id"
+            f") WHERE rank <= {BINARY_K}"
+        )
+    return (
+        "WITH codes AS MATERIALIZED (SELECT vec_id,"
+        f" {_sql_sign_word('e', 0, 32)} AS code_0,"
+        f" {_sql_sign_word('e', 32, 32)} AS code_1"
+        f" FROM {_E2} t) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_SIM_BINARY_HAMMING = _oracle_binary_hamming()
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "sim_coverage_sample": (q_sim_coverage_sample, ORACLE_SIM_COVERAGE_SAMPLE),
@@ -3110,6 +3226,8 @@ QUERIES = {
         ORACLE_ANN_INDEX_UPSERT_SEARCH,
     ),
     "hybrid_search_rrf": (q_hybrid_search_rrf, ORACLE_HYBRID_SEARCH_RRF),
+    "sim_maxsim_topk": (q_sim_maxsim_topk, ORACLE_SIM_MAXSIM_TOPK),
+    "sim_binary_hamming": (q_sim_binary_hamming, ORACLE_SIM_BINARY_HAMMING),
     "stream_embedding_gate": (
         q_stream_embedding_gate,
         ORACLE_STREAM_EMBEDDING_GATE,

@@ -1079,7 +1079,91 @@ SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 5 != 0) AS BIGINT) AS
 """
 
 
+# ------------------- group-aware split + negative sampling (r13)
+
+SPLIT_FRACS = (0.8, 0.1)
+NEG_K = 5
+NEG_BUCKETS = 16
+NEG_ANCHOR_MOD = 20
+
+
+def q_source_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakproof train/val/test split audit: the split is a function of
+    the SOURCE's seeded hash01 — all docs of a source share a split, so
+    templated near-duplicates can never straddle the train/eval
+    boundary (the leakage row-level splits are blind to). Output is the
+    per-split audit (source/doc/char volumes); leakproofness itself is
+    structural (asserted in tests). One narrow map + one tiny groupBy.
+    Seed "holdout" populates all three splits over the 20-source
+    testdata domain."""
+    return TX.split_summary(
+        _docs(spark, sf_dir), "source", SPLIT_FRACS, seed="holdout"
+    )
+
+
+def _oracle_source_split() -> str:
+    u = OG.sql_hash01("source", "holdout")
+    t, v = SPLIT_FRACS[0], SPLIT_FRACS[0] + SPLIT_FRACS[1]
+    # sum(BIGINT) is HUGEINT in DuckDB — cast back to the LONG Spark's
+    # sum yields
+    return f"""
+SELECT split, count(DISTINCT source) AS n_sources,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM (SELECT source, n_chars,
+        CASE WHEN u <= {t!r} THEN 'train'
+             WHEN u <= {v!r} THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT source, n_chars, {u} AS u FROM documents))
+GROUP BY split
+"""
+
+
+ORACLE_SOURCE_SPLIT = _oracle_source_split()
+
+
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bucketed negative sampling for contrastive pairs:
+    anchors (doc_id ≡ 0 mod 20) probe a seeded pseudo-random hash
+    bucket and take the 5 lowest-draw candidates from a different
+    source. The bucket equi-join bounds candidates to n/16 per anchor
+    (never n²), and every draw replays from (anchor_id, neg_id, seed)."""
+    return TX.negative_samples(
+        _docs(spark, sf_dir), NEG_K, NEG_BUCKETS, NEG_ANCHOR_MOD
+    )
+
+
+def _oracle_contrastive_negatives() -> str:
+    cb = OG.sql_bucket("doc_id", NEG_BUCKETS, "negb")
+    pb = OG.sql_bucket("doc_id", NEG_BUCKETS, "negp")
+    pair = "concat(CAST(anchor_id AS VARCHAR), '|', CAST(neg_id AS VARCHAR))"
+    u = OG.sql_hash01(pair, "nego")
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT doc_id AS neg_id, source AS neg_source, {cb} AS bucket
+  FROM documents),
+a AS (
+  SELECT doc_id AS anchor_id, source AS anchor_source, {pb} AS bucket
+  FROM documents WHERE doc_id % {NEG_ANCHOR_MOD} = 0)
+SELECT anchor_id, neg_id, round(u, 6) AS draw, rank FROM (
+  SELECT anchor_id, neg_id, u,
+    CAST(row_number() OVER (PARTITION BY anchor_id
+         ORDER BY u ASC, neg_id ASC) AS INTEGER) AS rank
+  FROM (SELECT a.anchor_id, c.neg_id, {u} AS u
+        FROM a JOIN c USING (bucket)
+        WHERE c.neg_source <> a.anchor_source
+          AND c.neg_id <> a.anchor_id)
+) WHERE rank <= {NEG_K}
+"""
+
+
+ORACLE_CONTRASTIVE_NEGATIVES = _oracle_contrastive_negatives()
+
+
 QUERIES = {
+    "source_split": (q_source_split, ORACLE_SOURCE_SPLIT),
+    "contrastive_negatives": (
+        q_contrastive_negatives,
+        ORACLE_CONTRASTIVE_NEGATIVES,
+    ),
     "quality_classifier": (q_quality_classifier, ORACLE_QUALITY_CLASSIFIER),
     "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),

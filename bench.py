@@ -138,6 +138,13 @@ HEADLINE = [
     "ann_index_upsert_search",
     "hybrid_search_rrf",
     "text_bm25_topk",
+    # round 13 second wave: late-interaction MaxSim retrieval, the
+    # binary-quantization Hamming tier, blocked fuzzy entity resolution
+    "sim_maxsim_topk",
+    "sim_binary_hamming",
+    "fuzzy_part_pairs",
+    "source_split",
+    "contrastive_negatives",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

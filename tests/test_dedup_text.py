@@ -404,3 +404,87 @@ def test_exact_substring_planted_ground_truth(spark, tmp_path):
     assert z["longest_run"] == 60
     assert z["copied_share"] == round(60 / 150, 6)
     assert z["accept"] is False  # 0.4 > SUBSTR_CONTAM_MAX_SHARE
+
+
+def test_fuzzy_name_pairs_blocking_and_bound(spark):
+    """fuzzy_name_pairs: same-block pairs within the edit bound are
+    emitted once with support counts; beyond-bound and cross-block
+    near pairs are excluded (the documented recall trade of blocking)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "red bolt"), (2, "red bolt"), (3, "bed bolt"),
+        (4, "green bolt"),              # lev 4 from "red bolt" — beyond bound
+        (5, "red bolts"),               # different block (noun "bolts")
+        (6, "red gear"), (7, "ted gear"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = DD.fuzzy_name_pairs(
+        df, "name", F.element_at(F.split(F.col("name"), " "), -1), 2
+    ).collect()
+    pairs = {(r["name_a"], r["name_b"]): (r["lev"], r["cnt_a"], r["cnt_b"])
+             for r in out}
+    assert pairs[("bed bolt", "red bolt")] == (1, 1, 2)
+    assert pairs[("red gear", "ted gear")] == (1, 1, 1)
+    # beyond-bound same-block pair and cross-block near pair excluded
+    assert ("green bolt", "red bolt") not in pairs
+    assert all("red bolts" not in p for p in pairs)
+    assert len(pairs) == 2
+
+
+def test_leakproof_split_no_source_straddles(spark):
+    """The structural guarantee: a source's docs all share one split,
+    and every doc gets a label from the three-way domain."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.sources import io
+
+    docs = io.read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = TX.leakproof_split(docs, "source", (0.8, 0.1), seed="holdout")
+    straddlers = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    labels = {r["split"] for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    assert out.count() == docs.count()
+
+
+def test_negative_samples_contract(spark):
+    """Bucketed negative sampling: replayable (two runs identical),
+    never same-source or self pairs, ≤ k per anchor, and candidates
+    only from the anchor's probe bucket."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.functions import hashing as H
+    from apachebeamkmeans_spark.sources import io
+
+    docs = io.read_table(spark, "/root/testdata/sf0.001", "documents")
+    a = TX.negative_samples(docs, k=4, n_buckets=8, anchor_mod=10).collect()
+    b = TX.negative_samples(docs, k=4, n_buckets=8, anchor_mod=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    bkt_c = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", H.bucket(F.col("doc_id"), 8, "negb").alias("b")
+        ).collect()
+    }
+    bkt_p = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", H.bucket(F.col("doc_id"), 8, "negp").alias("b")
+        ).collect()
+    }
+    per_anchor = {}
+    for r in a:
+        assert r["anchor_id"] % 10 == 0
+        assert r["neg_id"] != r["anchor_id"]
+        assert src[r["neg_id"]] != src[r["anchor_id"]]
+        assert bkt_c[r["neg_id"]] == bkt_p[r["anchor_id"]]
+        per_anchor.setdefault(r["anchor_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 4
+               for v in per_anchor.values())

@@ -193,3 +193,104 @@ def test_hybrid_rrf_matches_python_fusion(spark, sf_dir):
             assert (qid, d) in got
             gs, gr = got[(qid, d)]
             assert gr == rank and abs(gs - s) < 2e-6
+
+
+def test_maxsim_matches_numpy(spark, sf_dir):
+    """maxsim_topk equals a numpy late-interaction scorer (slice the
+    64-dim embedding into 4×16 token vectors, score = Σ_i max_t
+    cos(q_i, d_t)), and the plan stays JVM-only."""
+    import numpy as np
+
+    from apachebeamkmeans_spark.plans import explain as X
+
+    queries = [
+        [[0.1 * ((j + i) % 5 - 2) for j in range(16)] for i in range(3)],
+        [[0.05 * ((j * (i + 2)) % 7 - 3) for j in range(16)] for i in range(2)],
+    ]
+    vecs = io.load_points(spark, sf_dir)
+    res = SIM.maxsim_topk(vecs, queries, k=7, dim=64)
+    plan = X.formatted_plan(res)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    got = {
+        (r["qid"], r["vec_id"]): (r["maxsim"], r["rank"]) for r in res.collect()
+    }
+    assert len(got) == 14
+
+    rows = vecs.collect()
+    mat = np.array([list(map(float, r["features"])) for r in rows])
+    ids = [r["id"] for r in rows]
+    toks = mat.reshape(len(rows), 4, 16)
+    tnorm = np.linalg.norm(toks, axis=2)
+    for qid, q in enumerate(queries):
+        scores = np.zeros(len(rows))
+        for tok in q:
+            tv = np.array(tok)
+            cos = (toks @ tv) / (tnorm * np.linalg.norm(tv))
+            scores += cos.max(axis=1)
+        order = sorted(zip(ids, scores.tolist()), key=lambda p: (-p[1], p[0]))
+        for rank, (vid, s) in enumerate(order[:7], start=1):
+            assert (qid, vid) in got
+            gs, gr = got[(qid, vid)]
+            assert gr == rank and abs(gs - s) < 2e-6
+
+
+def test_maxsim_single_fullwidth_token_equals_cosine(spark, sf_dir):
+    """With one 64-dim query token (T=1 doc slice), MaxSim degenerates
+    to plain cosine — ranking must equal cosine_topk exactly."""
+    q = [0.1 * ((j % 5) - 2) for j in range(64)]
+    vecs = io.load_points(spark, sf_dir)
+    ms = SIM.maxsim_topk(vecs, [[q]], k=10, dim=64).collect()
+    ct = SIM.cosine_topk(vecs, [q], k=10).collect()
+    assert [(r["vec_id"], r["rank"]) for r in ms] == [
+        (r["vec_id"], r["rank"]) for r in ct
+    ]
+    for a, b in zip(ms, ct):
+        assert abs(a["maxsim"] - b["cosine"]) < 2e-6
+
+
+def test_sign_codes_match_python_packing(spark):
+    """sign_codes packs bit j = (features[j] > 0) into two 32-bit
+    words — byte-equal to the driver-side twin pack_sign_bits."""
+    rows = [
+        (0, [(-1.0) ** j * 0.1 for j in range(64)]),
+        (1, [0.0] * 64),                       # zeros → no bits set
+        (2, [1.0] * 64),                       # all bits set
+        (3, [0.3 * ((j % 9) - 4) for j in range(64)]),
+    ]
+    vecs = spark.createDataFrame(rows, "id long, features array<double>")
+    got = {r["vec_id"]: (r["code_0"], r["code_1"])
+           for r in SIM.sign_codes(vecs, 64).collect()}
+    for i, feats in rows:
+        lo, hi = SIM.pack_sign_bits(feats)
+        assert got[i] == (lo, hi), i
+    assert got[1] == (0, 0)
+    assert got[2] == ((1 << 32) - 1, (1 << 32) - 1)
+
+
+def test_binary_hamming_topk_matches_numpy(spark, sf_dir):
+    """binary_hamming_topk equals a numpy twin: Hamming over sign bits
+    (ties → lower id) picks the shortlist, exact cosine ranks it."""
+    import numpy as np
+
+    q = [0.07 * ((j % 11) - 5) for j in range(64)]
+    vecs = io.load_points(spark, sf_dir)
+    res = SIM.binary_hamming_topk(vecs, [q], k=5, shortlist=20).collect()
+    assert len(res) == 5
+
+    rows = vecs.collect()
+    ids = np.array([r["id"] for r in rows])
+    mat = np.array([list(map(float, r["features"])) for r in rows])
+    bits = mat > 0
+    qbits = np.array(q) > 0
+    ham = (bits != qbits).sum(axis=1)
+    short_order = sorted(zip(ids.tolist(), ham.tolist()), key=lambda p: (p[1], p[0]))
+    short = dict(short_order[:20])
+    cos = mat @ np.array(q) / (
+        np.linalg.norm(mat, axis=1) * np.linalg.norm(np.array(q))
+    )
+    cand = [(i, c) for i, c in zip(ids.tolist(), cos.tolist()) if i in short]
+    top = sorted(cand, key=lambda p: (-p[1], p[0]))[:5]
+    for r, (vid, c) in zip(res, top):
+        assert r["vec_id"] == vid and r["rank"] == top.index((vid, c)) + 1
+        assert r["hamming"] == short[vid]
+        assert abs(r["cosine"] - c) < 2e-6
