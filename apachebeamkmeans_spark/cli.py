@@ -255,6 +255,117 @@ def build_ann_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_retrieve_parser() -> argparse.ArgumentParser:
+    """The retrieval family as a shell surface — one verb per ranking
+    function (keyword / vector / fused / late-interaction / binary),
+    mirroring `curate` and `ann`: each verb equals the library call it
+    names and writes its ranked hits to parquet."""
+    p = argparse.ArgumentParser(
+        prog="apachebeamkmeans_spark retrieve",
+        description="Rank documents/vectors: bm25, vector, hybrid "
+                    "(RRF), maxsim, binary.",
+    )
+    sub = p.add_subparsers(dest="action", required=True)
+
+    def common(sp, docs=False, vecs=False):
+        if docs:
+            sp.add_argument("--docs", required=True,
+                            help="documents parquet with (doc_id, text)")
+        if vecs:
+            sp.add_argument("--embeddings", required=True,
+                            help="embeddings parquet with (id, vector)")
+            sp.add_argument("--id-col", default="vec_id")
+            sp.add_argument("--vec-col", default="embedding")
+        sp.add_argument("--k", type=int, default=10)
+        sp.add_argument("--output", required=True,
+                        help="output parquet of ranked hits")
+
+    b = sub.add_parser("bm25", help="BM25 keyword ranking")
+    b.add_argument("--terms", required=True,
+                   help="comma-separated query terms")
+    common(b, docs=True)
+
+    v = sub.add_parser("vector", help="exact cosine top-k")
+    v.add_argument("--qvec", required=True,
+                   help="comma-separated query vector")
+    common(v, vecs=True)
+
+    h = sub.add_parser("hybrid", help="keyword ⊕ vector RRF fusion")
+    h.add_argument("--terms", required=True)
+    h.add_argument("--qvec", required=True)
+    h.add_argument("--per-side", type=int, default=50)
+    h.add_argument("--docs", required=True)
+    common(h, vecs=True)
+
+    m = sub.add_parser("maxsim", help="late-interaction MaxSim top-k")
+    m.add_argument("--qtoks", required=True,
+                   help="semicolon-separated token vectors, each a "
+                        "comma-separated float list")
+    common(m, vecs=True)
+
+    bh = sub.add_parser(
+        "binary", help="sign-code Hamming screen + exact rerank"
+    )
+    bh.add_argument("--qvec", required=True)
+    bh.add_argument("--shortlist", type=int, default=50)
+    common(bh, vecs=True)
+    return p
+
+
+def retrieve_main(argv: list[str], spark=None) -> int:
+    args = build_retrieve_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark("abk-retrieve-cli")
+    try:
+        return _retrieve_run(args, spark)
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+def _parse_vec(s: str) -> list[float]:
+    return [float(x) for x in s.split(",") if x.strip()]
+
+
+def _retrieve_run(args, spark) -> int:
+    from apachebeamkmeans_spark.operators import similarity as SIM
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    def points():
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(args.embeddings).select(
+            F.col(args.id_col).alias("id"),
+            F.col(args.vec_col).cast("array<double>").alias("features"),
+        )
+
+    if args.action == "bm25":
+        terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+        hits = TX.bm25_topk(spark.read.parquet(args.docs), [terms], args.k)
+    elif args.action == "vector":
+        hits = SIM.cosine_topk(points(), [_parse_vec(args.qvec)], args.k)
+    elif args.action == "hybrid":
+        terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+        hits = SIM.hybrid_rrf_topk(
+            spark.read.parquet(args.docs), points(),
+            [(terms, _parse_vec(args.qvec))], k=args.k,
+            per_side=args.per_side,
+        )
+    elif args.action == "maxsim":
+        toks = [_parse_vec(t) for t in args.qtoks.split(";") if t.strip()]
+        dim = len(points().select("features").first()["features"])
+        hits = SIM.maxsim_topk(points(), [toks], args.k, dim)
+    else:  # binary
+        hits = SIM.binary_hamming_topk(
+            points(), [_parse_vec(args.qvec)], args.k, args.shortlist
+        )
+    hits.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"retrieve {args.action}: {n} hit rows -> {args.output}")
+    return 0
+
+
 def ann_main(argv: list[str], spark=None) -> int:
     args = build_ann_parser().parse_args(argv)
     owns_session = spark is None
@@ -463,6 +574,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return curate_main(raw[1:], spark=spark)
     if raw and raw[0] == "ann":
         return ann_main(raw[1:], spark=spark)
+    if raw and raw[0] == "retrieve":
+        return retrieve_main(raw[1:], spark=spark)
     args = build_parser().parse_args(_normalize(raw))
     owns_session = spark is None
     if owns_session:

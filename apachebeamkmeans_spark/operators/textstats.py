@@ -920,7 +920,12 @@ def negative_samples(docs: DataFrame, k: int = 5, n_buckets: int = 16,
     never the n² cross join — and every draw is a pure function of
     (anchor_id, neg_id, seed), so the sample is replayable: the
     engine-wide no-unseeded-randomness rule (functions/hashing.py)
-    applied to contrastive dataset construction."""
+    applied to contrastive dataset construction.
+
+    Scale law (measured, SCALE.md §9): at FIXED anchor_mod and
+    n_buckets the pair stage is n²/(mod·buckets) — at real scale hold
+    BUCKET SIZE constant by scaling n_buckets ∝ n (per-anchor
+    candidates fixed → linear total)."""
     cands = docs.select(
         F.col("doc_id").alias("neg_id"),
         F.col("source").alias("neg_source"),

@@ -1,0 +1,83 @@
+"""`retrieve` CLI subcommand: the retrieval family as a shell surface.
+Each verb must equal the library call it names — same rows, written
+to parquet."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark import cli
+from apachebeamkmeans_spark.operators import similarity as SIM
+from apachebeamkmeans_spark.operators import textstats as TX
+from apachebeamkmeans_spark.sources import io
+
+QV = ",".join(str(0.1 * ((j % 5) - 2)) for j in range(64))
+
+
+def _paths(sf_dir):
+    return (os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_retrieve_bm25_equals_library(spark, sf_dir, tmp_path):
+    docs_p, _ = _paths(sf_dir)
+    out = str(tmp_path / "bm25_hits")
+    rc = cli.main(
+        ["retrieve", "bm25", "--docs", docs_p, "--terms", "join,hash",
+         "--k", "5", "--output", out],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in TX.bm25_topk(
+        io.read_table(spark, sf_dir, "documents"), [["join", "hash"]], 5
+    ).collect()}
+    assert got == want and got
+
+
+def test_retrieve_vector_binary_maxsim_hybrid(spark, sf_dir, tmp_path):
+    docs_p, emb_p = _paths(sf_dir)
+    pts = io.load_points(spark, sf_dir)
+    qv = [0.1 * ((j % 5) - 2) for j in range(64)]
+
+    out = str(tmp_path / "vec_hits")
+    assert cli.main(
+        ["retrieve", "vector", "--embeddings", emb_p, f"--qvec={QV}",
+         "--k", "5", "--output", out], spark=spark) == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in SIM.cosine_topk(pts, [qv], 5).collect()}
+    assert got == want and got
+
+    out = str(tmp_path / "bin_hits")
+    assert cli.main(
+        ["retrieve", "binary", "--embeddings", emb_p, f"--qvec={QV}",
+         "--k", "5", "--shortlist", "20", "--output", out],
+        spark=spark) == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in SIM.binary_hamming_topk(
+        pts, [qv], 5, 20).collect()}
+    assert got == want and got
+
+    out = str(tmp_path / "ms_hits")
+    toks = ";".join(",".join(str(0.1 * ((j + i) % 5 - 2)) for j in range(16))
+                    for i in range(3))
+    assert cli.main(
+        ["retrieve", "maxsim", "--embeddings", emb_p, f"--qtoks={toks}",
+         "--k", "5", "--output", out], spark=spark) == 0
+    qtoks = [[0.1 * ((j + i) % 5 - 2) for j in range(16)] for i in range(3)]
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in SIM.maxsim_topk(pts, [qtoks], 5, 64).collect()}
+    assert got == want and got
+
+    out = str(tmp_path / "hy_hits")
+    assert cli.main(
+        ["retrieve", "hybrid", "--docs", docs_p, "--embeddings", emb_p,
+         "--terms", "join", f"--qvec={QV}", "--k", "5", "--per-side", "20",
+         "--output", out], spark=spark) == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in SIM.hybrid_rrf_topk(
+        io.read_table(spark, sf_dir, "documents"), pts,
+        [(["join"], qv)], k=5, per_side=20).collect()}
+    assert got == want and got

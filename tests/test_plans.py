@@ -641,3 +641,58 @@ def test_filtered_search_predicate_reaches_parquet_scan(
     assert len(pushed_pq) >= 2, (
         "label predicate must reach BOTH PQ layout reads"
     )
+
+
+def test_maxsim_is_single_scan_whole_stage(spark, sf_dir):
+    """r13: MaxSim late-interaction retrieval must stay one narrow scan
+    (no join, no Python nodes) with exactly the one window shuffle.
+    The score expressions are compact HOFs by design: the fully
+    unrolled form blew janino's 64 KB method limit and the WHOLE stage
+    fell back to interpreted evaluation (4-6 s vs 1.25 s measured) —
+    HOFs don't codegen either, but they keep the surrounding stage
+    compilable and the plan three orders of magnitude smaller."""
+    from apachebeamkmeans_spark import queries_similarity as QS
+    from apachebeamkmeans_spark.operators import similarity as SIM
+
+    res = SIM.maxsim_topk(
+        io.load_points(spark, sf_dir), QS.MAXSIM_QUERIES, 10, 64
+    )
+    plan = X.formatted_plan(res)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert X.n_exchanges(res) == 1  # the per-qid window only
+
+
+def test_binary_hamming_rerank_joins_broadcast_shortlist(spark, sf_dir):
+    """r13: the binary tier's exact rerank must fetch features via a
+    BROADCAST join against the k-row-class shortlist (never a shuffle
+    of the corpus), and the screening scan must read only id +
+    embedding (the code words derive from it in-plan)."""
+    from apachebeamkmeans_spark import queries_similarity as QS
+    from apachebeamkmeans_spark.operators import similarity as SIM
+
+    res = SIM.binary_hamming_topk(
+        io.load_points(spark, sf_dir), QS.QUERY_VECS, 10, 50
+    )
+    plan = X.formatted_plan(res)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_fuzzy_pairs_aggregate_before_join(spark, sf_dir):
+    """r13: fuzzy_name_pairs must collapse to the distinct-name domain
+    BEFORE the pair join (partial aggregation on the scan side), so the
+    quadratic stage runs on name cardinality, not row count."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import dedup as DD
+
+    res = DD.fuzzy_name_pairs(
+        io.read_table(spark, sf_dir, "part"), "p_name",
+        F.element_at(F.split(F.col("name"), " "), -1), 2,
+    )
+    plan = X.formatted_plan(res)
+    # two partial_count HashAggregates (one per join side) before the join
+    assert plan.count("partial_count") >= 2
+    assert "CartesianProduct" not in plan
