@@ -354,8 +354,10 @@ def _retrieve_run(args, spark) -> int:
         )
     elif args.action == "maxsim":
         toks = [_parse_vec(t) for t in args.qtoks.split(";") if t.strip()]
-        dim = len(points().select("features").first()["features"])
-        hits = SIM.maxsim_topk(points(), [toks], args.k, dim)
+        head = points().select("features").first()
+        if head is None:
+            raise ValueError("retrieve maxsim: empty embeddings input")
+        hits = SIM.maxsim_topk(points(), [toks], args.k, len(head["features"]))
     else:  # binary
         hits = SIM.binary_hamming_topk(
             points(), [_parse_vec(args.qvec)], args.k, args.shortlist
