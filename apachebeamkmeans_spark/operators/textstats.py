@@ -950,3 +950,108 @@ def negative_samples(docs: DataFrame, k: int = 5, n_buckets: int = 16,
         .filter(F.col("rank") <= k)
         .select("anchor_id", "neg_id", F.round("__u", 6).alias("draw"), "rank")
     )
+
+
+def passage_topk(docs: DataFrame, queries: list[list[str]], k: int = 10,
+                 width: int = 128, stride: int = 96) -> DataFrame:
+    """Chunk-level keyword passage retrieval — the RAG passage-selection
+    shape: documents are split into overlapping fixed-width chunks
+    (same sequence/substring chunking as the certified `doc_chunks`),
+    each chunk scored by term occurrences over the certified tokenizer,
+    the BEST chunk per (query, doc) kept (dedup — a long doc must not
+    crowd the result list with its own overlapping windows), then the
+    global top-k passages ranked per query.
+
+    One narrow scan + explode (rows ∝ chars/stride), zero-score chunks
+    dropped BEFORE the windows, two window passes (per-doc argmax, then
+    per-query rank) — no join; at 100 TB the chunk fan-out is the cost
+    and it is embarrassingly parallel."""
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(stride))
+    ex = docs.filter(F.length("text") > 0).select(
+        "doc_id", "text", F.posexplode(starts).alias("__cid", "start_pos")
+    )
+    chunk_toks = T.tokens(
+        F.substring(F.col("text"), F.col("start_pos"), width)
+    )
+    staged = ex.select(
+        "doc_id", F.col("start_pos").cast("int").alias("start_pos"),
+        chunk_toks.alias("__tk"),
+    )
+
+    def _is_term(term: str):
+        return lambda x: x == F.lit(term)
+
+    score_exprs = []
+    for terms in queries:
+        s = None
+        for t in terms:
+            cnt = F.size(F.filter(F.col("__tk"), _is_term(t)))
+            s = cnt if s is None else s + cnt
+        score_exprs.append(s)
+    sc = staged.select(
+        "doc_id", "start_pos",
+        F.posexplode(F.array(*score_exprs)).alias("qid", "__s"),
+    ).filter(F.col("__s") > 0)
+    wd = Window.partitionBy("qid", "doc_id").orderBy(
+        F.desc("__s"), F.asc("start_pos")
+    )
+    best = sc.withColumn("__rn", F.row_number().over(wd)).filter(
+        F.col("__rn") == 1
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("__s"), F.asc("doc_id"), F.asc("start_pos")
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "start_pos",
+                F.col("__s").alias("score"), "rank")
+    )
+
+
+def retrieval_mrr(docs: DataFrame, queries: list[list[str]],
+                  k: int = 10, k1: float = 1.2,
+                  b: float = 0.75) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 ranking against planted
+    relevance: a doc is RELEVANT to a query iff it contains every query
+    term (the conjunctive ground truth a keyword benchmark can derive
+    from the corpus itself). Per query: the relevant-doc count and the
+    reciprocal rank of the first relevant doc inside the BM25 top-k
+    (0 when none) — the MRR@k harness an offline retrieval pipeline
+    runs after every index/ranker change.
+
+    The eval joins the k-row-class ranking (broadcast) against the
+    relevance scan — the corpus is read twice (rank + relevance),
+    never shuffled."""
+    hits = bm25_topk(docs, queries, k, k1, b)
+    toks = T.tokens(F.col("text"))
+    staged = docs.select("doc_id", toks.alias("__tk"))
+
+    def _is_term(term: str):
+        return lambda x: x == F.lit(term)
+
+    rel_parts = []
+    for qid, terms in enumerate(queries):
+        cond = None
+        for t in terms:
+            c = F.size(F.filter(F.col("__tk"), _is_term(t))) > 0
+            cond = c if cond is None else cond & c
+        rel_parts.append(
+            staged.filter(cond).select(
+                F.lit(qid).alias("qid"), "doc_id"
+            )
+        )
+    rel = rel_parts[0]
+    for p in rel_parts[1:]:
+        rel = rel.unionByName(p)
+    joined = rel.join(
+        F.broadcast(hits.select("qid", "doc_id", "rank")),
+        ["qid", "doc_id"], "left",
+    )
+    return joined.groupBy("qid").agg(
+        F.count("*").alias("n_relevant"),
+        F.coalesce(F.min("rank"), F.lit(0)).alias("first_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.min("rank"), F.lit(0.0)), 6
+        ).alias("rr"),
+    )

@@ -455,16 +455,31 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_bm25() -> str:
-    k1 = float(BM25_K1)
-    b = float(BM25_B)
+def _bm25_ctes() -> str:
+    """The tokenize/doc-len/corpus-stats CTE prefix shared by the BM25
+    ranking oracle and the MRR eval oracle built over it."""
     terms = sorted({t for q in BM25_QUERIES for t in q})
-    df_idx = {t: i for i, t in enumerate(terms)}
     df_cols = ", ".join(
         f"CAST(sum(CASE WHEN len(list_filter(tk, x -> x = '{t}')) > 0"
         f" THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
         for i, t in enumerate(terms)
     )
+    return (
+        f"tkn AS MATERIALIZED (SELECT doc_id, {_TOKS} AS tk"
+        f" FROM documents), "
+        f"d AS MATERIALIZED (SELECT doc_id, tk, len(tk) AS dl FROM tkn), "
+        f"st AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
+        f" CAST(sum(dl) AS DOUBLE) AS sdl, {df_cols} FROM d)"
+    )
+
+
+def _bm25_union() -> str:
+    """Per-query BM25 ranking SELECTs (UNION ALL body) over the
+    `_bm25_ctes` prefix."""
+    k1 = float(BM25_K1)
+    b = float(BM25_B)
+    terms = sorted({t for q in BM25_QUERIES for t in q})
+    df_idx = {t: i for i, t in enumerate(terms)}
     parts = []
     for qid, q in enumerate(BM25_QUERIES):
         term_exprs = []
@@ -489,14 +504,11 @@ def _oracle_bm25() -> str:
             f"  WHERE s > 0"
             f") WHERE rank <= {BM25_TOPK}"
         )
-    return (
-        f"WITH tkn AS MATERIALIZED (SELECT doc_id, {_TOKS} AS tk"
-        f" FROM documents), "
-        f"d AS MATERIALIZED (SELECT doc_id, tk, len(tk) AS dl FROM tkn), "
-        f"st AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
-        f" CAST(sum(dl) AS DOUBLE) AS sdl, {df_cols} FROM d) "
-        + " UNION ALL ".join(parts)
-    )
+    return " UNION ALL ".join(parts)
+
+
+def _oracle_bm25() -> str:
+    return f"WITH {_bm25_ctes()} {_bm25_union()}"
 
 
 ORACLE_TEXT_BM25_TOPK = _oracle_bm25()
@@ -1079,6 +1091,98 @@ SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 5 != 0) AS BIGINT) AS
 """
 
 
+# ------------- passage retrieval + retrieval evaluation (r13)
+
+PASSAGE_K = 10
+PASSAGE_WIDTH = 128
+PASSAGE_STRIDE = 96
+
+
+def q_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level keyword passage retrieval (the RAG passage-selection
+    shape): docs split into overlapping 128-char windows (stride 96,
+    the certified doc_chunks chunking), each window scored by term
+    occurrences, best window per (query, doc) kept, global top-10
+    passages per query. Narrow scan + explode, two windows, no join."""
+    return TX.passage_topk(
+        _docs(spark, sf_dir), BM25_QUERIES[:3], PASSAGE_K,
+        PASSAGE_WIDTH, PASSAGE_STRIDE,
+    )
+
+
+def _oracle_passage_topk() -> str:
+    toks = OG.sql_tokens(f"substr(text, s, {PASSAGE_WIDTH})")
+    parts = []
+    for qid, q in enumerate(BM25_QUERIES[:3]):
+        ts = " + ".join(
+            f"len(list_filter(tk, x -> x = '{t}'))" for t in q
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id, start_pos, score, rank FROM ("
+            f"  SELECT doc_id, start_pos, score,"
+            f"    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC,"
+            f"         start_pos ASC) AS INTEGER) AS rank"
+            f"  FROM ("
+            f"    SELECT doc_id, start_pos, score,"
+            f"      row_number() OVER (PARTITION BY doc_id"
+            f"        ORDER BY score DESC, start_pos ASC) AS rn"
+            f"    FROM (SELECT doc_id, start_pos,"
+            f"          CAST(({ts}) AS INTEGER) AS score FROM ch)"
+            f"    WHERE score > 0"
+            f"  ) WHERE rn = 1"
+            f") WHERE rank <= {PASSAGE_K}"
+        )
+    return (
+        "WITH ch AS MATERIALIZED ("
+        "  SELECT doc_id, CAST(s AS INTEGER) AS start_pos,"
+        f"        {toks} AS tk"
+        "  FROM (SELECT doc_id, text,"
+        f"        unnest(generate_series(1, length(text), {PASSAGE_STRIDE}))"
+        "         AS s"
+        "        FROM documents WHERE length(text) > 0)) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of the certified BM25 ranking against conjunctive planted
+    relevance (a doc is relevant iff it contains EVERY query term):
+    per query the relevant-doc count, the rank of the first relevant
+    doc inside the top-10 (0 if none), and its reciprocal — the eval
+    harness an offline retrieval pipeline runs after each ranker
+    change. The k-row ranking broadcasts onto the relevance scan."""
+    return TX.retrieval_mrr(
+        _docs(spark, sf_dir), BM25_QUERIES, BM25_TOPK, BM25_K1, BM25_B
+    )
+
+
+def _oracle_retrieval_mrr() -> str:
+    rel_parts = []
+    for qid, q in enumerate(BM25_QUERIES):
+        cond = " AND ".join(
+            f"len(list_filter(tk, x -> x = '{t}')) > 0" for t in q
+        )
+        rel_parts.append(
+            f"SELECT {qid} AS qid, doc_id FROM tkn WHERE {cond}"
+        )
+    rel = " UNION ALL ".join(rel_parts)
+    return (
+        f"WITH {_bm25_ctes()}, "
+        f"bm AS ({_bm25_union()}), "
+        f"rel AS ({rel}) "
+        "SELECT rel.qid AS qid, count(*) AS n_relevant,"
+        " CAST(coalesce(min(rank), 0) AS INTEGER) AS first_rank,"
+        " round(coalesce(1.0 / CAST(min(rank) AS DOUBLE), 0.0), 6) AS rr"
+        " FROM rel LEFT JOIN bm"
+        "   ON rel.qid = bm.qid AND rel.doc_id = bm.doc_id"
+        " GROUP BY rel.qid"
+    )
+
+
+ORACLE_PASSAGE_TOPK = _oracle_passage_topk()
+ORACLE_RETRIEVAL_MRR = _oracle_retrieval_mrr()
+
+
 # ------------------- group-aware split + negative sampling (r13)
 
 SPLIT_FRACS = (0.8, 0.1)
@@ -1159,6 +1263,8 @@ ORACLE_CONTRASTIVE_NEGATIVES = _oracle_contrastive_negatives()
 
 
 QUERIES = {
+    "passage_topk": (q_passage_topk, ORACLE_PASSAGE_TOPK),
+    "retrieval_mrr": (q_retrieval_mrr, ORACLE_RETRIEVAL_MRR),
     "source_split": (q_source_split, ORACLE_SOURCE_SPLIT),
     "contrastive_negatives": (
         q_contrastive_negatives,

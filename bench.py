@@ -145,6 +145,8 @@ HEADLINE = [
     "fuzzy_part_pairs",
     "source_split",
     "contrastive_negatives",
+    "passage_topk",
+    "retrieval_mrr",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

@@ -111,3 +111,50 @@ def test_bm25_matches_python_reference(spark, sf_dir):
             assert (qid, d) in got
             gs, gr = got[(qid, d)]
             assert gr == rank and abs(gs - s) < 2e-6
+
+
+def test_passage_topk_picks_best_window_per_doc(spark):
+    """passage_topk: the best-scoring window per (query, doc) wins (a
+    long doc's overlapping windows never crowd the list), zero-score
+    docs absent, global rank deterministic."""
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    pad = "x " * 60  # > one 128-char window of filler
+    rows = [
+        # doc 0: term-dense region AFTER a window of filler
+        (0, pad + "join join join hash"),
+        (1, "join hash here " + pad),          # dense at the start
+        (2, pad + pad),                         # no terms at all
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.passage_topk(docs, [["join", "hash"]], k=10,
+                          width=128, stride=96).collect()
+    by_doc = {}
+    for r in out:
+        assert r["qid"] == 0 and r["score"] > 0
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc                 # zero-score doc absent
+    assert all(len(v) == 1 for v in by_doc.values())  # one window per doc
+    # doc 1's best window starts at the text head
+    assert by_doc[1][0]["start_pos"] == 1
+    # doc 0's winning window covers the dense tail region, not offset 1
+    assert by_doc[0][0]["start_pos"] > 1
+    assert by_doc[0][0]["score"] == 4
+
+
+def test_retrieval_mrr_planted_relevance(spark):
+    """retrieval_mrr: on a corpus where exactly one doc contains all
+    query terms and ranks first, rr = 1.0; a query whose conjunctive
+    match exists but misses the top-k reports first_rank 0."""
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    rows = [(0, "alpha beta alpha beta alpha")]  # the only alpha∧beta doc
+    rows += [(i, "alpha filler words here") for i in range(1, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["qid"]: r for r in TX.retrieval_mrr(
+        docs, [["alpha", "beta"], ["alpha"]], k=3).collect()}
+    assert out[0]["n_relevant"] == 1
+    assert out[0]["first_rank"] == 1 and out[0]["rr"] == 1.0
+    # query 1: 30 relevant docs, first of them inside the top-3
+    assert out[1]["n_relevant"] == 30 and out[1]["first_rank"] >= 1
+    assert abs(out[1]["rr"] - 1.0 / out[1]["first_rank"]) < 1e-9
