@@ -395,8 +395,23 @@ def bpe_encode_stats(docs: DataFrame, n_merges: int = 50,
     )
 
 
+def bm25_stage(docs: DataFrame) -> DataFrame:
+    """The tokenize pass BM25 (and consumers composing with it) read:
+    tokens staged ONCE per doc behind a lazy localCheckpoint — both the
+    stats aggregate and the scoring scan read this frame, and without
+    the checkpoint each would re-tokenize the corpus (measured ~40% of
+    the query at sf0.1). `retrieval_mrr` derives its relevance scan
+    from the same frame, sharing the pass."""
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        F.col("doc_id"), toks.alias("__toks"),
+        F.size(toks).alias("__dl"),
+    ).localCheckpoint(eager=False)
+
+
 def bm25_topk(docs: DataFrame, queries: list[list[str]], k: int = 10,
-              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+              k1: float = 1.2, b: float = 0.75,
+              staged: DataFrame | None = None) -> DataFrame:
     """BM25 ranked retrieval for literal term-set queries — the
     standard keyword relevance function (Robertson & Zaragoza 2009),
     with the engine's log-free IDF convention:
@@ -417,14 +432,8 @@ def bm25_topk(docs: DataFrame, queries: list[list[str]], k: int = 10,
     top-k. At real scale df/avgdl come from the materialized
     `inverted_index` stats instead — same formula. Output: (qid,
     doc_id, bm25, rank)."""
-    toks = T.tokens(F.col("text"))
-    # tokens staged ONCE: both the stats aggregate and the scoring
-    # scan read this frame, and without the checkpoint each would
-    # re-tokenize the corpus (measured ~40% of the query at sf0.1)
-    staged = docs.select(
-        F.col("doc_id"), toks.alias("__toks"),
-        F.size(toks).alias("__dl"),
-    ).localCheckpoint(eager=False)
+    if staged is None:
+        staged = bm25_stage(docs)
 
     def _is_term(term: str):
         return lambda x: x == F.lit(term)
@@ -1021,11 +1030,12 @@ def retrieval_mrr(docs: DataFrame, queries: list[list[str]],
     runs after every index/ranker change.
 
     The eval joins the k-row-class ranking (broadcast) against the
-    relevance scan — the corpus is read twice (rank + relevance),
-    never shuffled."""
-    hits = bm25_topk(docs, queries, k, k1, b)
-    toks = T.tokens(F.col("text"))
-    staged = docs.select("doc_id", toks.alias("__tk"))
+    relevance scan — both sides read the ONE staged tokenize
+    (`bm25_stage`), so composing the eval costs a checkpoint re-read,
+    not a second tokenize of the corpus; nothing corpus-sized
+    shuffles."""
+    staged = bm25_stage(docs)
+    hits = bm25_topk(docs, queries, k, k1, b, staged=staged)
 
     def _is_term(term: str):
         return lambda x: x == F.lit(term)
@@ -1034,7 +1044,7 @@ def retrieval_mrr(docs: DataFrame, queries: list[list[str]],
     for qid, terms in enumerate(queries):
         cond = None
         for t in terms:
-            c = F.size(F.filter(F.col("__tk"), _is_term(t))) > 0
+            c = F.size(F.filter(F.col("__toks"), _is_term(t))) > 0
             cond = c if cond is None else cond & c
         rel_parts.append(
             staged.filter(cond).select(
