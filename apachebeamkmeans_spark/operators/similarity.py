@@ -1122,9 +1122,12 @@ def binary_hamming_topk(vecs: DataFrame, queries: list[list[float]],
     rerank — the 32×-compression tier between int8 (4×) and PQ (the
     FAISS `IndexBinaryFlat`-then-refine shape).
 
-    Stage 1 reads only the packed codes (2 BIGINTs/row for dim=64) and
-    ranks ΣW bit_count(code_w XOR qcode_w) per query — query codes fold
-    at plan time, so the screen is a narrow integer scan + one window.
+    Stage 1 ranks ΣW bit_count(code_w XOR qcode_w) per query — query
+    codes fold at plan time. Here the doc codes derive in-plan from
+    the embedding scan (self-contained query); a production deployment
+    persists `sign_codes` once and screens THAT table (2 BIGINTs/row
+    for dim=64 — 16 B vs 256 B of float32), which is where the 32×
+    scan saving is actually banked.
     Stage 2 re-reads features for the ≤ shortlist·n_queries survivors
     via a broadcast semi-join and ranks exact cosine. Ties on integer
     Hamming break by vec_id, making the shortlist (hence the final
