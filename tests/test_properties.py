@@ -366,3 +366,104 @@ def test_runs_from_positions_are_maximal_covered_intervals(spark, docs_pos):
             covered |= set(range(start, start + ln))
         assert covered == want_chars[doc_id], doc_id
     assert set(by_doc) == set(want_chars)
+
+
+# ------------------------- r13 second wave: retrieval + sampling props
+
+_sign_vec = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=64, max_size=64,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_sign_vec, min_size=1, max_size=6))
+def test_sign_codes_roundtrip_property(spark, vecs):
+    """Packing invariant: the two 32-bit words reconstruct exactly the
+    per-dimension sign pattern (v > 0) for ANY input vector — bit
+    (31-j) of word w encodes dimension w·32+j (MSB-first fold)."""
+    from apachebeamkmeans_spark.operators import similarity as SIM
+
+    rows = [(i, list(map(float, v))) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    got = {r["vec_id"]: (r["code_0"], r["code_1"])
+           for r in SIM.sign_codes(df, 64).collect()}
+    for i, v in rows:
+        lo, hi = got[i]
+        assert 0 <= lo < (1 << 32) and 0 <= hi < (1 << 32)
+        for w, word in enumerate((lo, hi)):
+            for j in range(32):
+                bit = (word >> (31 - j)) & 1
+                assert bit == (1 if v[w * 32 + j] > 0 else 0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_sign_vec, min_size=3, max_size=8), st.integers(0, 2))
+def test_maxsim_bounds_and_self_retrieval(spark, vecs, qi):
+    """MaxSim properties: every score is within [-Tq, Tq] (each token's
+    max-cosine is in [-1, 1]), and querying WITH a corpus vector's own
+    token slices retrieves that vector with score ≈ Tq (each token
+    matches its own slice at cosine 1)."""
+    import math
+
+    from apachebeamkmeans_spark.operators import similarity as SIM
+
+    qi = min(qi, len(vecs) - 1)
+    # make every 16-wide slice non-degenerate (zero-norm slices would
+    # produce NaN cosines — out of contract for embeddings)
+    vecs = [
+        [x if abs(x) > 1e-3 else 0.5 for x in v] for v in vecs
+    ]
+    rows = [(i, list(map(float, v))) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    q = [vecs[qi][t * 16:(t + 1) * 16] for t in range(4)]
+    out = SIM.maxsim_topk(df, [q], k=len(vecs), dim=64).collect()
+    assert all(-4.0 - 1e-6 <= r["maxsim"] <= 4.0 + 1e-6 for r in out)
+    best = min(out, key=lambda r: r["rank"])
+    self_row = [r for r in out if r["vec_id"] == qi][0]
+    assert math.isclose(self_row["maxsim"], 4.0, abs_tol=1e-5)
+    assert best["maxsim"] >= self_row["maxsim"] - 1e-6
+
+
+_name = st.text(
+    alphabet=st.sampled_from("abcd "), min_size=1, max_size=12
+).filter(lambda s: s.strip())
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_name, min_size=2, max_size=12))
+def test_fuzzy_pairs_distance_bound_and_uniqueness(spark, names):
+    """fuzzy_name_pairs invariants under ANY input: every emitted pair
+    is same-block with 1 ≤ lev ≤ max_dist, each unordered pair appears
+    at most once, and counts equal the input multiplicity."""
+    from collections import Counter
+
+    from apachebeamkmeans_spark.operators import dedup as DD
+
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = DD.fuzzy_name_pairs(
+        df, "name", F.element_at(F.split(F.col("name"), " "), -1), 2
+    ).collect()
+    mult = Counter(names)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    seen = set()
+    for r in out:
+        key = (r["name_a"], r["name_b"])
+        assert key not in seen and r["name_a"] < r["name_b"]
+        seen.add(key)
+        assert 1 <= r["lev"] <= 2 and r["lev"] == lev(*key)
+        assert r["name_a"].split(" ")[-1] == r["name_b"].split(" ")[-1]
+        assert r["cnt_a"] == mult[r["name_a"]]
+        assert r["cnt_b"] == mult[r["name_b"]]

@@ -65,6 +65,12 @@ SHOWCASE = {
     "sim_ivf_batch_topk": "query-TABLE IVF search: in-plan probe argsort per query row, ONE join on coarse_id against the partitioned layout, per-qid WindowGroupLimit — no Python, no cartesian",
     "sim_ivfpq_batch_topk": "query-TABLE IVF-PQ: each query row's pq_encode_lut distance matrix doubles as its ADC table, candidates ride as m codes vs m*ksub LUT doubles, exact dot for refine rows only",
     "ann_index_pq_roundtrip": "AnnIndex PQ tier end-to-end: partition-pruned ADC scan over stored codes (PartitionFilters on coarse_id), broadcast shortlist, exact refine re-reads raw vectors from the same pruned directories",
+    # round 13 second wave
+    "sim_maxsim_topk": "late-interaction MaxSim: ONE narrow scan, per-row slice norms staged once, compact HOF score expressions (unrolled form blew janino's 64 KB limit), posexplode + one per-qid window — no join, no Python",
+    "sim_binary_hamming": "binary tier: sign codes derived in-plan (production persists sign_codes at 16 B/row), XOR+popcount screen + window shortlist, exact cosine only AFTER the broadcast semi-join",
+    "fuzzy_part_pairs": "blocked edit-distance resolution: partial-agg collapse to the distinct-name domain BEFORE the block self-join, bounded levenshtein verify — quadratic stage runs on name cardinality",
+    "passage_topk": "RAG passage selection: sequence+posexplode chunk fan-out, per-(query,doc) argmax window then per-query rank — no join",
+    "retrieval_mrr": "MRR@k eval: BM25 ranking and conjunctive relevance both read ONE staged tokenize (localCheckpoint), k-row ranking broadcast onto the relevance scan",
 }
 
 
