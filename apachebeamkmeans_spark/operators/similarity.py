@@ -1000,13 +1000,14 @@ def maxsim_topk(vecs: DataFrame, queries: list[list[list[float]]],
 
     ONE narrow scan: per row, the T slice norms are staged once as an
     array column (HOF/expression trees get no CSE — inlining them would
-    recompute T·Σ|q_i| times), every query's score is a fully unrolled
-    plan-time expression (greatest over T slice cosines per query
-    token, left-associated sum over tokens — exactly the oracle's
-    `greatest(...) + greatest(...)` structure), posexplode fans out
-    (qid, score), one per-qid window ranks. No join, no UDF: at 100 TB
-    this is the same single-pass shape as `cosine_topk`, ~T·Tq·dsub
-    codegen multiply-adds per row."""
+    recompute T·Σ|q_i| times); each query token contributes
+    array_max over the T slice cosines (compact HOF expressions — see
+    the janino note below) divided by its plan-folded norm, summed
+    left-associated over tokens — exactly the oracle's
+    `(greatest(...)/qn) + (greatest(...)/qn)` structure. posexplode
+    fans out (qid, score), one per-qid window ranks. No join, no UDF:
+    at 100 TB this is the same single-pass shape as `cosine_topk`,
+    ~T·Tq·dsub multiply-adds per row."""
     dsub = len(queries[0][0])
     f = F.col(features_col)
     dim_terms = {len(tok) for q in queries for tok in q}
