@@ -81,3 +81,22 @@ def test_retrieve_vector_binary_maxsim_hybrid(spark, sf_dir, tmp_path):
         io.read_table(spark, sf_dir, "documents"), pts,
         [(["join"], qv)], k=5, per_side=20).collect()}
     assert got == want and got
+
+
+def test_retrieve_maxsim_empty_input_raises(spark, tmp_path):
+    """The maxsim verb needs a row to derive the embedding width —
+    empty input must raise the documented ValueError, not a deep
+    TypeError from first() returning None."""
+    import pytest
+
+    from apachebeamkmeans_spark.sources import io as io_mod
+
+    empty = str(tmp_path / "empty_emb.parquet")
+    io_mod.read_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .limit(0).write.parquet(empty)
+    with pytest.raises(ValueError, match="empty embeddings input"):
+        cli.main(
+            ["retrieve", "maxsim", "--embeddings", empty,
+             "--qtoks=0.1,0.2", "--output", str(tmp_path / "out")],
+            spark=spark,
+        )
