@@ -971,6 +971,16 @@ def hybrid_rrf_topk(docs: DataFrame, vecs: DataFrame,
     ).select(
         "qid", F.col("vec_id").alias("id"), F.col("rank").alias("vec_rank")
     )
+    return rrf_fuse(tranked, vranked, k, rrf_k)
+
+
+def rrf_fuse(tranked: DataFrame, vranked: DataFrame, k: int = 10,
+             rrf_k: int = 60) -> DataFrame:
+    """Reciprocal Rank Fusion of two per-query rankings: full-outer on
+    (qid, id), rrf = Σ 1/(rrf_k + rank) with a missing side
+    contributing 0, one per-qid window for the fused top-k. Inputs are
+    k-row-class rank frames (qid, id, text_rank) / (qid, id, vec_rank)
+    — the fusion itself never touches corpus-sized data."""
     fused = tranked.join(vranked, ["qid", "id"], "full_outer")
     rrf = (
         F.coalesce(1.0 / (F.lit(rrf_k) + F.col("text_rank")), F.lit(0.0))

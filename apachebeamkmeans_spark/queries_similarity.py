@@ -496,12 +496,29 @@ def q_sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ivf_trained_indexed(table: str = _E2) -> str:
+def _trained_ca_ctes(table: str = _E2) -> str:
+    """The normalize + trained-center coarse-assign CTE pair (`en`,
+    `ca`) shared by the trained-index oracles and the indexed-hybrid
+    oracle. AS MATERIALIZED for the same reason as the IVF-PQ oracle:
+    inlining the normalization lambda into the k×dim distance columns
+    makes DuckDB's expression tree explode."""
     nsq = OG.sql_norm_sq("e", DIM)
-    dists = [f"{OG.sql_l2_sq('e', c)} AS d{i}" for i, c in enumerate(TRAINED_CENTERS)]
+    dists = [
+        f"{OG.sql_l2_sq('e', c)} AS d{i}"
+        for i, c in enumerate(TRAINED_CENTERS)
+    ]
     argmin = OG.sql_argmin_case(
         [f"d{i}" for i in range(len(TRAINED_CENTERS))], "coarse_id"
     )
+    return (
+        f"en AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e"
+        f" FROM {table} t WHERE {nsq} > 0), "
+        f"ca AS MATERIALIZED (SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}"
+        f" FROM (SELECT vec_id, e, {', '.join(dists)} FROM en)))"
+    )
+
+
+def _oracle_ivf_trained_indexed(table: str = _E2) -> str:
     parts = []
     for qid, q in enumerate(NQUERY_VECS):
         probes = SIM.nearest_centers(q, TRAINED_CENTERS, IVFPQ_NPROBE)
@@ -515,16 +532,7 @@ def _oracle_ivf_trained_indexed(table: str = _E2) -> str:
             f"        WHERE coarse_id IN ({in_list}))"
             f") WHERE rank <= {IVFPQ_TOPK}"
         )
-    # AS MATERIALIZED for the same reason as the IVF-PQ oracle below:
-    # inlining the normalization lambda into the k×dim distance columns
-    # makes DuckDB's expression tree explode.
-    return (
-        f"WITH en AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt({nsq})) AS e"
-        f" FROM {table} t WHERE {nsq} > 0), "
-        f"ca AS MATERIALIZED (SELECT vec_id, e, coarse_id FROM (SELECT vec_id, e, {argmin}"
-        f" FROM (SELECT vec_id, e, {', '.join(dists)} FROM en))) "
-        + " UNION ALL ".join(parts)
-    )
+    return f"WITH {_trained_ca_ctes(table)} " + " UNION ALL ".join(parts)
 
 
 ORACLE_SIM_IVF_TRAINED_INDEXED = _oracle_ivf_trained_indexed()
@@ -3045,6 +3053,97 @@ def _oracle_hybrid_rrf() -> str:
 ORACLE_HYBRID_SEARCH_RRF = _oracle_hybrid_rrf()
 
 
+# --------------------------- index-backed hybrid retrieval (r13)
+# HYBRID_QUERIES' vectors ARE QUERY_VECS[0..2], so NQUERY_VECS[qid] is
+# the facade-normalized twin the oracle replays per query.
+
+
+def q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid shape the brute-force `hybrid_search_rrf`
+    anchor points at: BM25 keyword top-50 (one corpus-stats aggregate,
+    scores as expression columns) ⊕ the PERSISTED serve index's
+    partition-pruned IVF top-50 (the same fingerprint-keyed index
+    `ann_index_search` amortizes — its scan reads nprobe/k of the cell
+    directories, not the corpus), fused by Reciprocal Rank Fusion.
+    The index corpus is base ∪ the shifted-id append, so fused rows
+    can carry an index-only id with a NULL text_rank — exactly the
+    production case of an indexed doc the keyword side didn't rank.
+    Oracle: the parameterized BM25 union + the trained-probe replay
+    over the union corpus, fused in SQL."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+    from apachebeamkmeans_spark import queries_text as QT
+
+    _warn_if_not_train_sf(sf_dir, "hybrid_search_indexed")
+    terms = [t for t, _v in HYBRID_QUERIES]
+    tranked = QT.TX.bm25_topk(
+        io.read_table(spark, sf_dir, "documents"), terms,
+        k=HYBRID_PER_SIDE, k1=QT.BM25_K1, b=QT.BM25_B,
+    ).select(
+        "qid", F.col("doc_id").alias("id"),
+        F.col("rank").alias("text_rank"),
+    )
+    path = _ensure_serve_index(spark, sf_dir, pq=False)
+    idx = AnnIndex.load(spark, path)
+    vranked = idx.topk(
+        [v for _t, v in HYBRID_QUERIES], k=HYBRID_PER_SIDE,
+        nprobe=IVFPQ_NPROBE,
+    ).select(
+        "qid", F.col("vec_id").alias("id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    return SIM.rrf_fuse(tranked, vranked, HYBRID_TOPK, HYBRID_RRF_K)
+
+
+def _oracle_hybrid_indexed() -> str:
+    from apachebeamkmeans_spark import queries_text as QT
+
+    terms = [t for t, _v in HYBRID_QUERIES]
+    parts = []
+    for qid, (_t, _v) in enumerate(HYBRID_QUERIES):
+        q = NQUERY_VECS[qid]
+        probes = SIM.nearest_centers(q, TRAINED_CENTERS, IVFPQ_NPROBE)
+        in_list = ", ".join(str(p) for p in probes)
+        cos = OG.sql_cosine_lit("e", q, DIM)
+        v_q = (
+            f"(SELECT vec_id, CAST(row_number() OVER"
+            f" (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS vec_rank"
+            f" FROM (SELECT vec_id, {cos} AS c FROM ca"
+            f"       WHERE coarse_id IN ({in_list}))"
+            f" QUALIFY vec_rank <= {HYBRID_PER_SIDE})"
+        )
+        t_q = (
+            f"(SELECT doc_id, rank AS text_rank FROM bm"
+            f" WHERE qid = {qid})"
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id, round(rrf, 6) AS rrf_score,"
+            f" text_rank, vec_rank, rank FROM ("
+            f"  SELECT doc_id, rrf, text_rank, vec_rank,"
+            f"    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)"
+            f"         AS INTEGER) AS rank"
+            f"  FROM ("
+            f"    SELECT coalesce(t.doc_id, v.vec_id) AS doc_id,"
+            f"      coalesce(CAST(1 AS DOUBLE) / ({HYBRID_RRF_K} + t.text_rank), 0)"
+            f"      + coalesce(CAST(1 AS DOUBLE) / ({HYBRID_RRF_K} + v.vec_rank), 0)"
+            f"      AS rrf, t.text_rank, v.vec_rank"
+            f"    FROM {t_q} t FULL OUTER JOIN {v_q} v"
+            f"      ON t.doc_id = v.vec_id"
+            f"  )"
+            f") WHERE rank <= {HYBRID_TOPK}"
+        )
+    return (
+        f"WITH {QT._bm25_ctes(terms)}, "
+        f"{_trained_ca_ctes(_E2_ROUNDTRIP)}, "
+        f"bm AS ({QT._bm25_union(terms, HYBRID_PER_SIDE)}) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_HYBRID_SEARCH_INDEXED = _oracle_hybrid_indexed()
+
+
 # --------------------------- late-interaction (MaxSim) retrieval (r13)
 
 MAXSIM_DSUB = 16                      # token-vector width
@@ -3226,6 +3325,10 @@ QUERIES = {
         ORACLE_ANN_INDEX_UPSERT_SEARCH,
     ),
     "hybrid_search_rrf": (q_hybrid_search_rrf, ORACLE_HYBRID_SEARCH_RRF),
+    "hybrid_search_indexed": (
+        q_hybrid_search_indexed,
+        ORACLE_HYBRID_SEARCH_INDEXED,
+    ),
     "sim_maxsim_topk": (q_sim_maxsim_topk, ORACLE_SIM_MAXSIM_TOPK),
     "sim_binary_hamming": (q_sim_binary_hamming, ORACLE_SIM_BINARY_HAMMING),
     "stream_embedding_gate": (

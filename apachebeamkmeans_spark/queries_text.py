@@ -455,10 +455,12 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_ctes() -> str:
+def _bm25_ctes(queries=None) -> str:
     """The tokenize/doc-len/corpus-stats CTE prefix shared by the BM25
-    ranking oracle and the MRR eval oracle built over it."""
-    terms = sorted({t for q in BM25_QUERIES for t in q})
+    ranking oracle, the MRR eval oracle, and the indexed-hybrid oracle
+    built over it. `queries` defaults to the certified BM25_QUERIES."""
+    queries = BM25_QUERIES if queries is None else queries
+    terms = sorted({t for q in queries for t in q})
     df_cols = ", ".join(
         f"CAST(sum(CASE WHEN len(list_filter(tk, x -> x = '{t}')) > 0"
         f" THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
@@ -473,15 +475,17 @@ def _bm25_ctes() -> str:
     )
 
 
-def _bm25_union() -> str:
+def _bm25_union(queries=None, k=None) -> str:
     """Per-query BM25 ranking SELECTs (UNION ALL body) over the
-    `_bm25_ctes` prefix."""
+    matching `_bm25_ctes(queries)` prefix."""
+    queries = BM25_QUERIES if queries is None else queries
+    k = BM25_TOPK if k is None else k
     k1 = float(BM25_K1)
     b = float(BM25_B)
-    terms = sorted({t for q in BM25_QUERIES for t in q})
+    terms = sorted({t for q in queries for t in q})
     df_idx = {t: i for i, t in enumerate(terms)}
     parts = []
-    for qid, q in enumerate(BM25_QUERIES):
+    for qid, q in enumerate(queries):
         term_exprs = []
         for t in q:
             df = f"df_{df_idx[t]}"
@@ -502,7 +506,7 @@ def _bm25_union() -> str:
             f"         AS INTEGER) AS rank"
             f"  FROM (SELECT doc_id, ({score}) AS s FROM d CROSS JOIN st)"
             f"  WHERE s > 0"
-            f") WHERE rank <= {BM25_TOPK}"
+            f") WHERE rank <= {k}"
         )
     return " UNION ALL ".join(parts)
 

@@ -147,6 +147,7 @@ HEADLINE = [
     "contrastive_negatives",
     "passage_topk",
     "retrieval_mrr",
+    "hybrid_search_indexed",
     # round 6 additions: residual IVF-PQ, SCD2 merge, bounded-error
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",

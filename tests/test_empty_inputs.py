@@ -66,6 +66,9 @@ NEEDS_DATA = {
     "ann_index_filtered_search",
     "ann_index_delete_search",
     "ann_index_upsert_search",
+    # r13 second wave: the indexed hybrid's vector side serves the
+    # same in-query-built fingerprint-keyed index
+    "hybrid_search_indexed",
 }
 
 QUERIES = all_queries()

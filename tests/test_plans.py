@@ -696,3 +696,17 @@ def test_fuzzy_pairs_aggregate_before_join(spark, sf_dir):
     # two partial_count HashAggregates (one per join side) before the join
     assert plan.count("partial_count") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_indexed_vector_side_partition_pruned(spark):
+    """r13: the indexed hybrid's vector side must keep the serve
+    index's partition-pruning claim INSIDE the fused plan — the probed
+    cells reach the layout scan as PartitionFilters on coarse_id, and
+    the text side stays Python-free."""
+    from apachebeamkmeans_spark import queries_similarity as QS
+
+    res = QS.q_hybrid_search_indexed(spark, "/root/testdata/sf0.001")
+    plan = X.formatted_plan(res)
+    after = plan.split("PartitionFilters", 1)
+    assert len(after) == 2 and "coarse_id" in after[1][:200]
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
