@@ -354,10 +354,17 @@ def _retrieve_run(args, spark) -> int:
         )
     elif args.action == "maxsim":
         toks = [_parse_vec(t) for t in args.qtoks.split(";") if t.strip()]
-        head = points().select("features").first()
+        pts = points()
+        head = pts.select("features").first()
         if head is None:
             raise ValueError("retrieve maxsim: empty embeddings input")
-        hits = SIM.maxsim_topk(points(), [toks], args.k, len(head["features"]))
+        dim, dsub = len(head["features"]), len(toks[0])
+        if dim % dsub != 0:
+            raise ValueError(
+                f"retrieve maxsim: embedding width {dim} is not a "
+                f"multiple of the query-token width {dsub}"
+            )
+        hits = SIM.maxsim_topk(pts, [toks], args.k, dim)
     else:  # binary
         hits = SIM.binary_hamming_topk(
             points(), [_parse_vec(args.qvec)], args.k, args.shortlist

@@ -1002,7 +1002,8 @@ def rrf_fuse(tranked: DataFrame, vranked: DataFrame, k: int = 10,
 def maxsim_topk(vecs: DataFrame, queries: list[list[list[float]]],
                 k: int = 10, dim: int = 64,
                 id_col: str = "id",
-                features_col: str = "features") -> DataFrame:
+                features_col: str = "features",
+                candidates: DataFrame | None = None) -> DataFrame:
     """Late-interaction (ColBERT-style MaxSim) multi-vector retrieval:
     each document is T token vectors — the T contiguous `dsub`-wide
     slices of its flat embedding — and each query is a list of `dsub`-
@@ -1017,7 +1018,15 @@ def maxsim_topk(vecs: DataFrame, queries: list[list[list[float]]],
     `(greatest(...)/qn) + (greatest(...)/qn)` structure. posexplode
     fans out (qid, score), one per-qid window ranks. No join, no UDF:
     at 100 TB this is the same single-pass shape as `cosine_topk`,
-    ~T·Tq·dsub multiply-adds per row."""
+    ~T·Tq·dsub multiply-adds per row.
+
+    `candidates` (qid, vec_id — the ANN-shortlist serving shape, r14)
+    restricts scoring to the given pairs: the scan semi-joins the
+    broadcast distinct candidate ids BEFORE any slice arithmetic, and
+    the per-(qid, vec_id) inner join after the fan-out keeps each doc
+    ranked only for the queries that shortlisted it. Scores for
+    surviving pairs are bit-identical to the full-scan form (the same
+    expressions evaluate on a subset of rows)."""
     dsub = len(queries[0][0])
     f = F.col(features_col)
     dim_terms = {len(tok) for q in queries for tok in q}
@@ -1043,6 +1052,10 @@ def maxsim_topk(vecs: DataFrame, queries: list[list[list[float]]],
         F.col(id_col).alias("vec_id"), f.alias("__f"),
         snorms.alias("__snorm"),
     )
+    if candidates is not None:
+        base = base.join(
+            F.broadcast(candidates.select("vec_id").distinct()), "vec_id"
+        )
     scores = []
     for q in queries:
         s = None
@@ -1078,12 +1091,36 @@ def maxsim_topk(vecs: DataFrame, queries: list[list[list[float]]],
     exploded = base.select(
         "vec_id", F.posexplode(F.array(*scores)).alias("qid", "_s")
     )
+    if candidates is not None:
+        exploded = exploded.join(
+            F.broadcast(candidates.select("qid", "vec_id")),
+            ["qid", "vec_id"],
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("_s"), F.asc("vec_id"))
     return (
         exploded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", F.round("_s", 6).alias("maxsim"), "rank")
     )
+
+
+def maxsim_coarse_queries(queries: list[list[list[float]]],
+                          dim: int) -> list[list[float]]:
+    """The ANN coarse key of a multi-vector (MaxSim) query: the mean
+    of its token vectors, tiled to the indexed embedding width — the
+    single-vector proxy the ColBERT serving stack probes its ANN index
+    with before the exact MaxSim rerank (PLAID uses centroid
+    interaction the same way: a cheap single-vector pass shortlists,
+    the late-interaction score reranks). Deterministic driver-side
+    arithmetic on literal queries (k-row class)."""
+    out = []
+    for q in queries:
+        dsub = len(q[0])
+        mean = [
+            sum(tok[j] for tok in q) / float(len(q)) for j in range(dsub)
+        ]
+        out.append((mean * (dim // dsub))[:dim])
+    return out
 
 
 def sign_codes(vecs: DataFrame, dim: int, id_col: str = "id",
@@ -1128,7 +1165,8 @@ def pack_sign_bits(vec: list[float]) -> list[int]:
 def binary_hamming_topk(vecs: DataFrame, queries: list[list[float]],
                         k: int = 10, shortlist: int = 50,
                         id_col: str = "id",
-                        features_col: str = "features") -> DataFrame:
+                        features_col: str = "features",
+                        codes: DataFrame | None = None) -> DataFrame:
     """Binary-quantized ANN: sign-code Hamming screening + exact cosine
     rerank — the 32×-compression tier between int8 (4×) and PQ (the
     FAISS `IndexBinaryFlat`-then-refine shape).
@@ -1142,10 +1180,17 @@ def binary_hamming_topk(vecs: DataFrame, queries: list[list[float]],
     Stage 2 re-reads features for the ≤ shortlist·n_queries survivors
     via a broadcast semi-join and ranks exact cosine. Ties on integer
     Hamming break by vec_id, making the shortlist (hence the final
-    ranking) deterministic."""
+    ranking) deterministic.
+
+    `codes` (r14) is the production deployment: pass the PERSISTED
+    `sign_codes` table (vec_id, code_0..code_w) and the screen scans
+    THAT 16 B/row layout instead of deriving codes from the embedding
+    scan — the 32× scan saving banked. Same screen, same rerank, same
+    results (the persisted codes are the same fold)."""
     dim = len(queries[0])
     n_words = (dim + 31) // 32
-    codes = sign_codes(vecs, dim, id_col, features_col)
+    if codes is None:
+        codes = sign_codes(vecs, dim, id_col, features_col)
     ham_exprs = []
     for q in queries:
         qwords = pack_sign_bits(q)

@@ -1029,6 +1029,14 @@ def retrieval_mrr(docs: DataFrame, queries: list[list[str]],
     (0 when none) — the MRR@k harness an offline retrieval pipeline
     runs after every index/ranker change.
 
+    A query with ZERO conjunctively-relevant docs is OMITTED from the
+    output (the grouping spine is the relevance scan, so there is no
+    row to aggregate) — eval consumers that need every query present
+    must outer-join their own qid spine. Kept as-is deliberately: the
+    certified oracle mirrors this shape, and changing it would require
+    a SEMANTICS_CHANGED re-certification for a fixture that plants ≥1
+    relevant doc per query anyway.
+
     The eval joins the k-row-class ranking (broadcast) against the
     relevance scan — both sides read the ONE staged tokenize
     (`bm25_stage`), so composing the eval costs a checkpoint re-read,
@@ -1064,4 +1072,309 @@ def retrieval_mrr(docs: DataFrame, queries: list[list[str]],
         F.round(
             F.coalesce(F.lit(1.0) / F.min("rank"), F.lit(0.0)), 6
         ).alias("rr"),
+    )
+
+
+# ------------------------- persisted BM25 serving index (r14)
+
+BM25_INDEX_BUCKETS = 32
+
+
+def bm25_index_bucket(term: str, n_buckets: int = BM25_INDEX_BUCKETS) -> int:
+    """Partition bucket of a term — crc32 mod n_buckets, computed in
+    Python at serve time to prune partitions and as a Spark column at
+    build time (`F.crc32` and `zlib.crc32` are the same standard
+    CRC-32, so the two sides agree by construction)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def bm25_index_build(docs: DataFrame, out_path: str,
+                     n_buckets: int = BM25_INDEX_BUCKETS,
+                     meta_cols: tuple[str, ...] = ()) -> None:
+    """Materialize the BM25 serving index — the production shape the
+    `bm25_topk` docstring promises ("at real scale df/avgdl come from
+    the materialized inverted index"): one build-time tokenize of the
+    corpus, then two parquet layouts under `out_path`:
+
+    - `postings/` — one row per (term, doc) with tf, and the scoring
+      inputs DENORMALIZED per row (dl of the doc, df of the term):
+      Lucene's impact-file shape, so serving needs no corpus-sized
+      join. Hive-partitioned by `tbucket = crc32(term) % n_buckets` —
+      a literal query's terms map to a handful of buckets, so the
+      serve scan is partition-pruned exactly like the IVF layouts'
+      coarse_id pruning.
+    - `stats/` — ONE row (n docs, Σdl): the two global scalars the
+      score needs, read back as plan-time literals at serve.
+
+    `meta_cols` names document metadata columns (e.g. `source`) to
+    DENORMALIZE onto each posting row — the AnnIndex `meta_cols`
+    pattern for the text tier: a filtered retrieval (`where=`) then
+    prunes candidates inside the pruned scan while scoring with the
+    GLOBAL corpus stats (the Lucene filtered-query semantics: a filter
+    restricts candidates, it does not re-estimate df/avgdl).
+
+    Build cost at 100 TB: tokenize (narrow) → (term, doc) hash-agg for
+    tf → term hash-agg for df → one join on term — all map-side-
+    combined shuffles over the exploded token stream; run once per
+    corpus generation, amortized over every query after."""
+    staged = bm25_stage(docs)
+    tf = (
+        staged.select(
+            "doc_id", F.col("__dl").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if meta_cols:
+        tf = tf.join(docs.select("doc_id", *meta_cols), "doc_id")
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    (
+        tf.join(df_, "term")
+        .withColumn(
+            "tbucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
+        )
+        .repartition("tbucket")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(f"{out_path}/postings")
+    )
+    (
+        staged.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/stats")
+    )
+
+
+def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
+                          k1: float, b: float, n_buckets: int,
+                          where: str | None = None):
+    """Shared serve-side scan: the partition-pruned, term-filtered
+    postings frame plus the per-row BM25 score column (built from the
+    denormalized tf/dl/df and the 1-row stats literals). Both the
+    literal (`bm25_indexed_topk`) and the batch query-table
+    (`bm25_indexed_topk_table`) forms read through here, so the
+    pruning/pushdown claim is one code path. `where` is a SQL
+    predicate over the denormalized metadata columns (filtered
+    retrieval: candidates are pruned inside the scan, stats stay
+    global — the Lucene filtered-query semantics)."""
+    srow = spark.read.parquet(f"{index_path}/stats").collect()[0]
+    n, sdl = float(srow["n"]), float(srow["sdl"])
+    buckets = sorted({bm25_index_bucket(t, n_buckets) for t in terms})
+    posts = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("tbucket").isin(buckets) & F.col("term").isin(list(terms))
+    )
+    if where is not None:
+        posts = posts.filter(F.expr(where))
+    tf = F.col("tf").cast("double")
+    dfc = F.col("df").cast("double")
+    idf = (F.lit(n) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+    avgdl = F.lit(sdl) / F.lit(n)
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0) - F.lit(float(b))
+        + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = idf * (tf * F.lit(float(k1) + 1.0) / (tf + norm))
+    return posts, score
+
+
+def bm25_indexed_topk(spark, index_path: str,
+                      queries: list[list[str]], k: int = 10,
+                      k1: float = 1.2, b: float = 0.75,
+                      n_buckets: int = BM25_INDEX_BUCKETS,
+                      where: str | None = None) -> DataFrame:
+    """BM25 serving off the persisted index `bm25_index_build` wrote —
+    bit-identical scores to the live `bm25_topk` (same formula, same
+    left-associated per-query term sums, same log-free IDF), but the
+    plan reads O(query terms) index partitions instead of tokenizing
+    the corpus per run:
+
+    scan postings WHERE tbucket IN (buckets of the query terms)  — the
+    partition filter — AND term IN (terms) — the pushed row filter —
+    → per-row score from the denormalized (tf, dl, df) + the two
+    stats literals → pivot to one column per distinct term (each
+    (term, doc) is unique, so `max` picks the single value) → per-
+    query left-associated sums over `coalesce(score_t, 0.0)` (IEEE
+    `0.0 + x == x`, so a missing term contributes exactly what the
+    live form's tf=0 term does) → posexplode + per-qid window top-k.
+
+    At 100 TB the pruned scan is the posting lists of a handful of
+    terms — MBs, not the corpus — and the only shuffle is the pivot's
+    hash-agg on doc_id over those rows. Driver traffic: the 1-row
+    stats read (probe-cell class)."""
+    terms = sorted({t for q in queries for t in q})
+    posts, score = _bm25_pruned_postings(
+        spark, index_path, terms, k1, b, n_buckets, where
+    )
+    pivoted = posts.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, score)).alias(f"__s_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    s_col = {t: f"__s_{i}" for i, t in enumerate(terms)}
+    score_exprs = []
+    for q in queries:
+        s = None
+        for t in q:
+            term_score = F.coalesce(F.col(s_col[t]), F.lit(0.0))
+            s = term_score if s is None else s + term_score
+        score_exprs.append(s)
+    exploded = pivoted.select(
+        "doc_id", F.posexplode(F.array(*score_exprs)).alias("qid", "__s")
+    ).filter(F.col("__s") > 0)
+    w = Window.partitionBy("qid").orderBy(F.desc("__s"), F.asc("doc_id"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", F.round("__s", 6).alias("bm25"), "rank")
+    )
+
+
+def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,
+                            k: int = 10, k1: float = 1.2,
+                            b: float = 0.75,
+                            n_buckets: int = BM25_INDEX_BUCKETS,
+                            where: str | None = None) -> DataFrame:
+    """Batch BM25 serving for a query TABLE (qid, term — one row per
+    query term) against the persisted index: the evaluation-workload
+    twin of `bm25_indexed_topk`, the text analogue of the vector
+    side's `ivf_batch_topk`/`topk_table`.
+
+    The distinct terms collect to the driver first (a query table is
+    k-row-class — the same static-pushdown move the batch ANN probes
+    make), so the postings scan keeps the literal form's partition
+    pruning + term pushdown. Scoring joins the broadcast query table
+    onto the pruned postings; the per-(qid, doc) total is NOT a bare
+    float SUM (aggregation-order dependent) — term contributions
+    collect into an array, `array_sort` canonicalizes (term is unique
+    per (qid, doc) posting), and a left-associated `aggregate` fold
+    sums in sorted-term order. Callers comparing against the literal
+    form should therefore pass each query's terms in sorted order
+    (2-term sums are order-exact by IEEE commutativity; ≥3 terms can
+    differ in ulps under re-association).
+
+    Output: (qid, doc_id, bm25, rank) — zero-score docs don't rank."""
+    terms = sorted(
+        {r["term"] for r in queries.select("term").distinct().collect()}
+    )
+    posts, score = _bm25_pruned_postings(
+        spark, index_path, terms, k1, b, n_buckets, where
+    )
+    pair = posts.withColumn("__ts", score).join(
+        F.broadcast(queries.select("qid", "term")), "term"
+    )
+    agg = pair.groupBy("qid", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "__ts"))),
+            F.lit(0.0), lambda a, s: a + s["__ts"],
+        ).alias("__s")
+    ).filter(F.col("__s") > 0)
+    w = Window.partitionBy("qid").orderBy(F.desc("__s"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", F.round("__s", 6).alias("bm25"), "rank")
+    )
+
+
+# ----------------------------- retrieval eval: nDCG@k (r14)
+
+
+def ndcg_discounts(k: int) -> list[float]:
+    """The k DCG rank discounts 1/log2(rank+1), computed ONCE in
+    Python and embedded as the same decimal literals in both the Spark
+    plan and the oracle SQL — log2 differs by ulps between the JVM and
+    libm, so neither engine is allowed to evaluate it (the same
+    plan-time-literal trick the k-means oracles use for centers)."""
+    import math
+
+    return [1.0 / math.log2(r + 1.0) for r in range(1, k + 1)]
+
+
+def retrieval_ndcg(docs: DataFrame, queries: list[list[str]],
+                   k: int = 10, k1: float = 1.2,
+                   b: float = 0.75) -> DataFrame:
+    """nDCG@k of the BM25 ranking against the same conjunctive planted
+    relevance as `retrieval_mrr` (relevant iff the doc contains every
+    query term, binary gains): per query the relevant count, DCG@k =
+    Σ_{hit ranks r} 1/log2(r+1), the ideal IDCG@k =
+    Σ_{i=1..min(n_rel,k)} 1/log2(i+1), and their ratio — the second
+    standard retrieval-eval metric beside MRR.
+
+    Determinism: a float SUM over hit ranks would be aggregation-order
+    dependent, so DCG is NOT an aggregate of discounts — the per-qid
+    aggregation collects k hit BOOLEANS (max of rank==r, integer agg),
+    and DCG is a fixed-order left-associated expression over them with
+    plan-time discount literals (`ndcg_discounts`); IDCG is a CASE
+    over least(n_rel, k) with Python-prefix-summed literals. Both
+    engines then evaluate identical IEEE +·/ chains. Like
+    `retrieval_mrr`, a query with zero relevant docs is omitted (the
+    grouping spine is the relevance scan).
+
+    Scale shape: identical to `retrieval_mrr` — one staged tokenize
+    feeds both the ranking and the relevance scan, the k-row-class
+    ranking broadcasts onto it, and the per-qid aggregate carries
+    O(k) integer state."""
+    staged = bm25_stage(docs)
+    hits = bm25_topk(docs, queries, k, k1, b, staged=staged)
+
+    def _is_term(term: str):
+        return lambda x: x == F.lit(term)
+
+    rel_parts = []
+    for qid, terms in enumerate(queries):
+        cond = None
+        for t in terms:
+            c = F.size(F.filter(F.col("__toks"), _is_term(t))) > 0
+            cond = c if cond is None else cond & c
+        rel_parts.append(
+            staged.filter(cond).select(F.lit(qid).alias("qid"), "doc_id")
+        )
+    rel = rel_parts[0]
+    for p in rel_parts[1:]:
+        rel = rel.unionByName(p)
+    joined = rel.join(
+        F.broadcast(hits.select("qid", "doc_id", "rank")),
+        ["qid", "doc_id"], "left",
+    )
+    grouped = joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_relevant"),
+        *[
+            F.max(
+                F.when(F.col("rank") == r, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__h_{r}")
+            for r in range(1, k + 1)
+        ],
+    )
+    disc = ndcg_discounts(k)
+    dcg = None
+    for r in range(1, k + 1):
+        term = F.when(
+            F.col(f"__h_{r}") == 1, F.lit(disc[r - 1])
+        ).otherwise(F.lit(0.0))
+        dcg = term if dcg is None else dcg + term
+    # Python-side prefix sums, left-associated — the same chain the
+    # engines would build, folded to one literal per possible cutoff
+    prefix = []
+    acc = 0.0
+    for d in disc:
+        acc = acc + d
+        prefix.append(acc)
+    cutoff = F.least(F.col("n_relevant"), F.lit(k))
+    idcg = F.when(cutoff == 1, F.lit(prefix[0]))
+    for m in range(2, k + 1):
+        idcg = idcg.when(cutoff == m, F.lit(prefix[m - 1]))
+    idcg = idcg.otherwise(F.lit(0.0))
+    return grouped.select(
+        "qid",
+        "n_relevant",
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.round(dcg / idcg, 6).alias("ndcg"),
     )

@@ -3157,9 +3157,11 @@ def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 4 contiguous 16-dim embedding slices (token vectors), each
     query 3 literal 16-dim token vectors; score = Σ_i max_t
     cos(q_i, d_t). One narrow scan — slice norms staged once per row,
-    fully unrolled plan-time score per query, posexplode + one per-qid
-    window. The multi-vector analogue of sim_topk_bruteforce: no join,
-    no UDF, whole-stage-codegen arithmetic only."""
+    then compact HOF (aggregate/transform) score expressions per query
+    (the fully-unrolled form was abandoned: it tripped janino's 64 KB
+    method limit and fell back to interpreted eval; the HOFs keep the
+    stage compilable), posexplode + one per-qid window. The
+    multi-vector analogue of sim_topk_bruteforce: no join, no UDF."""
     return SIM.maxsim_topk(
         io.load_points(spark, sf_dir), MAXSIM_QUERIES, MAXSIM_K, DIM
     )

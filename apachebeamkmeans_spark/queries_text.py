@@ -1266,8 +1266,150 @@ SELECT anchor_id, neg_id, round(u, 6) AS draw, rank FROM (
 ORACLE_CONTRASTIVE_NEGATIVES = _oracle_contrastive_negatives()
 
 
+# ------------------- persisted BM25 index serving + nDCG eval (r14)
+
+# Distinct from BM25_QUERIES so the indexed query certifies its own
+# literal set (the oracle generators are parameterized).
+BM25_IDX_QUERIES = [
+    ["stream", "window"],
+    ["spark", "query", "fast"],
+    ["vector", "batch"],
+    ["group", "sort", "key"],
+]
+
+
+def _bm25_index_path(sf_dir: str) -> str:
+    """Home of the persisted BM25 serving index: one directory per
+    (sf, documents CONTENT fingerprint, build config) under
+    `.text_index/` — `_ann_serve_index_path`'s pattern for the text
+    side. The fingerprint keys staleness; the bucket count joins the
+    key so a bucketing change rebuilds rather than mis-pruning."""
+    import hashlib
+
+    from apachebeamkmeans_spark import scratch
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    fp = scratch.data_fingerprint(sf_dir, "documents")
+    # "src" = the source metadata column rides every posting row
+    # (filtered-retrieval support; pruned from unfiltered scans)
+    cfg = f"b{TX.BM25_INDEX_BUCKETS}src"
+    path = os.path.join(
+        scratch.repo_root(), ".text_index",
+        f"bm25_{cfg}_{sfx}_{ph}_f{fp}",
+    )
+    scratch.reap(os.path.dirname(path), "bm25_", keep=path)
+    return path
+
+
+def _ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once publish of the BM25 serving index: staged in a
+    pid-suffixed tmp dir, `_ready`-marked, published with one atomic
+    os.rename (a concurrent builder either wins the rename or discards
+    its identical bytes — the `_ensure_serve_index` protocol). Repeat
+    sessions pay only the `_ready` stat — the amortization
+    `text_bm25_indexed` measures over the per-run corpus tokenize."""
+    path = _bm25_index_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_ready")):
+        return path
+    tmp = f"{path}.build.{os.getpid()}"
+    TX.bm25_index_build(_docs(spark, sf_dir), tmp, meta_cols=("source",))
+    with open(os.path.join(tmp, "_ready"), "w") as f:
+        f.write("1")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.exists(os.path.join(path, "_ready")):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving off the PERSISTED fingerprint-keyed inverted index
+    (`textstats.bm25_index_build`) — the text twin of
+    `ann_index_search`: the plan reads the partition-pruned postings
+    layout (PartitionFilters on tbucket, pushed term filter) plus the
+    1-row stats sidecar instead of tokenizing the corpus per run, and
+    the scores are bit-identical to the live `bm25_topk` form (same
+    log-free IDF, same left-associated term sums — the oracle is the
+    same generator over the indexed literal set)."""
+    path = _ensure_bm25_index(spark, sf_dir)
+    return TX.bm25_indexed_topk(
+        spark, path, BM25_IDX_QUERIES,
+        k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+    )
+
+
+ORACLE_TEXT_BM25_INDEXED = (
+    f"WITH {_bm25_ctes(BM25_IDX_QUERIES)} "
+    f"{_bm25_union(BM25_IDX_QUERIES)}"
+)
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the certified BM25 ranking against the conjunctive
+    planted relevance (binary gains) — the second standard eval metric
+    beside `retrieval_mrr`. DCG/IDCG use plan-time Python-computed
+    1/log2(r+1) literals in BOTH engines (log2 differs by ulps between
+    JVM and libm), composed in fixed-order left-associated chains, so
+    the values are bit-identical cross-engine."""
+    return TX.retrieval_ndcg(
+        _docs(spark, sf_dir), BM25_QUERIES, BM25_TOPK, BM25_K1, BM25_B
+    )
+
+
+def _oracle_retrieval_ndcg() -> str:
+    k = BM25_TOPK
+    disc = TX.ndcg_discounts(k)
+    rel_parts = []
+    for qid, q in enumerate(BM25_QUERIES):
+        cond = " AND ".join(
+            f"len(list_filter(tk, x -> x = '{t}')) > 0" for t in q
+        )
+        rel_parts.append(
+            f"SELECT {qid} AS qid, doc_id FROM tkn WHERE {cond}"
+        )
+    rel = " UNION ALL ".join(rel_parts)
+    hits = ", ".join(
+        f"max(CASE WHEN rank = {r} THEN 1 ELSE 0 END) AS h_{r}"
+        for r in range(1, k + 1)
+    )
+    dcg = " + ".join(
+        f"(CASE WHEN h_{r} = 1 THEN {disc[r - 1]!r} ELSE 0.0 END)"
+        for r in range(1, k + 1)
+    )
+    prefix, acc = [], 0.0
+    for d in disc:
+        acc = acc + d
+        prefix.append(acc)
+    idcg_whens = " ".join(
+        f"WHEN {m} THEN {prefix[m - 1]!r}" for m in range(1, k + 1)
+    )
+    idcg = f"(CASE least(n_relevant, {k}) {idcg_whens} ELSE 0.0 END)"
+    return (
+        f"WITH {_bm25_ctes()}, "
+        f"bm AS ({_bm25_union()}), "
+        f"rel AS ({rel}), "
+        f"g AS (SELECT rel.qid AS qid, count(*) AS n_relevant, {hits}"
+        f"      FROM rel LEFT JOIN bm"
+        f"        ON rel.qid = bm.qid AND rel.doc_id = bm.doc_id"
+        f"      GROUP BY rel.qid) "
+        f"SELECT qid, n_relevant, round({dcg}, 6) AS dcg,"
+        f" round({idcg}, 6) AS idcg,"
+        f" round(({dcg}) / {idcg}, 6) AS ndcg FROM g"
+    )
+
+
+ORACLE_RETRIEVAL_NDCG = _oracle_retrieval_ndcg()
+
+
 QUERIES = {
     "passage_topk": (q_passage_topk, ORACLE_PASSAGE_TOPK),
+    "text_bm25_indexed": (q_text_bm25_indexed, ORACLE_TEXT_BM25_INDEXED),
+    "retrieval_ndcg": (q_retrieval_ndcg, ORACLE_RETRIEVAL_NDCG),
     "retrieval_mrr": (q_retrieval_mrr, ORACLE_RETRIEVAL_MRR),
     "source_split": (q_source_split, ORACLE_SOURCE_SPLIT),
     "contrastive_negatives": (

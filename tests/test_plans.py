@@ -698,14 +698,14 @@ def test_fuzzy_pairs_aggregate_before_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_hybrid_indexed_vector_side_partition_pruned(spark):
+def test_hybrid_indexed_vector_side_partition_pruned(spark, sf_dir):
     """r13: the indexed hybrid's vector side must keep the serve
     index's partition-pruning claim INSIDE the fused plan — the probed
     cells reach the layout scan as PartitionFilters on coarse_id, and
     the text side stays Python-free."""
     from apachebeamkmeans_spark import queries_similarity as QS
 
-    res = QS.q_hybrid_search_indexed(spark, "/root/testdata/sf0.001")
+    res = QS.q_hybrid_search_indexed(spark, sf_dir)
     plan = X.formatted_plan(res)
     after = plan.split("PartitionFilters", 1)
     assert len(after) == 2 and "coarse_id" in after[1][:200]

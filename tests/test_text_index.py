@@ -1,0 +1,163 @@
+"""Persisted BM25 serving index (r14): build/serve equivalence with
+the live scorer, partition pruning, and the nDCG eval's determinism
+contract."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from apachebeamkmeans_spark.operators import textstats as TX
+
+DOCS = [
+    (1, "spark join the hash table fast"),
+    (2, "slow scan of the big table"),
+    (3, "hash hash hash join"),
+    (4, "stream window agg"),
+    (5, "the the the"),
+]
+QUERIES = [["hash", "join"], ["table", "scan"], ["stream"]]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_indexed_equals_live_bm25(spark, tmp_path):
+    """The serve path must reproduce the live scorer bit-for-bit:
+    same (qid, doc_id) set, same rounded scores, same ranks."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "bm25idx")
+    TX.bm25_index_build(docs, idx)
+    live = {
+        (r["qid"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in TX.bm25_topk(docs, QUERIES, k=10).collect()
+    }
+    served = {
+        (r["qid"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect()
+    }
+    assert served == live and len(live) > 0
+
+
+def test_indexed_topk_partition_pruned(spark, tmp_path):
+    """The serve plan reads only the tbuckets of the query terms
+    (PartitionFilters) with the term equality pushed into the scan,
+    and never touches the corpus (no tokenize regex, no explode)."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "bm25idx")
+    TX.bm25_index_build(docs, idx)
+    res = TX.bm25_indexed_topk(spark, idx, [["hash"]], k=5)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    after = plan.split("PartitionFilters", 1)
+    assert len(after) == 2 and "tbucket" in after[1][:200]
+    # no corpus tokenize in the serve plan: the only scan is the
+    # postings layout (the createDataFrame corpus would surface as a
+    # LocalTableScan and its tokenize as split/lower expressions)
+    assert "LocalTableScan" not in plan
+    assert "split(" not in plan and "lower(" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_index_bucket_matches_spark_crc32(spark):
+    """zlib.crc32 (serve-time pruning) and F.crc32 (build-time
+    partition column) must agree on every term."""
+    terms = ["hash", "join", "stream", "the", "zebra"]
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", (F.crc32("term") % TX.BM25_INDEX_BUCKETS).alias("b"))
+        .collect()
+    )
+    for r in rows:
+        assert TX.bm25_index_bucket(r["term"]) == r["b"]
+
+
+def test_ndcg_hand_computed(spark):
+    """nDCG on a planted corpus equals the hand computation: query
+    ["hash","join"] has relevant docs {1,3}; both rank in the top-k,
+    so DCG sums the discounts at their ranks and IDCG the first two."""
+    docs = _docs(spark)
+    res = {
+        r["qid"]: r for r in TX.retrieval_ndcg(docs, QUERIES, k=10).collect()
+    }
+    hits = {
+        (r["qid"], r["doc_id"]): r["rank"]
+        for r in TX.bm25_topk(docs, QUERIES, k=10).collect()
+    }
+    disc = TX.ndcg_discounts(10)
+    # query 0: docs 1 and 3 contain both terms
+    r0 = res[0]
+    assert r0["n_relevant"] == 2
+    d = disc[hits[(0, 1)] - 1] + disc[hits[(0, 3)] - 1]
+    ideal = disc[0] + disc[1]
+    assert abs(r0["dcg"] - round(d, 6)) < 1e-9
+    assert abs(r0["idcg"] - round(ideal, 6)) < 1e-9
+    assert abs(r0["ndcg"] - round(d / ideal, 6)) < 1e-9
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    """A query whose relevant docs exactly head the ranking scores
+    ndcg == 1.0 (query ["stream"]: doc 4 is the only relevant doc and
+    must rank first among score>0 docs)."""
+    docs = _docs(spark)
+    res = {
+        r["qid"]: r for r in TX.retrieval_ndcg(docs, QUERIES, k=10).collect()
+    }
+    assert res[2]["n_relevant"] == 1
+    assert res[2]["ndcg"] == 1.0
+
+
+def test_ndcg_discount_literals():
+    disc = TX.ndcg_discounts(3)
+    assert disc == [1.0 / math.log2(r + 1) for r in (1, 2, 3)]
+
+
+def test_filtered_serving_prunes_candidates_global_stats(spark, tmp_path):
+    """`where=` on the serve path restricts CANDIDATES while keeping
+    GLOBAL corpus stats (Lucene filtered-query semantics): every
+    served score equals the unfiltered score for that doc, and the
+    ranking is the unfiltered ranking restricted to matching docs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join the hash table fast", "web"),
+            (2, "slow scan of the big table", "web"),
+            (3, "hash hash hash join", "book"),
+            (4, "join hash stream", "book"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    idx = str(tmp_path / "bm25idx_meta")
+    TX.bm25_index_build(docs, idx, meta_cols=("source",))
+    unfiltered = TX.bm25_indexed_topk(spark, idx, [["hash", "join"]], k=10)
+    filtered = TX.bm25_indexed_topk(
+        spark, idx, [["hash", "join"]], k=10, where="source = 'book'"
+    )
+    all_scores = {r["doc_id"]: r["bm25"] for r in unfiltered.collect()}
+    got = filtered.collect()
+    assert {r["doc_id"] for r in got} == {3, 4}
+    want = sorted(
+        ((all_scores[d], d) for d in (3, 4)), key=lambda p: (-p[0], p[1])
+    )
+    for rank, (s, d) in enumerate(want, start=1):
+        row = [r for r in got if r["doc_id"] == d][0]
+        assert row["rank"] == rank and row["bm25"] == s
+
+
+def test_meta_column_pruned_from_unfiltered_scan(spark, tmp_path):
+    """An unfiltered serve must not pay for the denormalized metadata:
+    the postings ReadSchema carries no `source` column."""
+    docs = spark.createDataFrame(
+        [(1, "hash join", "web"), (2, "scan table", "book")],
+        "doc_id long, text string, source string",
+    )
+    idx = str(tmp_path / "bm25idx_meta2")
+    TX.bm25_index_build(docs, idx, meta_cols=("source",))
+    res = TX.bm25_indexed_topk(spark, idx, [["hash"]], k=5)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    scan = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "source" not in scan
