@@ -3069,7 +3069,16 @@ def q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     can carry an index-only id with a NULL text_rank — exactly the
     production case of an indexed doc the keyword side didn't rank.
     Oracle: the parameterized BM25 union + the trained-probe replay
-    over the union corpus, fused in SQL."""
+    over the union corpus, fused in SQL.
+
+    r14: the text side serves off the PERSISTED BM25 index
+    (`_ensure_bm25_index` — partition-pruned postings + 1-row stats)
+    instead of tokenizing the corpus per run, so BOTH sides now ride
+    an indexed serve path and the whole query inherits the flat
+    serve-path law (measured: 2.15→6.22 s x1→x10 with the live text
+    side, flat with the indexed one — SCALE.md §9 r14). Scores are
+    bit-identical to the live scorer (same formula, same
+    left-associated sums), so the r13-certified oracle is unchanged."""
     from pyspark.sql import functions as F
 
     from apachebeamkmeans_spark.ann import AnnIndex
@@ -3077,8 +3086,8 @@ def q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _warn_if_not_train_sf(sf_dir, "hybrid_search_indexed")
     terms = [t for t, _v in HYBRID_QUERIES]
-    tranked = QT.TX.bm25_topk(
-        io.read_table(spark, sf_dir, "documents"), terms,
+    tranked = QT.TX.bm25_indexed_topk(
+        spark, QT._ensure_bm25_index(spark, sf_dir), terms,
         k=HYBRID_PER_SIDE, k1=QT.BM25_K1, b=QT.BM25_B,
     ).select(
         "qid", F.col("doc_id").alias("id"),

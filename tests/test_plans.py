@@ -699,14 +699,17 @@ def test_fuzzy_pairs_aggregate_before_join(spark, sf_dir):
 
 
 def test_hybrid_indexed_vector_side_partition_pruned(spark, sf_dir):
-    """r13: the indexed hybrid's vector side must keep the serve
-    index's partition-pruning claim INSIDE the fused plan — the probed
-    cells reach the layout scan as PartitionFilters on coarse_id, and
-    the text side stays Python-free."""
+    """r13 (+r14): BOTH of the indexed hybrid's sides must keep their
+    serve layouts' partition-pruning claims INSIDE the fused plan —
+    the probed cells reach the IVF scan as PartitionFilters on
+    coarse_id, the query terms reach the postings scan as
+    PartitionFilters on tbucket, and no corpus tokenize survives
+    (the text side reads the persisted index, not documents)."""
     from apachebeamkmeans_spark import queries_similarity as QS
 
     res = QS.q_hybrid_search_indexed(spark, sf_dir)
     plan = X.formatted_plan(res)
-    after = plan.split("PartitionFilters", 1)
-    assert len(after) == 2 and "coarse_id" in after[1][:200]
+    assert "coarse_id" in "".join(plan.split("PartitionFilters")[1:])
+    assert "tbucket" in "".join(plan.split("PartitionFilters")[1:])
+    assert plan.count("PartitionFilters") >= 2
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

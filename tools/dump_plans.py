@@ -71,6 +71,10 @@ SHOWCASE = {
     "fuzzy_part_pairs": "blocked edit-distance resolution: partial-agg collapse to the distinct-name domain BEFORE the block self-join, bounded levenshtein verify — quadratic stage runs on name cardinality",
     "passage_topk": "RAG passage selection: sequence+posexplode chunk fan-out, per-(query,doc) argmax window then per-query rank — no join",
     "retrieval_mrr": "MRR@k eval: BM25 ranking and conjunctive relevance both read ONE staged tokenize (localCheckpoint), k-row ranking broadcast onto the relevance scan",
+    # round 14
+    "text_bm25_indexed": "BM25 off the PERSISTED inverted index: postings scan pruned to the query terms' tbucket partitions (PartitionFilters) with the term filter pushed, per-term pivot + left-associated query sums — no corpus tokenize anywhere in the plan",
+    "retrieval_ndcg": "nDCG@k eval: k hit-booleans per qid (integer agg), DCG/IDCG as fixed-order chains of plan-time log2 literals — no engine-evaluated transcendental",
+    "hybrid_search_indexed": "production hybrid, BOTH sides indexed: partition-pruned IVF scan (coarse_id) ⊕ partition-pruned postings scan (tbucket), RRF-fused — corpus-size-free serve plan",
 }
 
 
