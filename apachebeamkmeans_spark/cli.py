@@ -262,8 +262,9 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
     names and writes its ranked hits to parquet."""
     p = argparse.ArgumentParser(
         prog="apachebeamkmeans_spark retrieve",
-        description="Rank documents/vectors: bm25, vector, hybrid "
-                    "(RRF), maxsim, binary.",
+        description="Rank documents/vectors: bm25 (live or off a "
+                    "persisted index), vector, hybrid (RRF), maxsim, "
+                    "binary; `index` builds the BM25 serving index.",
     )
     sub = p.add_subparsers(dest="action", required=True)
 
@@ -283,7 +284,29 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bm25", help="BM25 keyword ranking")
     b.add_argument("--terms", required=True,
                    help="comma-separated query terms")
-    common(b, docs=True)
+    b.add_argument("--docs",
+                   help="documents parquet with (doc_id, text) — "
+                        "live scoring (tokenizes the corpus)")
+    b.add_argument("--index",
+                   help="persisted BM25 index dir (see `retrieve "
+                        "index`) — partition-pruned serving; exactly "
+                        "one of --docs/--index")
+    b.add_argument("--where",
+                   help="SQL predicate over the index's metadata "
+                        "columns (requires --index): filters "
+                        "candidates, keeps global stats")
+    common(b)
+
+    ix = sub.add_parser(
+        "index", help="build the persisted BM25 serving index"
+    )
+    ix.add_argument("--docs", required=True,
+                    help="documents parquet with (doc_id, text)")
+    ix.add_argument("--meta-cols", default="",
+                    help="comma-separated doc columns to denormalize "
+                         "onto postings (enables --where at serve)")
+    ix.add_argument("--index", required=True,
+                    help="output index directory")
 
     v = sub.add_parser("vector", help="exact cosine top-k")
     v.add_argument("--qvec", required=True,
@@ -340,9 +363,32 @@ def _retrieve_run(args, spark) -> int:
             F.col(args.vec_col).cast("array<double>").alias("features"),
         )
 
+    if args.action == "index":
+        meta = tuple(
+            c.strip() for c in (args.meta_cols or "").split(",") if c.strip()
+        )
+        TX.bm25_index_build(
+            spark.read.parquet(args.docs), args.index, meta_cols=meta
+        )
+        n = spark.read.parquet(f"{args.index}/postings").count()
+        extra = f", meta {list(meta)}" if meta else ""
+        print(f"retrieve index: {n} posting rows{extra} -> {args.index}")
+        return 0
     if args.action == "bm25":
         terms = [t.strip() for t in args.terms.split(",") if t.strip()]
-        hits = TX.bm25_topk(spark.read.parquet(args.docs), [terms], args.k)
+        if bool(args.docs) == bool(args.index):
+            raise ValueError(
+                "retrieve bm25: pass exactly one of --docs (live "
+                "scoring) or --index (persisted index serving)"
+            )
+        if args.where and not args.index:
+            raise ValueError("retrieve bm25: --where requires --index")
+        if args.index:
+            hits = TX.bm25_indexed_topk(
+                spark, args.index, [terms], args.k, where=args.where
+            )
+        else:
+            hits = TX.bm25_topk(spark.read.parquet(args.docs), [terms], args.k)
     elif args.action == "vector":
         hits = SIM.cosine_topk(points(), [_parse_vec(args.qvec)], args.k)
     elif args.action == "hybrid":

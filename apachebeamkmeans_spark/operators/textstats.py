@@ -1164,6 +1164,11 @@ def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
     retrieval: candidates are pruned inside the scan, stats stay
     global — the Lucene filtered-query semantics)."""
     srow = spark.read.parquet(f"{index_path}/stats").collect()[0]
+    if srow["n"] == 0:
+        # empty corpus: the partitioned postings write left no part
+        # files (schema inference would fail) and no doc can rank —
+        # the callers detect the None and return an empty frame
+        return None, None
     n, sdl = float(srow["n"]), float(srow["sdl"])
     buckets = sorted({bm25_index_bucket(t, n_buckets) for t in terms})
     posts = spark.read.parquet(f"{index_path}/postings").filter(
@@ -1211,6 +1216,10 @@ def bm25_indexed_topk(spark, index_path: str,
     posts, score = _bm25_pruned_postings(
         spark, index_path, terms, k1, b, n_buckets, where
     )
+    if posts is None:  # empty-corpus index
+        return spark.createDataFrame(
+            [], "qid int, doc_id long, bm25 double, rank int"
+        )
     pivoted = posts.groupBy("doc_id").agg(
         *[
             F.max(F.when(F.col("term") == t, score)).alias(f"__s_{i}")
@@ -1266,6 +1275,10 @@ def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,
     posts, score = _bm25_pruned_postings(
         spark, index_path, terms, k1, b, n_buckets, where
     )
+    if posts is None:  # empty-corpus index
+        return spark.createDataFrame(
+            [], "qid int, doc_id long, bm25 double, rank int"
+        )
     pair = posts.withColumn("__ts", score).join(
         F.broadcast(queries.select("qid", "term")), "term"
     )

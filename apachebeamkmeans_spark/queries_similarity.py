@@ -3176,23 +3176,31 @@ def q_sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_maxsim_score(q) -> str:
+    """The MaxSim score expression of one multi-vector query over a
+    row alias `t` exposing `e` — shared by the full-scan oracle and
+    the staged ANN-shortlisted oracle (identical arithmetic; only the
+    candidate set differs)."""
+    toks = []
+    for tok in q:
+        # query norm divides the MAX, not each slice cosine —
+        # mirrors the Spark shape (qn is slice-invariant)
+        qn = sum(float(v) * float(v) for v in tok) ** 0.5
+        cands = [
+            f"({OG.sql_dot_slice('e', tok, t * MAXSIM_DSUB)}"
+            f" / sqrt({OG.sql_norm_sq_slice('e', t * MAXSIM_DSUB, MAXSIM_DSUB)}))"
+            for t in range(MAXSIM_T)
+        ]
+        toks.append(
+            "(greatest(" + ", ".join(cands) + f") / ({qn!r}))"
+        )
+    return "(" + " + ".join(toks) + ")"
+
+
 def _oracle_maxsim() -> str:
     parts = []
     for qid, q in enumerate(MAXSIM_QUERIES):
-        toks = []
-        for tok in q:
-            # query norm divides the MAX, not each slice cosine —
-            # mirrors the Spark shape (qn is slice-invariant)
-            qn = sum(float(v) * float(v) for v in tok) ** 0.5
-            cands = [
-                f"({OG.sql_dot_slice('e', tok, t * MAXSIM_DSUB)}"
-                f" / sqrt({OG.sql_norm_sq_slice('e', t * MAXSIM_DSUB, MAXSIM_DSUB)}))"
-                for t in range(MAXSIM_T)
-            ]
-            toks.append(
-                "(greatest(" + ", ".join(cands) + f") / ({qn!r}))"
-            )
-        score = "(" + " + ".join(toks) + ")"
+        score = _sql_maxsim_score(q)
         parts.append(
             f"SELECT {qid} AS qid, vec_id, round(s, 6) AS maxsim, rank FROM ("
             f"  SELECT vec_id, s, CAST(row_number() OVER"
@@ -3235,9 +3243,13 @@ def _sql_sign_word(col: str, lo: int, width: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _oracle_binary_hamming() -> str:
+def _oracle_binary_hamming(queries=None) -> str:
+    # parameterized (r14) so the staged persisted-codes query gets its
+    # own literal set; with the default the text is byte-identical to
+    # the r13 form, so the certified oracle is untouched
+    queries = QUERY_VECS if queries is None else queries
     parts = []
-    for qid, q in enumerate(QUERY_VECS):
+    for qid, q in enumerate(queries):
         qw = SIM.pack_sign_bits(q)
         ham = (
             f"(bit_count(xor(code_0, CAST({qw[0]} AS BIGINT)))"
@@ -3349,5 +3361,257 @@ QUERIES = {
     "stream_embedding_gate_pq": (
         q_stream_embedding_gate_pq,
         ORACLE_STREAM_EMBEDDING_GATE_PQ,
+    ),
+}
+
+
+# ---------------- staged for r15 registration (r14 was a
+# consolidation round: the certification window was spent rotating the
+# r10 cohort, so these carry full oracles and are locally gate-replayed
+# by tests/test_staged_queries.py, but occupy no r14 window slots)
+
+MAXSIM_IDX_SHORTLIST = 50
+
+
+def _sign_codes_path(sf_dir: str) -> str:
+    """Persisted sign-codes stage (the binary tier's 16 B/row screen
+    table): fingerprint-keyed under `.ivf_index/` like the serve
+    index; `signcodes_` prefix is disjoint from the `serve_` reaper."""
+    import hashlib
+
+    from apachebeamkmeans_spark import scratch
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    fp = scratch.data_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(
+        scratch.repo_root(), ".ivf_index",
+        f"signcodes_{sfx}_{ph}_f{fp}",
+    )
+    scratch.reap(os.path.dirname(path), "signcodes_", keep=path)
+    return path
+
+
+def _ensure_sign_codes(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once publish of the sign-codes table (atomic-rename
+    protocol, `_ready`-marked): one pass over the embeddings deriving
+    the two 32-bit words per row, written once and scanned by every
+    binary search after — the banked 32× saving."""
+    path = _sign_codes_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_ready")):
+        return path
+    tmp = f"{path}.build.{os.getpid()}"
+    SIM.sign_codes(io.load_points(spark, sf_dir), DIM).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/codes")
+    with open(os.path.join(tmp, "_ready"), "w") as f:
+        f.write("1")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.exists(os.path.join(path, "_ready")):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+# distinct literal set for the staged persisted-codes query (reversed
+# certified vectors — deterministic, shares no ranking with r13's)
+BINARY_CODES_QUERY_VECS = [list(reversed(q)) for q in QUERY_VECS]
+
+
+def q_sim_binary_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary Hamming tier served from the PERSISTED sign-codes
+    table: the screen scans 16 B/row codes (flat x1→x10, SCALE.md §9
+    r14) instead of deriving codes from the embedding scan; the exact
+    rerank still reads features for the shortlist only. Same screen,
+    same rerank, same results as the in-plan form."""
+    path = _ensure_sign_codes(spark, sf_dir)
+    codes = spark.read.parquet(f"{path}/codes")
+    return SIM.binary_hamming_topk(
+        io.load_points(spark, sf_dir), BINARY_CODES_QUERY_VECS,
+        BINARY_K, BINARY_SHORTLIST, codes=codes,
+    )
+
+
+ORACLE_SIM_BINARY_CODES = _oracle_binary_hamming(BINARY_CODES_QUERY_VECS)
+
+
+def q_sim_maxsim_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT serving shape (the PLAID coarse pass): the serve
+    index's ANN top-50 on the TILED-TOKEN-MEAN proxy vector shortlists
+    candidates (partition-pruned probe, nprobe/k of the cell dirs),
+    and the exact HOF MaxSim reranks only the survivors — the
+    full-scan law broken (measured near-flat x1→x10, SCALE.md §9
+    r14). Scores of surviving pairs are bit-identical to
+    `sim_maxsim_topk`'s full scan. Shortlisted ids from the appended
+    (shifted-id) index region don't exist in the base embeddings and
+    drop at the rerank join — the indexed-but-not-rerankable case the
+    oracle replays identically."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "sim_maxsim_indexed")
+    path = _ensure_serve_index(spark, sf_dir, pq=False)
+    idx = AnnIndex.load(spark, path)
+    coarse = SIM.maxsim_coarse_queries(MAXSIM_QUERIES, DIM)
+    cand = idx.topk(
+        coarse, k=MAXSIM_IDX_SHORTLIST, nprobe=IVFPQ_NPROBE
+    ).select("qid", "vec_id")
+    return SIM.maxsim_topk(
+        io.load_points(spark, sf_dir), MAXSIM_QUERIES, MAXSIM_K, DIM,
+        candidates=cand,
+    )
+
+
+def _oracle_maxsim_indexed() -> str:
+    coarse = SIM.maxsim_coarse_queries(MAXSIM_QUERIES, DIM)
+    parts = []
+    for qid, q in enumerate(MAXSIM_QUERIES):
+        nq = _norm_q(coarse[qid])
+        probes = SIM.nearest_centers(nq, TRAINED_CENTERS, IVFPQ_NPROBE)
+        in_list = ", ".join(str(p) for p in probes)
+        cos = OG.sql_cosine_lit("e", nq, DIM)
+        short = (
+            f"(SELECT vec_id FROM ca WHERE coarse_id IN ({in_list})"
+            f" QUALIFY row_number() OVER (ORDER BY {cos} DESC, vec_id ASC)"
+            f"   <= {MAXSIM_IDX_SHORTLIST})"
+        )
+        score = _sql_maxsim_score(q)
+        parts.append(
+            f"SELECT {qid} AS qid, vec_id, round(s, 6) AS maxsim, rank FROM ("
+            f"  SELECT vec_id, s, CAST(row_number() OVER"
+            f"    (ORDER BY s DESC, vec_id ASC) AS INTEGER) AS rank"
+            f"  FROM (SELECT t.vec_id, {score} AS s FROM {_E2} t"
+            f"        JOIN {short} sh ON t.vec_id = sh.vec_id)"
+            f") WHERE rank <= {MAXSIM_K}"
+        )
+    return (
+        f"WITH {_trained_ca_ctes(_E2_ROUNDTRIP)} "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_SIM_MAXSIM_INDEXED = _oracle_maxsim_indexed()
+
+
+# -------- filtered hybrid: both sides pruned AND predicate-filtered
+
+HYBRID_FILTER_SOURCES = ("src1", "src3", "src5", "src7", "src9",
+                         "src11", "src13")
+
+
+def q_hybrid_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production "retrieve within source=X / label=Y" hybrid: the
+    text side serves off the persisted BM25 index with a `where` over
+    its denormalized source column, the vector side off the serve
+    index with `where="label = 3"` — BOTH predicates applied inside
+    the partition-pruned layout scans (filter-then-rank; BM25 stats
+    stay global — Lucene filtered-query semantics), RRF-fused like
+    `hybrid_search_indexed`."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+    from apachebeamkmeans_spark import queries_text as QT
+
+    _warn_if_not_train_sf(sf_dir, "hybrid_search_filtered")
+    terms = [t for t, _v in HYBRID_QUERIES]
+    src_list = ", ".join(f"'{s}'" for s in HYBRID_FILTER_SOURCES)
+    tranked = QT.TX.bm25_indexed_topk(
+        spark, QT._ensure_bm25_index(spark, sf_dir), terms,
+        k=HYBRID_PER_SIDE, k1=QT.BM25_K1, b=QT.BM25_B,
+        where=f"source IN ({src_list})",
+    ).select(
+        "qid", F.col("doc_id").alias("id"),
+        F.col("rank").alias("text_rank"),
+    )
+    path = _ensure_serve_index(spark, sf_dir, pq=False)
+    idx = AnnIndex.load(spark, path)
+    vranked = idx.topk(
+        [v for _t, v in HYBRID_QUERIES], k=HYBRID_PER_SIDE,
+        nprobe=IVFPQ_NPROBE, where=f"label = {FILTER_LABEL}",
+    ).select(
+        "qid", F.col("vec_id").alias("id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    return SIM.rrf_fuse(tranked, vranked, HYBRID_TOPK, HYBRID_RRF_K)
+
+
+def _oracle_hybrid_filtered() -> str:
+    from apachebeamkmeans_spark import queries_text as QT
+
+    terms = [t for t, _v in HYBRID_QUERIES]
+    src_list = ", ".join(f"'{s}'" for s in HYBRID_FILTER_SOURCES)
+    parts = []
+    for qid, (_t, _v) in enumerate(HYBRID_QUERIES):
+        q = NQUERY_VECS[qid]
+        probes = SIM.nearest_centers(q, TRAINED_CENTERS, IVFPQ_NPROBE)
+        in_list = ", ".join(str(p) for p in probes)
+        cos = OG.sql_cosine_lit("e", q, DIM)
+        v_q = (
+            f"(SELECT vec_id, CAST(row_number() OVER"
+            f" (ORDER BY c DESC, vec_id ASC) AS INTEGER) AS vec_rank"
+            f" FROM (SELECT vec_id, {cos} AS c FROM ca"
+            f"       WHERE coarse_id IN ({in_list})"
+            f"         AND label = {FILTER_LABEL})"
+            f" QUALIFY vec_rank <= {HYBRID_PER_SIDE})"
+        )
+        t_q = (
+            f"(SELECT doc_id, rank AS text_rank FROM bm"
+            f" WHERE qid = {qid})"
+        )
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id, round(rrf, 6) AS rrf_score,"
+            f" text_rank, vec_rank, rank FROM ("
+            f"  SELECT doc_id, rrf, text_rank, vec_rank,"
+            f"    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)"
+            f"         AS INTEGER) AS rank"
+            f"  FROM ("
+            f"    SELECT coalesce(t.doc_id, v.vec_id) AS doc_id,"
+            f"      coalesce(CAST(1 AS DOUBLE) / ({HYBRID_RRF_K} + t.text_rank), 0)"
+            f"      + coalesce(CAST(1 AS DOUBLE) / ({HYBRID_RRF_K} + v.vec_rank), 0)"
+            f"      AS rrf, t.text_rank, v.vec_rank"
+            f"    FROM {t_q} t FULL OUTER JOIN {v_q} v"
+            f"      ON t.doc_id = v.vec_id"
+            f"  )"
+            f") WHERE rank <= {HYBRID_TOPK}"
+        )
+    return (
+        f"WITH {QT._bm25_ctes(terms, carry=('source',))}, "
+        f"{_trained_ca_ctes_labeled(_E2L_ROUNDTRIP)}, "
+        f"bm AS ({QT._bm25_union(terms, HYBRID_PER_SIDE, pred=f'source IN ({src_list})', carry=('source',))}) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+def _trained_ca_ctes_labeled(table: str) -> str:
+    """`_trained_ca_ctes` with the label metadata column threaded
+    through — the filtered-hybrid oracle's vector-side prefix."""
+    nsq = OG.sql_norm_sq("e", DIM)
+    dists = [
+        f"{OG.sql_l2_sq('e', c)} AS d{i}"
+        for i, c in enumerate(TRAINED_CENTERS)
+    ]
+    argmin = OG.sql_argmin_case(
+        [f"d{i}" for i in range(len(TRAINED_CENTERS))], "coarse_id"
+    )
+    return (
+        f"en AS MATERIALIZED (SELECT vec_id, label, list_transform(e, x -> x / sqrt({nsq})) AS e"
+        f" FROM {table} t WHERE {nsq} > 0), "
+        f"ca AS MATERIALIZED (SELECT vec_id, label, e, coarse_id FROM (SELECT vec_id, label, e, {argmin}"
+        f" FROM (SELECT vec_id, label, e, {', '.join(dists)} FROM en)))"
+    )
+
+
+ORACLE_HYBRID_SEARCH_FILTERED = _oracle_hybrid_filtered()
+
+
+STAGED_QUERIES = {
+    "sim_maxsim_indexed": (q_sim_maxsim_indexed, ORACLE_SIM_MAXSIM_INDEXED),
+    "sim_binary_codes": (q_sim_binary_codes, ORACLE_SIM_BINARY_CODES),
+    "hybrid_search_filtered": (
+        q_hybrid_search_filtered,
+        ORACLE_HYBRID_SEARCH_FILTERED,
     ),
 }

@@ -455,11 +455,16 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_ctes(queries=None) -> str:
+def _bm25_ctes(queries=None, carry: tuple[str, ...] = ()) -> str:
     """The tokenize/doc-len/corpus-stats CTE prefix shared by the BM25
     ranking oracle, the MRR eval oracle, and the indexed-hybrid oracle
-    built over it. `queries` defaults to the certified BM25_QUERIES."""
+    built over it. `queries` defaults to the certified BM25_QUERIES;
+    `carry` names document metadata columns to thread through (the
+    filtered-retrieval oracles reference them — with carry=() the
+    generated text is byte-identical to the pre-r14 form, so the
+    certified oracles are untouched)."""
     queries = BM25_QUERIES if queries is None else queries
+    cols = "".join(f", {c}" for c in carry)
     terms = sorted({t for q in queries for t in q})
     df_cols = ", ".join(
         f"CAST(sum(CASE WHEN len(list_filter(tk, x -> x = '{t}')) > 0"
@@ -467,17 +472,21 @@ def _bm25_ctes(queries=None) -> str:
         for i, t in enumerate(terms)
     )
     return (
-        f"tkn AS MATERIALIZED (SELECT doc_id, {_TOKS} AS tk"
+        f"tkn AS MATERIALIZED (SELECT doc_id{cols}, {_TOKS} AS tk"
         f" FROM documents), "
-        f"d AS MATERIALIZED (SELECT doc_id, tk, len(tk) AS dl FROM tkn), "
+        f"d AS MATERIALIZED (SELECT doc_id{cols}, tk, len(tk) AS dl FROM tkn), "
         f"st AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
         f" CAST(sum(dl) AS DOUBLE) AS sdl, {df_cols} FROM d)"
     )
 
 
-def _bm25_union(queries=None, k=None) -> str:
+def _bm25_union(queries=None, k=None, pred: str | None = None,
+                carry: tuple[str, ...] = ()) -> str:
     """Per-query BM25 ranking SELECTs (UNION ALL body) over the
-    matching `_bm25_ctes(queries)` prefix."""
+    matching `_bm25_ctes(queries, carry)` prefix. `pred` restricts
+    CANDIDATES (ANDed beside `s > 0` — stats stay global, the Lucene
+    filtered-query semantics the engine's `where=` implements); it may
+    reference `carry` columns."""
     queries = BM25_QUERIES if queries is None else queries
     k = BM25_TOPK if k is None else k
     k1 = float(BM25_K1)
@@ -499,13 +508,15 @@ def _bm25_union(queries=None, k=None) -> str:
                 f"{idf} * ({tf} * {k1 + 1.0!r} / ({tf} + {norm}))"
             )
         score = " + ".join(term_exprs)
+        cols = "".join(f", {c}" for c in carry)
+        where = "s > 0" + (f" AND ({pred})" if pred else "")
         parts.append(
             f"SELECT {qid} AS qid, doc_id, round(s, 6) AS bm25, rank FROM ("
             f"  SELECT doc_id, s,"
             f"    CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC)"
             f"         AS INTEGER) AS rank"
-            f"  FROM (SELECT doc_id, ({score}) AS s FROM d CROSS JOIN st)"
-            f"  WHERE s > 0"
+            f"  FROM (SELECT doc_id{cols}, ({score}) AS s FROM d CROSS JOIN st)"
+            f"  WHERE {where}"
             f") WHERE rank <= {k}"
         )
     return " UNION ALL ".join(parts)
@@ -1443,4 +1454,44 @@ QUERIES = {
     "text_unigram_logprob": (q_text_unigram_logprob, ORACLE_TEXT_UNIGRAM_LOGPROB),
     "lang_temperature_sample": (q_lang_temperature_sample, ORACLE_LANG_TEMPERATURE_SAMPLE),
     "doc_fingerprints": (q_doc_fingerprints, ORACLE_DOC_FINGERPRINTS),
+}
+
+
+# ---------------- staged for r15 registration (certification-window
+# budget: r14 was a consolidation round — these carry full oracles and
+# are locally gate-replayed by tests/test_staged_queries.py, but are
+# NOT in QUERIES yet so they occupy no r14 window slots)
+
+# sorted per-query terms: the table form folds contributions in
+# sorted-term order, and the oracle's left-associated chains follow
+# query order — sorting makes the two orders coincide bit-exactly
+BM25_BATCH_QUERIES = [sorted(q) for q in BM25_IDX_QUERIES]
+
+
+def q_text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch query-TABLE BM25 against the persisted index
+    (`textstats.bm25_indexed_topk_table`) — the evaluation-workload
+    shape (queries ship as a DataFrame, not literals), text twin of
+    the vector side's `ann_index_batch_search`. Distinct terms
+    collect first (k-row-class) so the postings scan keeps the
+    partition pruning + term pushdown; per-(qid, doc) totals fold
+    sorted-term left-associated, never a bare float SUM."""
+    path = _ensure_bm25_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, q in enumerate(BM25_BATCH_QUERIES) for t in q],
+        "qid int, term string",
+    )
+    return TX.bm25_indexed_topk_table(
+        spark, path, qdf, k=BM25_TOPK, k1=BM25_K1, b=BM25_B
+    )
+
+
+ORACLE_TEXT_BM25_BATCH = (
+    f"WITH {_bm25_ctes(BM25_BATCH_QUERIES)} "
+    f"{_bm25_union(BM25_BATCH_QUERIES)}"
+)
+
+
+STAGED_QUERIES = {
+    "text_bm25_batch": (q_text_bm25_batch, ORACLE_TEXT_BM25_BATCH),
 }

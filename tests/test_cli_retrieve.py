@@ -100,3 +100,56 @@ def test_retrieve_maxsim_empty_input_raises(spark, tmp_path):
              "--qtoks=0.1,0.2", "--output", str(tmp_path / "out")],
             spark=spark,
         )
+
+
+def test_retrieve_index_build_and_serve(spark, sf_dir, tmp_path):
+    """`retrieve index` builds the persisted layout; `retrieve bm25
+    --index` serves from it and equals both the library serve call and
+    the live scorer."""
+    docs_p, _ = _paths(sf_dir)
+    idx = str(tmp_path / "bm25_idx")
+    assert cli.main(
+        ["retrieve", "index", "--docs", docs_p, "--index", idx,
+         "--meta-cols", "source"],
+        spark=spark,
+    ) == 0
+    out = str(tmp_path / "idx_hits")
+    assert cli.main(
+        ["retrieve", "bm25", "--index", idx, "--terms", "join,hash",
+         "--k", "5", "--output", out],
+        spark=spark,
+    ) == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in TX.bm25_topk(
+        io.read_table(spark, sf_dir, "documents"), [["join", "hash"]], 5
+    ).collect()}
+    assert got == want and got
+
+    # filtered serving: --where prunes candidates, keeps global stats
+    outf = str(tmp_path / "idx_hits_f")
+    assert cli.main(
+        ["retrieve", "bm25", "--index", idx, "--terms", "join,hash",
+         "--k", "5", "--where", "source IS NOT NULL", "--output", outf],
+        spark=spark,
+    ) == 0
+    gotf = {tuple(r) for r in spark.read.parquet(outf).collect()}
+    assert gotf == want  # the predicate matches every doc
+
+
+def test_retrieve_bm25_rejects_ambiguous_source(spark, sf_dir, tmp_path):
+    docs_p, _ = _paths(sf_dir)
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        cli.main(
+            ["retrieve", "bm25", "--terms", "join", "--k", "3",
+             "--output", str(tmp_path / "x")],
+            spark=spark,
+        )
+    with pytest.raises(ValueError, match="requires --index"):
+        cli.main(
+            ["retrieve", "bm25", "--docs", docs_p, "--terms", "join",
+             "--where", "source = 'a'", "--k", "3",
+             "--output", str(tmp_path / "y")],
+            spark=spark,
+        )

@@ -1,0 +1,62 @@
+"""Local oracle gate for the STAGED (not-yet-registered) queries —
+the r15 registration candidates carry full DuckDB oracles NOW; this
+test replays the driver's comparison (row count, column names,
+order-insensitive values) so flipping them into QUERIES next round is
+a no-risk move.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from apachebeamkmeans_spark import queries_similarity as QS
+from apachebeamkmeans_spark import queries_text as QT
+from apachebeamkmeans_spark.sources.io import TABLES
+
+STAGED = {**QS.STAGED_QUERIES, **QT.STAGED_QUERIES}
+
+# The driver certifies at sf0.01, and the trained-query oracles
+# (serve-index probes) replay TRAINED_CENTERS, which are only the
+# index's centers at TRAIN_SF_DIR — so the gate replay runs there too.
+GATE_SF = QS.TRAIN_SF_DIR
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    s = df.astype(str)
+    return s.sort_values(by=list(s.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{GATE_SF}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, duck, name):
+    fn, sql = STAGED[name]
+    sdf = fn(spark, GATE_SF).toPandas()
+    odf = duck.execute(sql).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
+    a, b = _canon(sdf), _canon(odf)
+    assert a.equals(b), f"{name}: value mismatch\n{a.compare(b)}"
+
+
+def test_staged_names_not_registered():
+    """A staged query must not also be registered — moving one into
+    QUERIES requires deleting it here (the window-budget bookkeeping
+    depends on the split being exact)."""
+    from apachebeamkmeans_spark.registry import all_queries
+
+    assert not set(STAGED) & set(all_queries())
