@@ -1315,10 +1315,13 @@ def retrieval_ndcg(docs: DataFrame, queries: list[list[str]],
                    b: float = 0.75) -> DataFrame:
     """nDCG@k of the BM25 ranking against the same conjunctive planted
     relevance as `retrieval_mrr` (relevant iff the doc contains every
-    query term, binary gains): per query the relevant count, DCG@k =
-    Σ_{hit ranks r} 1/log2(r+1), the ideal IDCG@k =
-    Σ_{i=1..min(n_rel,k)} 1/log2(i+1), and their ratio — the second
-    standard retrieval-eval metric beside MRR.
+    query term, binary gains): per query the relevant count, the hit
+    count inside the top-k and its recall@k (n_hits / n_relevant),
+    DCG@k = Σ_{hit ranks r} 1/log2(r+1), the ideal IDCG@k =
+    Σ_{i=1..min(n_rel,k)} 1/log2(i+1), and their ratio — the
+    set-coverage and rank-quality eval metrics beside MRR in one
+    certified pass (r14: recall@k folded in here rather than spending
+    a registration slot — the two metrics share every input).
 
     Determinism: a float SUM over hit ranks would be aggregation-order
     dependent, so DCG is NOT an aggregate of discounts — the per-qid
@@ -1384,9 +1387,19 @@ def retrieval_ndcg(docs: DataFrame, queries: list[list[str]],
     for m in range(2, k + 1):
         idcg = idcg.when(cutoff == m, F.lit(prefix[m - 1]))
     idcg = idcg.otherwise(F.lit(0.0))
+    # recall@k: hit count is an integer sum of the booleans (exact),
+    # the ratio one IEEE division — both engines agree bit-exactly
+    n_hits = None
+    for r in range(1, k + 1):
+        h = F.col(f"__h_{r}")
+        n_hits = h if n_hits is None else n_hits + h
     return grouped.select(
         "qid",
         "n_relevant",
+        n_hits.cast("int").alias("n_hits"),
+        F.round(
+            n_hits.cast("double") / F.col("n_relevant").cast("double"), 6
+        ).alias("recall"),
         F.round(dcg, 6).alias("dcg"),
         F.round(idcg, 6).alias("idcg"),
         F.round(dcg / idcg, 6).alias("ndcg"),

@@ -1361,12 +1361,15 @@ ORACLE_TEXT_BM25_INDEXED = (
 
 
 def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nDCG@10 of the certified BM25 ranking against the conjunctive
-    planted relevance (binary gains) — the second standard eval metric
-    beside `retrieval_mrr`. DCG/IDCG use plan-time Python-computed
-    1/log2(r+1) literals in BOTH engines (log2 differs by ulps between
-    JVM and libm), composed in fixed-order left-associated chains, so
-    the values are bit-identical cross-engine."""
+    """nDCG@10 AND recall@10 of the certified BM25 ranking against the
+    conjunctive planted relevance (binary gains) — the set-coverage
+    and rank-quality eval metrics beside `retrieval_mrr`, in one
+    certified pass (recall folded in rather than spending a
+    registration slot; the metrics share every input). DCG/IDCG use
+    plan-time Python-computed 1/log2(r+1) literals in BOTH engines
+    (log2 differs by ulps between JVM and libm), composed in
+    fixed-order left-associated chains; recall is an integer hit count
+    and one IEEE division — all bit-identical cross-engine."""
     return TX.retrieval_ndcg(
         _docs(spark, sf_dir), BM25_QUERIES, BM25_TOPK, BM25_K1, BM25_B
     )
@@ -1400,6 +1403,7 @@ def _oracle_retrieval_ndcg() -> str:
         f"WHEN {m} THEN {prefix[m - 1]!r}" for m in range(1, k + 1)
     )
     idcg = f"(CASE least(n_relevant, {k}) {idcg_whens} ELSE 0.0 END)"
+    n_hits = "(" + " + ".join(f"h_{r}" for r in range(1, k + 1)) + ")"
     return (
         f"WITH {_bm25_ctes()}, "
         f"bm AS ({_bm25_union()}), "
@@ -1408,7 +1412,11 @@ def _oracle_retrieval_ndcg() -> str:
         f"      FROM rel LEFT JOIN bm"
         f"        ON rel.qid = bm.qid AND rel.doc_id = bm.doc_id"
         f"      GROUP BY rel.qid) "
-        f"SELECT qid, n_relevant, round({dcg}, 6) AS dcg,"
+        f"SELECT qid, n_relevant,"
+        f" CAST({n_hits} AS INTEGER) AS n_hits,"
+        f" round(CAST({n_hits} AS DOUBLE)"
+        f"       / CAST(n_relevant AS DOUBLE), 6) AS recall,"
+        f" round({dcg}, 6) AS dcg,"
         f" round({idcg}, 6) AS idcg,"
         f" round(({dcg}) / {idcg}, 6) AS ndcg FROM g"
     )

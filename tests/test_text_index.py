@@ -96,6 +96,8 @@ def test_ndcg_hand_computed(spark):
     assert abs(r0["dcg"] - round(d, 6)) < 1e-9
     assert abs(r0["idcg"] - round(ideal, 6)) < 1e-9
     assert abs(r0["ndcg"] - round(d / ideal, 6)) < 1e-9
+    # recall@k: both relevant docs rank inside the top-k
+    assert r0["n_hits"] == 2 and r0["recall"] == 1.0
 
 
 def test_ndcg_perfect_ranking_is_one(spark):
