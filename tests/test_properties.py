@@ -467,3 +467,57 @@ def test_fuzzy_pairs_distance_bound_and_uniqueness(spark, names):
         assert r["name_a"].split(" ")[-1] == r["name_b"].split(" ")[-1]
         assert r["cnt_a"] == mult[r["name_a"]]
         assert r["cnt_b"] == mult[r["name_b"]]
+
+
+# ------------------- r14: indexed BM25 serving + retrieval-eval props
+
+words = st.sampled_from(
+    "join hash scan table merge slow fast data key row".split()
+)
+doc_text = st.lists(words, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(doc_text, min_size=1, max_size=10),
+       st.lists(st.lists(words, min_size=1, max_size=3, unique=True),
+                min_size=1, max_size=3))
+def test_bm25_indexed_equals_live_property(spark, tmp_path_factory, texts,
+                                           queries):
+    """For ANY corpus and term-set queries, the persisted-index serve
+    path reproduces the live scorer exactly — the bit-identity claim
+    `text_bm25_indexed`'s oracle rests on, as a property."""
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    idx = str(tmp_path_factory.mktemp("bm25prop"))
+    TX.bm25_index_build(docs, idx)
+    live = sorted(map(tuple, TX.bm25_topk(docs, queries, k=10).collect()))
+    served = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, queries, k=10).collect())
+    )
+    assert served == live
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(doc_text, min_size=1, max_size=10),
+       st.lists(st.lists(words, min_size=1, max_size=3, unique=True),
+                min_size=1, max_size=3))
+def test_retrieval_eval_invariants(spark, texts, queries):
+    """nDCG and recall are true metrics on every random corpus:
+    0 < recall <= 1 and 0 <= ndcg <= 1 for every emitted row, n_hits
+    <= min(n_relevant, k), and a query only appears when it has >= 1
+    relevant doc."""
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = TX.retrieval_ndcg(docs, queries, k=10).collect()
+    for r in rows:
+        assert r["n_relevant"] >= 1
+        assert 0 <= r["n_hits"] <= min(r["n_relevant"], 10)
+        assert 0 <= r["recall"] <= 1
+        assert 0 <= r["ndcg"] <= 1 + 1e-9
+        assert r["idcg"] >= r["dcg"] - 1e-9
