@@ -1118,7 +1118,16 @@ def bm25_index_build(docs: DataFrame, out_path: str,
     Build cost at 100 TB: tokenize (narrow) → (term, doc) hash-agg for
     tf → term hash-agg for df → one join on term — all map-side-
     combined shuffles over the exploded token stream; run once per
-    corpus generation, amortized over every query after."""
+    corpus generation, amortized over every query after.
+
+    Skew honesty: a stopword-grade term's posting list is corpus-sized
+    by definition, so serving a stopword query scans a corpus-sized
+    slice of the index — inherent to exact BM25 (Lucene pays the same;
+    its remedy is impact-ordered early termination, Block-Max WAND,
+    which trades exactness for bounded scans and is the documented
+    production escalation, not implemented here). The BUILD is skew-
+    safe regardless: the write exchange keys on (tbucket, doc-shard)
+    so no single task owns a hot term's postings."""
     staged = bm25_stage(docs)
     tf = (
         staged.select(
@@ -1131,12 +1140,23 @@ def bm25_index_build(docs: DataFrame, out_path: str,
     if meta_cols:
         tf = tf.join(docs.select("doc_id", *meta_cols), "doc_id")
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # The write exchange keys on (tbucket, doc-shard), NOT tbucket
+    # alone: keying only on the n_buckets values would funnel the
+    # whole corpus through n_buckets writer tasks (and a stopword-
+    # grade term's postings — corpus-sized by definition — through
+    # ONE). With the doc shard in the key, every bucket gets
+    # `write_shards` parallel writers, each emitting its own file
+    # into the bucket's partition dir.
+    write_shards = 8
     (
         tf.join(df_, "term")
         .withColumn(
             "tbucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
         )
-        .repartition("tbucket")
+        .repartition(
+            F.col("tbucket"),
+            F.pmod(F.hash("doc_id"), F.lit(write_shards)),
+        )
         .write.mode("overwrite")
         .partitionBy("tbucket")
         .parquet(f"{out_path}/postings")

@@ -163,3 +163,41 @@ def test_meta_column_pruned_from_unfiltered_scan(spark, tmp_path):
     )
     scan = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
     assert "source" not in scan
+
+
+def test_stopword_grade_term_serves_exactly(spark, tmp_path):
+    """A term present in EVERY doc (corpus-sized posting list) must
+    still serve exactly — the pivot/rank path has no posting-length
+    assumption — and the sharded build write leaves more than one
+    file in a hot term's bucket partition."""
+    import glob
+
+    docs = spark.createDataFrame(
+        [(i, "the " + ("hash " if i % 2 else "join ") * (1 + i % 3))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25idx_hot")
+    # AQE's small-partition coalescing hides the sharded writers on a
+    # toy corpus (it merges the sub-advisory-size shards back into one
+    # task); disable it for the build so the file layout shows the
+    # at-scale behavior, where shards exceed the advisory size anyway
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        TX.bm25_index_build(docs, idx)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    live = sorted(
+        map(tuple, TX.bm25_topk(docs, [["the"], ["the", "hash"]], k=50).collect())
+    )
+    served = sorted(
+        map(tuple,
+            TX.bm25_indexed_topk(spark, idx, [["the"], ["the", "hash"]],
+                                 k=50).collect())
+    )
+    assert served == live and len(live) > 40
+    hot_bucket = TX.bm25_index_bucket("the")
+    files = glob.glob(f"{idx}/postings/tbucket={hot_bucket}/*.parquet")
+    assert len(files) > 1  # sharded writers, not one task per bucket
