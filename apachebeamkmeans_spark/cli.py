@@ -317,8 +317,24 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
     h.add_argument("--terms", required=True)
     h.add_argument("--qvec", required=True)
     h.add_argument("--per-side", type=int, default=50)
-    h.add_argument("--docs", required=True)
-    common(h, vecs=True)
+    h.add_argument("--docs",
+                   help="documents parquet — live brute-force hybrid; "
+                        "with --embeddings for the vector side")
+    h.add_argument("--bm25-index",
+                   help="persisted BM25 index (see `retrieve index`) — "
+                        "indexed hybrid; pair with --ann-index")
+    h.add_argument("--ann-index",
+                   help="persisted AnnIndex dir (see `ann train`) — "
+                        "indexed hybrid; pair with --bm25-index")
+    h.add_argument("--nprobe", type=int, default=2,
+                   help="probed cells on the indexed vector side")
+    h.add_argument("--embeddings",
+                   help="embeddings parquet (live vector side)")
+    h.add_argument("--id-col", default="vec_id")
+    h.add_argument("--vec-col", default="embedding")
+    h.add_argument("--k", type=int, default=10)
+    h.add_argument("--output", required=True,
+                   help="output parquet of ranked hits")
 
     m = sub.add_parser("maxsim", help="late-interaction MaxSim top-k")
     m.add_argument("--qtoks", required=True,
@@ -393,11 +409,42 @@ def _retrieve_run(args, spark) -> int:
         hits = SIM.cosine_topk(points(), [_parse_vec(args.qvec)], args.k)
     elif args.action == "hybrid":
         terms = [t.strip() for t in args.terms.split(",") if t.strip()]
-        hits = SIM.hybrid_rrf_topk(
-            spark.read.parquet(args.docs), points(),
-            [(terms, _parse_vec(args.qvec))], k=args.k,
-            per_side=args.per_side,
-        )
+        indexed = bool(args.bm25_index or args.ann_index)
+        if indexed:
+            if not (args.bm25_index and args.ann_index):
+                raise ValueError(
+                    "retrieve hybrid: the indexed form needs BOTH "
+                    "--bm25-index and --ann-index"
+                )
+            from pyspark.sql import functions as F
+
+            from apachebeamkmeans_spark.ann import AnnIndex
+
+            tranked = TX.bm25_indexed_topk(
+                spark, args.bm25_index, [terms], args.per_side
+            ).select(
+                "qid", F.col("doc_id").alias("id"),
+                F.col("rank").alias("text_rank"),
+            )
+            vranked = AnnIndex.load(spark, args.ann_index).topk(
+                [_parse_vec(args.qvec)], k=args.per_side,
+                nprobe=args.nprobe,
+            ).select(
+                "qid", F.col("vec_id").alias("id"),
+                F.col("rank").alias("vec_rank"),
+            )
+            hits = SIM.rrf_fuse(tranked, vranked, args.k)
+        else:
+            if not (args.docs and args.embeddings):
+                raise ValueError(
+                    "retrieve hybrid: pass --docs + --embeddings (live)"
+                    " or --bm25-index + --ann-index (indexed)"
+                )
+            hits = SIM.hybrid_rrf_topk(
+                spark.read.parquet(args.docs), points(),
+                [(terms, _parse_vec(args.qvec))], k=args.k,
+                per_side=args.per_side,
+            )
     elif args.action == "maxsim":
         toks = [_parse_vec(t) for t in args.qtoks.split(";") if t.strip()]
         pts = points()

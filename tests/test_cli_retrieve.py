@@ -153,3 +153,62 @@ def test_retrieve_bm25_rejects_ambiguous_source(spark, sf_dir, tmp_path):
              "--output", str(tmp_path / "y")],
             spark=spark,
         )
+
+
+def test_retrieve_hybrid_indexed_equals_library(spark, sf_dir, tmp_path):
+    """`retrieve hybrid --bm25-index --ann-index` equals composing the
+    library serve calls (bm25_indexed_topk ⊕ AnnIndex.topk, RRF)."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    docs_p, emb_p = _paths(sf_dir)
+    bm25_idx = str(tmp_path / "hb_bm25")
+    ann_idx = str(tmp_path / "hb_ann")
+    assert cli.main(
+        ["retrieve", "index", "--docs", docs_p, "--index", bm25_idx],
+        spark=spark,
+    ) == 0
+    assert cli.main(
+        ["ann", "train", "--embeddings", emb_p, "--index-path", ann_idx,
+         "--k", "4"],
+        spark=spark,
+    ) == 0
+    out = str(tmp_path / "hyb_hits")
+    assert cli.main(
+        ["retrieve", "hybrid", "--bm25-index", bm25_idx,
+         "--ann-index", ann_idx, "--terms", "join,hash",
+         f"--qvec={QV}", "--k", "5", "--nprobe", "2", "--output", out],
+        spark=spark,
+    ) == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    tranked = TX.bm25_indexed_topk(
+        spark, bm25_idx, [["join", "hash"]], 50
+    ).select("qid", F.col("doc_id").alias("id"),
+             F.col("rank").alias("text_rank"))
+    qv = [0.1 * ((j % 5) - 2) for j in range(64)]
+    vranked = AnnIndex.load(spark, ann_idx).topk(
+        [qv], k=50, nprobe=2
+    ).select("qid", F.col("vec_id").alias("id"),
+             F.col("rank").alias("vec_rank"))
+    want = {tuple(r) for r in SIM.rrf_fuse(tranked, vranked, 5).collect()}
+    assert got == want and got
+
+
+def test_retrieve_hybrid_rejects_half_indexed(spark, sf_dir, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="BOTH"):
+        cli.main(
+            ["retrieve", "hybrid", "--bm25-index", str(tmp_path / "x"),
+             "--terms", "join", f"--qvec={QV}",
+             "--output", str(tmp_path / "o")],
+            spark=spark,
+        )
+    with pytest.raises(ValueError, match="pass --docs"):
+        cli.main(
+            ["retrieve", "hybrid", "--terms", "join", f"--qvec={QV}",
+             "--output", str(tmp_path / "o2")],
+            spark=spark,
+        )
