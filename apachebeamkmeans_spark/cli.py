@@ -298,15 +298,20 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
     common(b)
 
     ix = sub.add_parser(
-        "index", help="build the persisted BM25 serving index"
+        "index", help="build or grow the persisted BM25 serving index"
     )
     ix.add_argument("--docs", required=True,
                     help="documents parquet with (doc_id, text)")
     ix.add_argument("--meta-cols", default="",
                     help="comma-separated doc columns to denormalize "
-                         "onto postings (enables --where at serve)")
+                         "onto postings (enables --where at serve); "
+                         "ignored with --append (the commit file's "
+                         "recorded meta_cols apply)")
+    ix.add_argument("--append", action="store_true",
+                    help="append the batch (NEW doc_ids) as a fresh "
+                         "segment instead of rebuilding")
     ix.add_argument("--index", required=True,
-                    help="output index directory")
+                    help="index directory")
 
     v = sub.add_parser("vector", help="exact cosine top-k")
     v.add_argument("--qvec", required=True,
@@ -380,15 +385,21 @@ def _retrieve_run(args, spark) -> int:
         )
 
     if args.action == "index":
-        meta = tuple(
-            c.strip() for c in (args.meta_cols or "").split(",") if c.strip()
-        )
-        TX.bm25_index_build(
-            spark.read.parquet(args.docs), args.index, meta_cols=meta
-        )
-        n = spark.read.parquet(f"{args.index}/postings").count()
-        extra = f", meta {list(meta)}" if meta else ""
-        print(f"retrieve index: {n} posting rows{extra} -> {args.index}")
+        if args.append:
+            TX.bm25_index_append(spark.read.parquet(args.docs), args.index)
+        else:
+            meta = tuple(
+                c.strip() for c in (args.meta_cols or "").split(",")
+                if c.strip()
+            )
+            TX.bm25_index_build(
+                spark.read.parquet(args.docs), args.index, meta_cols=meta
+            )
+        commit = TX._bm25_read_commit(args.index)
+        n = sum(s["n"] for s in commit["segments"])
+        verb = "append" if args.append else "build"
+        print(f"retrieve index {verb}: {len(commit['segments'])} "
+              f"segment(s), {n} docs -> {args.index}")
         return 0
     if args.action == "bm25":
         terms = [t.strip() for t in args.terms.split(",") if t.strip()]

@@ -1095,30 +1095,32 @@ def bm25_index_build(docs: DataFrame, out_path: str,
                      meta_cols: tuple[str, ...] = ()) -> None:
     """Materialize the BM25 serving index — the production shape the
     `bm25_topk` docstring promises ("at real scale df/avgdl come from
-    the materialized inverted index"): one build-time tokenize of the
-    corpus, then two parquet layouts under `out_path`:
+    the materialized inverted index"). r14 v2 is SEGMENTED (the Lucene
+    model, matching AnnIndex's lifecycle): one build-time tokenize of
+    the corpus writes segment 0, `bm25_index_append` adds disjoint
+    batches as further segments, and a commit file makes each step
+    atomic. Layout under `out_path`:
 
-    - `postings/` — one row per (term, doc) with tf, and the scoring
-      inputs DENORMALIZED per row (dl of the doc, df of the term):
-      Lucene's impact-file shape, so serving needs no corpus-sized
-      join. Hive-partitioned by `tbucket = crc32(term) % n_buckets` —
-      a literal query's terms map to a handful of buckets, so the
-      serve scan is partition-pruned exactly like the IVF layouts'
-      coarse_id pruning.
-    - `stats/` — ONE row (n docs, Σdl): the two global scalars the
-      score needs, read back as plan-time literals at serve.
+    - `postings/seg=<n>/tbucket=<b>/` — one row per (term, doc) with
+      tf and dl (+ `meta_cols` denormalized); hive-partitioned by
+      segment and by `tbucket = crc32(term) % n_buckets`, so a
+      query's terms prune to a handful of bucket dirs in each
+      committed segment.
+    - `df/seg=<n>/tbucket=<b>/` — the segment's per-term document
+      frequencies (vocabulary-sized). Total df at serve = Σ over
+      committed segments (appended doc_ids are NEW by contract, the
+      AnnIndex.append convention, so per-segment dfs add exactly).
+    - `_segments.json` — the COMMIT POINT: the list of committed
+      segments with their (n docs, Σdl) scalars, plus n_buckets and
+      meta_cols. Written last via an atomic replace, so a reader
+      never sees a half-written segment; a crashed build/append
+      leaves orphan files that are invisible (and overwritten by id
+      reuse on retry).
 
-    `meta_cols` names document metadata columns (e.g. `source`) to
-    DENORMALIZE onto each posting row — the AnnIndex `meta_cols`
-    pattern for the text tier: a filtered retrieval (`where=`) then
-    prunes candidates inside the pruned scan while scoring with the
-    GLOBAL corpus stats (the Lucene filtered-query semantics: a filter
-    restricts candidates, it does not re-estimate df/avgdl).
-
-    Build cost at 100 TB: tokenize (narrow) → (term, doc) hash-agg for
-    tf → term hash-agg for df → one join on term — all map-side-
-    combined shuffles over the exploded token stream; run once per
-    corpus generation, amortized over every query after.
+    Build cost at 100 TB: tokenize (narrow) → (term, doc) hash-agg —
+    map-side-combined shuffles over the exploded token stream; run
+    once per corpus generation (or per appended batch), amortized
+    over every query after.
 
     Skew honesty: a stopword-grade term's posting list is corpus-sized
     by definition, so serving a stopword query scans a corpus-sized
@@ -1128,6 +1130,47 @@ def bm25_index_build(docs: DataFrame, out_path: str,
     production escalation, not implemented here). The BUILD is skew-
     safe regardless: the write exchange keys on (tbucket, doc-shard)
     so no single task owns a hot term's postings."""
+    entry = _bm25_write_segment(
+        docs, out_path, 0, n_buckets, meta_cols, overwrite=True
+    )
+    _bm25_write_commit(out_path, {
+        "version": 2,
+        "n_buckets": n_buckets,
+        "meta_cols": list(meta_cols),
+        "segments": [entry],
+    })
+
+
+def bm25_index_append(docs: DataFrame, index_path: str) -> None:
+    """Append a batch of NEW documents (disjoint doc_ids — the
+    AnnIndex.append contract) as a fresh segment: writes only the
+    batch's postings + per-term dfs + its two scalars, touching
+    nothing already committed, then atomically swaps the commit file.
+    Serving immediately reflects the union corpus with EXACT global
+    stats (n, Σdl, df all sum across segments), bit-identical to a
+    from-scratch rebuild over the union — certified by
+    tests/test_text_index.py::test_append_equals_rebuild. At 100 TB
+    this is the difference between re-tokenizing the corpus per batch
+    and paying only for the batch."""
+    commit = _bm25_read_commit(index_path)
+    seg = 1 + max((s["id"] for s in commit["segments"]), default=-1)
+    entry = _bm25_write_segment(
+        docs, index_path, seg, commit["n_buckets"],
+        tuple(commit["meta_cols"]), overwrite=False,
+    )
+    commit["segments"].append(entry)
+    _bm25_write_commit(index_path, commit)
+
+
+def _bm25_write_segment(docs: DataFrame, out_path: str, seg: int,
+                        n_buckets: int, meta_cols: tuple[str, ...],
+                        overwrite: bool) -> dict:
+    """One segment's postings + df layouts and its commit-entry
+    scalars. The write exchange keys on (tbucket, doc-shard), NOT
+    tbucket alone: keying only on the n_buckets values would funnel
+    the segment through n_buckets writer tasks (and a stopword-grade
+    term's corpus-sized postings through ONE); with the doc shard in
+    the key every bucket gets `write_shards` parallel writers."""
     staged = bm25_stage(docs)
     tf = (
         staged.select(
@@ -1139,73 +1182,123 @@ def bm25_index_build(docs: DataFrame, out_path: str,
     )
     if meta_cols:
         tf = tf.join(docs.select("doc_id", *meta_cols), "doc_id")
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # The write exchange keys on (tbucket, doc-shard), NOT tbucket
-    # alone: keying only on the n_buckets values would funnel the
-    # whole corpus through n_buckets writer tasks (and a stopword-
-    # grade term's postings — corpus-sized by definition — through
-    # ONE). With the doc shard in the key, every bucket gets
-    # `write_shards` parallel writers, each emitting its own file
-    # into the bucket's partition dir.
+    mode = "overwrite" if overwrite else "append"
     write_shards = 8
+    tbucket = (F.crc32(F.col("term")) % n_buckets).cast("int")
     (
-        tf.join(df_, "term")
-        .withColumn(
-            "tbucket", (F.crc32(F.col("term")) % n_buckets).cast("int")
-        )
+        tf.withColumn("seg", F.lit(seg))
+        .withColumn("tbucket", tbucket)
         .repartition(
             F.col("tbucket"),
             F.pmod(F.hash("doc_id"), F.lit(write_shards)),
         )
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
+        .write.mode(mode)
+        .partitionBy("seg", "tbucket")
         .parquet(f"{out_path}/postings")
     )
     (
-        staged.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl")
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{out_path}/stats")
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("seg", F.lit(seg))
+        .withColumn("tbucket", tbucket)
+        .write.mode(mode)
+        .partitionBy("seg", "tbucket")
+        .parquet(f"{out_path}/df")
     )
+    srow = staged.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl")
+    ).collect()[0]
+    return {"id": seg, "n": int(srow["n"]), "sdl": int(srow["sdl"] or 0)}
+
+
+def _bm25_commit_path(index_path: str) -> str:
+    import os
+
+    return os.path.join(index_path, "_segments.json")
+
+
+def _bm25_read_commit(index_path: str) -> dict:
+    import json
+
+    with open(_bm25_commit_path(index_path)) as f:
+        return json.load(f)
+
+
+def _bm25_write_commit(index_path: str, commit: dict) -> None:
+    """Atomic commit-point swap: tmp file + os.replace — the reader
+    either sees the previous committed segment list or the new one,
+    never a torn state."""
+    import json
+    import os
+
+    path = _bm25_commit_path(index_path)
+    os.makedirs(index_path, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(commit, f)
+    os.replace(tmp, path)
 
 
 def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
                           k1: float, b: float, n_buckets: int,
                           where: str | None = None):
     """Shared serve-side scan: the partition-pruned, term-filtered
-    postings frame plus the per-row BM25 score column (built from the
-    denormalized tf/dl/df and the 1-row stats literals). Both the
-    literal (`bm25_indexed_topk`) and the batch query-table
-    (`bm25_indexed_topk_table`) forms read through here, so the
-    pruning/pushdown claim is one code path. `where` is a SQL
+    postings frame over the COMMITTED segments, plus a per-term score
+    column builder. Both the literal (`bm25_indexed_topk`) and the
+    batch query-table (`bm25_indexed_topk_table`) forms read through
+    here, so the pruning/pushdown claim is one code path.
+
+    Global stats: n and Σdl sum exactly (Python ints) over the commit
+    entries; each query term's df sums over the pruned per-segment df
+    layouts — one k-row-class collect (the static-pushdown move the
+    batch ANN probes make), after which every idf is an engine-side
+    expression over plan-time literals, bit-identical to the live
+    scorer's column arithmetic on the same values. `where` is a SQL
     predicate over the denormalized metadata columns (filtered
     retrieval: candidates are pruned inside the scan, stats stay
     global — the Lucene filtered-query semantics)."""
-    srow = spark.read.parquet(f"{index_path}/stats").collect()[0]
-    if srow["n"] == 0:
-        # empty corpus: the partitioned postings write left no part
-        # files (schema inference would fail) and no doc can rank —
-        # the callers detect the None and return an empty frame
+    commit = _bm25_read_commit(index_path)
+    n_buckets = commit["n_buckets"]
+    segs = [s["id"] for s in commit["segments"]]
+    n = float(sum(s["n"] for s in commit["segments"]))
+    sdl = float(sum(s["sdl"] for s in commit["segments"]))
+    if n == 0:
+        # empty corpus: no doc can rank — the callers detect the None
+        # and return a typed empty frame
         return None, None
-    n, sdl = float(srow["n"]), float(srow["sdl"])
     buckets = sorted({bm25_index_bucket(t, n_buckets) for t in terms})
+    df_rows = (
+        spark.read.parquet(f"{index_path}/df")
+        .filter(
+            F.col("seg").isin(segs)
+            & F.col("tbucket").isin(buckets)
+            & F.col("term").isin(list(terms))
+        )
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    df_map = {r["term"]: float(r["df"]) for r in df_rows}
     posts = spark.read.parquet(f"{index_path}/postings").filter(
-        F.col("tbucket").isin(buckets) & F.col("term").isin(list(terms))
+        F.col("seg").isin(segs)
+        & F.col("tbucket").isin(buckets)
+        & F.col("term").isin(list(terms))
     )
     if where is not None:
         posts = posts.filter(F.expr(where))
     tf = F.col("tf").cast("double")
-    dfc = F.col("df").cast("double")
-    idf = (F.lit(n) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
     avgdl = F.lit(sdl) / F.lit(n)
     norm = F.lit(float(k1)) * (
         F.lit(1.0) - F.lit(float(b))
         + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
     )
-    score = idf * (tf * F.lit(float(k1) + 1.0) / (tf + norm))
-    return posts, score
+
+    def term_score(t: str):
+        df_t = df_map.get(t, 0.0)
+        idf = (F.lit(n) - F.lit(df_t) + F.lit(0.5)) / (
+            F.lit(df_t) + F.lit(0.5)
+        )
+        return idf * (tf * F.lit(float(k1) + 1.0) / (tf + norm))
+
+    return posts, term_score
 
 
 def bm25_indexed_topk(spark, index_path: str,
@@ -1216,24 +1309,25 @@ def bm25_indexed_topk(spark, index_path: str,
     """BM25 serving off the persisted index `bm25_index_build` wrote —
     bit-identical scores to the live `bm25_topk` (same formula, same
     left-associated per-query term sums, same log-free IDF), but the
-    plan reads O(query terms) index partitions instead of tokenizing
-    the corpus per run:
+    plan reads O(query terms) index partitions in each committed
+    segment instead of tokenizing the corpus per run:
 
-    scan postings WHERE tbucket IN (buckets of the query terms)  — the
-    partition filter — AND term IN (terms) — the pushed row filter —
-    → per-row score from the denormalized (tf, dl, df) + the two
-    stats literals → pivot to one column per distinct term (each
-    (term, doc) is unique, so `max` picks the single value) → per-
-    query left-associated sums over `coalesce(score_t, 0.0)` (IEEE
-    `0.0 + x == x`, so a missing term contributes exactly what the
-    live form's tf=0 term does) → posexplode + per-qid window top-k.
+    scan postings WHERE seg/tbucket match (partition filters) AND
+    term IN (terms) (pushed row filter) → per-row score from (tf, dl)
+    + the per-term df / global-stats literals → pivot to one column
+    per distinct term (each (term, doc) is unique across segments —
+    append batches carry NEW doc_ids — so `max` picks the single
+    value) → per-query left-associated sums over
+    `coalesce(score_t, 0.0)` (IEEE `0.0 + x == x`, so a missing term
+    contributes exactly what the live form's tf=0 term does) →
+    posexplode + per-qid window top-k.
 
     At 100 TB the pruned scan is the posting lists of a handful of
     terms — MBs, not the corpus — and the only shuffle is the pivot's
-    hash-agg on doc_id over those rows. Driver traffic: the 1-row
-    stats read (probe-cell class)."""
+    hash-agg on doc_id over those rows. Driver traffic: the commit
+    file + the k-term df collect (probe-cell class)."""
     terms = sorted({t for q in queries for t in q})
-    posts, score = _bm25_pruned_postings(
+    posts, term_score = _bm25_pruned_postings(
         spark, index_path, terms, k1, b, n_buckets, where
     )
     if posts is None:  # empty-corpus index
@@ -1242,7 +1336,7 @@ def bm25_indexed_topk(spark, index_path: str,
         )
     pivoted = posts.groupBy("doc_id").agg(
         *[
-            F.max(F.when(F.col("term") == t, score)).alias(f"__s_{i}")
+            F.max(F.when(F.col("term") == t, term_score(t))).alias(f"__s_{i}")
             for i, t in enumerate(terms)
         ]
     )
@@ -1251,8 +1345,8 @@ def bm25_indexed_topk(spark, index_path: str,
     for q in queries:
         s = None
         for t in q:
-            term_score = F.coalesce(F.col(s_col[t]), F.lit(0.0))
-            s = term_score if s is None else s + term_score
+            ts = F.coalesce(F.col(s_col[t]), F.lit(0.0))
+            s = ts if s is None else s + ts
         score_exprs.append(s)
     exploded = pivoted.select(
         "doc_id", F.posexplode(F.array(*score_exprs)).alias("qid", "__s")
@@ -1292,12 +1386,18 @@ def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,
     terms = sorted(
         {r["term"] for r in queries.select("term").distinct().collect()}
     )
-    posts, score = _bm25_pruned_postings(
+    posts, term_score = _bm25_pruned_postings(
         spark, index_path, terms, k1, b, n_buckets, where
     )
     if posts is None:  # empty-corpus index
         return spark.createDataFrame(
             [], "qid int, doc_id long, bm25 double, rank int"
+        )
+    score = None
+    for t in terms:
+        clause = F.when(F.col("term") == t, term_score(t))
+        score = clause if score is None else score.when(
+            F.col("term") == t, term_score(t)
         )
     pair = posts.withColumn("__ts", score).join(
         F.broadcast(queries.select("qid", "term")), "term"

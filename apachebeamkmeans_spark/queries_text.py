@@ -1303,8 +1303,10 @@ def _bm25_index_path(sf_dir: str) -> str:
     ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     fp = scratch.data_fingerprint(sf_dir, "documents")
     # "src" = the source metadata column rides every posting row
-    # (filtered-retrieval support; pruned from unfiltered scans)
-    cfg = f"b{TX.BM25_INDEX_BUCKETS}src"
+    # (filtered-retrieval support; pruned from unfiltered scans);
+    # "v2" = the segmented commit-file layout (r14 second wave) — a
+    # pre-segment layout at a reused path must rebuild, not misread
+    cfg = f"b{TX.BM25_INDEX_BUCKETS}srcv2"
     path = os.path.join(
         scratch.repo_root(), ".text_index",
         f"bm25_{cfg}_{sfx}_{ph}_f{fp}",

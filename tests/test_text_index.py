@@ -199,5 +199,80 @@ def test_stopword_grade_term_serves_exactly(spark, tmp_path):
     )
     assert served == live and len(live) > 40
     hot_bucket = TX.bm25_index_bucket("the")
-    files = glob.glob(f"{idx}/postings/tbucket={hot_bucket}/*.parquet")
+    files = glob.glob(
+        f"{idx}/postings/seg=0/tbucket={hot_bucket}/*.parquet"
+    )
     assert len(files) > 1  # sharded writers, not one task per bucket
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    """build(A) + append(B) serves bit-identically to build(A ∪ B):
+    n/Σdl/df all sum exactly across segments."""
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge join fast"), (11, "the stream table scan")],
+        "doc_id long, text string",
+    )
+    grown = str(tmp_path / "grown")
+    TX.bm25_index_build(a, grown)
+    TX.bm25_index_append(b, grown)
+    rebuilt = str(tmp_path / "rebuilt")
+    TX.bm25_index_build(a.unionByName(b), rebuilt)
+    q = QUERIES + [["merge", "fast"]]
+    got = sorted(map(tuple, TX.bm25_indexed_topk(spark, grown, q, k=20).collect()))
+    want = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, rebuilt, q, k=20).collect())
+    )
+    assert got == want and got
+    # ...and both equal the live scorer over the union corpus
+    live = sorted(
+        map(tuple, TX.bm25_topk(a.unionByName(b), q, k=20).collect())
+    )
+    assert got == live
+
+
+def test_uncommitted_segment_is_invisible(spark, tmp_path):
+    """A crashed append (segment files on disk, commit not swapped)
+    must not change serving — the commit file is the read boundary."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "crashy")
+    TX.bm25_index_build(docs, idx)
+    before = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
+    )
+    # simulate the crash: write segment 1's data but SKIP the commit
+    batch = spark.createDataFrame(
+        [(99, "hash join hash join")], "doc_id long, text string"
+    )
+    commit = TX._bm25_read_commit(idx)
+    TX._bm25_write_segment(batch, idx, 1, commit["n_buckets"], (), False)
+    after = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
+    )
+    assert after == before
+    # the real append commits and the batch becomes visible
+    TX.bm25_index_append(
+        spark.createDataFrame([(100, "stream stream window")],
+                              "doc_id long, text string"), idx
+    )
+    rows = TX.bm25_indexed_topk(spark, idx, [["stream"]], k=10).collect()
+    assert 100 in {r["doc_id"] for r in rows}
+
+
+def test_append_respects_recorded_meta_cols(spark, tmp_path):
+    """Appending to a meta-carrying index keeps the metadata column on
+    the new segment's postings (the commit file records meta_cols), so
+    filtered serving sees appended docs."""
+    a = spark.createDataFrame(
+        [(1, "hash join", "web")], "doc_id long, text string, source string"
+    )
+    b = spark.createDataFrame(
+        [(2, "hash scan", "book")], "doc_id long, text string, source string"
+    )
+    idx = str(tmp_path / "meta_grow")
+    TX.bm25_index_build(a, idx, meta_cols=("source",))
+    TX.bm25_index_append(b, idx)
+    rows = TX.bm25_indexed_topk(
+        spark, idx, [["hash"]], k=10, where="source = 'book'"
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {2}
