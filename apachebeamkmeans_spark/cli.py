@@ -300,8 +300,9 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
     ix = sub.add_parser(
         "index", help="build or grow the persisted BM25 serving index"
     )
-    ix.add_argument("--docs", required=True,
-                    help="documents parquet with (doc_id, text)")
+    ix.add_argument("--docs",
+                    help="documents parquet with (doc_id, text) — "
+                         "required except with --compact")
     ix.add_argument("--meta-cols", default="",
                     help="comma-separated doc columns to denormalize "
                          "onto postings (enables --where at serve); "
@@ -310,6 +311,9 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
     ix.add_argument("--append", action="store_true",
                     help="append the batch (NEW doc_ids) as a fresh "
                          "segment instead of rebuilding")
+    ix.add_argument("--compact", action="store_true",
+                    help="merge committed segments into one "
+                         "(maintenance; no --docs)")
     ix.add_argument("--index", required=True,
                     help="index directory")
 
@@ -385,7 +389,15 @@ def _retrieve_run(args, spark) -> int:
         )
 
     if args.action == "index":
-        if args.append:
+        if args.compact and (args.append or args.docs):
+            raise ValueError(
+                "retrieve index: --compact takes no --docs/--append"
+            )
+        if not args.compact and not args.docs:
+            raise ValueError("retrieve index: --docs is required")
+        if args.compact:
+            TX.bm25_index_compact(spark, args.index)
+        elif args.append:
             TX.bm25_index_append(spark.read.parquet(args.docs), args.index)
         else:
             meta = tuple(
@@ -397,7 +409,8 @@ def _retrieve_run(args, spark) -> int:
             )
         commit = TX._bm25_read_commit(args.index)
         n = sum(s["n"] for s in commit["segments"])
-        verb = "append" if args.append else "build"
+        verb = ("compact" if args.compact
+                else "append" if args.append else "build")
         print(f"retrieve index {verb}: {len(commit['segments'])} "
               f"segment(s), {n} docs -> {args.index}")
         return 0

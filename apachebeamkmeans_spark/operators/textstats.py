@@ -1162,6 +1162,58 @@ def bm25_index_append(docs: DataFrame, index_path: str) -> None:
     _bm25_write_commit(index_path, commit)
 
 
+def bm25_index_compact(spark, index_path: str) -> None:
+    """Merge all committed segments into one — the maintenance pass an
+    append-heavy index needs (AnnIndex.compact's text twin): postings
+    rows rewrite unchanged under a fresh segment id, per-term dfs
+    re-aggregate (sum across segments), the commit swaps to the single
+    merged entry (summed n/Σdl — serving is bit-identical before and
+    after, tested), and the superseded segment dirs are reclaimed
+    best-effort AFTER the swap (a concurrent reader that already
+    resolved the old commit may still be scanning them — the AnnIndex
+    retention rationale; rerunning compact reclaims stragglers)."""
+    import os
+    import shutil
+
+    commit = _bm25_read_commit(index_path)
+    old = [s["id"] for s in commit["segments"]]
+    if len(old) <= 1:
+        return
+    seg = 1 + max(old)
+    posts = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("seg").isin(old)
+    )
+    (
+        posts.withColumn("seg", F.lit(seg))
+        .write.mode("append")
+        .partitionBy("seg", "tbucket")
+        .parquet(f"{index_path}/postings")
+    )
+    (
+        spark.read.parquet(f"{index_path}/df")
+        .filter(F.col("seg").isin(old))
+        .groupBy("term", "tbucket")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("seg", F.lit(seg))
+        .write.mode("append")
+        .partitionBy("seg", "tbucket")
+        .parquet(f"{index_path}/df")
+    )
+    merged = {
+        "id": seg,
+        "n": sum(s["n"] for s in commit["segments"]),
+        "sdl": sum(s["sdl"] for s in commit["segments"]),
+    }
+    commit["segments"] = [merged]
+    _bm25_write_commit(index_path, commit)
+    for layout in ("postings", "df"):
+        for s in old:
+            shutil.rmtree(
+                os.path.join(index_path, layout, f"seg={s}"),
+                ignore_errors=True,
+            )
+
+
 def _bm25_write_segment(docs: DataFrame, out_path: str, seg: int,
                         n_buckets: int, meta_cols: tuple[str, ...],
                         overwrite: bool) -> dict:

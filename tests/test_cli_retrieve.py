@@ -212,3 +212,44 @@ def test_retrieve_hybrid_rejects_half_indexed(spark, sf_dir, tmp_path):
              "--output", str(tmp_path / "o2")],
             spark=spark,
         )
+
+
+def test_retrieve_index_append_compact_cycle(spark, sf_dir, tmp_path):
+    """build → --append → --compact from the shell: serving unchanged
+    through the cycle, segment count collapses to one."""
+    docs_p, _ = _paths(sf_dir)
+    idx = str(tmp_path / "cycle_idx")
+    assert cli.main(
+        ["retrieve", "index", "--docs", docs_p, "--index", idx],
+        spark=spark,
+    ) == 0
+    # append a small disjoint batch written from the same corpus
+    batch_p = str(tmp_path / "batch.parquet")
+    io.read_table(spark, sf_dir, "documents").limit(3).selectExpr(
+        "doc_id + 1000000 AS doc_id", "text", "source", "lang",
+    ).write.parquet(batch_p)
+    assert cli.main(
+        ["retrieve", "index", "--docs", batch_p, "--index", idx,
+         "--append"],
+        spark=spark,
+    ) == 0
+    out1 = str(tmp_path / "pre_compact")
+    assert cli.main(
+        ["retrieve", "bm25", "--index", idx, "--terms", "join,hash",
+         "--k", "8", "--output", out1],
+        spark=spark,
+    ) == 0
+    assert cli.main(
+        ["retrieve", "index", "--index", idx, "--compact"],
+        spark=spark,
+    ) == 0
+    out2 = str(tmp_path / "post_compact")
+    assert cli.main(
+        ["retrieve", "bm25", "--index", idx, "--terms", "join,hash",
+         "--k", "8", "--output", out2],
+        spark=spark,
+    ) == 0
+    a = {tuple(r) for r in spark.read.parquet(out1).collect()}
+    b = {tuple(r) for r in spark.read.parquet(out2).collect()}
+    assert a == b and a
+    assert len(TX._bm25_read_commit(idx)["segments"]) == 1

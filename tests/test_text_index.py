@@ -276,3 +276,35 @@ def test_append_respects_recorded_meta_cols(spark, tmp_path):
         spark, idx, [["hash"]], k=10, where="source = 'book'"
     ).collect()
     assert {r["doc_id"] for r in rows} == {2}
+
+
+def test_compact_preserves_serving_and_reclaims(spark, tmp_path):
+    """compact merges segments into one: serving is bit-identical
+    before and after, the commit holds a single summed entry, and the
+    superseded segment dirs are reclaimed."""
+    import os
+
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge join fast"), (11, "the stream table scan")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "compactme")
+    TX.bm25_index_build(a, idx)
+    TX.bm25_index_append(b, idx)
+    before = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+    )
+    TX.bm25_index_compact(spark, idx)
+    commit = TX._bm25_read_commit(idx)
+    assert len(commit["segments"]) == 1
+    assert commit["segments"][0]["n"] == len(DOCS) + 2
+    after = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+    )
+    assert after == before and before
+    assert not os.path.isdir(f"{idx}/postings/seg=0")
+    assert not os.path.isdir(f"{idx}/postings/seg=1")
+    # idempotent: a single-segment index is a no-op
+    TX.bm25_index_compact(spark, idx)
+    assert len(TX._bm25_read_commit(idx)["segments"]) == 1
