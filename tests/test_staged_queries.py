@@ -60,3 +60,15 @@ def test_staged_names_not_registered():
     from apachebeamkmeans_spark.registry import all_queries
 
     assert not set(STAGED) & set(all_queries())
+
+
+def test_staged_maxsim_indexed_plan_pruned(spark):
+    """The staged indexed-MaxSim plan keeps the serve index's
+    partition pruning inside the fused plan (coarse_id PartitionFilters
+    on the shortlist side) and stays Python-free."""
+    from apachebeamkmeans_spark.plans import explain as X
+
+    res = QS.q_sim_maxsim_indexed(spark, GATE_SF)
+    plan = X.formatted_plan(res)
+    assert "coarse_id" in "".join(plan.split("PartitionFilters")[1:])
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

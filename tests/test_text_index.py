@@ -54,6 +54,9 @@ def test_indexed_topk_partition_pruned(spark, tmp_path):
     )
     after = plan.split("PartitionFilters", 1)
     assert len(after) == 2 and "tbucket" in after[1][:200]
+    # segment pruning: only COMMITTED segments are scanned (the seg
+    # isin filter reaches the scan as a partition filter too)
+    assert "seg" in "".join(plan.split("PartitionFilters")[1:])
     # no corpus tokenize in the serve plan: the only scan is the
     # postings layout (the createDataFrame corpus would surface as a
     # LocalTableScan and its tokenize as split/lower expressions)
