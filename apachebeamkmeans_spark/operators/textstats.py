@@ -1291,7 +1291,7 @@ def _bm25_write_commit(index_path: str, commit: dict) -> None:
 
 
 def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
-                          k1: float, b: float, n_buckets: int,
+                          k1: float, b: float,
                           where: str | None = None):
     """Shared serve-side scan: the partition-pruned, term-filtered
     postings frame over the COMMITTED segments, plus a per-term score
@@ -1356,7 +1356,6 @@ def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
 def bm25_indexed_topk(spark, index_path: str,
                       queries: list[list[str]], k: int = 10,
                       k1: float = 1.2, b: float = 0.75,
-                      n_buckets: int = BM25_INDEX_BUCKETS,
                       where: str | None = None) -> DataFrame:
     """BM25 serving off the persisted index `bm25_index_build` wrote —
     bit-identical scores to the live `bm25_topk` (same formula, same
@@ -1380,7 +1379,7 @@ def bm25_indexed_topk(spark, index_path: str,
     file + the k-term df collect (probe-cell class)."""
     terms = sorted({t for q in queries for t in q})
     posts, term_score = _bm25_pruned_postings(
-        spark, index_path, terms, k1, b, n_buckets, where
+        spark, index_path, terms, k1, b, where
     )
     if posts is None:  # empty-corpus index
         return spark.createDataFrame(
@@ -1414,7 +1413,6 @@ def bm25_indexed_topk(spark, index_path: str,
 def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,
                             k: int = 10, k1: float = 1.2,
                             b: float = 0.75,
-                            n_buckets: int = BM25_INDEX_BUCKETS,
                             where: str | None = None) -> DataFrame:
     """Batch BM25 serving for a query TABLE (qid, term — one row per
     query term) against the persisted index: the evaluation-workload
@@ -1439,7 +1437,7 @@ def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,
         {r["term"] for r in queries.select("term").distinct().collect()}
     )
     posts, term_score = _bm25_pruned_postings(
-        spark, index_path, terms, k1, b, n_buckets, where
+        spark, index_path, terms, k1, b, where
     )
     if posts is None:  # empty-corpus index
         return spark.createDataFrame(

@@ -3370,7 +3370,9 @@ QUERIES = {
 # r10 cohort, so these carry full oracles and are locally gate-replayed
 # by tests/test_staged_queries.py, but occupy no r14 window slots)
 
-MAXSIM_IDX_SHORTLIST = 50
+MSIM_TOK_K = 8          # token-index coarse cells
+MSIM_TOK_SHORTLIST = 100  # token hits per query token
+MSIM_TOK_NPROBE = 2
 
 
 def _sign_codes_path(sf_dir: str) -> str:
@@ -3439,26 +3441,133 @@ def q_sim_binary_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SIM_BINARY_CODES = _oracle_binary_hamming(BINARY_CODES_QUERY_VECS)
 
 
+def _maxsim_token_index_path(sf_dir: str) -> str:
+    """Persisted TOKEN-level ANN index for MaxSim serving (each doc's
+    T dsub-wide slices indexed as individual vectors — the
+    ColBERT/PLAID shape): fingerprint-keyed under `.ivf_index/`,
+    `msimtok_` prefix disjoint from the other reapers."""
+    import hashlib
+
+    from apachebeamkmeans_spark import scratch
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    fp = scratch.data_fingerprint(sf_dir, "embeddings")
+    cfg = f"k{MSIM_TOK_K}i{IVFPQ_ITERS}d{MAXSIM_DSUB}"
+    path = os.path.join(
+        scratch.repo_root(), ".ivf_index",
+        f"msimtok_{cfg}_{sfx}_{ph}_f{fp}",
+    )
+    scratch.reap(os.path.dirname(path), "msimtok_", keep=path)
+    return path
+
+
+def _maxsim_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok_id = vec_id·T + slice, embedding = the raw dsub-wide
+    slice): every document exploded into its T token vectors — the
+    corpus the token index trains on and indexes."""
+    from pyspark.sql import functions as F
+
+    return io.load_points(spark, sf_dir).select(
+        "id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(MAXSIM_T - 1)),
+            lambda t: F.slice(F.col("features"), t * MAXSIM_DSUB + 1,
+                              MAXSIM_DSUB),
+        )).alias("slice_no", "tokvec"),
+    ).select(
+        (F.col("id") * MAXSIM_T + F.col("slice_no")).alias("vec_id"),
+        F.col("tokvec").alias("embedding"),
+    )
+
+
+def _ensure_maxsim_token_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once publish of the token index (atomic-rename protocol):
+    4n 16-dim vectors, MSIM_TOK_K cells — the PLAID coarse stage."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    path = _maxsim_token_index_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_serve_ready")):
+        return path
+    tmp = f"{path}.build.{os.getpid()}"
+    AnnIndex.train(
+        spark, _maxsim_token_frame(spark, sf_dir), tmp,
+        k=MSIM_TOK_K, n_iters=IVFPQ_ITERS,
+    )
+    with open(os.path.join(tmp, "_serve_ready"), "w") as f:
+        f.write("1")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.exists(os.path.join(path, "_serve_ready")):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+_MSIM_TOK_CENTERS_MEMO: list | None = None
+
+
+def _maxsim_token_centers() -> list[list[float]]:
+    """Numpy twin of the token index's trained coarse centers (the
+    `TRAINED_CENTERS` pattern at token level): raw embeddings sliced
+    into T dsub-wide token vectors (tok_id = vec_id·T + slice),
+    zero-norm tokens dropped, unit-normalized, `ivf_train_np` with the
+    same seed/iters, rounded like `AnnIndex.train` rounds."""
+    global _MSIM_TOK_CENTERS_MEMO
+    if _MSIM_TOK_CENTERS_MEMO is None:
+        import numpy as np
+
+        from apachebeamkmeans_spark.operators import ann_train as ANN
+
+        ids, mat = ANN.load_embeddings_np(TRAIN_SF_DIR)
+        tok_ids, rows = [], []
+        for i, vid in enumerate(ids):
+            for s in range(MAXSIM_T):
+                tok_ids.append(int(vid) * MAXSIM_T + s)
+                rows.append(mat[i, s * MAXSIM_DSUB:(s + 1) * MAXSIM_DSUB])
+        tok_ids = np.array(tok_ids)
+        tmat = np.array(rows, dtype=np.float64)
+        nsq = (tmat * tmat).sum(axis=1)
+        keep = nsq > 0
+        tok_ids, tmat = tok_ids[keep], tmat[keep] / np.sqrt(nsq[keep])[:, None]
+        _MSIM_TOK_CENTERS_MEMO = ANN.round_mat(
+            ANN.ivf_train_np(tok_ids, tmat, MSIM_TOK_K, IVFPQ_ITERS, "ivf")
+        )
+    return _MSIM_TOK_CENTERS_MEMO
+
+
 def q_sim_maxsim_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ColBERT serving shape (the PLAID coarse pass): the serve
-    index's ANN top-50 on the TILED-TOKEN-MEAN proxy vector shortlists
-    candidates (partition-pruned probe, nprobe/k of the cell dirs),
-    and the exact HOF MaxSim reranks only the survivors — the
-    full-scan law broken (measured near-flat x1→x10, SCALE.md §9
-    r14). Scores of surviving pairs are bit-identical to
-    `sim_maxsim_topk`'s full scan. Shortlisted ids from the appended
-    (shifted-id) index region don't exist in the base embeddings and
-    drop at the rerank join — the indexed-but-not-rerankable case the
-    oracle replays identically."""
+    """ColBERT serving shape (PLAID): a TOKEN-level ANN index (every
+    doc's T contiguous dsub-wide slices indexed as individual vectors)
+    is probed PER QUERY TOKEN; the union of each token's top-100 token
+    hits maps to parent docs (vec_id DIV T, distinct), and the exact
+    HOF MaxSim reranks only those candidates — the full-scan law
+    broken with measured recall@10 ≥ 0.9 vs the full scan at the
+    certified sf (the r14 tiled-mean single-probe design measured
+    0.47 and was replaced). Scores of surviving pairs are
+    bit-identical to `sim_maxsim_topk`'s full scan; the oracle
+    replays the trained token centers (numpy twin), the per-token
+    probe/shortlist, and the rerank."""
+    from pyspark.sql import functions as F
+
     from apachebeamkmeans_spark.ann import AnnIndex
 
     _warn_if_not_train_sf(sf_dir, "sim_maxsim_indexed")
-    path = _ensure_serve_index(spark, sf_dir, pq=False)
+    path = _ensure_maxsim_token_index(spark, sf_dir)
     idx = AnnIndex.load(spark, path)
-    coarse = SIM.maxsim_coarse_queries(MAXSIM_QUERIES, DIM)
-    cand = idx.topk(
-        coarse, k=MAXSIM_IDX_SHORTLIST, nprobe=IVFPQ_NPROBE
-    ).select("qid", "vec_id")
+    flat = [list(tok) for q in MAXSIM_QUERIES for tok in q]
+    parent = [qi for qi, q in enumerate(MAXSIM_QUERIES) for _ in q]
+    cand = (
+        idx.topk(flat, k=MSIM_TOK_SHORTLIST, nprobe=MSIM_TOK_NPROBE)
+        .select(
+            F.element_at(F.lit(parent), F.col("qid") + 1).alias("qid"),
+            F.expr(f"CAST(vec_id DIV {MAXSIM_T} AS BIGINT)").alias("vec_id"),
+        )
+        .distinct()
+    )
     return SIM.maxsim_topk(
         io.load_points(spark, sf_dir), MAXSIM_QUERIES, MAXSIM_K, DIM,
         candidates=cand,
@@ -3466,17 +3575,50 @@ def q_sim_maxsim_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_maxsim_indexed() -> str:
-    coarse = SIM.maxsim_coarse_queries(MAXSIM_QUERIES, DIM)
+    from apachebeamkmeans_spark.ann import _norm_vec
+
+    centers = _maxsim_token_centers()
+    # token CTE: per (doc, slice) branch with static offsets so every
+    # expression is the unrolled left-associated form; tv = the
+    # unit-normalized token vector, cell = trained-center argmin
+    branches = []
+    for s in range(MAXSIM_T):
+        off = s * MAXSIM_DSUB
+        nsq = OG.sql_norm_sq_slice("e", off, MAXSIM_DSUB)
+        branches.append(
+            f"SELECT vec_id*{MAXSIM_T}+{s} AS tok_id, vec_id AS doc_id,"
+            f" list_transform(e[{off + 1}:{off + MAXSIM_DSUB}],"
+            f" x -> x / sqrt({nsq})) AS tv"
+            f" FROM {_E2} t WHERE {nsq} > 0"
+        )
+    dists = [
+        f"{OG.sql_l2_sq('tv', c)} AS d{i}" for i, c in enumerate(centers)
+    ]
+    argmin = OG.sql_argmin_case(
+        [f"d{i}" for i in range(len(centers))], "cell"
+    )
+    tok_ctes = (
+        f"tokraw AS MATERIALIZED ({' UNION ALL '.join(branches)}), "
+        f"tok AS MATERIALIZED (SELECT tok_id, doc_id, tv, cell FROM"
+        f" (SELECT tok_id, doc_id, tv, {argmin} FROM"
+        f"  (SELECT tok_id, doc_id, tv, {', '.join(dists)} FROM tokraw)))"
+    )
     parts = []
     for qid, q in enumerate(MAXSIM_QUERIES):
-        nq = _norm_q(coarse[qid])
-        probes = SIM.nearest_centers(nq, TRAINED_CENTERS, IVFPQ_NPROBE)
-        in_list = ", ".join(str(p) for p in probes)
-        cos = OG.sql_cosine_lit("e", nq, DIM)
-        short = (
-            f"(SELECT vec_id FROM ca WHERE coarse_id IN ({in_list})"
-            f" QUALIFY row_number() OVER (ORDER BY {cos} DESC, vec_id ASC)"
-            f"   <= {MAXSIM_IDX_SHORTLIST})"
+        shortlists = []
+        for tok in q:
+            nq = _norm_vec(list(map(float, tok)))
+            probes = SIM.nearest_centers(nq, centers, MSIM_TOK_NPROBE)
+            in_list = ", ".join(str(p) for p in probes)
+            cos = OG.sql_cosine_lit("tv", nq, MAXSIM_DSUB)
+            shortlists.append(
+                f"SELECT doc_id FROM tok WHERE cell IN ({in_list})"
+                f" QUALIFY row_number() OVER (ORDER BY {cos} DESC,"
+                f" tok_id ASC) <= {MSIM_TOK_SHORTLIST}"
+            )
+        cand = (
+            "(SELECT DISTINCT doc_id FROM ("
+            + " UNION ALL ".join(shortlists) + "))"
         )
         score = _sql_maxsim_score(q)
         parts.append(
@@ -3484,13 +3626,10 @@ def _oracle_maxsim_indexed() -> str:
             f"  SELECT vec_id, s, CAST(row_number() OVER"
             f"    (ORDER BY s DESC, vec_id ASC) AS INTEGER) AS rank"
             f"  FROM (SELECT t.vec_id, {score} AS s FROM {_E2} t"
-            f"        JOIN {short} sh ON t.vec_id = sh.vec_id)"
+            f"        JOIN {cand} sh ON t.vec_id = sh.doc_id)"
             f") WHERE rank <= {MAXSIM_K}"
         )
-    return (
-        f"WITH {_trained_ca_ctes(_E2_ROUNDTRIP)} "
-        + " UNION ALL ".join(parts)
-    )
+    return f"WITH {tok_ctes} " + " UNION ALL ".join(parts)
 
 
 ORACLE_SIM_MAXSIM_INDEXED = _oracle_maxsim_indexed()

@@ -72,3 +72,26 @@ def test_staged_maxsim_indexed_plan_pruned(spark):
     plan = X.formatted_plan(res)
     assert "coarse_id" in "".join(plan.split("PartitionFilters")[1:])
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_staged_maxsim_indexed_recall(spark):
+    """The token-index shortlist must hold recall@10 ≥ 0.9 against the
+    full-scan MaxSim ranking (measured 0.9-1.0 at the gate sf; the
+    abandoned tiled-mean single-probe design measured 0.47)."""
+    from apachebeamkmeans_spark.operators import similarity as SIM
+    from apachebeamkmeans_spark.sources import io
+
+    full = SIM.maxsim_topk(
+        io.load_points(spark, GATE_SF), QS.MAXSIM_QUERIES,
+        QS.MAXSIM_K, QS.DIM,
+    ).collect()
+    fullsets = {}
+    for r in full:
+        fullsets.setdefault(r["qid"], set()).add(r["vec_id"])
+    pruned = QS.q_sim_maxsim_indexed(spark, GATE_SF).collect()
+    prunedsets = {}
+    for r in pruned:
+        prunedsets.setdefault(r["qid"], set()).add(r["vec_id"])
+    for qi, fs in fullsets.items():
+        recall = len(fs & prunedsets.get(qi, set())) / len(fs)
+        assert recall >= 0.9, (qi, recall)
