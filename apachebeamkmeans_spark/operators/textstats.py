@@ -1141,7 +1141,8 @@ def bm25_index_build(docs: DataFrame, out_path: str,
     })
 
 
-def bm25_index_append(docs: DataFrame, index_path: str) -> None:
+def bm25_index_append(docs: DataFrame, index_path: str,
+                      batch_tag: str | None = None) -> None:
     """Append a batch of NEW documents (disjoint doc_ids — the
     AnnIndex.append contract) as a fresh segment: writes only the
     batch's postings + per-term dfs + its two scalars, touching
@@ -1151,13 +1152,31 @@ def bm25_index_append(docs: DataFrame, index_path: str) -> None:
     from-scratch rebuild over the union — certified by
     tests/test_text_index.py::test_append_equals_rebuild. At 100 TB
     this is the difference between re-tokenizing the corpus per batch
-    and paying only for the batch."""
+    and paying only for the batch.
+
+    `batch_tag` makes the append IDEMPOTENT for exactly-once streaming
+    sinks (foreachBatch re-delivers a micro-batch after checkpoint
+    recovery): a tag already recorded in the commit is a no-op, and a
+    retried append whose first attempt crashed mid-write is safe
+    regardless — `_bm25_write_segment` clears its target segment dirs
+    before writing, so the retry replaces the orphan files and only
+    the final commit swap makes the segment visible."""
     commit = _bm25_read_commit(index_path)
+    if batch_tag is not None:
+        seen = set()
+        for s in commit["segments"]:
+            if s.get("batch_tag") is not None:
+                seen.add(s["batch_tag"])
+            seen.update(s.get("batch_tags", ()))
+        if batch_tag in seen:
+            return
     seg = 1 + max((s["id"] for s in commit["segments"]), default=-1)
     entry = _bm25_write_segment(
         docs, index_path, seg, commit["n_buckets"],
         tuple(commit["meta_cols"]), overwrite=False,
     )
+    if batch_tag is not None:
+        entry["batch_tag"] = batch_tag
     commit["segments"].append(entry)
     _bm25_write_commit(index_path, commit)
 
@@ -1204,6 +1223,15 @@ def bm25_index_compact(spark, index_path: str) -> None:
         "n": sum(s["n"] for s in commit["segments"]),
         "sdl": sum(s["sdl"] for s in commit["segments"]),
     }
+    # carry every replay-protection tag through the merge: a streamed
+    # batch re-delivered AFTER compaction must still be a no-op
+    tags = set()
+    for s in commit["segments"]:
+        if s.get("batch_tag") is not None:
+            tags.add(s["batch_tag"])
+        tags.update(s.get("batch_tags", ()))
+    if tags:
+        merged["batch_tags"] = sorted(tags)
     commit["segments"] = [merged]
     _bm25_write_commit(index_path, commit)
     for layout in ("postings", "df"):
@@ -1222,7 +1250,20 @@ def _bm25_write_segment(docs: DataFrame, out_path: str, seg: int,
     tbucket alone: keying only on the n_buckets values would funnel
     the segment through n_buckets writer tasks (and a stopword-grade
     term's corpus-sized postings through ONE); with the doc shard in
-    the key every bucket gets `write_shards` parallel writers."""
+    the key every bucket gets `write_shards` parallel writers.
+
+    The target `seg=<id>` dirs are CLEARED first: a crashed prior
+    attempt leaves orphan files under the same (uncommitted) segment
+    id, and mode("append") would otherwise duplicate rows beside them
+    on retry — the clear + final commit swap makes retries exact."""
+    import os
+    import shutil
+
+    for layout in ("postings", "df"):
+        shutil.rmtree(
+            os.path.join(out_path, layout, f"seg={seg}"),
+            ignore_errors=True,
+        )
     staged = bm25_stage(docs)
     tf = (
         staged.select(

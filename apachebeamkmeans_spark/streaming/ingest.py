@@ -430,3 +430,56 @@ def run_embedding_gate_stream(
         .queryName(name)
         .start()
     )
+
+
+def run_text_index_ingest_stream(
+    spark: SparkSession,
+    index_path: str,
+    src_dir: str,
+    schema,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+    name: str = "text_index_ingest_stream",
+):
+    """Streaming maintenance of the SEGMENTED BM25 index — the text
+    twin of the embedding gate's standing-index posture, but here the
+    stream MAINTAINS the index rather than querying it: each arriving
+    micro-batch of documents (NEW doc_ids — the append contract)
+    lands as one committed segment via `bm25_index_append`, so a
+    search session loading the index between any two micro-batches
+    serves the exact union corpus ingested so far (global stats sum
+    across segments — no staleness window, no rebuild).
+
+    Exactly-once: the append is tagged with the micro-batch id;
+    checkpoint recovery re-delivers the batch and the tagged append
+    no-ops (the tag is recorded in the commit file and survives
+    `bm25_index_compact`'s merge), while a crash mid-append leaves
+    only uncommitted orphan files that the retried write clears — the
+    foreachBatch idempotence contract the gate sinks implement with
+    overwrite-by-batch-id, implemented here with the commit swap.
+
+    At cluster scale the source becomes Kafka and compaction runs as a
+    separate maintenance job on segment-count pressure; the per-batch
+    plan (one tokenize of the batch, two map-side-combined hash-aggs)
+    is identical."""
+    from apachebeamkmeans_spark.operators import textstats as TX
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        TX.bm25_index_append(
+            batch_df, index_path, batch_tag=f"stream-{batch_id}"
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint)
+        .queryName(name)
+        .start()
+    )

@@ -340,3 +340,107 @@ def test_embedding_gate_serves_pointer_generation_index(
             assert mc == want[vid] and acc == (mc < 0.35)
         else:
             assert mc is None and acc
+
+
+def test_text_index_ingest_stream_equals_batch_and_resumes(
+    spark, sf_dir, tmp_path,
+):
+    """Streamed BM25-index maintenance: after draining the stream, the
+    index serves bit-identically to a one-shot build over base ∪ all
+    streamed batches; a restart on the same checkpoint re-delivers
+    nothing (tagged appends no-op), and the tags survive compaction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import textstats as TX
+    from apachebeamkmeans_spark.sources import io
+    from apachebeamkmeans_spark.streaming.ingest import (
+        run_text_index_ingest_stream,
+    )
+
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "tidx"))
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    TX.bm25_index_build(base, idx)
+    # two source files → (typically) two micro-batches
+    new.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
+        "append").parquet(src)
+    new.filter(F.col("doc_id") % 20 == 10).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    def start(name):
+        return run_text_index_ingest_stream(
+            spark, idx, src, new.schema, ckpt,
+            max_files_per_trigger=1, name=name,
+        )
+
+    q = start("tidx_p1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    queries = [["join", "hash"], ["slow", "scan"]]
+    got = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, queries, k=15).collect())
+    )
+    want = sorted(
+        map(tuple, TX.bm25_topk(docs, queries, k=15).collect())
+    )
+    assert got == want and got
+
+    n_segs = len(TX._bm25_read_commit(idx)["segments"])
+    assert n_segs >= 2  # base + at least one streamed segment
+
+    # restart on the same checkpoint: nothing re-delivers, and even a
+    # manual re-append with an already-committed tag no-ops
+    q2 = start("tidx_p2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+    assert len(TX._bm25_read_commit(idx)["segments"]) == n_segs
+    TX.bm25_index_append(new.limit(1), idx, batch_tag="stream-0")
+    assert len(TX._bm25_read_commit(idx)["segments"]) == n_segs
+
+    # compaction keeps the replay protection: tags survive the merge
+    TX.bm25_index_compact(spark, idx)
+    commit = TX._bm25_read_commit(idx)
+    assert len(commit["segments"]) == 1
+    assert "stream-0" in commit["segments"][0].get("batch_tags", ())
+    TX.bm25_index_append(new.limit(1), idx, batch_tag="stream-0")
+    assert len(TX._bm25_read_commit(idx)["segments"]) == 1
+    after = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, queries, k=15).collect())
+    )
+    assert after == want
+
+
+def test_text_index_crashed_append_retry_is_exact(spark, sf_dir, tmp_path):
+    """A crashed append (segment files written, commit not swapped)
+    retried with the same tag must produce the exact union serving —
+    the pre-write segment-dir clear prevents duplicate rows."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import textstats as TX
+    from apachebeamkmeans_spark.sources import io
+
+    idx = str(tmp_path / "crashidx")
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    TX.bm25_index_build(base, idx)
+    commit = TX._bm25_read_commit(idx)
+    # simulate the crash: segment 1 data written, commit NOT swapped
+    TX._bm25_write_segment(batch, idx, 1, commit["n_buckets"], (), False)
+    # the retry (same next seg id) must clear the orphans and commit
+    TX.bm25_index_append(batch, idx, batch_tag="retry-1")
+    got = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, [["join", "hash"]], k=15).collect()))
+    want = sorted(map(tuple, TX.bm25_topk(
+        docs, [["join", "hash"]], k=15).collect()))
+    assert got == want and got
