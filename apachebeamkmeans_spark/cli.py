@@ -395,6 +395,13 @@ def _retrieve_run(args, spark) -> int:
             )
         if not args.compact and not args.docs:
             raise ValueError("retrieve index: --docs is required")
+        if (args.append or args.compact) and not os.path.exists(
+            TX._bm25_commit_path(args.index)
+        ):
+            raise ValueError(
+                f"retrieve index: no committed index at {args.index} "
+                f"(build one first without --append/--compact)"
+            )
         if args.compact:
             TX.bm25_index_compact(spark, args.index)
         elif args.append:
@@ -471,6 +478,11 @@ def _retrieve_run(args, spark) -> int:
             )
     elif args.action == "maxsim":
         toks = [_parse_vec(t) for t in args.qtoks.split(";") if t.strip()]
+        if not toks or not toks[0]:
+            raise ValueError(
+                "retrieve maxsim: --qtoks parsed to no token vectors "
+                "(semicolon-separated comma-lists expected)"
+            )
         pts = points()
         head = pts.select("features").first()
         if head is None:

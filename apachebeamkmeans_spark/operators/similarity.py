@@ -1104,25 +1104,6 @@ def maxsim_topk(vecs: DataFrame, queries: list[list[list[float]]],
     )
 
 
-def maxsim_coarse_queries(queries: list[list[list[float]]],
-                          dim: int) -> list[list[float]]:
-    """The ANN coarse key of a multi-vector (MaxSim) query: the mean
-    of its token vectors, tiled to the indexed embedding width — the
-    single-vector proxy the ColBERT serving stack probes its ANN index
-    with before the exact MaxSim rerank (PLAID uses centroid
-    interaction the same way: a cheap single-vector pass shortlists,
-    the late-interaction score reranks). Deterministic driver-side
-    arithmetic on literal queries (k-row class)."""
-    out = []
-    for q in queries:
-        dsub = len(q[0])
-        mean = [
-            sum(tok[j] for tok in q) / float(len(q)) for j in range(dsub)
-        ]
-        out.append((mean * (dim // dsub))[:dim])
-    return out
-
-
 def sign_codes(vecs: DataFrame, dim: int, id_col: str = "id",
                features_col: str = "features") -> DataFrame:
     """Binary (sign) quantization: bit (width-1-j) of word w is 1 iff

@@ -1199,6 +1199,16 @@ def bm25_index_compact(spark, index_path: str) -> None:
     if len(old) <= 1:
         return
     seg = 1 + max(old)
+    # clear the target segment dirs first — a crashed append or a
+    # crashed prior compact leaves orphan files at this uncommitted id,
+    # and mode("append") would merge them into the committed segment
+    # (inflated dfs, leaked never-committed docs). Same retry contract
+    # as _bm25_write_segment.
+    for layout in ("postings", "df"):
+        shutil.rmtree(
+            os.path.join(index_path, layout, f"seg={seg}"),
+            ignore_errors=True,
+        )
     posts = spark.read.parquet(f"{index_path}/postings").filter(
         F.col("seg").isin(old)
     )

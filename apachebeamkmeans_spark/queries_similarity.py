@@ -1280,19 +1280,21 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
                         upsert: bool = False) -> str:
     """Build-once publish of the serving index: the roundtrip queries'
     exact corpus (train at the certified config, then the
-    deterministic shifted-id append), staged in a pid-suffixed tmp dir
-    and PUBLISHED with one atomic os.rename — a concurrent builder
-    either wins the rename or discards its identical bytes, so the
-    published layout can never hold a double append. Repeat sessions
-    pay only the `_serve_ready` stat — the amortization the serving
-    queries measure. Every tier carries `label` as a layout metadata
-    column (r13 — the filtered-search query needs it; values of the
-    unfiltered queries are unchanged, the column is pruned from their
-    scans). `retrain` additionally rebuilds to RETRAIN_K cells via the
-    catalog-pointer publish — the generation-swap path a remote-
-    filesystem index uses, exercised through the driver gate here."""
+    deterministic shifted-id append), staged and PUBLISHED via
+    `scratch.publish_once` (the shared atomic protocol — a concurrent
+    builder either wins the rename or discards its identical bytes,
+    so the published layout can never hold a double append). Repeat
+    sessions pay only the `_serve_ready` stat — the amortization the
+    serving queries measure. Every tier carries `label` as a layout
+    metadata column (r13 — the filtered-search query needs it; values
+    of the unfiltered queries are unchanged, the column is pruned from
+    their scans). `retrain` additionally rebuilds to RETRAIN_K cells
+    via the catalog-pointer publish — the generation-swap path a
+    remote-filesystem index uses, exercised through the driver gate
+    here."""
     from pyspark.sql import functions as F
 
+    from apachebeamkmeans_spark import scratch
     from apachebeamkmeans_spark.ann import AnnIndex
 
     tier = ("pq" if pq else "flat") + ("c" if compact else "") + (
@@ -1300,63 +1302,53 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
     ) + (f"d{DELETE_PRED_RESIDUE}" if delete else "") + (
         f"u{UPSERT_RESIDUE}" if upsert else ""
     )
-    path = _ann_serve_index_path(sf_dir, tier)
-    if os.path.exists(os.path.join(path, "_serve_ready")):
-        return path
-    emb = io.read_table(spark, sf_dir, "embeddings")
-    tmp = f"{path}.build.{os.getpid()}"
-    if pq:
-        AnnIndex.train(
-            spark, emb, tmp, k=IVFPQ_K, n_iters=IVFPQ_ITERS,
-            pq_m=IVFPQ_M, pq_ksub=IVFPQ_KSUB, meta_cols=("label",),
-        )
-    else:
-        AnnIndex.train(spark, emb, tmp, k=IVFPQ_K, n_iters=IVFPQ_ITERS,
-                       meta_cols=("label",))
-    idx = AnnIndex.load(spark, tmp)
-    batch = emb.filter(
-        F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_RESIDUE
-    ).withColumn("vec_id", F.col("vec_id") + F.lit(ANN_APPEND_OFFSET))
-    idx.append(batch)
-    if compact:
-        # the maintenance pass: merge the append's small files back to
-        # one file per cell (facade compact — semantics-preserving,
-        # certified by ann_index_compact_search's shared oracle)
-        idx.compact()
-    if retrain:
-        # the drift response: rebuild the coarse quantizer over the
-        # grown corpus and publish as a pointer generation (the remote-
-        # filesystem maintenance path, on local disk here)
-        idx.retrain(k=RETRAIN_K, n_iters=IVFPQ_ITERS, strategy="pointer")
-    if delete:
-        # the right-to-be-forgotten pass: partition-scoped rewrite of
-        # only the cells containing matches
-        idx.delete(f"vec_id % {DELETE_PRED_MOD} = {DELETE_PRED_RESIDUE}")
-    if upsert:
-        # the re-embedding refresh: replace-by-id with reversed vectors
-        idx.upsert(
-            emb.filter(
-                F.col("vec_id") % UPSERT_MOD == UPSERT_RESIDUE
-            ).select("vec_id", F.reverse(F.col("embedding")).alias("embedding"),
-                     "label")
-        )
-    with open(os.path.join(tmp, "_serve_ready"), "w") as f:
-        f.write("1")
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        # only a CONFIRMED concurrent publish (a complete index now at
-        # the target) justifies discarding our build — training is
-        # deterministic, so its bytes equal ours. Any other rename
-        # failure (EACCES, vanished parent) must propagate, not
-        # silently destroy the work and return a nonexistent path
-        # (r12 review)
-        if not os.path.exists(os.path.join(path, "_serve_ready")):
-            raise
-        import shutil
 
-        shutil.rmtree(tmp, ignore_errors=True)
-    return path
+    def _build(tmp: str) -> None:
+        emb = io.read_table(spark, sf_dir, "embeddings")
+        if pq:
+            AnnIndex.train(
+                spark, emb, tmp, k=IVFPQ_K, n_iters=IVFPQ_ITERS,
+                pq_m=IVFPQ_M, pq_ksub=IVFPQ_KSUB, meta_cols=("label",),
+            )
+        else:
+            AnnIndex.train(spark, emb, tmp, k=IVFPQ_K, n_iters=IVFPQ_ITERS,
+                           meta_cols=("label",))
+        idx = AnnIndex.load(spark, tmp)
+        batch = emb.filter(
+            F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_RESIDUE
+        ).withColumn("vec_id", F.col("vec_id") + F.lit(ANN_APPEND_OFFSET))
+        idx.append(batch)
+        if compact:
+            # the maintenance pass: merge the append's small files back
+            # to one file per cell (facade compact — semantics-
+            # preserving, certified by ann_index_compact_search's
+            # shared oracle)
+            idx.compact()
+        if retrain:
+            # the drift response: rebuild the coarse quantizer over the
+            # grown corpus and publish as a pointer generation (the
+            # remote-filesystem maintenance path, on local disk here)
+            idx.retrain(k=RETRAIN_K, n_iters=IVFPQ_ITERS,
+                        strategy="pointer")
+        if delete:
+            # the right-to-be-forgotten pass: partition-scoped rewrite
+            # of only the cells containing matches
+            idx.delete(
+                f"vec_id % {DELETE_PRED_MOD} = {DELETE_PRED_RESIDUE}"
+            )
+        if upsert:
+            # the re-embedding refresh: replace-by-id, reversed vectors
+            idx.upsert(
+                emb.filter(
+                    F.col("vec_id") % UPSERT_MOD == UPSERT_RESIDUE
+                ).select("vec_id",
+                         F.reverse(F.col("embedding")).alias("embedding"),
+                         "label")
+            )
+
+    return scratch.publish_once(
+        _ann_serve_index_path(sf_dir, tier), "_serve_ready", _build
+    )
 
 
 def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3395,28 +3387,17 @@ def _sign_codes_path(sf_dir: str) -> str:
 
 
 def _ensure_sign_codes(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once publish of the sign-codes table (atomic-rename
-    protocol, `_ready`-marked): one pass over the embeddings deriving
+    """Build-once publish of the sign-codes table
+    (`scratch.publish_once`): one pass over the embeddings deriving
     the two 32-bit words per row, written once and scanned by every
     binary search after — the banked 32× saving."""
-    path = _sign_codes_path(sf_dir)
-    if os.path.exists(os.path.join(path, "_ready")):
-        return path
-    tmp = f"{path}.build.{os.getpid()}"
-    SIM.sign_codes(io.load_points(spark, sf_dir), DIM).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp}/codes")
-    with open(os.path.join(tmp, "_ready"), "w") as f:
-        f.write("1")
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        if not os.path.exists(os.path.join(path, "_ready")):
-            raise
-        import shutil
+    from apachebeamkmeans_spark import scratch
 
-        shutil.rmtree(tmp, ignore_errors=True)
-    return path
+    return scratch.publish_once(
+        _sign_codes_path(sf_dir), "_ready",
+        lambda tmp: SIM.sign_codes(io.load_points(spark, sf_dir), DIM)
+        .write.mode("overwrite").parquet(f"{tmp}/codes"),
+    )
 
 
 # distinct literal set for the staged persisted-codes query (reversed
@@ -3482,29 +3463,18 @@ def _maxsim_token_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensure_maxsim_token_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once publish of the token index (atomic-rename protocol):
+    """Build-once publish of the token index (`scratch.publish_once`):
     4n 16-dim vectors, MSIM_TOK_K cells — the PLAID coarse stage."""
+    from apachebeamkmeans_spark import scratch
     from apachebeamkmeans_spark.ann import AnnIndex
 
-    path = _maxsim_token_index_path(sf_dir)
-    if os.path.exists(os.path.join(path, "_serve_ready")):
-        return path
-    tmp = f"{path}.build.{os.getpid()}"
-    AnnIndex.train(
-        spark, _maxsim_token_frame(spark, sf_dir), tmp,
-        k=MSIM_TOK_K, n_iters=IVFPQ_ITERS,
+    return scratch.publish_once(
+        _maxsim_token_index_path(sf_dir), "_serve_ready",
+        lambda tmp: AnnIndex.train(
+            spark, _maxsim_token_frame(spark, sf_dir), tmp,
+            k=MSIM_TOK_K, n_iters=IVFPQ_ITERS,
+        ),
     )
-    with open(os.path.join(tmp, "_serve_ready"), "w") as f:
-        f.write("1")
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        if not os.path.exists(os.path.join(path, "_serve_ready")):
-            raise
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-    return path
 
 
 _MSIM_TOK_CENTERS_MEMO: list | None = None

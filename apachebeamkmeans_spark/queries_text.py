@@ -1316,28 +1316,18 @@ def _bm25_index_path(sf_dir: str) -> str:
 
 
 def _ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once publish of the BM25 serving index: staged in a
-    pid-suffixed tmp dir, `_ready`-marked, published with one atomic
-    os.rename (a concurrent builder either wins the rename or discards
-    its identical bytes — the `_ensure_serve_index` protocol). Repeat
-    sessions pay only the `_ready` stat — the amortization
+    """Build-once publish of the BM25 serving index
+    (`scratch.publish_once` — the shared atomic protocol). Repeat
+    sessions pay only the marker stat — the amortization
     `text_bm25_indexed` measures over the per-run corpus tokenize."""
-    path = _bm25_index_path(sf_dir)
-    if os.path.exists(os.path.join(path, "_ready")):
-        return path
-    tmp = f"{path}.build.{os.getpid()}"
-    TX.bm25_index_build(_docs(spark, sf_dir), tmp, meta_cols=("source",))
-    with open(os.path.join(tmp, "_ready"), "w") as f:
-        f.write("1")
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        if not os.path.exists(os.path.join(path, "_ready")):
-            raise
-        import shutil
+    from apachebeamkmeans_spark import scratch
 
-        shutil.rmtree(tmp, ignore_errors=True)
-    return path
+    return scratch.publish_once(
+        _bm25_index_path(sf_dir), "_ready",
+        lambda tmp: TX.bm25_index_build(
+            _docs(spark, sf_dir), tmp, meta_cols=("source",)
+        ),
+    )
 
 
 def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

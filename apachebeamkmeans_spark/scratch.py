@@ -157,3 +157,30 @@ def reap(root: str, prefix: str, keep: str | tuple[str, ...] = ()) -> None:
                     os.remove(p)
         except OSError:
             continue
+
+
+def publish_once(path: str, marker: str, build_fn) -> str:
+    """The build-once ATOMIC PUBLISH protocol shared by every
+    persisted serving stage (ANN serve index, BM25 inverted index,
+    sign-codes table, MaxSim token index): if `path` already carries
+    `marker`, it is published — return it; otherwise `build_fn(tmp)`
+    stages into a pid-suffixed tmp dir, the marker is written LAST,
+    and one os.rename publishes. A concurrent builder either wins the
+    rename or discards its identical bytes (deterministic builds);
+    any OTHER rename failure (EACCES, vanished parent) propagates —
+    silently destroying the work and returning a nonexistent path was
+    the r12 review bug this branch guards (extracted r14: the dance
+    had grown four hand-copies)."""
+    if os.path.exists(os.path.join(path, marker)):
+        return path
+    tmp = f"{path}.build.{os.getpid()}"
+    build_fn(tmp)
+    with open(os.path.join(tmp, marker), "w") as f:
+        f.write("1")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.exists(os.path.join(path, marker)):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path

@@ -292,6 +292,16 @@ def _quiet_pass(sf_dir: str) -> dict[str, float]:
                     continue
                 if rec.get("query") == name:
                     out[name] = rec["sec"]
+            if name not in out:
+                # the child died (nonzero exit / no JSON) — say so, or
+                # the query silently vanishes from quiet_pass and
+                # "not measured" is indistinguishable from "dropped"
+                print(
+                    f"[bench] quiet-pass skip {name}: child exit "
+                    f"{proc.returncode}, no result line "
+                    f"(stderr tail: {proc.stderr[-200:]!r})",
+                    file=sys.stderr,
+                )
         except Exception as e:  # noqa: BLE001
             print(f"[bench] quiet-pass skip {name}: {e}", file=sys.stderr)
     return out
@@ -344,6 +354,11 @@ def main() -> None:
         # 36 s mid-suite before this)
         spark._jvm.System.gc()
 
+    # stop the suite JVM BEFORE the quiet re-measurements: the fresh
+    # subprocesses exist to measure WITHOUT co-resident pressure, and a
+    # multi-GB parent heap competing for the host would re-introduce
+    # exactly what they exclude (nothing below uses the session)
+    spark.stop()
     quiet = _quiet_pass(sf_dir)
 
     # a partial total must never be compared against a full-suite total

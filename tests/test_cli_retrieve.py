@@ -253,3 +253,29 @@ def test_retrieve_index_append_compact_cycle(spark, sf_dir, tmp_path):
     b = {tuple(r) for r in spark.read.parquet(out2).collect()}
     assert a == b and a
     assert len(TX._bm25_read_commit(idx)["segments"]) == 1
+
+
+def test_retrieve_error_paths_are_typed(spark, sf_dir, tmp_path):
+    """Misuse surfaces as descriptive ValueErrors, not raw
+    IndexError/FileNotFoundError tracebacks (r14 review)."""
+    import pytest
+
+    _, emb_p = _paths(sf_dir)
+    with pytest.raises(ValueError, match="no token vectors"):
+        cli.main(
+            ["retrieve", "maxsim", "--embeddings", emb_p, "--qtoks", ";",
+             "--output", str(tmp_path / "o")],
+            spark=spark,
+        )
+    with pytest.raises(ValueError, match="no committed index"):
+        cli.main(
+            ["retrieve", "index", "--docs", emb_p, "--append",
+             "--index", str(tmp_path / "never_built")],
+            spark=spark,
+        )
+    with pytest.raises(ValueError, match="no committed index"):
+        cli.main(
+            ["retrieve", "index", "--compact",
+             "--index", str(tmp_path / "never_built")],
+            spark=spark,
+        )

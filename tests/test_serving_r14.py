@@ -50,7 +50,14 @@ def test_maxsim_pruned_scores_match_full(spark, sf_dir, tmp_path):
         spark, io.read_table(spark, sf_dir, "embeddings"),
         str(tmp_path / "msidx"), k=4,
     )
-    coarse = SIM.maxsim_coarse_queries(MAXSIM_QUERIES, 64)
+    # any deterministic full-width probes do — this test checks the
+    # candidates= mechanics (score equality + shortlist subset),
+    # not probe quality (the registration-bound token-level design
+    # and its recall floor live in test_staged_queries.py)
+    coarse = [
+        [0.1 * ((j + qi) % 5 - 2) for j in range(64)]
+        for qi in range(len(MAXSIM_QUERIES))
+    ]
     cand = idx.topk(coarse, k=30, nprobe=2).select("qid", "vec_id")
     short = {
         (r["qid"], r["vec_id"]) for r in cand.collect()
@@ -66,12 +73,6 @@ def test_maxsim_pruned_scores_match_full(spark, sf_dir, tmp_path):
     for r in pruned:
         assert (r["qid"], r["vec_id"]) in short
         assert r["maxsim"] == full_scores[(r["qid"], r["vec_id"])]
-
-
-def test_maxsim_coarse_queries_tiled_mean():
-    q = [[1.0, 3.0], [3.0, 5.0]]
-    out = SIM.maxsim_coarse_queries([q], 6)
-    assert out == [[2.0, 4.0, 2.0, 4.0, 2.0, 4.0]]
 
 
 def test_binary_hamming_persisted_codes_equal_inplan(spark, sf_dir, tmp_path):

@@ -311,3 +311,32 @@ def test_compact_preserves_serving_and_reclaims(spark, tmp_path):
     # idempotent: a single-segment index is a no-op
     TX.bm25_index_compact(spark, idx)
     assert len(TX._bm25_read_commit(idx)["segments"]) == 1
+
+
+def test_compact_after_crashed_append_is_exact(spark, tmp_path):
+    """compact at a segment id where a crashed (uncommitted) append
+    left orphan files must clear them first — otherwise the orphan
+    postings/dfs merge into the committed segment (inflated df, leaked
+    docs)."""
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge join fast")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "compact_crash")
+    TX.bm25_index_build(a, idx)
+    TX.bm25_index_append(b, idx)
+    want = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+    )
+    # crashed append at the NEXT seg id (= the id compact will use)
+    commit = TX._bm25_read_commit(idx)
+    crash = spark.createDataFrame(
+        [(99, "hash join hash join")], "doc_id long, text string"
+    )
+    TX._bm25_write_segment(crash, idx, 2, commit["n_buckets"], (), False)
+    TX.bm25_index_compact(spark, idx)
+    got = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+    )
+    assert got == want
+    assert 99 not in {t[1] for t in got}
