@@ -1160,8 +1160,15 @@ def bm25_index_append(docs: DataFrame, index_path: str,
     retried append whose first attempt crashed mid-write is safe
     regardless — `_bm25_write_segment` clears its target segment dirs
     before writing, so the retry replaces the orphan files and only
-    the final commit swap makes the segment visible."""
-    commit = _bm25_read_commit(index_path)
+    the final commit swap makes the segment visible.
+
+    SINGLE WRITER contract: at most one maintenance verb
+    (append/compact/delete) may run at a time — both derive the next
+    segment id from the commit they read, so two concurrent writers
+    would target the same id and clobber each other's files. The
+    commit swap is fenced (`Bm25CommitConflict`) so a violated
+    contract fails loudly instead of silently dropping a segment."""
+    commit, fence = _bm25_read_commit_raw(index_path)
     if batch_tag is not None:
         seen = set()
         for s in commit["segments"]:
@@ -1178,7 +1185,7 @@ def bm25_index_append(docs: DataFrame, index_path: str,
     if batch_tag is not None:
         entry["batch_tag"] = batch_tag
     commit["segments"].append(entry)
-    _bm25_write_commit(index_path, commit)
+    _bm25_write_commit(index_path, commit, expect_raw=fence)
 
 
 def bm25_index_compact(spark, index_path: str) -> None:
@@ -1190,12 +1197,36 @@ def bm25_index_compact(spark, index_path: str) -> None:
     after, tested), and the superseded segment dirs are reclaimed
     best-effort AFTER the swap (a concurrent reader that already
     resolved the old commit may still be scanning them — the AnnIndex
-    retention rationale; rerunning compact reclaims stragglers)."""
+    retention rationale; rerunning compact reclaims stragglers, even
+    when the segment list itself is already compacted: the orphan
+    sweep below runs before the single-segment early return).
+
+    SINGLE WRITER contract (see `bm25_index_append`): the commit swap
+    is fenced — a compact racing an append raises Bm25CommitConflict
+    on whichever swap lands second instead of silently dropping or
+    double-counting the other writer's segment."""
     import os
+    import re
     import shutil
 
-    commit = _bm25_read_commit(index_path)
+    commit, fence = _bm25_read_commit_raw(index_path)
     old = [s["id"] for s in commit["segments"]]
+    # reclaim orphans FIRST (ADVICE r14): a crash between a prior
+    # swap and its rmtree loop — or a crashed, never-committed
+    # append/build attempt — leaves seg dirs no commit references;
+    # they are invisible to readers (every scan filters on committed
+    # ids) but cost disk and per-read file listings forever. Safe
+    # under the single-writer contract: nothing else is writing a new
+    # (uncommitted) segment while this verb runs.
+    committed = set(old)
+    for layout in ("postings", "df"):
+        base = os.path.join(index_path, layout)
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            m = re.fullmatch(r"seg=(\d+)", d)
+            if m and int(m.group(1)) not in committed:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     if len(old) <= 1:
         return
     seg = 1 + max(old)
@@ -1243,13 +1274,149 @@ def bm25_index_compact(spark, index_path: str) -> None:
     if tags:
         merged["batch_tags"] = sorted(tags)
     commit["segments"] = [merged]
-    _bm25_write_commit(index_path, commit)
+    _bm25_write_commit(index_path, commit, expect_raw=fence)
     for layout in ("postings", "df"):
         for s in old:
             shutil.rmtree(
                 os.path.join(index_path, layout, f"seg={s}"),
                 ignore_errors=True,
             )
+
+
+def bm25_index_delete(spark, index_path: str,
+                      doc_ids: list | None = None,
+                      where: str | None = None) -> int:
+    """Delete DOCUMENTS from the segmented index — the
+    right-to-be-forgotten maintenance verb completing the text index's
+    lifecycle parity with AnnIndex (build → append → DELETE → compact;
+    `ann.py` AnnIndex.delete is the vector-side precedent, r13).
+    Select docs by id list (`doc_ids`) or a SQL predicate (`where`)
+    over the postings columns (doc_id + the denormalized meta_cols).
+    Doc-level semantics: ANY matching posting row deletes that doc
+    entirely, everywhere it appears. Returns the number of docs
+    deleted.
+
+    Mechanism — segment rewrite under the commit swap, NOT an in-place
+    partition overwrite: the segments CONTAINING matching docs are
+    found (k-row-class collect of distinct seg ids), the SURVIVORS of
+    only those segments are rewritten as one fresh segment (postings
+    rows unchanged; the new segment's per-term dfs RE-AGGREGATE from
+    survivor rows — df per (seg, term) is exactly its posting-row
+    count, so the "df decrement" is a recount, never arithmetic on
+    stale values), its n/Σdl scalars come from the survivors' distinct
+    (doc_id, dl) rows, and the commit atomically swaps the affected
+    old segments for the merged survivor segment. Untouched segments
+    keep their files byte-identical. Serving afterwards is
+    bit-identical to a from-scratch rebuild over the surviving corpus
+    (tests/test_text_index.py::test_delete_equals_rebuild — the
+    `test_append_equals_rebuild` pattern), because every quantity BM25
+    reads (n, Σdl, per-term df, tf, dl) sums to the same values.
+
+    Crash safety: identical to append — the new segment id is
+    uncommitted until the fenced swap, a crashed attempt leaves only
+    orphan files (reclaimed by `bm25_index_compact`'s sweep), and
+    re-running the delete is safe. Batch replay tags of the affected
+    segments carry into the survivor entry (compaction's rule), so a
+    re-delivered streamed batch stays a no-op after its docs were
+    deleted — re-appending deleted docs would undo the deletion.
+
+    Cost honesty (the Lucene trade): a delete REWRITES each affected
+    segment in full — against batch-sized append segments that is
+    batch cost; against one big compacted segment it is a corpus-sized
+    rewrite (Lucene's merge-on-delete pays the same; its amortization
+    is tombstone bitmaps + deferred merge, the documented escalation
+    if delete rates ever warrant serve-side anti-joins). At 100 TB:
+    batch deletes, target them before compaction, and let the one
+    rewrite amortize across the batch.
+
+    SINGLE WRITER contract (see `bm25_index_append`): fenced swap."""
+    import os
+    import shutil
+
+    if (doc_ids is None) == (where is None):
+        raise ValueError("pass exactly one of doc_ids= or where=")
+    commit, fence = _bm25_read_commit_raw(index_path)
+    segs = [s["id"] for s in commit["segments"]]
+    if not segs:
+        return 0
+    posts = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("seg").isin(segs)
+    )
+    if doc_ids is not None:
+        pred = F.col("doc_id").isin([int(d) for d in doc_ids])
+    else:
+        pred = F.expr(where)
+    # doc-level match set, pinned eagerly: the survivor anti-join and
+    # the affected-segment collect must see one consistent snapshot,
+    # and the rewrite below must not re-read a path its plan mutates
+    matched = (
+        posts.filter(pred).select("seg", "doc_id").distinct()
+        .localCheckpoint()
+    )
+    affected = sorted({r["seg"] for r in matched.select("seg")
+                       .distinct().collect()})
+    if not affected:
+        return 0
+    n_deleted = matched.select("doc_id").distinct().count()
+    surv = (
+        posts.filter(F.col("seg").isin(affected))
+        .join(matched.select("doc_id").distinct(), "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+    new_id = 1 + max(segs)
+    for layout in ("postings", "df"):
+        # crashed-prior-attempt retry contract (as _bm25_write_segment)
+        shutil.rmtree(
+            os.path.join(index_path, layout, f"seg={new_id}"),
+            ignore_errors=True,
+        )
+    srow = surv.select("doc_id", "dl").distinct().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    ).collect()[0]
+    n_surv, sdl_surv = int(srow["n"]), int(srow["sdl"] or 0)
+    if n_surv > 0:
+        write_shards = 8
+        (
+            surv.withColumn("seg", F.lit(new_id))
+            .repartition(
+                F.col("tbucket"),
+                F.pmod(F.hash("doc_id"), F.lit(write_shards)),
+            )
+            .write.mode("append")
+            .partitionBy("seg", "tbucket")
+            .parquet(f"{index_path}/postings")
+        )
+        (
+            surv.groupBy("term", "tbucket")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("seg", F.lit(new_id))
+            .write.mode("append")
+            .partitionBy("seg", "tbucket")
+            .parquet(f"{index_path}/df")
+        )
+    entry = {"id": new_id, "n": n_surv, "sdl": sdl_surv}
+    tags = set()
+    for s in commit["segments"]:
+        if s["id"] in set(affected):
+            if s.get("batch_tag") is not None:
+                tags.add(s["batch_tag"])
+            tags.update(s.get("batch_tags", ()))
+    if tags:
+        entry["batch_tags"] = sorted(tags)
+    # keep the survivor entry even at n=0: it carries the replay tags
+    # that stop a re-delivered batch from resurrecting deleted docs
+    kept = [s for s in commit["segments"] if s["id"] not in set(affected)]
+    commit["segments"] = kept + (
+        [entry] if n_surv > 0 or tags else []
+    )
+    _bm25_write_commit(index_path, commit, expect_raw=fence)
+    for layout in ("postings", "df"):
+        for s in affected:
+            shutil.rmtree(
+                os.path.join(index_path, layout, f"seg={s}"),
+                ignore_errors=True,
+            )
+    return n_deleted
 
 
 def _bm25_write_segment(docs: DataFrame, out_path: str, seg: int,
@@ -1326,15 +1493,59 @@ def _bm25_read_commit(index_path: str) -> dict:
         return json.load(f)
 
 
-def _bm25_write_commit(index_path: str, commit: dict) -> None:
+def _bm25_read_commit_raw(index_path: str) -> tuple[dict, str]:
+    """The commit dict plus its exact on-disk text — the fence token a
+    read-modify-write verb hands back to `_bm25_write_commit` so a
+    concurrent writer's swap is detected instead of overwritten."""
+    import json
+
+    with open(_bm25_commit_path(index_path)) as f:
+        raw = f.read()
+    return json.loads(raw), raw
+
+
+class Bm25CommitConflict(RuntimeError):
+    """The commit file changed between a maintenance verb's read and
+    its swap — another writer (append/compact/delete) ran
+    concurrently. The losing verb raises instead of silently dropping
+    or double-counting the other writer's segments; re-run it against
+    the new commit state."""
+
+
+def _bm25_write_commit(index_path: str, commit: dict,
+                       expect_raw: str | None = None) -> None:
     """Atomic commit-point swap: tmp file + os.replace — the reader
     either sees the previous committed segment list or the new one,
-    never a torn state."""
+    never a torn state.
+
+    WRITERS are single-writer by contract (one append/compact/delete
+    at a time — the Lucene IndexWriter model; readers need no
+    coordination). `expect_raw` is the cheap fence for that contract
+    (ADVICE r14): the caller passes the commit text it based its
+    read-modify-write on, and the swap re-reads the file immediately
+    before os.replace — if another writer's swap landed in between,
+    Bm25CommitConflict raises and nothing is overwritten. The
+    re-read-then-replace pair is not itself atomic (no OS file lock —
+    the index may live on object storage where locks don't exist), so
+    the fence narrows the race to microseconds rather than eliminating
+    it; it turns a silent lost-update into a loud error for every
+    realistic interleaving of the two maintenance jobs the docstrings
+    recommend running beside streaming ingest."""
     import json
     import os
 
     path = _bm25_commit_path(index_path)
     os.makedirs(index_path, exist_ok=True)
+    if expect_raw is not None:
+        with open(path) as f:
+            current = f.read()
+        if current != expect_raw:
+            raise Bm25CommitConflict(
+                f"{path} changed since this verb read it — a concurrent "
+                f"append/compact/delete committed first; re-run against "
+                f"the new commit state (writers are single-writer by "
+                f"contract)"
+            )
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(commit, f)
@@ -1500,8 +1711,12 @@ def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,
         score = clause if score is None else score.when(
             F.col("term") == t, term_score(t)
         )
+    # distinct (qid, term): a query table carrying a duplicate term
+    # row must not double-count that term's contribution in the fold
+    # (the collected `terms` list above already dedups — this keeps
+    # the join consistent with it; ADVICE r14)
     pair = posts.withColumn("__ts", score).join(
-        F.broadcast(queries.select("qid", "term")), "term"
+        F.broadcast(queries.select("qid", "term").distinct()), "term"
     )
     agg = pair.groupBy("qid", "doc_id").agg(
         F.aggregate(

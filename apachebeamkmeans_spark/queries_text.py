@@ -1457,10 +1457,7 @@ QUERIES = {
 }
 
 
-# ---------------- staged for r15 registration (certification-window
-# budget: r14 was a consolidation round — these carry full oracles and
-# are locally gate-replayed by tests/test_staged_queries.py, but are
-# NOT in QUERIES yet so they occupy no r14 window slots)
+# ---------------- batch query-table BM25 (staged r14, registered r15)
 
 # sorted per-query terms: the table form folds contributions in
 # sorted-term order, and the oracle's left-associated chains follow
@@ -1492,6 +1489,8 @@ ORACLE_TEXT_BM25_BATCH = (
 )
 
 
-STAGED_QUERIES = {
-    "text_bm25_batch": (q_text_bm25_batch, ORACLE_TEXT_BM25_BATCH),
-}
+# r15 registration: the batch query-table BM25 serve lands in the
+# third free window slot (see queries_similarity's r15 block).
+QUERIES["text_bm25_batch"] = (q_text_bm25_batch, ORACLE_TEXT_BM25_BATCH)
+
+STAGED_QUERIES: dict = {}

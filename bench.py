@@ -246,6 +246,11 @@ HEADLINE = [
     # round 14: persisted BM25 serving index + nDCG retrieval eval
     "text_bm25_indexed",
     "retrieval_ndcg",
+    # round 15: the indexed serving set (staged r14) — token-level
+    # MaxSim probes, batch query-table BM25, filtered hybrid
+    "sim_maxsim_indexed",
+    "text_bm25_batch",
+    "hybrid_search_filtered",
 ]
 
 # Queries that read above their quiet anchors ONLY under mid-suite

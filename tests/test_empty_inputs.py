@@ -69,6 +69,11 @@ NEEDS_DATA = {
     # r13 second wave: the indexed hybrid's vector side serves the
     # same in-query-built fingerprint-keyed index
     "hybrid_search_indexed",
+    # r15: the filtered hybrid and the token-level MaxSim index train
+    # their serve-side quantizers in-query on a fingerprint miss —
+    # same ivf_train contract
+    "hybrid_search_filtered",
+    "sim_maxsim_indexed",
 }
 
 QUERIES = all_queries()

@@ -1,8 +1,10 @@
 """Local oracle gate for the STAGED (not-yet-registered) queries —
-the r15 registration candidates carry full DuckDB oracles NOW; this
-test replays the driver's comparison (row count, column names,
-order-insensitive values) so flipping them into QUERIES next round is
-a no-risk move.
+registration candidates carry full DuckDB oracles from the moment
+they are staged; this test replays the driver's comparison (row
+count, column names, order-insensitive values) so flipping them into
+QUERIES in a later round's certification window is a no-risk move.
+(The r14 staged set registered in r15; the parametrized gate runs
+over whatever STAGED_QUERIES currently holds.)
 """
 
 from __future__ import annotations
@@ -63,9 +65,9 @@ def test_staged_names_not_registered():
 
 
 def test_staged_maxsim_indexed_plan_pruned(spark):
-    """The staged indexed-MaxSim plan keeps the serve index's
-    partition pruning inside the fused plan (coarse_id PartitionFilters
-    on the shortlist side) and stays Python-free."""
+    """The indexed-MaxSim plan (staged r14, registered r15) keeps the
+    serve index's partition pruning inside the fused plan (coarse_id
+    PartitionFilters on the shortlist side) and stays Python-free."""
     from apachebeamkmeans_spark.plans import explain as X
 
     res = QS.q_sim_maxsim_indexed(spark, GATE_SF)

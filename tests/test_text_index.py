@@ -340,3 +340,171 @@ def test_compact_after_crashed_append_is_exact(spark, tmp_path):
     )
     assert got == want
     assert 99 not in {t[1] for t in got}
+
+
+def test_delete_equals_rebuild(spark, tmp_path):
+    """delete-then-serve ≡ rebuild-over-survivors (the
+    test_append_equals_rebuild pattern for the r15 delete verb):
+    n/Σdl/per-term df all recount exactly, so every BM25 score is
+    bit-identical to an index never containing the deleted docs —
+    and to the live scorer over the survivor corpus."""
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge join fast"), (11, "the stream table scan")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "delme")
+    TX.bm25_index_build(a, idx)
+    TX.bm25_index_append(b, idx)
+    n = TX.bm25_index_delete(spark, idx, doc_ids=[2, 10])
+    assert n == 2
+    rebuilt = str(tmp_path / "rebuilt")
+    survivors = a.unionByName(b).filter(~F.col("doc_id").isin([2, 10]))
+    TX.bm25_index_build(survivors, rebuilt)
+    q = QUERIES + [["merge", "fast"]]
+    got = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, q, k=20).collect())
+    )
+    want = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, rebuilt, q, k=20).collect())
+    )
+    assert got == want and got
+    live = sorted(map(tuple, TX.bm25_topk(survivors, q, k=20).collect()))
+    assert got == live
+    assert not {2, 10} & {t[1] for t in got}
+
+
+def test_delete_rewrites_only_affected_segments(spark, tmp_path):
+    """A delete touching only the appended segment must leave the base
+    segment's files byte-identical (untouched on disk) and reclaim the
+    affected segment's dirs after the swap."""
+    import os
+
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge join fast")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "scoped")
+    TX.bm25_index_build(a, idx)
+
+    def _mtimes(seg):
+        base = f"{idx}/postings/seg={seg}"
+        return {
+            os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+            for r, _d, fs in os.walk(base) for f in fs
+        }
+
+    TX.bm25_index_append(b, idx)
+    before = _mtimes(0)
+    assert TX.bm25_index_delete(spark, idx, doc_ids=[10]) == 1
+    assert _mtimes(0) == before, "unaffected segment was rewritten"
+    assert not os.path.isdir(f"{idx}/postings/seg=1")
+    commit = TX._bm25_read_commit(idx)
+    assert sum(s["n"] for s in commit["segments"]) == len(DOCS)
+    rows = TX.bm25_indexed_topk(spark, idx, [["merge"]], k=5).collect()
+    assert rows == []
+
+
+def test_delete_where_predicate_over_meta(spark, tmp_path):
+    """`where=` deletes doc-level over the denormalized metadata:
+    every posting row of a matching doc goes, filtered and unfiltered
+    serving both reflect it."""
+    docs = spark.createDataFrame(
+        [(1, "hash join", "web"), (2, "hash scan", "book"),
+         (3, "join scan", "web")],
+        "doc_id long, text string, source string",
+    )
+    idx = str(tmp_path / "metadel")
+    TX.bm25_index_build(docs, idx, meta_cols=("source",))
+    assert TX.bm25_index_delete(spark, idx, where="source = 'web'") == 2
+    rows = TX.bm25_indexed_topk(
+        spark, idx, [["hash"], ["join"], ["scan"]], k=10
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    # stats recount: df('join') must now be 0 docs → no rank for qid 1
+    assert not [r for r in rows if r["qid"] == 1]
+
+
+def test_delete_carries_replay_tags(spark, tmp_path):
+    """A streamed batch re-delivered AFTER its docs were deleted must
+    stay a no-op: the survivor segment inherits the affected segments'
+    replay-protection tags (otherwise checkpoint recovery would
+    resurrect deleted docs)."""
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(50, "hash hash hash")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "tagdel")
+    TX.bm25_index_build(a, idx)
+    TX.bm25_index_append(batch, idx, batch_tag="b-50")
+    assert TX.bm25_index_delete(spark, idx, doc_ids=[50]) == 1
+    # re-delivery of the same micro-batch: must be a no-op
+    TX.bm25_index_append(batch, idx, batch_tag="b-50")
+    rows = TX.bm25_indexed_topk(spark, idx, [["hash"]], k=10).collect()
+    assert 50 not in {r["doc_id"] for r in rows}
+
+
+def test_delete_requires_exactly_one_selector(spark, tmp_path):
+    import pytest
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "selector")
+    TX.bm25_index_build(docs, idx)
+    with pytest.raises(ValueError, match="exactly one"):
+        TX.bm25_index_delete(spark, idx)
+    with pytest.raises(ValueError, match="exactly one"):
+        TX.bm25_index_delete(spark, idx, doc_ids=[1], where="doc_id = 1")
+    # no matches: commit untouched, 0 returned
+    assert TX.bm25_index_delete(spark, idx, doc_ids=[999]) == 0
+
+
+def test_commit_conflict_fences_lost_update(spark, tmp_path):
+    """The single-writer fence (ADVICE r14): a verb that read the
+    commit, then lost the race to another writer's swap, must raise
+    Bm25CommitConflict instead of silently clobbering the other
+    writer's segment list."""
+    import pytest
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "fence")
+    TX.bm25_index_build(docs, idx)
+    stale, raw = TX._bm25_read_commit_raw(idx)
+    # another writer commits in between
+    TX.bm25_index_append(
+        spark.createDataFrame([(77, "merge fast")],
+                              "doc_id long, text string"), idx,
+    )
+    with pytest.raises(TX.Bm25CommitConflict):
+        TX._bm25_write_commit(idx, stale, expect_raw=raw)
+    # the winning append's segment survived
+    assert len(TX._bm25_read_commit(idx)["segments"]) == 2
+
+
+def test_compact_reclaims_orphans_even_when_single_segment(spark, tmp_path):
+    """ADVICE r14: a crash between a prior compact's swap and its
+    rmtree loop leaves superseded dirs no commit references; rerunning
+    compact on the now-single-segment index must still sweep them
+    (the early return used to fire first — disk leak)."""
+    import os
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "orphans")
+    TX.bm25_index_build(docs, idx)
+    # orphan: an uncommitted segment (crashed append / unreclaimed
+    # superseded dir — same on-disk shape)
+    TX._bm25_write_segment(
+        spark.createDataFrame([(99, "hash join")],
+                              "doc_id long, text string"),
+        idx, 7, TX._bm25_read_commit(idx)["n_buckets"], (), False,
+    )
+    assert os.path.isdir(f"{idx}/postings/seg=7")
+    before = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
+    )
+    TX.bm25_index_compact(spark, idx)  # single segment: early return
+    assert not os.path.isdir(f"{idx}/postings/seg=7")
+    assert not os.path.isdir(f"{idx}/df/seg=7")
+    after = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
+    )
+    assert after == before
