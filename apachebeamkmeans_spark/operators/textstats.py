@@ -1353,17 +1353,42 @@ def bm25_index_delete(spark, index_path: str,
         posts.filter(pred).select("seg", "doc_id").distinct()
         .localCheckpoint()
     )
+    affected, entry, n_deleted = _bm25_survivor_rewrite(
+        spark, index_path, commit, posts, matched
+    )
+    if not affected:
+        return 0
+    kept = [s for s in commit["segments"] if s["id"] not in set(affected)]
+    commit["segments"] = kept + ([entry] if entry is not None else [])
+    _bm25_write_commit(index_path, commit, expect_raw=fence)
+    _bm25_reap_segments(index_path, affected)
+    return n_deleted
+
+
+def _bm25_survivor_rewrite(spark, index_path: str, commit: dict, posts,
+                           matched) -> tuple[list, dict | None, int]:
+    """The delete/upsert core: rewrite the survivors of every segment
+    containing a matched doc as ONE fresh (uncommitted) segment.
+    `matched` is the pinned (seg, doc_id) match set. Returns
+    (affected_old_ids, survivor_commit_entry_or_None, n_docs_matched);
+    writes NOTHING visible — the caller swaps the commit. The survivor
+    entry is kept even at n=0 when the affected segments carried
+    replay tags (dropping them would let a re-delivered batch
+    resurrect deleted docs)."""
+    import os
+    import shutil
+
     affected = sorted({r["seg"] for r in matched.select("seg")
                        .distinct().collect()})
     if not affected:
-        return 0
+        return [], None, 0
     n_deleted = matched.select("doc_id").distinct().count()
     surv = (
         posts.filter(F.col("seg").isin(affected))
         .join(matched.select("doc_id").distinct(), "doc_id", "left_anti")
         .localCheckpoint()
     )
-    new_id = 1 + max(segs)
+    new_id = 1 + max(s["id"] for s in commit["segments"])
     for layout in ("postings", "df"):
         # crashed-prior-attempt retry contract (as _bm25_write_segment)
         shutil.rmtree(
@@ -1403,20 +1428,101 @@ def bm25_index_delete(spark, index_path: str,
             tags.update(s.get("batch_tags", ()))
     if tags:
         entry["batch_tags"] = sorted(tags)
-    # keep the survivor entry even at n=0: it carries the replay tags
-    # that stop a re-delivered batch from resurrecting deleted docs
-    kept = [s for s in commit["segments"] if s["id"] not in set(affected)]
-    commit["segments"] = kept + (
-        [entry] if n_surv > 0 or tags else []
-    )
-    _bm25_write_commit(index_path, commit, expect_raw=fence)
+    if n_surv == 0 and not tags:
+        entry = None
+    return affected, entry, n_deleted
+
+
+def _bm25_reap_segments(index_path: str, seg_ids: list) -> None:
+    """Best-effort post-swap reclamation of superseded segment dirs
+    (a still-scanning reader of the old commit keeps working — the
+    AnnIndex retention rationale; compact's orphan sweep catches any
+    straggler a crash leaves)."""
+    import os
+    import shutil
+
     for layout in ("postings", "df"):
-        for s in affected:
+        for s in seg_ids:
             shutil.rmtree(
                 os.path.join(index_path, layout, f"seg={s}"),
                 ignore_errors=True,
             )
-    return n_deleted
+
+
+def bm25_index_upsert(docs: DataFrame, index_path: str,
+                      batch_tag: str | None = None) -> int:
+    """Re-ingest a batch of documents — replace-or-insert by doc_id,
+    completing the text index's CRUD parity with AnnIndex.upsert:
+    existing docs with the batch's ids are deleted (survivor rewrite
+    of only the segments containing them — `bm25_index_delete`'s
+    core), the batch itself is written as a fresh segment
+    (`bm25_index_append`'s shape), and ONE atomic fenced commit swap
+    publishes both — a reader sees the old corpus or the new one,
+    never the deleted-but-not-yet-reinserted middle (which two
+    sequential delete+append commits would expose). Returns the
+    number of existing docs replaced.
+
+    `batch_tag` gives the same exactly-once replay protection as
+    append (a tag already committed no-ops the whole upsert); the tag
+    lands on the BATCH segment's entry, and tags of rewritten
+    segments carry onto the survivor entry.
+
+    Serving after an upsert is bit-identical to a rebuild over the
+    updated corpus (test_upsert_equals_rebuild): n/Σdl/df are
+    recounted for the survivor segment and computed fresh for the
+    batch segment, so every global stat sums to the rebuild's.
+
+    SINGLE WRITER contract and cost honesty: identical to delete
+    (affected segments rewrite in full; batch the upserts and target
+    them before compaction)."""
+    spark = docs.sparkSession
+    commit, fence = _bm25_read_commit_raw(index_path)
+    if batch_tag is not None:
+        seen = set()
+        for s in commit["segments"]:
+            if s.get("batch_tag") is not None:
+                seen.add(s["batch_tag"])
+            seen.update(s.get("batch_tags", ()))
+        if batch_tag in seen:
+            return 0
+    segs = [s["id"] for s in commit["segments"]]
+    affected: list = []
+    entry = None
+    n_replaced = 0
+    if segs:
+        posts = spark.read.parquet(f"{index_path}/postings").filter(
+            F.col("seg").isin(segs)
+        )
+        matched = (
+            posts.join(
+                F.broadcast(docs.select("doc_id").distinct()), "doc_id",
+                "semi",
+            )
+            .select("seg", "doc_id").distinct().localCheckpoint()
+        )
+        affected, entry, n_replaced = _bm25_survivor_rewrite(
+            spark, index_path, commit, posts, matched
+        )
+    # the batch segment id must clear BOTH the old ids and the
+    # survivor segment the rewrite may have just written
+    next_id = 1 + max(
+        [s["id"] for s in commit["segments"]]
+        + ([entry["id"]] if entry is not None else []),
+        default=-1,
+    )
+    batch_entry = _bm25_write_segment(
+        docs, index_path, next_id, commit["n_buckets"],
+        tuple(commit["meta_cols"]), overwrite=False,
+    )
+    if batch_tag is not None:
+        batch_entry["batch_tag"] = batch_tag
+    kept = [s for s in commit["segments"] if s["id"] not in set(affected)]
+    commit["segments"] = (
+        kept + ([entry] if entry is not None else []) + [batch_entry]
+    )
+    _bm25_write_commit(index_path, commit, expect_raw=fence)
+    _bm25_reap_segments(index_path, affected)
+    return n_replaced
 
 
 def _bm25_write_segment(docs: DataFrame, out_path: str, seg: int,

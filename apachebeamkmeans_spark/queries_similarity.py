@@ -3748,4 +3748,130 @@ QUERIES["hybrid_search_filtered"] = (
     q_hybrid_search_filtered, ORACLE_HYBRID_SEARCH_FILTERED,
 )
 
-STAGED_QUERIES: dict = {}
+
+# ---------------- staged for a future window slot (r15): batch hybrid
+# — the registry is at its 200-query ceiling, so this waits for a
+# funded slot (README "Registry governance"); oracle + local gate +
+# anchor exist now, the registration flip is zero-risk later.
+
+# sorted per-query terms: the batch-table scorer folds contributions
+# in sorted-term order (the text_bm25_batch convention), so the
+# oracle's left-associated chains must follow the same order
+HYBRID_BATCH_TERMS = [sorted(t) for t, _v in HYBRID_QUERIES]
+
+
+def q_hybrid_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch hybrid retrieval — the eval-workload twin of
+    `hybrid_search_indexed`: BOTH sides consume the queries as a
+    TABLE against their persisted indexes. (qid, term) rows feed
+    `bm25_indexed_topk_table` (distinct terms collected k-row-class,
+    postings scan keeps partition pruning + term pushdown,
+    sorted-term left-associated fold) and (qid, qvec) rows feed
+    `AnnIndex.topk_table` (per-row in-plan probe choice, probed cells
+    collected into the static partition-pruning pushdown); the two
+    k-row rank frames RRF-fuse. At 100 TB this is how an evaluation
+    batch retrieves context: thousands of queries in ONE plan per
+    side instead of one plan per query — and each side inherits its
+    index's flat serve-path law. Oracle: the sorted-term BM25 union ⊕
+    the in-SQL probe replay over the literal query rows, fused like
+    `hybrid_search_rrf`'s."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark import queries_text as QT
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "hybrid_search_batch")
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in enumerate(HYBRID_BATCH_TERMS) for t in ts],
+        "qid int, term string",
+    )
+    tranked = QT.TX.bm25_indexed_topk_table(
+        spark, QT._ensure_bm25_index(spark, sf_dir), qdf,
+        k=HYBRID_PER_SIDE, k1=QT.BM25_K1, b=QT.BM25_B,
+    ).select(
+        "qid", F.col("doc_id").alias("id"),
+        F.col("rank").alias("text_rank"),
+    )
+    vtab = spark.createDataFrame(
+        [(qid, [float(x) for x in v])
+         for qid, (_t, v) in enumerate(HYBRID_QUERIES)],
+        "qid int, qvec array<double>",
+    )
+    idx = AnnIndex.load(spark, _ensure_serve_index(spark, sf_dir, pq=False))
+    vranked = idx.topk_table(
+        vtab, k=HYBRID_PER_SIDE, nprobe=IVFPQ_NPROBE,
+    ).select(
+        "qid", F.col("vec_id").alias("id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    return SIM.rrf_fuse(tranked, vranked, HYBRID_TOPK, HYBRID_RRF_K)
+
+
+def _oracle_hybrid_batch() -> str:
+    from apachebeamkmeans_spark import queries_text as QT
+
+    # in-SQL probe replay over the literal query rows — the
+    # _oracle_ivf_batch_topk structure (NOT Python-side
+    # nearest_centers literals: the batch form picks probes in-plan,
+    # so the oracle must rank the same unrolled center distances)
+    qnsq = "list_sum(list_transform(q0, x -> x*x))"
+    values = ", ".join(
+        f"({qid}, [{', '.join(repr(float(x)) for x in v)}])"
+        for qid, (_t, v) in enumerate(HYBRID_QUERIES)
+    )
+    cell_structs = ", ".join(
+        f"struct_pack(cell := {i}, d := {OG.sql_l2_sq('q', c)})"
+        for i, c in enumerate(TRAINED_CENTERS)
+    )
+    dot = OG.sql_dot_cols("ca.e", "p.q")
+    vn = "sqrt(list_sum(list_transform(ca.e, x -> x*x)))"
+    parts = []
+    for qid in range(len(HYBRID_QUERIES)):
+        t_q = (
+            f"(SELECT doc_id, rank AS text_rank FROM bm"
+            f" WHERE qid = {qid})"
+        )
+        v_q = f"(SELECT vec_id, vec_rank FROM vr WHERE qid = {qid})"
+        parts.append(
+            f"SELECT {qid} AS qid, doc_id, round(rrf, 6) AS rrf_score,"
+            f" text_rank, vec_rank, rank FROM ("
+            f"  SELECT doc_id, rrf, text_rank, vec_rank,"
+            f"    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)"
+            f"         AS INTEGER) AS rank"
+            f"  FROM ("
+            f"    SELECT coalesce(t.doc_id, v.vec_id) AS doc_id,"
+            f"      coalesce(CAST(1 AS DOUBLE) / ({HYBRID_RRF_K} + t.text_rank), 0)"
+            f"      + coalesce(CAST(1 AS DOUBLE) / ({HYBRID_RRF_K} + v.vec_rank), 0)"
+            f"      AS rrf, t.text_rank, v.vec_rank"
+            f"    FROM {t_q} t FULL OUTER JOIN {v_q} v"
+            f"      ON t.doc_id = v.vec_id"
+            f"  )"
+            f") WHERE rank <= {HYBRID_TOPK}"
+        )
+    return (
+        f"WITH {QT._bm25_ctes(HYBRID_BATCH_TERMS)}, "
+        f"{_trained_ca_ctes(_E2_ROUNDTRIP)}, "
+        f"bm AS ({QT._bm25_union(HYBRID_BATCH_TERMS, HYBRID_PER_SIDE)}), "
+        f"qv AS (SELECT qid, list_transform(q0, x -> x / sqrt({qnsq})) AS q"
+        f" FROM (VALUES {values}) AS t(qid, q0) WHERE {qnsq} > 0), "
+        f"qd AS (SELECT qid, q, unnest([{cell_structs}]) AS s FROM qv), "
+        f"probes AS (SELECT qid, q, probe_cell FROM ("
+        f"  SELECT qid, q, s.cell AS probe_cell,"
+        f"  row_number() OVER (PARTITION BY qid ORDER BY s.d, s.cell) AS rn"
+        f"  FROM qd) WHERE rn <= {IVFPQ_NPROBE}), "
+        f"vr AS (SELECT qid, vec_id, CAST(row_number() OVER"
+        f" (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS INTEGER)"
+        f" AS vec_rank FROM"
+        f" (SELECT p.qid, ca.vec_id, {dot} / {vn} AS c"
+        f"  FROM probes p JOIN ca ON ca.coarse_id = p.probe_cell)"
+        f" QUALIFY vec_rank <= {HYBRID_PER_SIDE}) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+ORACLE_HYBRID_SEARCH_BATCH = _oracle_hybrid_batch()
+
+
+STAGED_QUERIES: dict = {
+    "hybrid_search_batch": (q_hybrid_search_batch, ORACLE_HYBRID_SEARCH_BATCH),
+}

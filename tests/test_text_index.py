@@ -508,3 +508,74 @@ def test_compact_reclaims_orphans_even_when_single_segment(spark, tmp_path):
         map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
     )
     assert after == before
+
+
+def test_upsert_equals_rebuild(spark, tmp_path):
+    """upsert (replace doc 2, insert doc 20) serves bit-identically to
+    a rebuild over the updated corpus — and publishes atomically (one
+    commit swap covers both the delete half and the insert half)."""
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(2, "window agg window"), (20, "merge join fast")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "upsertme")
+    TX.bm25_index_build(a, idx)
+    assert TX.bm25_index_upsert(batch, idx) == 1  # doc 2 replaced
+    rebuilt = str(tmp_path / "rebuilt_up")
+    updated = a.filter(F.col("doc_id") != 2).unionByName(batch)
+    TX.bm25_index_build(updated, rebuilt)
+    q = QUERIES + [["merge", "fast"], ["window", "agg"]]
+    got = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, q, k=20).collect())
+    )
+    want = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, rebuilt, q, k=20).collect())
+    )
+    assert got == want and got
+    live = sorted(map(tuple, TX.bm25_topk(updated, q, k=20).collect()))
+    assert got == live
+
+
+def test_upsert_replay_tag_noops(spark, tmp_path):
+    """A re-delivered upsert batch (same batch_tag) must be a no-op —
+    the whole verb, not just the append half."""
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(2, "window agg window")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "uptag")
+    TX.bm25_index_build(a, idx)
+    assert TX.bm25_index_upsert(batch, idx, batch_tag="u-1") == 1
+    before = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+    )
+    commit_before = TX._bm25_read_commit(idx)
+    assert TX.bm25_index_upsert(batch, idx, batch_tag="u-1") == 0
+    assert TX._bm25_read_commit(idx) == commit_before
+    after = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+    )
+    assert after == before
+
+
+def test_upsert_pure_insert_matches_append(spark, tmp_path):
+    """An upsert whose ids are all new degenerates to an append:
+    nothing rewritten, serving equals the appended index."""
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(30, "merge join fast")], "doc_id long, text string"
+    )
+    up, ap = str(tmp_path / "upnew"), str(tmp_path / "apnew")
+    TX.bm25_index_build(a, up)
+    TX.bm25_index_build(a, ap)
+    assert TX.bm25_index_upsert(batch, up) == 0
+    TX.bm25_index_append(batch, ap)
+    q = QUERIES + [["merge"]]
+    got = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, up, q, k=20).collect())
+    )
+    want = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, ap, q, k=20).collect())
+    )
+    assert got == want and got

@@ -75,6 +75,10 @@ SHOWCASE = {
     "text_bm25_indexed": "BM25 off the PERSISTED inverted index: postings scan pruned to the query terms' tbucket partitions (PartitionFilters) with the term filter pushed, per-term pivot + left-associated query sums — no corpus tokenize anywhere in the plan",
     "retrieval_ndcg": "nDCG@k eval: k hit-booleans per qid (integer agg), DCG/IDCG as fixed-order chains of plan-time log2 literals — no engine-evaluated transcendental",
     "hybrid_search_indexed": "production hybrid, BOTH sides indexed: partition-pruned IVF scan (coarse_id) ⊕ partition-pruned postings scan (tbucket), RRF-fused — corpus-size-free serve plan",
+    # round 15
+    "sim_maxsim_indexed": "ColBERT/PLAID serving: per-query-token probes over the persisted TOKEN-level index (coarse_id PartitionFilters), parent-doc union, exact HOF MaxSim only on the shortlist — full-scan law broken, no Python",
+    "text_bm25_batch": "query-TABLE BM25 serve: distinct terms collected k-row-class into the postings scan's PartitionFilters + pushed term filter, broadcast query join, sorted-term left-associated fold — never a bare float SUM",
+    "hybrid_search_filtered": "filtered hybrid: source-IN predicate inside the pruned postings scan ⊕ label predicate inside the pruned IVF scan (filter-then-rank, stats stay global), RRF-fused",
 }
 
 
