@@ -459,7 +459,13 @@ def run_text_index_ingest_stream(
     overwrite-by-batch-id, implemented here with the commit swap.
 
     At cluster scale the source becomes Kafka and compaction runs as a
-    separate maintenance job on segment-count pressure; the per-batch
+    separate maintenance job on segment-count pressure — scheduled in
+    a gap between micro-batches (pause the stream or slot it by
+    trigger), because index WRITERS are single-writer by contract
+    (`bm25_index_append`): a compact racing an in-flight append targets
+    the same next segment id, and the fenced commit swap
+    (`Bm25CommitConflict`, r15) turns that interleaving into a loud
+    retryable error instead of a silent lost segment. The per-batch
     plan (one tokenize of the batch, two map-side-combined hash-aggs)
     is identical."""
     from apachebeamkmeans_spark.operators import textstats as TX

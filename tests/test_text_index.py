@@ -579,3 +579,23 @@ def test_upsert_pure_insert_matches_append(spark, tmp_path):
         map(tuple, TX.bm25_indexed_topk(spark, ap, q, k=20).collect())
     )
     assert got == want and got
+
+
+def test_batch_table_duplicate_qid_term_rows_dedup(spark, tmp_path):
+    """ADVICE r14: a query table carrying a duplicate (qid, term) row
+    (a query with a repeated term) must not double-count that term's
+    contribution — the join dedups, matching the literal form."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "dupterms")
+    TX.bm25_index_build(docs, idx)
+    clean = spark.createDataFrame(
+        [(0, "hash"), (0, "join")], "qid int, term string"
+    )
+    dup = spark.createDataFrame(
+        [(0, "hash"), (0, "hash"), (0, "join")], "qid int, term string"
+    )
+    want = sorted(map(tuple, TX.bm25_indexed_topk_table(
+        spark, idx, clean, k=10).collect()))
+    got = sorted(map(tuple, TX.bm25_indexed_topk_table(
+        spark, idx, dup, k=10).collect()))
+    assert got == want and want
