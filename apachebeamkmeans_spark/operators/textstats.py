@@ -1243,8 +1243,16 @@ def bm25_index_compact(spark, index_path: str) -> None:
     posts = spark.read.parquet(f"{index_path}/postings").filter(
         F.col("seg").isin(old)
     )
+    merged_posts = posts.withColumn("seg", F.lit(seg))
+    if "impact_key" in posts.columns:
+        # preserve the impact-ordered (Block-Max) layout through the
+        # merge — correctness never depends on it, but the pruned
+        # serve's row-group skipping does
+        merged_posts = merged_posts.sortWithinPartitions(
+            "tbucket", "term", F.desc("impact_key"),
+        )
     (
-        posts.withColumn("seg", F.lit(seg))
+        merged_posts
         .write.mode("append")
         .partitionBy("seg", "tbucket")
         .parquet(f"{index_path}/postings")
@@ -1401,12 +1409,16 @@ def _bm25_survivor_rewrite(spark, index_path: str, commit: dict, posts,
     n_surv, sdl_surv = int(srow["n"]), int(srow["sdl"] or 0)
     if n_surv > 0:
         write_shards = 8
-        (
-            surv.withColumn("seg", F.lit(new_id))
-            .repartition(
-                F.col("tbucket"),
-                F.pmod(F.hash("doc_id"), F.lit(write_shards)),
+        surv_posts = surv.withColumn("seg", F.lit(new_id)).repartition(
+            F.col("tbucket"),
+            F.pmod(F.hash("doc_id"), F.lit(write_shards)),
+        )
+        if "impact_key" in surv.columns:
+            surv_posts = surv_posts.sortWithinPartitions(
+                "tbucket", "term", F.desc("impact_key"),
             )
+        (
+            surv_posts
             .write.mode("append")
             .partitionBy("seg", "tbucket")
             .parquet(f"{index_path}/postings")
@@ -1558,6 +1570,15 @@ def _bm25_write_segment(docs: DataFrame, out_path: str, seg: int,
     )
     if meta_cols:
         tf = tf.join(docs.select("doc_id", *meta_cols), "doc_id")
+    # impact_key = tf/dl, the scale-free surrogate for the row's score
+    # contribution (monotone bound: contribution < idf·(k1+1)·avgdl·
+    # (tf/dl)/(k1·b) — see bm25_indexed_topk's pruned mode). Stored so
+    # the impact-ordered layout below gives parquet row-group stats the
+    # serve-side `impact_key >= r0` filter can skip on.
+    tf = tf.withColumn(
+        "impact_key",
+        F.col("tf").cast("double") / F.col("dl").cast("double"),
+    )
     mode = "overwrite" if overwrite else "append"
     write_shards = 8
     tbucket = (F.crc32(F.col("term")) % n_buckets).cast("int")
@@ -1567,6 +1588,14 @@ def _bm25_write_segment(docs: DataFrame, out_path: str, seg: int,
         .repartition(
             F.col("tbucket"),
             F.pmod(F.hash("doc_id"), F.lit(write_shards)),
+        )
+        # impact-ordered within each file: (term, impact DESC) makes a
+        # big term's posting run contiguous with DESCENDING row-group
+        # impact stats — the Block-Max layout, in parquet terms: a
+        # pruned serve reads the high-impact head blocks of a stopword
+        # run and SKIPS the tail on row-group min/max alone
+        .sortWithinPartitions(
+            "tbucket", "term", F.desc("impact_key"),
         )
         .write.mode(mode)
         .partitionBy("seg", "tbucket")
@@ -1660,7 +1689,9 @@ def _bm25_write_commit(index_path: str, commit: dict,
 
 def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
                           k1: float, b: float,
-                          where: str | None = None):
+                          where: str | None = None,
+                          prune_df_frac: float | None = None,
+                          prune_min_impact: float = 0.0):
     """Shared serve-side scan: the partition-pruned, term-filtered
     postings frame over the COMMITTED segments, plus a per-term score
     column builder. Both the literal (`bm25_indexed_topk`) and the
@@ -1704,6 +1735,22 @@ def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
     )
     if where is not None:
         posts = posts.filter(F.expr(where))
+    if prune_df_frac is not None and prune_min_impact > 0.0:
+        # impact-ordered early termination (the Block-Max WAND
+        # analogue): ONLY stopword-grade terms (df ≥ frac·n) get the
+        # impact cutoff — selective terms stay exact, and a pruned
+        # term's dropped contribution is bounded (see
+        # bm25_prune_error_bound). The disjunctive predicate pushes to
+        # parquet, and the impact-ordered layout makes a stopword
+        # run's low-impact tail skippable on row-group stats alone.
+        high = [
+            t for t in terms if df_map.get(t, 0.0) >= prune_df_frac * n
+        ]
+        if high:
+            posts = posts.filter(
+                (~F.col("term").isin(high))
+                | (F.col("impact_key") >= float(prune_min_impact))
+            )
     tf = F.col("tf").cast("double")
     avgdl = F.lit(sdl) / F.lit(n)
     norm = F.lit(float(k1)) * (
@@ -1724,7 +1771,9 @@ def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
 def bm25_indexed_topk(spark, index_path: str,
                       queries: list[list[str]], k: int = 10,
                       k1: float = 1.2, b: float = 0.75,
-                      where: str | None = None) -> DataFrame:
+                      where: str | None = None,
+                      prune_df_frac: float | None = None,
+                      prune_min_impact: float = 0.0) -> DataFrame:
     """BM25 serving off the persisted index `bm25_index_build` wrote —
     bit-identical scores to the live `bm25_topk` (same formula, same
     left-associated per-query term sums, same log-free IDF), but the
@@ -1744,10 +1793,29 @@ def bm25_indexed_topk(spark, index_path: str,
     At 100 TB the pruned scan is the posting lists of a handful of
     terms — MBs, not the corpus — and the only shuffle is the pivot's
     hash-agg on doc_id over those rows. Driver traffic: the commit
-    file + the k-term df collect (probe-cell class)."""
+    file + the k-term df collect (probe-cell class).
+
+    IMPACT-ORDERED EARLY TERMINATION (r15 — the Block-Max WAND
+    analogue, Spark-idiomatic): the default serve is EXACT, but a
+    stopword-grade term's posting list is corpus-sized (measured:
+    floor + 1.1 µs/posting-row, SCALE.md §9), so `prune_df_frac` +
+    `prune_min_impact` bound it — terms whose df ≥ prune_df_frac·n
+    keep only posting rows with impact_key = tf/dl ≥
+    prune_min_impact. The layout is written impact-ordered per term
+    (`_bm25_write_segment`), so parquet row-group min/max stats skip
+    a stopword run's low-impact tail without reading it — the
+    "block max + skip" half of WAND; the df-threshold keeps every
+    selective (high-idf) term exact, which is the order Lucene
+    applies dynamic pruning too. Retained rows score EXACTLY; a
+    query's total understates by at most the provable per-query bound
+    `bm25_prune_error_bound` computes (only rank inversions within
+    that bound are possible, tested). Requires an index built at
+    r14v2+ layout (the impact_key column); rebuild or compact older
+    indexes first."""
     terms = sorted({t for q in queries for t in q})
     posts, term_score = _bm25_pruned_postings(
-        spark, index_path, terms, k1, b, where
+        spark, index_path, terms, k1, b, where,
+        prune_df_frac, prune_min_impact,
     )
     if posts is None:  # empty-corpus index
         return spark.createDataFrame(
@@ -1776,6 +1844,67 @@ def bm25_indexed_topk(spark, index_path: str,
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", F.round("__s", 6).alias("bm25"), "rank")
     )
+
+
+def bm25_prune_error_bound(spark, index_path: str,
+                           queries: list[list[str]],
+                           prune_df_frac: float,
+                           prune_min_impact: float,
+                           k1: float = 1.2,
+                           b: float = 0.75) -> dict[int, float]:
+    """Per-query upper bound on the score a pruned
+    `bm25_indexed_topk(prune_df_frac=, prune_min_impact=)` serve can
+    understate by — the number that makes the approximation
+    PRINCIPLED rather than heuristic.
+
+    Derivation: a dropped posting row of pruned term t has
+    tf/dl < r0, and its true contribution is
+    idf_t · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+      < idf_t·(k1+1)·tf·avgdl/(k1·b·dl)          [denominator > k1·b·dl/avgdl]
+      < idf_t·(k1+1)·avgdl·r0/(k1·b).
+    A doc loses at most one row per term, so per query the total
+    understatement is the sum of that bound over its PRUNED terms
+    (selective terms never prune). Only rank inversions within the
+    bound are possible. Pruned terms are stopword-grade by the df
+    threshold, so idf_t < (1−frac+0.5/n)/frac — small; the bound is
+    tight exactly where pruning applies. Requires b > 0 (with b = 0
+    doc length never normalizes and no tf/dl cutoff bounds the
+    contribution)."""
+    if not b > 0:
+        raise ValueError("prune error bound requires b > 0")
+    commit = _bm25_read_commit(index_path)
+    n = float(sum(s["n"] for s in commit["segments"]))
+    sdl = float(sum(s["sdl"] for s in commit["segments"]))
+    if n == 0:
+        return {qid: 0.0 for qid in range(len(queries))}
+    avgdl = sdl / n
+    terms = sorted({t for q in queries for t in q})
+    n_buckets = commit["n_buckets"]
+    segs = [s["id"] for s in commit["segments"]]
+    buckets = sorted({bm25_index_bucket(t, n_buckets) for t in terms})
+    df_rows = (
+        spark.read.parquet(f"{index_path}/df")
+        .filter(
+            F.col("seg").isin(segs)
+            & F.col("tbucket").isin(buckets)
+            & F.col("term").isin(list(terms))
+        )
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    df_map = {r["term"]: float(r["df"]) for r in df_rows}
+    per_term = {}
+    for t in terms:
+        df_t = df_map.get(t, 0.0)
+        if df_t >= prune_df_frac * n:
+            idf = (n - df_t + 0.5) / (df_t + 0.5)
+            per_term[t] = (
+                idf * (k1 + 1.0) * avgdl * prune_min_impact / (k1 * b)
+            )
+    return {
+        qid: sum(per_term.get(t, 0.0) for t in q)
+        for qid, q in enumerate(queries)
+    }
 
 
 def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,

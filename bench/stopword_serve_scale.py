@@ -25,6 +25,11 @@ Timed per scale point (warm session, one untimed warmup serve, REPS
 repetitions, all readings reported; index build untimed):
 - selective: bm25_indexed_topk over the 1-term query ["rare42"]
 - stopword:  bm25_indexed_topk over the 1-term query ["the"]
+- stopword_pruned: the same stopword query with impact-ordered early
+  termination (prune_df_frac=0.5, prune_min_impact=PRUNE_R0) — the
+  Block-Max analogue's measured payoff: the corpus-sized posting run
+  is row-group-skipped below the impact cutoff, with the provable
+  per-query error bound reported beside the timing
 
 Usage: python bench/stopword_serve_scale.py [mults...]  # default 1 10 30
 Reads .scaledata/x{mult}/documents.parquet (tools/gen_scale.py).
@@ -50,6 +55,9 @@ from apachebeamkmeans_spark.session import get_spark  # noqa: E402
 
 REPS = int(os.environ.get("STOPWORD_SCALE_REPS", "3"))
 RARE_MOD = 5_000  # rare-term family size: df of each rareK == mult
+PRUNE_R0 = 0.05   # impact cutoff: keep rows where tf/dl >= 5% (the
+#                   fixture's mean stopword tf/dl is ~1/31 ≈ 0.032,
+#                   so the cutoff keeps the dense top-impact tail)
 
 
 def main() -> None:
@@ -74,13 +82,14 @@ def main() -> None:
         idx = os.path.join(work, f"x{mult}")
         TX.bm25_index_build(docs, idx)  # untimed: the amortized stage
 
-        def serve(terms: list[str]) -> int:
+        def serve(terms: list[str], **kw) -> int:
             return TX.bm25_indexed_topk(
-                spark, idx, [terms], k=10
+                spark, idx, [terms], k=10, **kw
             ).count()
 
         serve(["rare42"])  # warmup: plan + commit/df reads cached paths
         serve(["the"])
+        serve(["the"], prune_df_frac=0.5, prune_min_impact=PRUNE_R0)
         point: dict[str, object] = {"n_docs": docs.count()}
         dfl = (
             spark.read.parquet(f"{idx}/df")
@@ -89,15 +98,26 @@ def main() -> None:
         )
         dmap = {r["term"]: int(r["df"]) for r in dfl}
         point["df_rare"], point["df_stop"] = dmap["rare42"], dmap["the"]
-        for label, terms in (("selective", ["rare42"]),
-                             ("stopword", ["the"])):
+        for label, terms, kw in (
+            ("selective", ["rare42"], {}),
+            ("stopword", ["the"], {}),
+            ("stopword_pruned", ["the"],
+             {"prune_df_frac": 0.5, "prune_min_impact": PRUNE_R0}),
+        ):
             times = []
             for _ in range(REPS):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                serve(terms)
+                serve(terms, **kw)
                 times.append(round(time.perf_counter() - t0, 3))
             point[label] = times
+        point["prune_bound"] = round(TX.bm25_prune_error_bound(
+            spark, idx, [["the"]], 0.5, PRUNE_R0)[0], 4)
+        point["rows_kept_pruned"] = (
+            spark.read.parquet(f"{idx}/postings")
+            .filter((F.col("term") == "the")
+                    & (F.col("impact_key") >= PRUNE_R0)).count()
+        )
         out[str(mult)] = point
         print(f"x{mult}: {point}", file=sys.stderr)
     shutil.rmtree(work, ignore_errors=True)

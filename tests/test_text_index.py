@@ -599,3 +599,92 @@ def test_batch_table_duplicate_qid_term_rows_dedup(spark, tmp_path):
     got = sorted(map(tuple, TX.bm25_indexed_topk_table(
         spark, idx, dup, k=10).collect()))
     assert got == want and want
+
+
+def test_pruned_serve_noop_threshold_is_exact(spark, tmp_path):
+    """prune_min_impact=0 keeps every row — the pruned code path must
+    reproduce the exact serve bit-for-bit."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "prune0")
+    TX.bm25_index_build(docs, idx)
+    exact = sorted(
+        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
+    )
+    pruned = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, QUERIES, k=10,
+        prune_df_frac=0.5, prune_min_impact=0.0,
+    ).collect()))
+    assert pruned == exact and exact
+
+
+def test_pruned_serve_understates_within_bound(spark, tmp_path):
+    """Impact-ordered early termination: retained (qid, doc) scores
+    understate the exact serve by at most `bm25_prune_error_bound`
+    (never overstate), selective terms stay exact, and the impact
+    predicate reaches the postings scan as a pushed filter."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "pruneb")
+    TX.bm25_index_build(docs, idx)
+    q = [["the", "table"], ["the"], ["hash", "join"]]
+    frac, r0 = 0.5, 0.5  # df(the)=3 >= 0.5*5 → pruned; others exact
+    exact = {
+        (r["qid"], r["doc_id"]): r["bm25"]
+        for r in TX.bm25_indexed_topk(spark, idx, q, k=10).collect()
+    }
+    res = TX.bm25_indexed_topk(
+        spark, idx, q, k=10, prune_df_frac=frac, prune_min_impact=r0,
+    )
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    assert "impact_key" in plan.split("PushedFilters", 1)[1][:400]
+    pruned = {(r["qid"], r["doc_id"]): r["bm25"] for r in res.collect()}
+    bound = TX.bm25_prune_error_bound(spark, idx, q, frac, r0)
+    assert bound[0] > 0 and bound[1] > 0 and bound[2] == 0.0
+    assert pruned, "pruned serve returned nothing"
+    for key, s in pruned.items():
+        assert key in exact
+        diff = exact[key] - s
+        # rounding to 6 dp on both sides → 2e-6 slack
+        assert -2e-6 <= diff <= bound[key[0]] + 2e-6, (key, diff, bound)
+    # a doc dropped entirely understates from its exact score by at
+    # most the bound too (its retained contribution was 0 < exact ≤
+    # retained + bound) — verify the strongest case: the pure-stopword
+    # query's exact scores all fit under the bound OR the doc survived
+    for (qid, doc), s in exact.items():
+        if qid == 1 and (qid, doc) not in pruned:
+            assert s <= bound[1] + 2e-6
+    # the selective-only query is untouched
+    assert {k: v for k, v in pruned.items() if k[0] == 2} == \
+        {k: v for k, v in exact.items() if k[0] == 2}
+
+
+def test_pruned_serve_survives_compact_and_delete(spark, tmp_path):
+    """The impact_key column (and with it the pruned mode) must
+    survive the rewriting verbs: append → delete → compact, then a
+    pruned serve still runs and stays within its bound."""
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "the the table the"), (11, "table scan")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "prunelife")
+    TX.bm25_index_build(a, idx)
+    TX.bm25_index_append(b, idx)
+    TX.bm25_index_delete(spark, idx, doc_ids=[11])
+    TX.bm25_index_compact(spark, idx)
+    q = [["the", "table"]]
+    exact = {
+        (r["qid"], r["doc_id"]): r["bm25"]
+        for r in TX.bm25_indexed_topk(spark, idx, q, k=10).collect()
+    }
+    pruned = {
+        (r["qid"], r["doc_id"]): r["bm25"]
+        for r in TX.bm25_indexed_topk(
+            spark, idx, q, k=10, prune_df_frac=0.5, prune_min_impact=0.5,
+        ).collect()
+    }
+    bound = TX.bm25_prune_error_bound(spark, idx, q, 0.5, 0.5)
+    assert pruned
+    for key, s in pruned.items():
+        assert -2e-6 <= exact[key] - s <= bound[0] + 2e-6
