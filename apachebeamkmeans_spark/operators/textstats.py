@@ -1910,7 +1910,9 @@ def bm25_prune_error_bound(spark, index_path: str,
 def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,
                             k: int = 10, k1: float = 1.2,
                             b: float = 0.75,
-                            where: str | None = None) -> DataFrame:
+                            where: str | None = None,
+                            prune_df_frac: float | None = None,
+                            prune_min_impact: float = 0.0) -> DataFrame:
     """Batch BM25 serving for a query TABLE (qid, term — one row per
     query term) against the persisted index: the evaluation-workload
     twin of `bm25_indexed_topk`, the text analogue of the vector
@@ -1929,12 +1931,20 @@ def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,
     (2-term sums are order-exact by IEEE commutativity; ≥3 terms can
     differ in ulps under re-association).
 
-    Output: (qid, doc_id, bm25, rank) — zero-score docs don't rank."""
+    Output: (qid, doc_id, bm25, rank) — zero-score docs don't rank.
+
+    `prune_df_frac`/`prune_min_impact` enable the same impact-ordered
+    early termination as the literal form (see `bm25_indexed_topk` —
+    stopword-grade terms only, bounded understatement via
+    `bm25_prune_error_bound`); an eval batch is exactly where a
+    stopword-bearing query's corpus-sized scan multiplies by n_q, so
+    the batch form is where the cutoff pays first."""
     terms = sorted(
         {r["term"] for r in queries.select("term").distinct().collect()}
     )
     posts, term_score = _bm25_pruned_postings(
-        spark, index_path, terms, k1, b, where
+        spark, index_path, terms, k1, b, where,
+        prune_df_frac, prune_min_impact,
     )
     if posts is None:  # empty-corpus index
         return spark.createDataFrame(

@@ -440,6 +440,7 @@ def run_text_index_ingest_stream(
     checkpoint: str,
     max_files_per_trigger: int | None = None,
     name: str = "text_index_ingest_stream",
+    mode: str = "append",
 ):
     """Streaming maintenance of the SEGMENTED BM25 index — the text
     twin of the embedding gate's standing-index posture, but here the
@@ -467,24 +468,42 @@ def run_text_index_ingest_stream(
     (`Bm25CommitConflict`, r15) turns that interleaving into a loud
     retryable error instead of a silent lost segment. The per-batch
     plan (one tokenize of the batch, two map-side-combined hash-aggs)
-    is identical."""
+    is identical.
+
+    `mode="upsert"` (r15) switches the per-batch verb to
+    `bm25_index_upsert` for CDC-shaped document streams where a batch
+    may RE-deliver changed docs rather than only new ids: each batch
+    replaces-or-inserts by doc_id under one atomic fenced commit swap,
+    with the same batch-tag exactly-once protection (a recovered
+    re-delivery no-ops the whole upsert — it cannot resurrect a
+    pre-update revision or double-replace). Cost: an updating batch
+    rewrites the segments containing its ids (delete's survivor
+    rewrite), so upsert streams want small segment counts — compact on
+    pressure, in a trigger gap, as above."""
     from apachebeamkmeans_spark.operators import textstats as TX
 
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be append|upsert, got {mode!r}")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(src_dir)
 
-    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        TX.bm25_index_append(
-            batch_df, index_path, batch_tag=f"stream-{batch_id}"
-        )
+        if mode == "upsert":
+            TX.bm25_index_upsert(
+                batch_df, index_path, batch_tag=f"stream-{batch_id}"
+            )
+        else:
+            TX.bm25_index_append(
+                batch_df, index_path, batch_tag=f"stream-{batch_id}"
+            )
 
     return (
         stream.writeStream.outputMode("append")
-        .foreachBatch(append_batch)
+        .foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
         .queryName(name)
         .start()

@@ -444,3 +444,66 @@ def test_text_index_crashed_append_retry_is_exact(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, TX.bm25_topk(
         docs, [["join", "hash"]], k=15).collect()))
     assert got == want and got
+
+
+def test_text_index_upsert_stream_applies_updates(spark, sf_dir, tmp_path):
+    """mode="upsert" CDC-shaped ingest: a streamed batch that
+    RE-delivers changed docs replaces them (and inserts the new ids);
+    after draining, serving equals a one-shot build over the FINAL
+    document state, and a checkpoint restart re-delivers nothing."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import textstats as TX
+    from apachebeamkmeans_spark.sources import io
+    from apachebeamkmeans_spark.streaming.ingest import (
+        run_text_index_ingest_stream,
+    )
+
+    src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "uidx"))
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 100)
+    TX.bm25_index_build(base, idx)
+    # one streamed batch: updates for ids < 10 (rewritten text) +
+    # brand-new ids >= 1000
+    updates = base.filter(F.col("doc_id") < 10).select(
+        "doc_id", F.concat(F.lit("updated join hash "), F.col("text"))
+        .alias("text"),
+    )
+    inserts = docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 110)
+    ).select(F.col("doc_id") + 1000, F.col("text")).toDF("doc_id", "text")
+    batch = updates.unionByName(inserts)
+    batch.coalesce(1).write.mode("append").parquet(src)
+
+    def start(name):
+        return run_text_index_ingest_stream(
+            spark, idx, src, batch.schema, ckpt, name=name, mode="upsert",
+        )
+
+    q = start("uidx_p1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    final_docs = (
+        base.filter(F.col("doc_id") >= 10).unionByName(batch)
+    )
+    queries = [["updated", "join"], ["slow", "scan"]]
+    got = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, queries, k=15).collect()))
+    want = sorted(map(tuple, TX.bm25_topk(final_docs, queries, k=15)
+                      .collect()))
+    assert got == want and got
+
+    # restart on the same checkpoint: the tagged upsert no-ops — the
+    # update is not re-applied and nothing double-replaces
+    commit_before = TX._bm25_read_commit(idx)
+    q2 = start("uidx_p2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+    assert TX._bm25_read_commit(idx) == commit_before

@@ -688,3 +688,22 @@ def test_pruned_serve_survives_compact_and_delete(spark, tmp_path):
     assert pruned
     for key, s in pruned.items():
         assert -2e-6 <= exact[key] - s <= bound[0] + 2e-6
+
+
+def test_pruned_batch_table_matches_pruned_literal(spark, tmp_path):
+    """The batch query-table serve honours the same impact cutoff as
+    the literal form: same retained (qid, doc) set, same ranks (the
+    two forms' fold orders coincide on sorted 2-term queries)."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "pruneq")
+    TX.bm25_index_build(docs, idx)
+    q = [["table", "the"]]  # sorted; 'the' is stopword-grade (df 3/5)
+    kw = {"prune_df_frac": 0.5, "prune_min_impact": 0.5}
+    lit = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, q, k=10, **kw).collect()))
+    qdf = spark.createDataFrame(
+        [(0, t) for t in q[0]], "qid int, term string"
+    )
+    tab = sorted(map(tuple, TX.bm25_indexed_topk_table(
+        spark, idx, qdf, k=10, **kw).collect()))
+    assert tab == lit and lit
