@@ -481,7 +481,8 @@ def _bm25_ctes(queries=None, carry: tuple[str, ...] = ()) -> str:
 
 
 def _bm25_union(queries=None, k=None, pred: str | None = None,
-                carry: tuple[str, ...] = ()) -> str:
+                carry: tuple[str, ...] = (),
+                prune: tuple[float, float] | None = None) -> str:
     """Per-query BM25 ranking SELECTs (UNION ALL body) over the
     matching `_bm25_ctes(queries, carry)` prefix. `pred` restricts
     CANDIDATES (ANDed beside `s > 0` — stats stay global, the Lucene
@@ -504,9 +505,21 @@ def _bm25_union(queries=None, k=None, pred: str | None = None,
                 f"{k1!r} * (1.0 - {b!r} + {b!r} *"
                 f" (CAST(dl AS DOUBLE) / (sdl / n)))"
             )
-            term_exprs.append(
-                f"{idf} * ({tf} * {k1 + 1.0!r} / ({tf} + {norm}))"
-            )
+            expr = f"{idf} * ({tf} * {k1 + 1.0!r} / ({tf} + {norm}))"
+            if prune is not None:
+                # impact-pruned twin (r15): a stopword-grade term's
+                # (df ≥ frac·n) contribution zeroes below the tf/dl
+                # cutoff — exactly the posting rows the engine's
+                # pushed impact_key filter drops; 0.0 in the
+                # left-associated chain is the same IEEE no-op as the
+                # engine's coalesce over the missing pivot column
+                frac, r0 = prune
+                expr = (
+                    f"(CASE WHEN {df} >= {frac!r} * n"
+                    f" AND ({tf} / CAST(dl AS DOUBLE)) < {r0!r}"
+                    f" THEN 0.0 ELSE {expr} END)"
+                )
+            term_exprs.append(expr)
         score = " + ".join(term_exprs)
         cols = "".join(f", {c}" for c in carry)
         where = "s > 0" + (f" AND ({pred})" if pred else "")
@@ -1305,8 +1318,11 @@ def _bm25_index_path(sf_dir: str) -> str:
     # "src" = the source metadata column rides every posting row
     # (filtered-retrieval support; pruned from unfiltered scans);
     # "v2" = the segmented commit-file layout (r14 second wave) — a
-    # pre-segment layout at a reused path must rebuild, not misread
-    cfg = f"b{TX.BM25_INDEX_BUCKETS}srcv2"
+    # pre-segment layout at a reused path must rebuild, not misread;
+    # "i" = the impact-ordered layout with the impact_key column
+    # (r15 Block-Max analogue) — a pre-impact layout can serve the
+    # exact queries but not the pruned form, so it must rebuild
+    cfg = f"b{TX.BM25_INDEX_BUCKETS}srcv2i"
     path = os.path.join(
         scratch.repo_root(), ".text_index",
         f"bm25_{cfg}_{sfx}_{ph}_f{fp}",
@@ -1493,4 +1509,43 @@ ORACLE_TEXT_BM25_BATCH = (
 # third free window slot (see queries_similarity's r15 block).
 QUERIES["text_bm25_batch"] = (q_text_bm25_batch, ORACLE_TEXT_BM25_BATCH)
 
-STAGED_QUERIES: dict = {}
+
+# ---------------- staged for a future window slot (r15): the
+# impact-PRUNED serve, certified — the pruning is deterministic
+# (stopword-grade terms drop posting rows below the tf/dl cutoff;
+# retained rows score exactly), so a full-precision oracle replays it
+# term-for-term. Approximation with an exact oracle: the strongest
+# certification an early-termination path can carry.
+
+BM25_PRUNE_FRAC = 0.5   # stopword-grade = df ≥ half the corpus
+BM25_PRUNE_R0 = 0.05    # keep the dense top-impact tail (~30% of a
+#                         fixture stopword's postings; median tf/dl
+#                         is ~0.039 on the driver fixture)
+
+
+def q_text_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered early-termination BM25 (the Block-Max WAND
+    analogue, r15), CERTIFIED: `bm25_indexed_topk` with
+    `prune_df_frac`/`prune_min_impact` — stopword-grade terms
+    (df ≥ frac·n) keep only posting rows with tf/dl ≥ r0, skipped on
+    parquet row-group stats over the impact-ordered layout; selective
+    terms stay exact; the understatement is bounded by
+    `bm25_prune_error_bound`. The cutoff is DETERMINISTIC, so the
+    oracle replays it exactly (the same CASE per term over the same
+    doubles) — an approximate serve path with a bit-exact oracle."""
+    path = _ensure_bm25_index(spark, sf_dir)
+    return TX.bm25_indexed_topk(
+        spark, path, BM25_IDX_QUERIES, k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+        prune_df_frac=BM25_PRUNE_FRAC, prune_min_impact=BM25_PRUNE_R0,
+    )
+
+
+ORACLE_TEXT_BM25_PRUNED = (
+    f"WITH {_bm25_ctes(BM25_IDX_QUERIES)} "
+    f"{_bm25_union(BM25_IDX_QUERIES, BM25_TOPK, prune=(BM25_PRUNE_FRAC, BM25_PRUNE_R0))}"
+)
+
+
+STAGED_QUERIES: dict = {
+    "text_bm25_pruned": (q_text_bm25_pruned, ORACLE_TEXT_BM25_PRUNED),
+}
