@@ -1345,7 +1345,10 @@ def bm25_index_delete(spark, index_path: str,
         raise ValueError("pass exactly one of doc_ids= or where=")
     commit, fence = _bm25_read_commit_raw(index_path)
     segs = [s["id"] for s in commit["segments"]]
-    if not segs:
+    # nothing to delete from an empty corpus — and with zero docs no
+    # segment DIRS exist (an empty build writes only the commit), so
+    # the postings read below would fail on schema inference
+    if not segs or sum(s["n"] for s in commit["segments"]) == 0:
         return 0
     posts = spark.read.parquet(f"{index_path}/postings").filter(
         F.col("seg").isin(segs)
@@ -1501,7 +1504,10 @@ def bm25_index_upsert(docs: DataFrame, index_path: str,
     affected: list = []
     entry = None
     n_replaced = 0
-    if segs:
+    # the delete half only runs against a non-empty corpus (with zero
+    # docs no segment dirs exist — the read would fail, and there is
+    # nothing to replace anyway; the batch still appends below)
+    if segs and sum(s["n"] for s in commit["segments"]) > 0:
         posts = spark.read.parquet(f"{index_path}/postings").filter(
             F.col("seg").isin(segs)
         )

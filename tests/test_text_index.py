@@ -707,3 +707,19 @@ def test_pruned_batch_table_matches_pruned_literal(spark, tmp_path):
     tab = sorted(map(tuple, TX.bm25_indexed_topk_table(
         spark, idx, qdf, k=10, **kw).collect()))
     assert tab == lit and lit
+
+
+def test_delete_and_upsert_on_empty_built_index(spark, tmp_path):
+    """An empty-corpus build writes only the commit (no segment dirs):
+    delete must no-op cleanly, and upsert must degrade to a pure
+    insert — neither may crash on postings-schema inference."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = str(tmp_path / "emptyidx")
+    TX.bm25_index_build(empty, idx)
+    assert TX.bm25_index_delete(spark, idx, doc_ids=[1]) == 0
+    batch = spark.createDataFrame(
+        [(1, "hash join fast")], "doc_id long, text string"
+    )
+    assert TX.bm25_index_upsert(batch, idx) == 0  # nothing replaced
+    rows = TX.bm25_indexed_topk(spark, idx, [["hash"]], k=5).collect()
+    assert {r["doc_id"] for r in rows} == {1}
