@@ -1169,14 +1169,10 @@ def bm25_index_append(docs: DataFrame, index_path: str,
     commit swap is fenced (`Bm25CommitConflict`) so a violated
     contract fails loudly instead of silently dropping a segment."""
     commit, fence = _bm25_read_commit_raw(index_path)
-    if batch_tag is not None:
-        seen = set()
-        for s in commit["segments"]:
-            if s.get("batch_tag") is not None:
-                seen.add(s["batch_tag"])
-            seen.update(s.get("batch_tags", ()))
-        if batch_tag in seen:
-            return
+    if batch_tag is not None and batch_tag in _bm25_seen_tags(
+        commit["segments"]
+    ):
+        return
     seg = 1 + max((s["id"] for s in commit["segments"]), default=-1)
     entry = _bm25_write_segment(
         docs, index_path, seg, commit["n_buckets"],
@@ -1188,7 +1184,11 @@ def bm25_index_append(docs: DataFrame, index_path: str,
     _bm25_write_commit(index_path, commit, expect_raw=fence)
 
 
-def bm25_index_compact(spark, index_path: str) -> None:
+ORPHAN_GRACE_SEC = 3600.0
+
+
+def bm25_index_compact(spark, index_path: str,
+                       orphan_grace_sec: float = ORPHAN_GRACE_SEC) -> None:
     """Merge all committed segments into one — the maintenance pass an
     append-heavy index needs (AnnIndex.compact's text twin): postings
     rows rewrite unchanged under a fresh segment id, per-term dfs
@@ -1201,6 +1201,20 @@ def bm25_index_compact(spark, index_path: str) -> None:
     when the segment list itself is already compacted: the orphan
     sweep below runs before the single-segment early return).
 
+    The orphan sweep only removes uncommitted seg dirs last modified
+    more than `orphan_grace_sec` ago: a crash-orphan is by definition
+    old, while a seconds-old dir may be an IN-FLIGHT append's write in
+    a violated-schedule interleaving — sweeping it would destroy the
+    append's files while letting its later commit swap succeed (the
+    fence can't catch it: compact's early return writes no commit),
+    the one silent-corruption hole the grace window closes. GC-grace
+    is the standard object-store pattern for exactly this.
+
+    Compacting a pre-r15 layout also UPGRADES it: the merged segment
+    gains the `impact_key` column (derived tf/dl) and the
+    impact-ordered file layout, enabling the pruned serve without a
+    full rebuild.
+
     SINGLE WRITER contract (see `bm25_index_append`): the commit swap
     is fenced — a compact racing an append raises Bm25CommitConflict
     on whichever swap lands second instead of silently dropping or
@@ -1208,25 +1222,30 @@ def bm25_index_compact(spark, index_path: str) -> None:
     import os
     import re
     import shutil
+    import time
 
     commit, fence = _bm25_read_commit_raw(index_path)
     old = [s["id"] for s in commit["segments"]]
-    # reclaim orphans FIRST (ADVICE r14): a crash between a prior
+    # reclaim aged orphans FIRST (ADVICE r14): a crash between a prior
     # swap and its rmtree loop — or a crashed, never-committed
     # append/build attempt — leaves seg dirs no commit references;
     # they are invisible to readers (every scan filters on committed
-    # ids) but cost disk and per-read file listings forever. Safe
-    # under the single-writer contract: nothing else is writing a new
-    # (uncommitted) segment while this verb runs.
+    # ids) but cost disk and per-read file listings forever.
     committed = set(old)
+    cutoff = time.time() - orphan_grace_sec
     for layout in ("postings", "df"):
         base = os.path.join(index_path, layout)
         if not os.path.isdir(base):
             continue
         for d in os.listdir(base):
             m = re.fullmatch(r"seg=(\d+)", d)
-            if m and int(m.group(1)) not in committed:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            full = os.path.join(base, d)
+            try:
+                aged = os.path.getmtime(full) < cutoff
+            except OSError:
+                continue
+            if m and int(m.group(1)) not in committed and aged:
+                shutil.rmtree(full, ignore_errors=True)
     if len(old) <= 1:
         return
     seg = 1 + max(old)
@@ -1244,13 +1263,20 @@ def bm25_index_compact(spark, index_path: str) -> None:
         F.col("seg").isin(old)
     )
     merged_posts = posts.withColumn("seg", F.lit(seg))
-    if "impact_key" in posts.columns:
-        # preserve the impact-ordered (Block-Max) layout through the
-        # merge — correctness never depends on it, but the pruned
-        # serve's row-group skipping does
-        merged_posts = merged_posts.sortWithinPartitions(
-            "tbucket", "term", F.desc("impact_key"),
+    if "impact_key" not in posts.columns:
+        # layout upgrade: a pre-r15 segment lacks the impact column —
+        # derive it here so compaction is the cheap upgrade path to
+        # the pruned serve (vs a full re-tokenizing rebuild)
+        merged_posts = merged_posts.withColumn(
+            "impact_key",
+            F.col("tf").cast("double") / F.col("dl").cast("double"),
         )
+    # impact-ordered (Block-Max) layout through the merge —
+    # correctness never depends on it, but the pruned serve's
+    # row-group skipping does
+    merged_posts = merged_posts.sortWithinPartitions(
+        "tbucket", "term", F.desc("impact_key"),
+    )
     (
         merged_posts
         .write.mode("append")
@@ -1272,23 +1298,18 @@ def bm25_index_compact(spark, index_path: str) -> None:
         "n": sum(s["n"] for s in commit["segments"]),
         "sdl": sum(s["sdl"] for s in commit["segments"]),
     }
+    nonempty = [s for s in commit["segments"] if s["n"] > 0]
+    if nonempty and all(s.get("dmin") is not None for s in nonempty):
+        merged["dmin"] = min(s["dmin"] for s in nonempty)
+        merged["dmax"] = max(s["dmax"] for s in nonempty)
     # carry every replay-protection tag through the merge: a streamed
     # batch re-delivered AFTER compaction must still be a no-op
-    tags = set()
-    for s in commit["segments"]:
-        if s.get("batch_tag") is not None:
-            tags.add(s["batch_tag"])
-        tags.update(s.get("batch_tags", ()))
+    tags = _bm25_seen_tags(commit["segments"])
     if tags:
         merged["batch_tags"] = sorted(tags)
     commit["segments"] = [merged]
     _bm25_write_commit(index_path, commit, expect_raw=fence)
-    for layout in ("postings", "df"):
-        for s in old:
-            shutil.rmtree(
-                os.path.join(index_path, layout, f"seg={s}"),
-                ignore_errors=True,
-            )
+    _bm25_reap_segments(index_path, old)
 
 
 def bm25_index_delete(spark, index_path: str,
@@ -1320,6 +1341,21 @@ def bm25_index_delete(spark, index_path: str,
     `test_append_equals_rebuild` pattern), because every quantity BM25
     reads (n, Σdl, per-term df, tf, dl) sums to the same values.
 
+    Doc-everywhere completeness: the WHERE predicate selects matched
+    doc_ids, then a second semi-join finds EVERY posting of those ids
+    — so a doc whose copies straddle segments (the duplicate-id state
+    `bm25_index_upsert` exists to repair) is removed from all of
+    them, even segments where no row matched the predicate itself.
+
+    Scan cost: the `doc_ids=` form prunes the match scan to segments
+    whose recorded [dmin, dmax] doc-id range (commit entries, r15)
+    intersects the requested ids — on an append-heavy index a
+    batch-targeted delete reads only batch-range segments, never the
+    corpus (pre-r15 entries lack the range and scan conservatively).
+    The `where=` form must scan all segments' postings (the predicate
+    can match anywhere) — corpus-linear match scan, batch-sized
+    rewrite.
+
     Crash safety: identical to append — the new segment id is
     uncommitted until the fenced swap, a crashed attempt leaves only
     orphan files (reclaimed by `bm25_index_compact`'s sweep), and
@@ -1350,22 +1386,29 @@ def bm25_index_delete(spark, index_path: str,
     # the postings read below would fail on schema inference
     if not segs or sum(s["n"] for s in commit["segments"]) == 0:
         return 0
-    posts = spark.read.parquet(f"{index_path}/postings").filter(
-        F.col("seg").isin(segs)
-    )
     if doc_ids is not None:
-        pred = F.col("doc_id").isin([int(d) for d in doc_ids])
+        # range-prune the match scan: only segments whose recorded
+        # doc-id range can contain a requested id are read at all
+        req = [int(d) for d in doc_ids]
+        cand = _bm25_segs_in_doc_range(
+            commit, min(req, default=0), max(req, default=-1), req,
+        )
+        if not cand:
+            return 0
+        posts = spark.read.parquet(f"{index_path}/postings").filter(
+            F.col("seg").isin(cand)
+        )
+        ids = (
+            posts.filter(F.col("doc_id").isin(req))
+            .select("doc_id").distinct()
+        )
     else:
-        pred = F.expr(where)
-    # doc-level match set, pinned eagerly: the survivor anti-join and
-    # the affected-segment collect must see one consistent snapshot,
-    # and the rewrite below must not re-read a path its plan mutates
-    matched = (
-        posts.filter(pred).select("seg", "doc_id").distinct()
-        .localCheckpoint()
-    )
+        posts = spark.read.parquet(f"{index_path}/postings").filter(
+            F.col("seg").isin(segs)
+        )
+        ids = posts.filter(F.expr(where)).select("doc_id").distinct()
     affected, entry, n_deleted = _bm25_survivor_rewrite(
-        spark, index_path, commit, posts, matched
+        spark, index_path, commit, posts, ids
     )
     if not affected:
         return 0
@@ -1376,11 +1419,37 @@ def bm25_index_delete(spark, index_path: str,
     return n_deleted
 
 
+def _bm25_segs_in_doc_range(commit: dict, lo: int, hi: int,
+                            req: list | None = None) -> list:
+    """Commit entries whose recorded per-segment doc-id range [dmin,
+    dmax] can intersect the requested ids — the match-scan pruning a
+    batch-targeted delete/upsert rides (appended batches carry tight
+    disjoint ranges). Entries without the range (pre-r15, or n=0) are
+    kept conservatively unless empty; `req` sharpens the check from
+    the [lo, hi] envelope to the exact id list."""
+    out = []
+    for s in commit["segments"]:
+        dmin, dmax = s.get("dmin"), s.get("dmax")
+        if dmin is None or dmax is None:
+            if s["n"] > 0:
+                out.append(s["id"])
+            continue
+        if req is not None:
+            if any(dmin <= i <= dmax for i in req):
+                out.append(s["id"])
+        elif dmin <= hi and dmax >= lo:
+            out.append(s["id"])
+    return out
+
+
 def _bm25_survivor_rewrite(spark, index_path: str, commit: dict, posts,
-                           matched) -> tuple[list, dict | None, int]:
+                           ids) -> tuple[list, dict | None, int]:
     """The delete/upsert core: rewrite the survivors of every segment
     containing a matched doc as ONE fresh (uncommitted) segment.
-    `matched` is the pinned (seg, doc_id) match set. Returns
+    `ids` is a one-column (doc_id) frame of docs to remove; the
+    (seg, doc_id) match set is derived here by a semi-join over
+    `posts` so a doc is removed EVERYWHERE it appears (doc-level
+    completeness even for duplicate-id states). Returns
     (affected_old_ids, survivor_commit_entry_or_None, n_docs_matched);
     writes NOTHING visible — the caller swaps the commit. The survivor
     entry is kept even at n=0 when the affected segments carried
@@ -1389,6 +1458,13 @@ def _bm25_survivor_rewrite(spark, index_path: str, commit: dict, posts,
     import os
     import shutil
 
+    # pinned eagerly: the affected collect, the count, and the
+    # survivor anti-join must see one consistent snapshot
+    matched = (
+        posts.join(ids, "doc_id", "semi")
+        .select("seg", "doc_id").distinct()
+        .localCheckpoint()
+    )
     affected = sorted({r["seg"] for r in matched.select("seg")
                        .distinct().collect()})
     if not affected:
@@ -1407,7 +1483,8 @@ def _bm25_survivor_rewrite(spark, index_path: str, commit: dict, posts,
             ignore_errors=True,
         )
     srow = surv.select("doc_id", "dl").distinct().agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"),
+        F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"),
     ).collect()[0]
     n_surv, sdl_surv = int(srow["n"]), int(srow["sdl"] or 0)
     if n_surv > 0:
@@ -1435,17 +1512,29 @@ def _bm25_survivor_rewrite(spark, index_path: str, commit: dict, posts,
             .parquet(f"{index_path}/df")
         )
     entry = {"id": new_id, "n": n_surv, "sdl": sdl_surv}
-    tags = set()
-    for s in commit["segments"]:
-        if s["id"] in set(affected):
-            if s.get("batch_tag") is not None:
-                tags.add(s["batch_tag"])
-            tags.update(s.get("batch_tags", ()))
+    if srow["dmin"] is not None:
+        entry["dmin"] = int(srow["dmin"])
+        entry["dmax"] = int(srow["dmax"])
+    tags = _bm25_seen_tags(
+        s for s in commit["segments"] if s["id"] in set(affected)
+    )
     if tags:
         entry["batch_tags"] = sorted(tags)
     if n_surv == 0 and not tags:
         entry = None
     return affected, entry, n_deleted
+
+
+def _bm25_seen_tags(segments) -> set:
+    """Every replay-protection tag recorded on the given commit
+    entries — the shared scan append/upsert use for idempotence checks
+    and delete/compact use to carry tags forward."""
+    tags: set = set()
+    for s in segments:
+        if s.get("batch_tag") is not None:
+            tags.add(s["batch_tag"])
+        tags.update(s.get("batch_tags", ()))
+    return tags
 
 
 def _bm25_reap_segments(index_path: str, seg_ids: list) -> None:
@@ -1470,12 +1559,15 @@ def bm25_index_upsert(docs: DataFrame, index_path: str,
     completing the text index's CRUD parity with AnnIndex.upsert:
     existing docs with the batch's ids are deleted (survivor rewrite
     of only the segments containing them — `bm25_index_delete`'s
-    core), the batch itself is written as a fresh segment
-    (`bm25_index_append`'s shape), and ONE atomic fenced commit swap
-    publishes both — a reader sees the old corpus or the new one,
-    never the deleted-but-not-yet-reinserted middle (which two
-    sequential delete+append commits would expose). Returns the
-    number of existing docs replaced.
+    core, with the match scan range-pruned to segments whose recorded
+    doc-id range intersects the batch's), the batch itself is written
+    as a fresh segment (`bm25_index_append`'s shape), and ONE atomic
+    fenced commit swap publishes both — a reader sees the old corpus
+    or the new one, never the deleted-but-not-yet-reinserted middle
+    (which two sequential delete+append commits would expose).
+    Returns the number of existing docs replaced. The batch must
+    carry ONE row per doc_id (duplicates raise — reduce CDC batches
+    to the final version upstream).
 
     `batch_tag` gives the same exactly-once replay protection as
     append (a tag already committed no-ops the whole upsert); the tag
@@ -1492,35 +1584,52 @@ def bm25_index_upsert(docs: DataFrame, index_path: str,
     them before compaction)."""
     spark = docs.sparkSession
     commit, fence = _bm25_read_commit_raw(index_path)
-    if batch_tag is not None:
-        seen = set()
-        for s in commit["segments"]:
-            if s.get("batch_tag") is not None:
-                seen.add(s["batch_tag"])
-            seen.update(s.get("batch_tags", ()))
-        if batch_tag in seen:
-            return 0
+    if batch_tag is not None and batch_tag in _bm25_seen_tags(
+        commit["segments"]
+    ):
+        return 0
+    # one row per doc_id, enforced loudly: the segment write stages
+    # every input row, so an intra-batch duplicate (two CDC versions
+    # of one doc in one micro-batch) would inflate n/Σdl/df and leave
+    # BOTH versions' postings competing in the pivot — reduce to the
+    # final version upstream (last-write-wins needs an ordering only
+    # the producer has)
+    brow = docs.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("doc_id").alias("ids"),
+        F.min("doc_id").alias("bmin"), F.max("doc_id").alias("bmax"),
+    ).collect()[0]
+    if int(brow["rows"]) != int(brow["ids"]):
+        raise ValueError(
+            f"upsert batch carries duplicate doc_ids "
+            f"({int(brow['rows'])} rows over {int(brow['ids'])} ids) — "
+            f"reduce to one row per doc_id (the final version) before "
+            f"upserting"
+        )
     segs = [s["id"] for s in commit["segments"]]
     affected: list = []
     entry = None
     n_replaced = 0
     # the delete half only runs against a non-empty corpus (with zero
     # docs no segment dirs exist — the read would fail, and there is
-    # nothing to replace anyway; the batch still appends below)
-    if segs and sum(s["n"] for s in commit["segments"]) > 0:
-        posts = spark.read.parquet(f"{index_path}/postings").filter(
-            F.col("seg").isin(segs)
+    # nothing to replace anyway; the batch still appends below), and
+    # only over segments whose doc-id range intersects the batch's
+    if (
+        segs
+        and sum(s["n"] for s in commit["segments"]) > 0
+        and brow["bmin"] is not None
+    ):
+        cand = _bm25_segs_in_doc_range(
+            commit, int(brow["bmin"]), int(brow["bmax"])
         )
-        matched = (
-            posts.join(
-                F.broadcast(docs.select("doc_id").distinct()), "doc_id",
-                "semi",
+        if cand:
+            posts = spark.read.parquet(f"{index_path}/postings").filter(
+                F.col("seg").isin(cand)
             )
-            .select("seg", "doc_id").distinct().localCheckpoint()
-        )
-        affected, entry, n_replaced = _bm25_survivor_rewrite(
-            spark, index_path, commit, posts, matched
-        )
+            affected, entry, n_replaced = _bm25_survivor_rewrite(
+                spark, index_path, commit, posts,
+                docs.select("doc_id").distinct(),
+            )
     # the batch segment id must clear BOTH the old ids and the
     # survivor segment the rewrite may have just written
     next_id = 1 + max(
@@ -1616,9 +1725,16 @@ def _bm25_write_segment(docs: DataFrame, out_path: str, seg: int,
         .parquet(f"{out_path}/df")
     )
     srow = staged.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl")
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl"),
+        F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"),
     ).collect()[0]
-    return {"id": seg, "n": int(srow["n"]), "sdl": int(srow["sdl"] or 0)}
+    entry = {"id": seg, "n": int(srow["n"]), "sdl": int(srow["sdl"] or 0)}
+    if srow["dmin"] is not None:
+        # per-segment doc-id range: the delete/upsert match scan
+        # prunes to segments whose range can contain the target ids
+        entry["dmin"] = int(srow["dmin"])
+        entry["dmax"] = int(srow["dmax"])
+    return entry
 
 
 def _bm25_commit_path(index_path: str) -> str:
@@ -1815,9 +1931,10 @@ def bm25_indexed_topk(spark, index_path: str,
     applies dynamic pruning too. Retained rows score EXACTLY; a
     query's total understates by at most the provable per-query bound
     `bm25_prune_error_bound` computes (only rank inversions within
-    that bound are possible, tested). Requires an index built at
-    r14v2+ layout (the impact_key column); rebuild or compact older
-    indexes first."""
+    that bound are possible, tested). Requires the impact_key column
+    (r15 layout); `bm25_index_compact` UPGRADES an older index in
+    place (it derives the column and impact-orders the merged
+    segment), or rebuild."""
     terms = sorted({t for q in queries for t in q})
     posts, term_score = _bm25_pruned_postings(
         spark, index_path, terms, k1, b, where,

@@ -55,8 +55,11 @@ def main() -> None:
         src = os.path.join(REPO, ".scaledata", f"x{mult}",
                            "documents.parquet")
         docs = spark.read.parquet(src).select("doc_id", "text")
+        # deterministic id-range batch (NOT limit(): two independent
+        # limits give no cross-plan row identity, and the upsert
+        # below must target exactly the ids this append added)
         batch = (
-            docs.limit(BATCH)
+            docs.filter(F.col("doc_id") < BATCH)
             .select((F.col("doc_id") + APPEND_BASE_ID).alias("doc_id"),
                     "text")
         )
@@ -67,7 +70,7 @@ def main() -> None:
         del_batch_ids = [APPEND_BASE_ID + i for i in range(0, BATCH, 2)]
         del_base_ids = list(range(0, n, max(1, n // 250)))[:250]
         upsert_docs = (
-            docs.limit(BATCH)
+            docs.filter(F.col("doc_id") < BATCH)
             .select(
                 F.when(F.col("doc_id") % 2 == 0,
                        F.col("doc_id") + APPEND_BASE_ID)

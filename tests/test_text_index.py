@@ -484,7 +484,11 @@ def test_compact_reclaims_orphans_even_when_single_segment(spark, tmp_path):
     """ADVICE r14: a crash between a prior compact's swap and its
     rmtree loop leaves superseded dirs no commit references; rerunning
     compact on the now-single-segment index must still sweep them
-    (the early return used to fire first — disk leak)."""
+    (the early return used to fire first — disk leak). The sweep is
+    AGED-ONLY (orphan_grace_sec): a seconds-old uncommitted dir may be
+    an in-flight append in a violated-schedule interleaving, and
+    sweeping it would silently destroy that append's files — so the
+    default-grace compact must leave the fresh orphan alone."""
     import os
 
     docs = _docs(spark)
@@ -501,7 +505,13 @@ def test_compact_reclaims_orphans_even_when_single_segment(spark, tmp_path):
     before = sorted(
         map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
     )
-    TX.bm25_index_compact(spark, idx)  # single segment: early return
+    # default grace: the fresh "orphan" (indistinguishable from an
+    # in-flight append) survives
+    TX.bm25_index_compact(spark, idx)
+    assert os.path.isdir(f"{idx}/postings/seg=7")
+    # aged past the grace window (grace 0 here): reclaimed, even
+    # though the single-segment early return still fires
+    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
     assert not os.path.isdir(f"{idx}/postings/seg=7")
     assert not os.path.isdir(f"{idx}/df/seg=7")
     after = sorted(
@@ -723,3 +733,130 @@ def test_delete_and_upsert_on_empty_built_index(spark, tmp_path):
     assert TX.bm25_index_upsert(batch, idx) == 0  # nothing replaced
     rows = TX.bm25_indexed_topk(spark, idx, [["hash"]], k=5).collect()
     assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_upsert_rejects_duplicate_batch_ids(spark, tmp_path):
+    """An intra-batch duplicate doc_id (two CDC versions in one
+    micro-batch) must raise loudly — staging both rows would inflate
+    n/Σdl/df and leave two versions competing in the pivot."""
+    import pytest
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "dupup")
+    TX.bm25_index_build(docs, idx)
+    dup = spark.createDataFrame(
+        [(2, "v1 hash"), (2, "v2 hash join")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        TX.bm25_index_upsert(dup, idx)
+
+
+def test_delete_where_removes_doc_from_every_segment(spark, tmp_path):
+    """Doc-everywhere completeness: when a doc_id's copies straddle
+    segments (the duplicate-id state upsert exists to repair) and the
+    WHERE predicate only matches rows in ONE of them, the delete must
+    still remove the doc from BOTH — the match selects ids, a second
+    semi-join finds every posting of those ids."""
+    a = spark.createDataFrame(
+        [(1, "alpha beta"), (5, "target alpha")],
+        "doc_id long, text string",
+    )
+    dup = spark.createDataFrame(
+        [(5, "beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "everywhere")
+    TX.bm25_index_build(a, idx)
+    # contract-violating append: doc 5 again, different text, no
+    # 'target' row — the predicate below matches only seg 0's copy
+    TX.bm25_index_append(dup, idx)
+    assert TX.bm25_index_delete(spark, idx, where="term = 'target'") == 1
+    rows = TX.bm25_indexed_topk(
+        spark, idx, [["alpha"], ["beta"], ["gamma"]], k=10
+    ).collect()
+    assert 5 not in {r["doc_id"] for r in rows}
+    assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_delete_by_ids_prunes_match_scan_to_range_segments(spark, tmp_path):
+    """The doc_ids= match scan reads only segments whose recorded
+    [dmin, dmax] range can contain the requested ids — the untouched
+    out-of-range segment keeps its files byte-identical AND is never
+    read (plan-level: its seg value is absent from the scan filter)."""
+    import os
+
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1000, "merge join"), (1001, "scan table")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "rangedel")
+    TX.bm25_index_build(a, idx)
+    TX.bm25_index_append(b, idx)
+    commit = TX._bm25_read_commit(idx)
+    assert commit["segments"][0]["dmin"] == 1
+    assert commit["segments"][1]["dmax"] == 1001
+    cand = TX._bm25_segs_in_doc_range(commit, 1000, 1000, [1000])
+    assert cand == [1]  # the base segment [1,5] is range-pruned
+
+    def _mtimes(seg):
+        base = f"{idx}/postings/seg={seg}"
+        return {
+            os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+            for r, _d, fs in os.walk(base) for f in fs
+        }
+
+    before = _mtimes(0)
+    assert TX.bm25_index_delete(spark, idx, doc_ids=[1000]) == 1
+    assert _mtimes(0) == before
+    rows = TX.bm25_indexed_topk(spark, idx, [["merge"], ["scan"]],
+                                k=10).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 1000 not in ids and 1001 in ids and 2 in ids
+
+
+def test_compact_upgrades_pre_impact_layout(spark, tmp_path):
+    """Compacting a pre-r15 layout (no impact_key column) must add the
+    column to the merged segment so the pruned serve works afterwards
+    — the cheap upgrade path the docstring promises."""
+    import shutil
+
+    import pytest
+
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "the the table")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "legacy")
+    TX.bm25_index_build(a, idx)
+    TX.bm25_index_append(b, idx)
+    # simulate the pre-r15 layout: strip impact_key from postings
+    legacy = spark.read.parquet(f"{idx}/postings").drop("impact_key")
+    rows = legacy.collect()
+    shutil.rmtree(f"{idx}/postings")
+    (
+        spark.createDataFrame(rows, legacy.schema)
+        .write.partitionBy("seg", "tbucket").parquet(f"{idx}/postings")
+    )
+    with pytest.raises(Exception, match="impact_key|UNRESOLVED"):
+        TX.bm25_indexed_topk(
+            spark, idx, [["the"]], k=5,
+            prune_df_frac=0.5, prune_min_impact=0.5,
+        ).collect()
+    exact_before = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, QUERIES, k=10).collect()))
+    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
+    assert sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, QUERIES, k=10).collect())) == exact_before
+    pruned = TX.bm25_indexed_topk(
+        spark, idx, [["the"]], k=5,
+        prune_df_frac=0.5, prune_min_impact=0.5,
+    ).collect()
+    bound = TX.bm25_prune_error_bound(spark, idx, [["the"]], 0.5, 0.5)
+    exact = {
+        (r["qid"], r["doc_id"]): r["bm25"]
+        for r in TX.bm25_indexed_topk(spark, idx, [["the"]], k=5).collect()
+    }
+    assert pruned
+    for r in pruned:
+        diff = exact[(r["qid"], r["doc_id"])] - r["bm25"]
+        assert -2e-6 <= diff <= bound[0] + 2e-6
