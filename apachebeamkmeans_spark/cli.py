@@ -263,8 +263,10 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="apachebeamkmeans_spark retrieve",
         description="Rank documents/vectors: bm25 (live or off a "
-                    "persisted index), vector, hybrid (RRF), maxsim, "
-                    "binary; `index` builds the BM25 serving index.",
+                    "persisted index, optionally impact-pruned), "
+                    "vector, hybrid (RRF), maxsim, binary; `index` "
+                    "builds and maintains the BM25 serving index "
+                    "(build/append/upsert/delete/compact).",
     )
     sub = p.add_subparsers(dest="action", required=True)
 
@@ -295,6 +297,14 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
                    help="SQL predicate over the index's metadata "
                         "columns (requires --index): filters "
                         "candidates, keeps global stats")
+    b.add_argument("--prune-df-frac", type=float, default=None,
+                   help="impact-ordered early termination (requires "
+                        "--index): terms with df >= FRAC*n keep only "
+                        "posting rows with tf/dl >= --prune-min-impact "
+                        "(bounded understatement; selective terms "
+                        "stay exact)")
+    b.add_argument("--prune-min-impact", type=float, default=0.0,
+                   help="the tf/dl cutoff for pruned terms")
     common(b)
 
     ix = sub.add_parser(
@@ -311,9 +321,19 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
     ix.add_argument("--append", action="store_true",
                     help="append the batch (NEW doc_ids) as a fresh "
                          "segment instead of rebuilding")
+    ix.add_argument("--upsert", action="store_true",
+                    help="replace-or-insert the batch by doc_id "
+                         "(one row per doc_id; atomic commit swap)")
     ix.add_argument("--compact", action="store_true",
                     help="merge committed segments into one "
                          "(maintenance; no --docs)")
+    ix.add_argument("--delete-ids", default=None,
+                    help="comma-separated doc_ids to delete "
+                         "(maintenance; no --docs)")
+    ix.add_argument("--delete-where", default=None,
+                    help="SQL predicate over doc_id/meta columns — "
+                         "any matching posting row deletes that doc "
+                         "everywhere (maintenance; no --docs)")
     ix.add_argument("--index", required=True,
                     help="index directory")
 
@@ -389,24 +409,56 @@ def _retrieve_run(args, spark) -> int:
         )
 
     if args.action == "index":
-        if args.compact and (args.append or args.docs):
+        deleting = args.delete_ids is not None or args.delete_where is not None
+        maint = args.compact or deleting
+        if sum(map(bool, (args.append, args.upsert, args.compact,
+                          deleting))) > 1:
             raise ValueError(
-                "retrieve index: --compact takes no --docs/--append"
+                "retrieve index: --append/--upsert/--compact/--delete-* "
+                "are mutually exclusive"
             )
-        if not args.compact and not args.docs:
+        if maint and args.docs:
+            raise ValueError(
+                "retrieve index: --compact/--delete-* take no --docs"
+            )
+        if not maint and not args.docs:
             raise ValueError("retrieve index: --docs is required")
-        if (args.append or args.compact) and not os.path.exists(
+        if (args.append or args.upsert or maint) and not os.path.exists(
             TX._bm25_commit_path(args.index)
         ):
             raise ValueError(
                 f"retrieve index: no committed index at {args.index} "
-                f"(build one first without --append/--compact)"
+                f"(build one first without --append/--upsert/"
+                f"--compact/--delete-*)"
             )
+        extra = ""
         if args.compact:
+            verb = "compact"
             TX.bm25_index_compact(spark, args.index)
+        elif deleting:
+            verb = "delete"
+            if args.delete_ids is not None:
+                n_del = TX.bm25_index_delete(
+                    spark, args.index,
+                    doc_ids=[int(d) for d in args.delete_ids.split(",")
+                             if d.strip()],
+                )
+            else:
+                n_del = TX.bm25_index_delete(
+                    spark, args.index, where=args.delete_where
+                )
+            extra = f", {n_del} doc(s) deleted"
+        elif args.upsert:
+            verb = "upsert"
+            n_rep = TX.bm25_index_upsert(
+                spark.read.parquet(args.docs), args.index
+            )
+            extra = f", {n_rep} doc(s) replaced"
         elif args.append:
+            verb = "append"
             TX.bm25_index_append(spark.read.parquet(args.docs), args.index)
         else:
+            verb = "build"
             meta = tuple(
                 c.strip() for c in (args.meta_cols or "").split(",")
                 if c.strip()
@@ -416,10 +468,8 @@ def _retrieve_run(args, spark) -> int:
             )
         commit = TX._bm25_read_commit(args.index)
         n = sum(s["n"] for s in commit["segments"])
-        verb = ("compact" if args.compact
-                else "append" if args.append else "build")
         print(f"retrieve index {verb}: {len(commit['segments'])} "
-              f"segment(s), {n} docs -> {args.index}")
+              f"segment(s), {n} docs{extra} -> {args.index}")
         return 0
     if args.action == "bm25":
         terms = [t.strip() for t in args.terms.split(",") if t.strip()]
@@ -430,9 +480,15 @@ def _retrieve_run(args, spark) -> int:
             )
         if args.where and not args.index:
             raise ValueError("retrieve bm25: --where requires --index")
+        if args.prune_df_frac is not None and not args.index:
+            raise ValueError(
+                "retrieve bm25: --prune-df-frac requires --index"
+            )
         if args.index:
             hits = TX.bm25_indexed_topk(
-                spark, args.index, [terms], args.k, where=args.where
+                spark, args.index, [terms], args.k, where=args.where,
+                prune_df_frac=args.prune_df_frac,
+                prune_min_impact=args.prune_min_impact,
             )
         else:
             hits = TX.bm25_topk(spark.read.parquet(args.docs), [terms], args.k)

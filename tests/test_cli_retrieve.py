@@ -279,3 +279,89 @@ def test_retrieve_error_paths_are_typed(spark, sf_dir, tmp_path):
              "--index", str(tmp_path / "never_built")],
             spark=spark,
         )
+
+
+def test_retrieve_index_delete_upsert_verbs(spark, sf_dir, tmp_path):
+    """The r15 lifecycle verbs through the shell surface: --delete-ids
+    removes docs (serving equals the library delete), --upsert
+    replaces-or-inserts a batch parquet, and the flags are mutually
+    exclusive."""
+    import pytest
+
+    docs_p, _ = _paths(sf_dir)
+    idx = str(tmp_path / "bm25_life")
+    assert cli.main(
+        ["retrieve", "index", "--docs", docs_p, "--index", idx],
+        spark=spark,
+    ) == 0
+    docs = io.read_table(spark, sf_dir, "documents")
+    victim = docs.select("doc_id").first()["doc_id"]
+    assert cli.main(
+        ["retrieve", "index", "--index", idx,
+         "--delete-ids", str(victim)],
+        spark=spark,
+    ) == 0
+    out = str(tmp_path / "after_del")
+    assert cli.main(
+        ["retrieve", "bm25", "--index", idx, "--terms", "join,hash",
+         "--k", "50", "--output", out], spark=spark) == 0
+    assert victim not in {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    # upsert: re-insert the victim with new text via a batch parquet
+    batch_p = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(int(victim), "join hash join hash")], "doc_id long, text string"
+    ).write.parquet(batch_p)
+    assert cli.main(
+        ["retrieve", "index", "--index", idx, "--docs", batch_p,
+         "--upsert"],
+        spark=spark,
+    ) == 0
+    out2 = str(tmp_path / "after_up")
+    assert cli.main(
+        ["retrieve", "bm25", "--index", idx, "--terms", "join,hash",
+         "--k", "50", "--output", out2], spark=spark) == 0
+    assert victim in {
+        r["doc_id"] for r in spark.read.parquet(out2).collect()
+    }
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cli.main(
+            ["retrieve", "index", "--index", idx, "--compact",
+             "--delete-ids", "1"],
+            spark=spark,
+        )
+
+
+def test_retrieve_bm25_pruned_flags(spark, sf_dir, tmp_path):
+    """--prune-df-frac/--prune-min-impact reach the pruned serve: the
+    CLI result equals the library call, and the flags without --index
+    raise."""
+    import pytest
+
+    docs_p, _ = _paths(sf_dir)
+    idx = str(tmp_path / "bm25_prune")
+    assert cli.main(
+        ["retrieve", "index", "--docs", docs_p, "--index", idx],
+        spark=spark,
+    ) == 0
+    out = str(tmp_path / "pruned_hits")
+    assert cli.main(
+        ["retrieve", "bm25", "--index", idx, "--terms", "join,hash",
+         "--k", "5", "--prune-df-frac", "0.5",
+         "--prune-min-impact", "0.05", "--output", out],
+        spark=spark,
+    ) == 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in TX.bm25_indexed_topk(
+        spark, idx, [["join", "hash"]], 5,
+        prune_df_frac=0.5, prune_min_impact=0.05,
+    ).collect()}
+    assert got == want and got
+    with pytest.raises(ValueError, match="requires --index"):
+        cli.main(
+            ["retrieve", "bm25", "--docs", docs_p, "--terms", "join",
+             "--prune-df-frac", "0.5", "--k", "3",
+             "--output", str(tmp_path / "z")],
+            spark=spark,
+        )
