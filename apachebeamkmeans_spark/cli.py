@@ -484,6 +484,17 @@ def _retrieve_run(args, spark) -> int:
             raise ValueError(
                 "retrieve bm25: --prune-df-frac requires --index"
             )
+        # the engine's prune gate needs BOTH knobs (df threshold picks
+        # the terms, impact cutoff drops their rows) — one without the
+        # other silently serves EXACT results while the user believes
+        # pruning is active (ADVICE r15)
+        if (args.prune_df_frac is not None) != (args.prune_min_impact > 0.0):
+            raise ValueError(
+                "retrieve bm25: impact pruning needs BOTH "
+                "--prune-df-frac and a positive --prune-min-impact — "
+                "passing only one would silently serve exact "
+                "(unpruned) results"
+            )
         if args.index:
             hits = TX.bm25_indexed_topk(
                 spark, args.index, [terms], args.k, where=args.where,

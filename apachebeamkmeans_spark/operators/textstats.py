@@ -1181,6 +1181,8 @@ def bm25_index_append(docs: DataFrame, index_path: str,
     if batch_tag is not None:
         entry["batch_tag"] = batch_tag
     commit["segments"].append(entry)
+    present = _bm25_segment_dirs_present(index_path, [seg])
+    _bm25_verify_segment_dirs(index_path, present)
     _bm25_write_commit(index_path, commit, expect_raw=fence)
 
 
@@ -1201,14 +1203,18 @@ def bm25_index_compact(spark, index_path: str,
     when the segment list itself is already compacted: the orphan
     sweep below runs before the single-segment early return).
 
-    The orphan sweep only removes uncommitted seg dirs last modified
-    more than `orphan_grace_sec` ago: a crash-orphan is by definition
-    old, while a seconds-old dir may be an IN-FLIGHT append's write in
-    a violated-schedule interleaving — sweeping it would destroy the
-    append's files while letting its later commit swap succeed (the
-    fence can't catch it: compact's early return writes no commit),
-    the one silent-corruption hole the grace window closes. GC-grace
-    is the standard object-store pattern for exactly this.
+    The orphan sweep only removes uncommitted seg dirs whose NEWEST
+    tree mtime is more than `orphan_grace_sec` old: a crash-orphan is
+    by definition cold everywhere, while an IN-FLIGHT writer's segment
+    keeps touching leaf files for the duration of its write (ADVICE
+    r15: the dir-level mtime goes stale in the first seconds, so a
+    write merely LONGER than the grace window would have been swept).
+    And if a sweep still races a writer, the writer re-verifies its
+    dirs immediately before its commit swap
+    (`_bm25_verify_segment_dirs`) — the corruption mode (commit
+    publishing a segment with missing files) is now a loud
+    Bm25CommitConflict, not silent. GC-grace is the standard
+    object-store pattern for exactly this.
 
     Compacting a pre-r15 layout also UPGRADES it: the merged segment
     gains the `impact_key` column (derived tf/dl) and the
@@ -1231,6 +1237,14 @@ def bm25_index_compact(spark, index_path: str,
     # append/build attempt — leaves seg dirs no commit references;
     # they are invisible to readers (every scan filters on committed
     # ids) but cost disk and per-read file listings forever.
+    # Age = the NEWEST mtime anywhere under the seg dir (ADVICE r15):
+    # a long-running writer only touches leaf files after the first
+    # seconds — the dir-level mtime goes stale immediately, so judging
+    # it would sweep an in-flight segment whose write merely outlasts
+    # the grace window. The walk doubles as the re-stat-before-rmtree;
+    # writers ALSO verify their dirs before committing
+    # (_bm25_verify_segment_dirs), so even a wrongly-swept in-flight
+    # segment fails loudly instead of publishing missing files.
     committed = set(old)
     cutoff = time.time() - orphan_grace_sec
     for layout in ("postings", "df"):
@@ -1240,11 +1254,18 @@ def bm25_index_compact(spark, index_path: str,
         for d in os.listdir(base):
             m = re.fullmatch(r"seg=(\d+)", d)
             full = os.path.join(base, d)
+            if not m or int(m.group(1)) in committed:
+                continue
             try:
-                aged = os.path.getmtime(full) < cutoff
+                newest = os.path.getmtime(full)
+                for r, _dirs, files in os.walk(full):
+                    for fn in files:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(r, fn))
+                        )
             except OSError:
                 continue
-            if m and int(m.group(1)) not in committed and aged:
+            if newest < cutoff:
                 shutil.rmtree(full, ignore_errors=True)
     if len(old) <= 1:
         return
@@ -1259,18 +1280,13 @@ def bm25_index_compact(spark, index_path: str,
             os.path.join(index_path, layout, f"seg={seg}"),
             ignore_errors=True,
         )
-    posts = spark.read.parquet(f"{index_path}/postings").filter(
-        F.col("seg").isin(old)
-    )
+    # mergeSchema + coalesce normalization (ADVICE r15): a mixed
+    # impact-layout index must not resolve its schema from one sampled
+    # footer — the merged segment is always full-impact-layout, which
+    # is also the cheap UPGRADE path for pre-r15 segments (vs a full
+    # re-tokenizing rebuild)
+    posts = _bm25_read_postings_maintenance(spark, index_path, old)
     merged_posts = posts.withColumn("seg", F.lit(seg))
-    if "impact_key" not in posts.columns:
-        # layout upgrade: a pre-r15 segment lacks the impact column —
-        # derive it here so compaction is the cheap upgrade path to
-        # the pruned serve (vs a full re-tokenizing rebuild)
-        merged_posts = merged_posts.withColumn(
-            "impact_key",
-            F.col("tf").cast("double") / F.col("dl").cast("double"),
-        )
     # impact-ordered (Block-Max) layout through the merge —
     # correctness never depends on it, but the pruned serve's
     # row-group skipping does
@@ -1297,6 +1313,9 @@ def bm25_index_compact(spark, index_path: str,
         "id": seg,
         "n": sum(s["n"] for s in commit["segments"]),
         "sdl": sum(s["sdl"] for s in commit["segments"]),
+        # the normalization above makes the merged segment
+        # full-impact-layout regardless of its inputs' layouts
+        "impact": True,
     }
     nonempty = [s for s in commit["segments"] if s["n"] > 0]
     if nonempty and all(s.get("dmin") is not None for s in nonempty):
@@ -1308,6 +1327,8 @@ def bm25_index_compact(spark, index_path: str,
     if tags:
         merged["batch_tags"] = sorted(tags)
     commit["segments"] = [merged]
+    present = _bm25_segment_dirs_present(index_path, [seg])
+    _bm25_verify_segment_dirs(index_path, present)
     _bm25_write_commit(index_path, commit, expect_raw=fence)
     _bm25_reap_segments(index_path, old)
 
@@ -1395,17 +1416,13 @@ def bm25_index_delete(spark, index_path: str,
         )
         if not cand:
             return 0
-        posts = spark.read.parquet(f"{index_path}/postings").filter(
-            F.col("seg").isin(cand)
-        )
+        posts = _bm25_read_postings_maintenance(spark, index_path, cand)
         ids = (
             posts.filter(F.col("doc_id").isin(req))
             .select("doc_id").distinct()
         )
     else:
-        posts = spark.read.parquet(f"{index_path}/postings").filter(
-            F.col("seg").isin(segs)
-        )
+        posts = _bm25_read_postings_maintenance(spark, index_path, segs)
         ids = posts.filter(F.expr(where)).select("doc_id").distinct()
     affected, entry, n_deleted = _bm25_survivor_rewrite(
         spark, index_path, commit, posts, ids
@@ -1414,9 +1431,63 @@ def bm25_index_delete(spark, index_path: str,
         return 0
     kept = [s for s in commit["segments"] if s["id"] not in set(affected)]
     commit["segments"] = kept + ([entry] if entry is not None else [])
+    present = _bm25_segment_dirs_present(
+        index_path, [entry["id"]] if entry is not None else []
+    )
+    _bm25_verify_segment_dirs(index_path, present)
     _bm25_write_commit(index_path, commit, expect_raw=fence)
     _bm25_reap_segments(index_path, affected)
     return n_deleted
+
+
+def _bm25_impact_expr():
+    """The impact key of a posting row, derived from its (tf, dl) —
+    the exact expression `_bm25_write_segment` materializes. Used to
+    normalize rows from pre-impact-layout segments (column absent, or
+    NULL under a merged schema) so maintenance rewrites and the
+    unmarked-segment serve path stay exact."""
+    return F.col("tf").cast("double") / F.col("dl").cast("double")
+
+
+def _bm25_read_postings_maintenance(spark, index_path: str, segs: list):
+    """Postings scan for the REWRITING verbs (compact / delete /
+    upsert): reads with mergeSchema — a mixed impact-layout index
+    (pre-r15 segments beside r15+ ones) would otherwise resolve its
+    schema from ONE sampled footer, nondeterministically (ADVICE r15)
+    — and normalizes `impact_key` to non-null (coalesce with the
+    derived tf/dl, adding the column when no footer carries it), so
+    every segment a rewrite produces is full-impact-layout and can be
+    marked `impact: true` in its commit entry. Maintenance-only: the
+    footer-merge cost is per-file metadata, fine for a rewrite that
+    reads the data anyway; the serve path keeps its single-footer
+    fast path when the commit says every segment is marked."""
+    posts = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{index_path}/postings")
+        .filter(F.col("seg").isin(segs))
+    )
+    derived = _bm25_impact_expr()
+    if "impact_key" in posts.columns:
+        return posts.withColumn(
+            "impact_key", F.coalesce(F.col("impact_key"), derived)
+        )
+    return posts.withColumn("impact_key", derived)
+
+
+def _bm25_all_impact_marked(commit: dict) -> bool:
+    """True when every committed non-empty segment records the
+    `impact` layout marker — the r16 commit-entry flag every writer
+    sets. Only then may the pruned serve filter on the PHYSICAL
+    `impact_key` column (pushed to parquet, row-group skipping);
+    unmarked segments may predate the column, and under a merged
+    schema their rows read NULL — `NULL >= r0` is false, which would
+    silently drop every legacy posting of a pruned term (ADVICE r15,
+    medium). Pre-r16 indexes (even ones whose files DO carry the
+    column) serve through the exact derived-expression path until a
+    compact stamps the marker."""
+    return all(
+        s.get("impact") for s in commit["segments"] if s["n"] > 0
+    )
 
 
 def _bm25_segs_in_doc_range(commit: dict, lo: int, hi: int,
@@ -1493,10 +1564,12 @@ def _bm25_survivor_rewrite(spark, index_path: str, commit: dict, posts,
             F.col("tbucket"),
             F.pmod(F.hash("doc_id"), F.lit(write_shards)),
         )
-        if "impact_key" in surv.columns:
-            surv_posts = surv_posts.sortWithinPartitions(
-                "tbucket", "term", F.desc("impact_key"),
-            )
+        # callers read through _bm25_read_postings_maintenance, so
+        # impact_key is always present and non-null here — the
+        # survivor segment is full-impact-layout (and marked so below)
+        surv_posts = surv_posts.sortWithinPartitions(
+            "tbucket", "term", F.desc("impact_key"),
+        )
         (
             surv_posts
             .write.mode("append")
@@ -1511,7 +1584,7 @@ def _bm25_survivor_rewrite(spark, index_path: str, commit: dict, posts,
             .partitionBy("seg", "tbucket")
             .parquet(f"{index_path}/df")
         )
-    entry = {"id": new_id, "n": n_surv, "sdl": sdl_surv}
+    entry = {"id": new_id, "n": n_surv, "sdl": sdl_surv, "impact": True}
     if srow["dmin"] is not None:
         entry["dmin"] = int(srow["dmin"])
         entry["dmax"] = int(srow["dmax"])
@@ -1535,6 +1608,45 @@ def _bm25_seen_tags(segments) -> set:
             tags.add(s["batch_tag"])
         tags.update(s.get("batch_tags", ()))
     return tags
+
+
+def _bm25_verify_segment_dirs(index_path: str, seg_ids: list) -> None:
+    """Last check before a writer's commit swap: its freshly-written
+    (still uncommitted) segment dirs must still exist. A concurrent
+    compact's orphan sweep — on a violated single-writer schedule
+    whose segment write outlasted `orphan_grace_sec` — may have
+    rmtree'd them; committing anyway would publish a segment with
+    missing files (silent data loss at serve time, ADVICE r15).
+    Raising Bm25CommitConflict keeps the failure loud and retryable.
+    `seg_ids` are the dirs SNAPSHOT as present right after the write
+    (`_bm25_segment_dirs_present`) — an all-empty batch writes no
+    partition dirs at all and must not fail its own commit."""
+    import os
+
+    for d in seg_ids:
+        if not os.path.isdir(d):
+            raise Bm25CommitConflict(
+                f"{d} vanished before this verb could commit — a "
+                f"concurrent compact's orphan sweep reclaimed it "
+                f"(segment write outlasted orphan_grace_sec on a "
+                f"violated single-writer schedule); re-run this "
+                f"verb, and keep orphan_grace_sec above the longest "
+                f"expected segment write"
+            )
+
+
+def _bm25_segment_dirs_present(index_path: str, seg_ids: list) -> list:
+    """Snapshot, right after a segment write, which of its partition
+    dirs exist — the set `_bm25_verify_segment_dirs` re-checks
+    immediately before the commit swap."""
+    import os
+
+    return [
+        d
+        for s in seg_ids
+        for layout in ("postings", "df")
+        if os.path.isdir(d := os.path.join(index_path, layout, f"seg={s}"))
+    ]
 
 
 def _bm25_reap_segments(index_path: str, seg_ids: list) -> None:
@@ -1623,9 +1735,7 @@ def bm25_index_upsert(docs: DataFrame, index_path: str,
             commit, int(brow["bmin"]), int(brow["bmax"])
         )
         if cand:
-            posts = spark.read.parquet(f"{index_path}/postings").filter(
-                F.col("seg").isin(cand)
-            )
+            posts = _bm25_read_postings_maintenance(spark, index_path, cand)
             affected, entry, n_replaced = _bm25_survivor_rewrite(
                 spark, index_path, commit, posts,
                 docs.select("doc_id").distinct(),
@@ -1647,6 +1757,11 @@ def bm25_index_upsert(docs: DataFrame, index_path: str,
     commit["segments"] = (
         kept + ([entry] if entry is not None else []) + [batch_entry]
     )
+    present = _bm25_segment_dirs_present(
+        index_path,
+        [next_id] + ([entry["id"]] if entry is not None else []),
+    )
+    _bm25_verify_segment_dirs(index_path, present)
     _bm25_write_commit(index_path, commit, expect_raw=fence)
     _bm25_reap_segments(index_path, affected)
     return n_replaced
@@ -1728,7 +1843,13 @@ def _bm25_write_segment(docs: DataFrame, out_path: str, seg: int,
         F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl"),
         F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"),
     ).collect()[0]
-    entry = {"id": seg, "n": int(srow["n"]), "sdl": int(srow["sdl"] or 0)}
+    entry = {
+        "id": seg, "n": int(srow["n"]), "sdl": int(srow["sdl"] or 0),
+        # r16 layout marker: this writer materializes impact_key on
+        # every row, so the pruned serve may trust the physical column
+        # for this segment (see _bm25_all_impact_marked)
+        "impact": True,
+    }
     if srow["dmin"] is not None:
         # per-segment doc-id range: the delete/upsert match scan
         # prunes to segments whose range can contain the target ids
@@ -1850,28 +1971,51 @@ def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
         .collect()
     )
     df_map = {r["term"]: float(r["df"]) for r in df_rows}
-    posts = spark.read.parquet(f"{index_path}/postings").filter(
+    pruning = prune_df_frac is not None and prune_min_impact > 0.0
+    all_marked = _bm25_all_impact_marked(commit)
+    reader = spark.read
+    if pruning and not all_marked:
+        # transitional layout (pre-r16 segments in the mix): the
+        # physical impact_key column may be absent in some footers and
+        # NULL for legacy rows under a merged schema — resolve the
+        # schema over ALL footers so the normalization below sees the
+        # column whenever any segment has it (ADVICE r15, medium)
+        reader = reader.option("mergeSchema", "true")
+    posts = reader.parquet(f"{index_path}/postings").filter(
         F.col("seg").isin(segs)
         & F.col("tbucket").isin(buckets)
         & F.col("term").isin(list(terms))
     )
     if where is not None:
         posts = posts.filter(F.expr(where))
-    if prune_df_frac is not None and prune_min_impact > 0.0:
+    if pruning:
         # impact-ordered early termination (the Block-Max WAND
         # analogue): ONLY stopword-grade terms (df ≥ frac·n) get the
         # impact cutoff — selective terms stay exact, and a pruned
         # term's dropped contribution is bounded (see
-        # bm25_prune_error_bound). The disjunctive predicate pushes to
+        # bm25_prune_error_bound). When every committed segment is
+        # impact-marked (every r16+ write; compact stamps older ones)
+        # the disjunctive predicate on the PHYSICAL column pushes to
         # parquet, and the impact-ordered layout makes a stopword
         # run's low-impact tail skippable on row-group stats alone.
+        # Otherwise the cutoff evaluates the DERIVED tf/dl — the exact
+        # same retained row set (impact_key IS tf/dl by construction),
+        # no row-group skipping, never the silent legacy-posting drop
+        # a NULL >= r0 comparison would cause (ADVICE r15): compact to
+        # restore the fast path.
         high = [
             t for t in terms if df_map.get(t, 0.0) >= prune_df_frac * n
         ]
         if high:
+            if all_marked:
+                impact = F.col("impact_key")
+            elif "impact_key" in posts.columns:
+                impact = F.coalesce(F.col("impact_key"), _bm25_impact_expr())
+            else:
+                impact = _bm25_impact_expr()
             posts = posts.filter(
                 (~F.col("term").isin(high))
-                | (F.col("impact_key") >= float(prune_min_impact))
+                | (impact >= float(prune_min_impact))
             )
     tf = F.col("tf").cast("double")
     avgdl = F.lit(sdl) / F.lit(n)

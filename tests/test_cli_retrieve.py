@@ -365,3 +365,19 @@ def test_retrieve_bm25_pruned_flags(spark, sf_dir, tmp_path):
              "--output", str(tmp_path / "z")],
             spark=spark,
         )
+    # ADVICE r15: half-specified pruning must raise, not silently
+    # serve exact results — either knob alone is a no-op in the engine
+    with pytest.raises(ValueError, match="BOTH"):
+        cli.main(
+            ["retrieve", "bm25", "--index", idx, "--terms", "join",
+             "--prune-df-frac", "0.5", "--k", "3",
+             "--output", str(tmp_path / "z1")],
+            spark=spark,
+        )
+    with pytest.raises(ValueError, match="BOTH"):
+        cli.main(
+            ["retrieve", "bm25", "--index", idx, "--terms", "join",
+             "--prune-min-impact", "0.05", "--k", "3",
+             "--output", str(tmp_path / "z2")],
+            spark=spark,
+        )

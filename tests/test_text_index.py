@@ -520,6 +520,70 @@ def test_compact_reclaims_orphans_even_when_single_segment(spark, tmp_path):
     assert after == before
 
 
+def test_orphan_sweep_ages_by_newest_tree_mtime(spark, tmp_path):
+    """ADVICE r15: the sweep must judge an uncommitted segment by the
+    NEWEST mtime anywhere under it, not the dir's own mtime — a
+    long-running in-flight writer only touches leaf files after the
+    partition dirs are created, so a dir-level check would sweep any
+    segment whose write outlasts the grace window. Simulated: age the
+    dir mtimes past the cutoff but keep one leaf file fresh → the
+    segment survives; age everything → reclaimed."""
+    import os
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "agedtree")
+    TX.bm25_index_build(docs, idx)
+    TX._bm25_write_segment(
+        spark.createDataFrame([(99, "hash join")],
+                              "doc_id long, text string"),
+        idx, 7, TX._bm25_read_commit(idx)["n_buckets"], (), False,
+    )
+    old = (0.0, 0.0)
+    paths = []
+    for layout in ("postings", "df"):
+        seg = f"{idx}/{layout}/seg=7"
+        for r, ds, fs in os.walk(seg):
+            paths.extend(os.path.join(r, x) for x in ds + fs)
+        paths.append(seg)
+    for p in paths:
+        os.utime(p, old)
+    # one fresh leaf file = an in-flight writer mid-write
+    leaf = next(
+        p for p in paths
+        if p.startswith(f"{idx}/postings/") and p.endswith(".parquet")
+    )
+    os.utime(leaf)
+    TX.bm25_index_compact(spark, idx, orphan_grace_sec=60.0)
+    assert os.path.isdir(f"{idx}/postings/seg=7")  # survived
+    os.utime(leaf, old)
+    TX.bm25_index_compact(spark, idx, orphan_grace_sec=60.0)
+    assert not os.path.isdir(f"{idx}/postings/seg=7")
+    assert not os.path.isdir(f"{idx}/df/seg=7")
+
+
+def test_writer_verifies_segment_dirs_before_commit(spark, tmp_path):
+    """ADVICE r15: a writer whose freshly-written segment dirs were
+    reclaimed under it (a racing compact's sweep) must raise
+    Bm25CommitConflict at commit time, never publish a segment with
+    missing files."""
+    import shutil
+
+    import pytest
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "verifyme")
+    TX.bm25_index_build(docs, idx)
+    present = TX._bm25_segment_dirs_present(idx, [0])
+    assert len(present) == 2  # postings + df for the built segment
+    TX._bm25_verify_segment_dirs(idx, present)  # intact: no raise
+    shutil.rmtree(f"{idx}/postings/seg=0")
+    with pytest.raises(TX.Bm25CommitConflict, match="orphan_grace_sec"):
+        TX._bm25_verify_segment_dirs(idx, present)
+    # an all-empty batch snapshots no dirs and must not self-conflict
+    assert TX._bm25_segment_dirs_present(idx, [42]) == []
+    TX._bm25_verify_segment_dirs(idx, [])
+
+
 def test_upsert_equals_rebuild(spark, tmp_path):
     """upsert (replace doc 2, insert doc 20) serves bit-identically to
     a rebuild over the updated corpus — and publishes atomically (one
@@ -814,14 +878,44 @@ def test_delete_by_ids_prunes_match_scan_to_range_segments(spark, tmp_path):
     assert 1000 not in ids and 1001 in ids and 2 in ids
 
 
-def test_compact_upgrades_pre_impact_layout(spark, tmp_path):
-    """Compacting a pre-r15 layout (no impact_key column) must add the
-    column to the merged segment so the pruned serve works afterwards
-    — the cheap upgrade path the docstring promises."""
+def _make_segments_legacy(spark, idx, segs):
+    """Rewrite the given segments to the PRE-r15 layout: strip the
+    impact_key column from their posting files and the r16 `impact`
+    marker from their commit entries — the faithful simulation of an
+    index built before the impact layout existed."""
+    import json
     import shutil
 
-    import pytest
+    posts = spark.read.parquet(f"{idx}/postings")
+    keep = posts.filter(~F.col("seg").isin(segs))
+    legacy = posts.filter(F.col("seg").isin(segs)).drop("impact_key")
+    keep_rows, legacy_rows = keep.collect(), legacy.collect()
+    shutil.rmtree(f"{idx}/postings")
+    if keep_rows:
+        (
+            spark.createDataFrame(keep_rows, keep.schema)
+            .write.partitionBy("seg", "tbucket").parquet(f"{idx}/postings")
+        )
+    (
+        spark.createDataFrame(legacy_rows, legacy.schema)
+        .write.mode("append")
+        .partitionBy("seg", "tbucket").parquet(f"{idx}/postings")
+    )
+    with open(f"{idx}/_segments.json") as f:
+        commit = json.load(f)
+    for s in commit["segments"]:
+        if s["id"] in set(segs):
+            s.pop("impact", None)
+    with open(f"{idx}/_segments.json", "w") as f:
+        json.dump(commit, f)
 
+
+def test_compact_upgrades_pre_impact_layout(spark, tmp_path):
+    """A pure pre-r15 index (no impact_key column, no commit marker)
+    must serve the pruned mode EXACTLY through the derived tf/dl path
+    (never an unresolved-column error, never a silent drop), and
+    compacting it upgrades to the physical impact layout + marker so
+    the pushed-filter fast path applies afterwards."""
     a = spark.createDataFrame(DOCS, "doc_id long, text string")
     b = spark.createDataFrame(
         [(10, "the the table")], "doc_id long, text string"
@@ -829,34 +923,85 @@ def test_compact_upgrades_pre_impact_layout(spark, tmp_path):
     idx = str(tmp_path / "legacy")
     TX.bm25_index_build(a, idx)
     TX.bm25_index_append(b, idx)
-    # simulate the pre-r15 layout: strip impact_key from postings
-    legacy = spark.read.parquet(f"{idx}/postings").drop("impact_key")
-    rows = legacy.collect()
-    shutil.rmtree(f"{idx}/postings")
-    (
-        spark.createDataFrame(rows, legacy.schema)
-        .write.partitionBy("seg", "tbucket").parquet(f"{idx}/postings")
-    )
-    with pytest.raises(Exception, match="impact_key|UNRESOLVED"):
-        TX.bm25_indexed_topk(
-            spark, idx, [["the"]], k=5,
-            prune_df_frac=0.5, prune_min_impact=0.5,
-        ).collect()
-    exact_before = sorted(map(tuple, TX.bm25_indexed_topk(
-        spark, idx, QUERIES, k=10).collect()))
-    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
-    assert sorted(map(tuple, TX.bm25_indexed_topk(
-        spark, idx, QUERIES, k=10).collect())) == exact_before
-    pruned = TX.bm25_indexed_topk(
-        spark, idx, [["the"]], k=5,
-        prune_df_frac=0.5, prune_min_impact=0.5,
-    ).collect()
+    _make_segments_legacy(spark, idx, [0, 1])
     bound = TX.bm25_prune_error_bound(spark, idx, [["the"]], 0.5, 0.5)
     exact = {
         (r["qid"], r["doc_id"]): r["bm25"]
         for r in TX.bm25_indexed_topk(spark, idx, [["the"]], k=5).collect()
     }
-    assert pruned
-    for r in pruned:
-        diff = exact[(r["qid"], r["doc_id"])] - r["bm25"]
-        assert -2e-6 <= diff <= bound[0] + 2e-6
+
+    def _check_pruned():
+        pruned = TX.bm25_indexed_topk(
+            spark, idx, [["the"]], k=5,
+            prune_df_frac=0.5, prune_min_impact=0.5,
+        ).collect()
+        assert pruned
+        for r in pruned:
+            diff = exact[(r["qid"], r["doc_id"])] - r["bm25"]
+            assert -2e-6 <= diff <= bound[0] + 2e-6
+
+    _check_pruned()  # derived-expression path, before any upgrade
+    exact_before = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, QUERIES, k=10).collect()))
+    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
+    assert sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, QUERIES, k=10).collect())) == exact_before
+    # upgraded: marker present, physical-column fast path (pushed)
+    assert TX._bm25_all_impact_marked(TX._bm25_read_commit(idx))
+    res = TX.bm25_indexed_topk(
+        spark, idx, [["the"]], k=5,
+        prune_df_frac=0.5, prune_min_impact=0.5,
+    )
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    assert "impact_key" in plan.split("PushedFilters", 1)[1][:400]
+    _check_pruned()
+
+
+def test_mixed_impact_layout_pruned_serve_is_exact(spark, tmp_path):
+    """ADVICE r15 (medium): appending with the r15+ writer onto a
+    pre-impact index makes a MIXED layout; the pruned serve must keep
+    every legacy posting that meets the cutoff — the NULL-impact
+    comparison would silently drop a legacy stopword posting and
+    understate unboundedly. Doc 5 ("the the the", tf/dl = 1 ≥ r0)
+    lives only in the legacy segment and MUST rank. Maintenance
+    rewrites (upsert here, compact below) must normalize the mix."""
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = str(tmp_path / "mixed")
+    TX.bm25_index_build(a, idx)
+    _make_segments_legacy(spark, idx, [0])
+    b = spark.createDataFrame(
+        [(10, "the the table")], "doc_id long, text string"
+    )
+    TX.bm25_index_append(b, idx)  # r16 writer: marked + physical column
+    bound = TX.bm25_prune_error_bound(spark, idx, [["the"]], 0.5, 0.5)
+    exact = {
+        (r["qid"], r["doc_id"]): r["bm25"]
+        for r in TX.bm25_indexed_topk(spark, idx, [["the"]], k=5).collect()
+    }
+    pruned = {
+        (r["qid"], r["doc_id"]): r["bm25"]
+        for r in TX.bm25_indexed_topk(
+            spark, idx, [["the"]], k=5,
+            prune_df_frac=0.5, prune_min_impact=0.5,
+        ).collect()
+    }
+    # the legacy-only all-stopword doc survives the cutoff (tf/dl = 1)
+    assert (0, 5) in pruned
+    for key, s in pruned.items():
+        assert -2e-6 <= exact[key] - s <= bound[0] + 2e-6
+    # compact normalizes the mix: merged segment is full impact layout
+    # with NO null impact keys (the legacy rows were coalesced)
+    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
+    assert TX._bm25_all_impact_marked(TX._bm25_read_commit(idx))
+    merged = spark.read.parquet(f"{idx}/postings")
+    assert merged.filter(F.col("impact_key").isNull()).count() == 0
+    pruned2 = {
+        (r["qid"], r["doc_id"]): r["bm25"]
+        for r in TX.bm25_indexed_topk(
+            spark, idx, [["the"]], k=5,
+            prune_df_frac=0.5, prune_min_impact=0.5,
+        ).collect()
+    }
+    assert pruned2 == pruned
