@@ -36,7 +36,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from apachebeamkmeans_spark.operators import ann_train as ANN
+from apachebeamkmeans_spark.operators import indexcommit as IC
 from apachebeamkmeans_spark.operators import similarity as SIM
+
+
+class AnnCommitConflict(IC.CommitConflict):
+    """The generation-pointer commit advanced between a maintenance
+    verb's read and its publish — another compact/retrain committed
+    first. The losing verb raises instead of silently replacing the
+    winner's generation; re-run it against the new index state."""
 
 
 def _local_path(path: str) -> str | None:
@@ -309,23 +317,35 @@ class AnnIndex:
     def _resolve_data_root(spark: SparkSession, path: str) -> str:
         """Where the served layout lives: `path` itself unless the root
         carries a generation pointer, in which case the generation dir
-        it names. Existence-probed through the Hadoop FS API (quiet
-        and jobless — a read-and-catch would log a Java stack trace on
-        EVERY pointer-less load), content read through Spark, so any
+        it names. A driver-local index prefers the shared versioned
+        commit protocol (`operators/indexcommit.py`, r16 — the same
+        fenced dialect the BM25 text index publishes through); the
+        legacy `_ann_current` one-row text dir remains readable (and
+        mirrored) for pre-r16 indexes and remote schemes.
+        Existence-probed through the Hadoop FS API (quiet and jobless
+        — a read-and-catch would log a Java stack trace on EVERY
+        pointer-less load), content read through Spark, so any
         filesystem scheme works."""
-        ptr = os.path.join(path, AnnIndex._POINTER)
-        jvm = spark._jvm
-        hp = jvm.org.apache.hadoop.fs.Path(ptr)
-        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(hp):
-            return path
-        rows = spark.read.text(ptr).collect()
-        gen = rows[0]["value"].strip() if rows else ""
+        gen = None
+        local = _local_path(path)
+        if local is not None:
+            commit, _v = IC.read_commit(local, missing_ok=True)
+            if commit is not None:
+                gen = commit.get("gen", "")
+        if gen is None:
+            ptr = os.path.join(path, AnnIndex._POINTER)
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(ptr)
+            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(hp):
+                return path
+            rows = spark.read.text(ptr).collect()
+            gen = rows[0]["value"].strip() if rows else ""
         # a pointer must name a direct child generation directory —
         # anything else is corruption, not a searchable index
         if not gen or "/" in gen or gen.startswith("."):
             raise ValueError(
-                f"AnnIndex: corrupt generation pointer at {ptr!r} "
+                f"AnnIndex: corrupt generation pointer at {path!r} "
                 f"(content {gen!r}); expected a child directory name"
             )
         return os.path.join(path, gen)
@@ -710,11 +730,29 @@ class AnnIndex:
             )
         gen = f"gen-{uuid.uuid4().hex[:12]}"
         dest = os.path.join(self.path, gen)
+        # fence token: the pointer-commit version THIS rewrite is based
+        # on (driver-local only). Two concurrent publishes that both
+        # read version v can never both land v+1 — the loser raises
+        # AnnCommitConflict instead of silently orphaning the winner's
+        # generation (the r15 Spark-text overwrite had no fence at all)
+        local = _local_path(self.path)
+        fence = (
+            IC.read_commit(local, missing_ok=True)[1]
+            if local is not None else None
+        )
         try:
             build_fn(dest)
             AnnIndex.adopt(self._spark, dest, centers, codebooks, self.meta)
-            # the flip: one-row text overwrite through Spark — after
-            # this, loads resolve the new generation
+            # the flip: the shared versioned commit protocol where the
+            # filesystem gives us O_EXCL (driver-local), with the
+            # legacy one-row text pointer kept as an advisory mirror;
+            # remote schemes keep the Spark text overwrite (an object
+            # store without conditional-put cannot fence — documented)
+            if local is not None:
+                IC.write_commit(
+                    local, {"gen": gen}, expect=fence,
+                    conflict_cls=AnnCommitConflict,
+                )
             self._spark.range(0, 1, 1, 1).select(
                 F.lit(gen).alias("value")
             ).write.mode("overwrite").text(

@@ -310,6 +310,13 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
     ix = sub.add_parser(
         "index", help="build or grow the persisted BM25 serving index"
     )
+    ix.add_argument("verb", nargs="?", default=None,
+                    choices=("build", "append", "upsert", "compact",
+                             "delete"),
+                    help="lifecycle verb — the same vocabulary as the "
+                         "`ann` CLI (r16 symmetry); the legacy flag "
+                         "forms (--append/--upsert/--compact/"
+                         "--delete-*) remain equivalent")
     ix.add_argument("--docs",
                     help="documents parquet with (doc_id, text) — "
                          "required except with --compact")
@@ -409,6 +416,30 @@ def _retrieve_run(args, spark) -> int:
         )
 
     if args.action == "index":
+        # verb-positional form (r16: the `ann` CLI's vocabulary) maps
+        # onto the flag form; a verb that contradicts a flag is loud
+        if args.verb is not None:
+            flag_verb = (
+                "compact" if args.compact else
+                "delete" if (args.delete_ids is not None
+                             or args.delete_where is not None) else
+                "upsert" if args.upsert else
+                "append" if args.append else None
+            )
+            if flag_verb is not None and flag_verb != args.verb:
+                raise ValueError(
+                    f"retrieve index: verb {args.verb!r} contradicts "
+                    f"the --{flag_verb} flag form — pass one or the other"
+                )
+            if args.verb == "delete" and args.delete_ids is None \
+                    and args.delete_where is None:
+                raise ValueError(
+                    "retrieve index delete: pass --delete-ids or "
+                    "--delete-where"
+                )
+            args.append = args.verb == "append"
+            args.upsert = args.verb == "upsert"
+            args.compact = args.verb == "compact"
         deleting = args.delete_ids is not None or args.delete_where is not None
         maint = args.compact or deleting
         if sum(map(bool, (args.append, args.upsert, args.compact,
@@ -423,8 +454,8 @@ def _retrieve_run(args, spark) -> int:
             )
         if not maint and not args.docs:
             raise ValueError("retrieve index: --docs is required")
-        if (args.append or args.upsert or maint) and not os.path.exists(
-            TX._bm25_commit_path(args.index)
+        if (args.append or args.upsert or maint) and not (
+            TX.bm25_index_exists(args.index)
         ):
             raise ValueError(
                 f"retrieve index: no committed index at {args.index} "

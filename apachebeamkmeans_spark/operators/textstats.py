@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from apachebeamkmeans_spark.fixtures import STOPWORDS
 from apachebeamkmeans_spark.functions import hashing as H
 from apachebeamkmeans_spark.functions import text as T
+from apachebeamkmeans_spark.operators import indexcommit as IC
 
 
 def doc_stats(docs: DataFrame) -> DataFrame:
@@ -1110,12 +1111,15 @@ def bm25_index_build(docs: DataFrame, out_path: str,
       frequencies (vocabulary-sized). Total df at serve = Σ over
       committed segments (appended doc_ids are NEW by contract, the
       AnnIndex.append convention, so per-segment dfs add exactly).
-    - `_segments.json` — the COMMIT POINT: the list of committed
-      segments with their (n docs, Σdl) scalars, plus n_buckets and
-      meta_cols. Written last via an atomic replace, so a reader
-      never sees a half-written segment; a crashed build/append
-      leaves orphan files that are invisible (and overwritten by id
-      reuse on retry).
+    - `_commits/v*.json` — the COMMIT POINT (r16: the shared
+      versioned protocol, `operators/indexcommit.py`): the list of
+      committed segments with their (n docs, Σdl) scalars, plus
+      n_buckets and meta_cols. Written last via an exclusive create
+      (fenced), so a reader never sees a half-written segment; a
+      crashed build/append leaves orphan files that are invisible
+      (and overwritten by id reuse on retry). The pre-r16
+      `_segments.json` single file is read as version 0 and kept
+      mirrored for inspection.
 
     Build cost at 100 TB: tokenize (narrow) → (term, doc) hash-agg —
     map-side-combined shuffles over the exploded token stream; run
@@ -1183,7 +1187,7 @@ def bm25_index_append(docs: DataFrame, index_path: str,
     commit["segments"].append(entry)
     present = _bm25_segment_dirs_present(index_path, [seg])
     _bm25_verify_segment_dirs(index_path, present)
-    _bm25_write_commit(index_path, commit, expect_raw=fence)
+    _bm25_write_commit(index_path, commit, expect=fence)
 
 
 ORPHAN_GRACE_SEC = 3600.0
@@ -1226,9 +1230,7 @@ def bm25_index_compact(spark, index_path: str,
     on whichever swap lands second instead of silently dropping or
     double-counting the other writer's segment."""
     import os
-    import re
     import shutil
-    import time
 
     commit, fence = _bm25_read_commit_raw(index_path)
     old = [s["id"] for s in commit["segments"]]
@@ -1246,27 +1248,10 @@ def bm25_index_compact(spark, index_path: str,
     # (_bm25_verify_segment_dirs), so even a wrongly-swept in-flight
     # segment fails loudly instead of publishing missing files.
     committed = set(old)
-    cutoff = time.time() - orphan_grace_sec
     for layout in ("postings", "df"):
-        base = os.path.join(index_path, layout)
-        if not os.path.isdir(base):
-            continue
-        for d in os.listdir(base):
-            m = re.fullmatch(r"seg=(\d+)", d)
-            full = os.path.join(base, d)
-            if not m or int(m.group(1)) in committed:
-                continue
-            try:
-                newest = os.path.getmtime(full)
-                for r, _dirs, files in os.walk(full):
-                    for fn in files:
-                        newest = max(
-                            newest, os.path.getmtime(os.path.join(r, fn))
-                        )
-            except OSError:
-                continue
-            if newest < cutoff:
-                shutil.rmtree(full, ignore_errors=True)
+        IC.sweep_orphan_dirs(
+            os.path.join(index_path, layout), committed, orphan_grace_sec
+        )
     if len(old) <= 1:
         return
     seg = 1 + max(old)
@@ -1329,7 +1314,7 @@ def bm25_index_compact(spark, index_path: str,
     commit["segments"] = [merged]
     present = _bm25_segment_dirs_present(index_path, [seg])
     _bm25_verify_segment_dirs(index_path, present)
-    _bm25_write_commit(index_path, commit, expect_raw=fence)
+    _bm25_write_commit(index_path, commit, expect=fence)
     _bm25_reap_segments(index_path, old)
 
 
@@ -1435,7 +1420,7 @@ def bm25_index_delete(spark, index_path: str,
         index_path, [entry["id"]] if entry is not None else []
     )
     _bm25_verify_segment_dirs(index_path, present)
-    _bm25_write_commit(index_path, commit, expect_raw=fence)
+    _bm25_write_commit(index_path, commit, expect=fence)
     _bm25_reap_segments(index_path, affected)
     return n_deleted
 
@@ -1620,19 +1605,13 @@ def _bm25_verify_segment_dirs(index_path: str, seg_ids: list) -> None:
     Raising Bm25CommitConflict keeps the failure loud and retryable.
     `seg_ids` are the dirs SNAPSHOT as present right after the write
     (`_bm25_segment_dirs_present`) — an all-empty batch writes no
-    partition dirs at all and must not fail its own commit."""
-    import os
-
-    for d in seg_ids:
-        if not os.path.isdir(d):
-            raise Bm25CommitConflict(
-                f"{d} vanished before this verb could commit — a "
-                f"concurrent compact's orphan sweep reclaimed it "
-                f"(segment write outlasted orphan_grace_sec on a "
-                f"violated single-writer schedule); re-run this "
-                f"verb, and keep orphan_grace_sec above the longest "
-                f"expected segment write"
-            )
+    partition dirs at all and must not fail its own commit. Shared
+    protocol: `indexcommit.verify_dirs`."""
+    IC.verify_dirs(
+        seg_ids, conflict_cls=Bm25CommitConflict,
+        hint=(", and keep orphan_grace_sec above the longest expected "
+              "segment write"),
+    )
 
 
 def _bm25_segment_dirs_present(index_path: str, seg_ids: list) -> list:
@@ -1641,12 +1620,11 @@ def _bm25_segment_dirs_present(index_path: str, seg_ids: list) -> list:
     immediately before the commit swap."""
     import os
 
-    return [
-        d
+    return IC.dirs_present([
+        os.path.join(index_path, layout, f"seg={s}")
         for s in seg_ids
         for layout in ("postings", "df")
-        if os.path.isdir(d := os.path.join(index_path, layout, f"seg={s}"))
-    ]
+    ])
 
 
 def _bm25_reap_segments(index_path: str, seg_ids: list) -> None:
@@ -1762,7 +1740,7 @@ def bm25_index_upsert(docs: DataFrame, index_path: str,
         [next_id] + ([entry["id"]] if entry is not None else []),
     )
     _bm25_verify_segment_dirs(index_path, present)
-    _bm25_write_commit(index_path, commit, expect_raw=fence)
+    _bm25_write_commit(index_path, commit, expect=fence)
     _bm25_reap_segments(index_path, affected)
     return n_replaced
 
@@ -1858,76 +1836,56 @@ def _bm25_write_segment(docs: DataFrame, out_path: str, seg: int,
     return entry
 
 
-def _bm25_commit_path(index_path: str) -> str:
-    import os
+BM25_LEGACY_COMMIT = "_segments.json"
 
-    return os.path.join(index_path, "_segments.json")
+
+def bm25_index_exists(index_path: str) -> bool:
+    """Whether a committed index exists at the path (either commit
+    dialect) — the CLI's guard for verbs that require one."""
+    return IC.read_commit(
+        index_path, BM25_LEGACY_COMMIT, missing_ok=True
+    )[0] is not None
 
 
 def _bm25_read_commit(index_path: str) -> dict:
-    import json
-
-    with open(_bm25_commit_path(index_path)) as f:
-        return json.load(f)
+    return IC.read_commit(index_path, BM25_LEGACY_COMMIT)[0]
 
 
-def _bm25_read_commit_raw(index_path: str) -> tuple[dict, str]:
-    """The commit dict plus its exact on-disk text — the fence token a
+def _bm25_read_commit_raw(index_path: str) -> tuple[dict, int]:
+    """The commit dict plus its VERSION — the fence token a
     read-modify-write verb hands back to `_bm25_write_commit` so a
-    concurrent writer's swap is detected instead of overwritten."""
-    import json
-
-    with open(_bm25_commit_path(index_path)) as f:
-        raw = f.read()
-    return json.loads(raw), raw
+    concurrent writer's publish is detected instead of overwritten
+    (shared protocol: `operators/indexcommit.py`)."""
+    return IC.read_commit(index_path, BM25_LEGACY_COMMIT)
 
 
-class Bm25CommitConflict(RuntimeError):
-    """The commit file changed between a maintenance verb's read and
-    its swap — another writer (append/compact/delete) ran
+class Bm25CommitConflict(IC.CommitConflict):
+    """The commit advanced between a maintenance verb's read and its
+    publish — another writer (append/compact/delete/upsert) ran
     concurrently. The losing verb raises instead of silently dropping
     or double-counting the other writer's segments; re-run it against
     the new commit state."""
 
 
 def _bm25_write_commit(index_path: str, commit: dict,
-                       expect_raw: str | None = None) -> None:
-    """Atomic commit-point swap: tmp file + os.replace — the reader
-    either sees the previous committed segment list or the new one,
-    never a torn state.
-
-    WRITERS are single-writer by contract (one append/compact/delete
-    at a time — the Lucene IndexWriter model; readers need no
-    coordination). `expect_raw` is the cheap fence for that contract
-    (ADVICE r14): the caller passes the commit text it based its
-    read-modify-write on, and the swap re-reads the file immediately
-    before os.replace — if another writer's swap landed in between,
-    Bm25CommitConflict raises and nothing is overwritten. The
-    re-read-then-replace pair is not itself atomic (no OS file lock —
-    the index may live on object storage where locks don't exist), so
-    the fence narrows the race to microseconds rather than eliminating
-    it; it turns a silent lost-update into a loud error for every
-    realistic interleaving of the two maintenance jobs the docstrings
-    recommend running beside streaming ingest."""
-    import json
+                       expect: int | None = None) -> None:
+    """Publish the commit through the shared versioned protocol
+    (`indexcommit.write_commit`): exclusive-create of version
+    `expect + 1` — the create IS the fence, atomic at the filesystem
+    level (r16, replacing the r15 read-compare-then-replace whose
+    check-to-swap window was acknowledged non-atomic). WRITERS are
+    single-writer by contract (one append/compact/delete/upsert at a
+    time — the Lucene IndexWriter model; readers need no
+    coordination); a violated contract raises Bm25CommitConflict with
+    nothing overwritten. The legacy `_segments.json` stays mirrored
+    for inspection; versioned files win on read."""
     import os
 
-    path = _bm25_commit_path(index_path)
     os.makedirs(index_path, exist_ok=True)
-    if expect_raw is not None:
-        with open(path) as f:
-            current = f.read()
-        if current != expect_raw:
-            raise Bm25CommitConflict(
-                f"{path} changed since this verb read it — a concurrent "
-                f"append/compact/delete committed first; re-run against "
-                f"the new commit state (writers are single-writer by "
-                f"contract)"
-            )
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(commit, f)
-    os.replace(tmp, path)
+    IC.write_commit(
+        index_path, commit, legacy_name=BM25_LEGACY_COMMIT,
+        expect=expect, conflict_cls=Bm25CommitConflict,
+    )
 
 
 def _bm25_pruned_postings(spark, index_path: str, terms: list[str],

@@ -513,6 +513,46 @@ def test_compact_pointer_strategy_flips_generation(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, again)) == sorted(map(tuple, before))
 
 
+def test_pointer_publish_is_fenced_and_versioned(spark, sf_dir, tmp_path):
+    """r16: the local pointer flip rides the shared versioned commit
+    protocol (`operators/indexcommit.py`) — the versioned commit wins
+    over a stale legacy `_ann_current` mirror, and a publish based on
+    a stale fence raises AnnCommitConflict instead of silently
+    replacing the winner's generation."""
+    import pytest
+
+    from apachebeamkmeans_spark.ann import AnnCommitConflict
+    from apachebeamkmeans_spark.operators import indexcommit as IC
+
+    path = str(tmp_path / "fenced_ptr")
+    emb = _emb(spark, sf_dir)
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    before = idx.topk(QUERIES, k=5, nprobe=4).collect()
+    idx.compact(strategy="pointer")
+    commit, fence = IC.read_commit(path)
+    gen = commit["gen"]
+    assert os.path.isdir(os.path.join(path, gen))
+    # the versioned commit is the source of truth: corrupt the legacy
+    # mirror and the index still resolves the committed generation
+    mirror = os.path.join(path, "_ann_current")
+    for f in os.listdir(mirror):
+        if f.startswith("part-"):
+            with open(os.path.join(mirror, f), "w") as fh:
+                fh.write("gen-stale-mirror\n")
+    reloaded = AnnIndex.load(spark, path)
+    assert reloaded.data_root == os.path.join(path, gen)
+    after = reloaded.topk(QUERIES, k=5, nprobe=4).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    # lost-update fence: a competing writer publishes first; the
+    # stale-fence publish must conflict and leave the winner current
+    IC.write_commit(path, {"gen": gen}, expect=fence,
+                    conflict_cls=AnnCommitConflict)
+    with pytest.raises(AnnCommitConflict):
+        IC.write_commit(path, {"gen": "gen-loser"}, expect=fence,
+                        conflict_cls=AnnCommitConflict)
+    assert IC.read_commit(path)[0] == {"gen": gen}
+
+
 def test_retrain_equals_fresh_train_on_union(spark, sf_dir, tmp_path):
     """retrain(): after appends, the rebuilt index must serve exactly
     what a from-scratch train over the union corpus serves — same

@@ -333,6 +333,61 @@ def test_retrieve_index_delete_upsert_verbs(spark, sf_dir, tmp_path):
         )
 
 
+def test_retrieve_index_verb_positional_symmetry(spark, sf_dir, tmp_path):
+    """r16 CLI symmetry: `retrieve index <verb>` takes the same
+    vocabulary as the `ann` CLI (build/append/upsert/compact/delete)
+    and behaves identically to the flag forms; a verb contradicting a
+    flag raises."""
+    import pytest
+
+    docs_p, _ = _paths(sf_dir)
+    idx = str(tmp_path / "bm25_verbs")
+    assert cli.main(
+        ["retrieve", "index", "build", "--docs", docs_p, "--index", idx],
+        spark=spark,
+    ) == 0
+    docs = io.read_table(spark, sf_dir, "documents")
+    victim = int(docs.select("doc_id").first()["doc_id"])
+    batch_p = str(tmp_path / "verb_batch")
+    spark.createDataFrame(
+        [(victim + 1_000_000, "join hash fast")], "doc_id long, text string"
+    ).write.parquet(batch_p)
+    assert cli.main(
+        ["retrieve", "index", "append", "--docs", batch_p, "--index", idx],
+        spark=spark,
+    ) == 0
+    assert cli.main(
+        ["retrieve", "index", "delete", "--index", idx,
+         "--delete-ids", str(victim)],
+        spark=spark,
+    ) == 0
+    assert cli.main(
+        ["retrieve", "index", "upsert", "--docs", batch_p, "--index", idx],
+        spark=spark,
+    ) == 0
+    assert cli.main(
+        ["retrieve", "index", "compact", "--index", idx], spark=spark,
+    ) == 0
+    commit = TX._bm25_read_commit(idx)
+    assert len(commit["segments"]) == 1  # compacted
+    ids = {
+        r["doc_id"] for r in TX.bm25_indexed_topk(
+            spark, idx, [["join", "hash"]], k=50
+        ).collect()
+    }
+    assert victim not in ids and victim + 1_000_000 in ids
+    with pytest.raises(ValueError, match="contradicts"):
+        cli.main(
+            ["retrieve", "index", "build", "--docs", docs_p,
+             "--index", idx, "--append"],
+            spark=spark,
+        )
+    with pytest.raises(ValueError, match="delete-ids or"):
+        cli.main(
+            ["retrieve", "index", "delete", "--index", idx], spark=spark,
+        )
+
+
 def test_retrieve_bm25_pruned_flags(spark, sf_dir, tmp_path):
     """--prune-df-frac/--prune-min-impact reach the pruned serve: the
     CLI result equals the library call, and the flags without --index

@@ -475,7 +475,7 @@ def test_commit_conflict_fences_lost_update(spark, tmp_path):
                               "doc_id long, text string"), idx,
     )
     with pytest.raises(TX.Bm25CommitConflict):
-        TX._bm25_write_commit(idx, stale, expect_raw=raw)
+        TX._bm25_write_commit(idx, stale, expect=raw)
     # the winning append's segment survived
     assert len(TX._bm25_read_commit(idx)["segments"]) == 2
 
@@ -883,7 +883,6 @@ def _make_segments_legacy(spark, idx, segs):
     impact_key column from their posting files and the r16 `impact`
     marker from their commit entries — the faithful simulation of an
     index built before the impact layout existed."""
-    import json
     import shutil
 
     posts = spark.read.parquet(f"{idx}/postings")
@@ -901,13 +900,11 @@ def _make_segments_legacy(spark, idx, segs):
         .write.mode("append")
         .partitionBy("seg", "tbucket").parquet(f"{idx}/postings")
     )
-    with open(f"{idx}/_segments.json") as f:
-        commit = json.load(f)
+    commit, fence = TX._bm25_read_commit_raw(idx)
     for s in commit["segments"]:
         if s["id"] in set(segs):
             s.pop("impact", None)
-    with open(f"{idx}/_segments.json", "w") as f:
-        json.dump(commit, f)
+    TX._bm25_write_commit(idx, commit, expect=fence)
 
 
 def test_compact_upgrades_pre_impact_layout(spark, tmp_path):
