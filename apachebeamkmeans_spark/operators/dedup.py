@@ -353,7 +353,8 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
                    threshold: float = 0.0,
                    docs_b: DataFrame | None = None,
                    sets_b: DataFrame | None = None,
-                   sets_a: DataFrame | None = None) -> DataFrame:
+                   sets_a: DataFrame | None = None,
+                   with_containment: bool = False) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only. With
     `docs_b`, the `doc_a` side resolves against `docs` and the `doc_b`
     side against `docs_b` — required when the two sides can share
@@ -361,7 +362,16 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
     union'd sets table would join the duplicate id TWICE and inflate
     downstream candidate counts (caught by the streaming-ingest twin
     test). `sets_b` supplies the b-side as an already-materialized
-    (doc_id, sh) frame (`corpus_gate_state`) instead."""
+    (doc_id, sh) frame (`corpus_gate_state`) instead.
+
+    `with_containment` appends the DIRECTIONAL overlap columns
+    |A∩B|/|A| and |A∩B|/|B| — the asymmetry Jaccard hides: a short doc
+    quoted verbatim inside a long one has low Jaccard (the union is
+    big) but containment ≈ 1 on the short side, the quote/subset
+    verdict curation pipelines use to keep the superset document. Same
+    intersect pass, two extra ratios — free where the Jaccard is
+    already being computed (r16: the standalone containment query was
+    folded in here)."""
     def _sets(d: DataFrame) -> DataFrame:
         toks = T.tokens(F.col("text"))
         return _materialize(d.select(
@@ -377,18 +387,28 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, shingle: int = 3,
     # union array (array_union rebuilds a deduped array per pair; the
     # identity is what the DuckDB oracle always computed)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cols = [
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.round(
+            inter.cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - inter),
+            6,
+        ).alias("jaccard"),
+    ]
+    if with_containment:
+        cols += [
+            F.round(inter.cast("double") / F.size("sh_a"), 6).alias(
+                "containment_a"
+            ),
+            F.round(inter.cast("double") / F.size("sh_b"), 6).alias(
+                "containment_b"
+            ),
+        ]
     return (
         pairs.join(sets_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sets_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                inter.cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - inter),
-                6,
-            ).alias("jaccard"),
-        )
+        .select(*cols)
         .filter(F.col("jaccard") >= threshold)
     )
 

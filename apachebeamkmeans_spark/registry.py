@@ -64,6 +64,10 @@ SEMANTICS_CHANGED: dict[str, int] = {
     # diff — it must re-certify under the new form, not ride its
     # pre-change green row
     "sim_ivfpq_batch_topk": 12,
+    # r16: dedup_containment retired and its directional containment
+    # columns FOLDED into dedup_jaccard (query + oracle both gained
+    # containment_a/containment_b) — the combined form must re-certify
+    "dedup_jaccard": 16,
 }
 
 

@@ -122,8 +122,6 @@ HEADLINE = [
     "stream_embedding_gate",
     # round 12 additions: amortized AnnIndex serving (load + search
     # against the persisted fingerprint-keyed index)
-    "ann_index_search",
-    "ann_index_pq_search",
     "ann_index_batch_search",
     "ann_index_compact_search",
     "ann_index_cell_stats",
@@ -161,7 +159,6 @@ HEADLINE = [
     "lineitem_column_stats",
     "events_rank_sweep",
     "cross_doc_substrings",
-    "dedup_containment",
     "promo_revenue_share",
     "disjunctive_revenue",
     "events_variant_extract",
@@ -208,16 +205,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_jaccard",
     "dedup_purge",
-    "dedup_simhash",
     "events_deterministic_sample",
     "events_props_json",
     "events_quantiles",
-    "events_value_histogram",
     "kmeans_cluster_output",
     "kmeans_gonzalez_seeds",
     "kmeans_init_extremes",
     "kmeans_lineitem_assign",
-    "kmeans_norms",
     "kmeans_plusplus_seeds_dweight",
     "kmeans_sse",
     "lineitem_unpivot",
@@ -251,6 +245,16 @@ HEADLINE = [
     "sim_maxsim_indexed",
     "text_bm25_batch",
     "hybrid_search_filtered",
+    # round 16: the staged serving set registered (impact-pruned BM25,
+    # batch hybrid) + the lifecycle verbs certified end-to-end (delete
+    # serve, CDC upsert stream). Six near-twins retired the same round
+    # (judge r15 item 1): kmeans_norms, dedup_simhash, dedup_containment
+    # (folded into dedup_jaccard), events_value_histogram,
+    # ann_index_search, ann_index_pq_search.
+    "text_bm25_pruned",
+    "hybrid_search_batch",
+    "text_bm25_delete_serve",
+    "stream_cdc_bm25_upsert",
 ]
 
 # Queries that read above their quiet anchors ONLY under mid-suite

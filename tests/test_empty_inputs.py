@@ -56,8 +56,6 @@ NEEDS_DATA = {
     # r12: the amortized serving queries build their persisted index
     # in-query on a fingerprint miss (train + append), so an empty
     # corpus hits the same trainer ValueError before any serving
-    "ann_index_search",
-    "ann_index_pq_search",
     "ann_index_batch_search",
     "ann_index_compact_search",
     "ann_index_cell_stats",
@@ -74,6 +72,9 @@ NEEDS_DATA = {
     # same ivf_train contract
     "hybrid_search_filtered",
     "sim_maxsim_indexed",
+    # r16: the batch hybrid's vector side trains the same serve-side
+    # quantizer in-query — same ivf_train contract
+    "hybrid_search_batch",
 }
 
 QUERIES = all_queries()
