@@ -1888,11 +1888,42 @@ def _bm25_write_commit(index_path: str, commit: dict,
     )
 
 
+def _bm25_serve_stats(spark, index_path: str, terms: list[str]):
+    """Serve-time global stats: (commit, n, Σdl, per-term df map,
+    pruned tbuckets, committed seg ids). n and Σdl sum exactly
+    (Python ints) over the commit entries; each query term's df sums
+    over the pruned per-segment df layouts — ONE k-row-class collect,
+    after which every idf is an engine-side expression over plan-time
+    literals. Shared by the serve scans, the prune error bound, and
+    the exact Block-Max serve's threshold pass."""
+    commit = _bm25_read_commit(index_path)
+    n_buckets = commit["n_buckets"]
+    segs = [s["id"] for s in commit["segments"]]
+    n = float(sum(s["n"] for s in commit["segments"]))
+    sdl = float(sum(s["sdl"] for s in commit["segments"]))
+    buckets = sorted({bm25_index_bucket(t, n_buckets) for t in terms})
+    df_map: dict[str, float] = {}
+    if n > 0:
+        df_rows = (
+            spark.read.parquet(f"{index_path}/df")
+            .filter(
+                F.col("seg").isin(segs)
+                & F.col("tbucket").isin(buckets)
+                & F.col("term").isin(list(terms))
+            )
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        df_map = {r["term"]: float(r["df"]) for r in df_rows}
+    return commit, n, sdl, df_map, buckets, segs
+
+
 def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
                           k1: float, b: float,
                           where: str | None = None,
                           prune_df_frac: float | None = None,
-                          prune_min_impact: float = 0.0):
+                          prune_min_impact: float = 0.0,
+                          stats=None):
     """Shared serve-side scan: the partition-pruned, term-filtered
     postings frame over the COMMITTED segments, plus a per-term score
     column builder. Both the literal (`bm25_indexed_topk`) and the
@@ -1908,27 +1939,14 @@ def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
     predicate over the denormalized metadata columns (filtered
     retrieval: candidates are pruned inside the scan, stats stay
     global — the Lucene filtered-query semantics)."""
-    commit = _bm25_read_commit(index_path)
-    n_buckets = commit["n_buckets"]
-    segs = [s["id"] for s in commit["segments"]]
-    n = float(sum(s["n"] for s in commit["segments"]))
-    sdl = float(sum(s["sdl"] for s in commit["segments"]))
+    commit, n, sdl, df_map, buckets, segs = (
+        _bm25_serve_stats(spark, index_path, terms)
+        if stats is None else stats
+    )
     if n == 0:
         # empty corpus: no doc can rank — the callers detect the None
         # and return a typed empty frame
         return None, None
-    buckets = sorted({bm25_index_bucket(t, n_buckets) for t in terms})
-    df_rows = (
-        spark.read.parquet(f"{index_path}/df")
-        .filter(
-            F.col("seg").isin(segs)
-            & F.col("tbucket").isin(buckets)
-            & F.col("term").isin(list(terms))
-        )
-        .groupBy("term").agg(F.sum("df").alias("df"))
-        .collect()
-    )
-    df_map = {r["term"]: float(r["df"]) for r in df_rows}
     pruning = prune_df_frac is not None and prune_min_impact > 0.0
     all_marked = _bm25_all_impact_marked(commit)
     reader = spark.read
@@ -2083,10 +2101,17 @@ def bm25_prune_error_bound(spark, index_path: str,
     PRINCIPLED rather than heuristic.
 
     Derivation: a dropped posting row of pruned term t has
-    tf/dl < r0, and its true contribution is
-    idf_t · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
-      < idf_t·(k1+1)·tf·avgdl/(k1·b·dl)          [denominator > k1·b·dl/avgdl]
-      < idf_t·(k1+1)·avgdl·r0/(k1·b).
+    tf/dl < r0, i.e. dl > tf/r0; its true contribution
+    idf_t · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is decreasing in dl:
+      < idf_t·(k1+1)·tf / (tf + k1·(1−b) + k1·b·tf/(r0·avgdl))
+      < idf_t·(k1+1) / (1 + k1·b/(r0·avgdl))        [tf → ∞ limit]
+      = idf_t·(k1+1)·r0·avgdl / (r0·avgdl + k1·b).
+    (r16: one derivation step further than the r15 bound
+    idf·(k1+1)·avgdl·r0/(k1·b) — the extra r0·avgdl in the denominator
+    also caps the bound at idf·(k1+1), the trivial max of ANY BM25
+    contribution, which the r15 form exceeded whenever r0·avgdl >
+    k1·b. The tight form is what lets the exact Block-Max serve
+    exclude unseen docs for stopword queries.)
     A doc loses at most one row per term, so per query the total
     understatement is the sum of that bound over its PRUNED terms
     (selective terms never prune). Only rank inversions within the
@@ -2097,39 +2122,253 @@ def bm25_prune_error_bound(spark, index_path: str,
     contribution)."""
     if not b > 0:
         raise ValueError("prune error bound requires b > 0")
-    commit = _bm25_read_commit(index_path)
-    n = float(sum(s["n"] for s in commit["segments"]))
-    sdl = float(sum(s["sdl"] for s in commit["segments"]))
+    _commit, n, sdl, df_map, _bk, _segs = _bm25_serve_stats(
+        spark, index_path, sorted({t for q in queries for t in q})
+    )
     if n == 0:
         return {qid: 0.0 for qid in range(len(queries))}
     avgdl = sdl / n
     terms = sorted({t for q in queries for t in q})
-    n_buckets = commit["n_buckets"]
-    segs = [s["id"] for s in commit["segments"]]
-    buckets = sorted({bm25_index_bucket(t, n_buckets) for t in terms})
-    df_rows = (
-        spark.read.parquet(f"{index_path}/df")
-        .filter(
-            F.col("seg").isin(segs)
-            & F.col("tbucket").isin(buckets)
-            & F.col("term").isin(list(terms))
-        )
-        .groupBy("term").agg(F.sum("df").alias("df"))
-        .collect()
-    )
-    df_map = {r["term"]: float(r["df"]) for r in df_rows}
     per_term = {}
     for t in terms:
         df_t = df_map.get(t, 0.0)
         if df_t >= prune_df_frac * n:
             idf = (n - df_t + 0.5) / (df_t + 0.5)
-            per_term[t] = (
-                idf * (k1 + 1.0) * avgdl * prune_min_impact / (k1 * b)
-            )
+            ra = prune_min_impact * avgdl
+            per_term[t] = idf * (k1 + 1.0) * ra / (ra + k1 * b)
     return {
         qid: sum(per_term.get(t, 0.0) for t in q)
         for qid, q in enumerate(queries)
     }
+
+
+def bm25_indexed_topk_wand(spark, index_path: str,
+                           queries: list[list[str]], k: int = 10,
+                           k1: float = 1.2, b: float = 0.75,
+                           prune_df_frac: float = 0.5,
+                           prune_min_impact: float = 0.05) -> DataFrame:
+    """EXACT Block-Max WAND (r15 verdict item 2) — bit-identical
+    results to `bm25_indexed_topk` at near-pruned cost. Lucene's BMW
+    walks doc-ordered postings with a RUNNING kth score and skips
+    blocks whose max impact can't beat it; the Spark-idiomatic
+    adaptation is two set-oriented phases with a COLLECTED threshold
+    (the same static-pushdown move the batch ANN probes make):
+
+    1. THRESHOLD PASS — the r15 impact-pruned scan (stopword-grade
+       terms keep only rows with tf/dl ≥ r0; parquet row-group max
+       stats over the impact-ordered layout ARE the block maxima, so
+       the tail skips unread). One job computes, per query, the kth
+       retained score θ_q (a PROVABLE lower bound on the exact kth:
+       each retained score understates its doc's true score) and the
+       CANDIDATE set — retained docs whose upper bound
+       retained + B_q ≥ θ_q, where B_q is `bm25_prune_error_bound`'s
+       per-query cap on what pruning can hide. Everything else is
+       strictly below the exact kth and provably out; a doc with NO
+       retained rows scores ≤ B_q < θ_q. k-row-class collect.
+    2. RESCORE PASS — one scan of ONLY the pruned terms' tails
+       (impact < r0 — the row-group stats now skip the HEAD), pushed
+       down to the candidate doc_ids (plan-time literals). Each
+       (term, doc) posting lives in exactly one phase's scan, so a
+       candidate's per-term scores recompose EXACTLY; the final
+       per-query sums reuse the exact serve's expression structure
+       (left-associated `coalesce(s_t, 0.0)` in query term order) in
+       a local-relation plan — bit-identical doubles by construction.
+
+    Per-query FALLBACK to the exact serve whenever the proof doesn't
+    hold: fewer than k positive retained docs (θ_q undefined), or
+    B_q ≥ θ_q (pruning hid too much to exclude unseen docs). Queries
+    with no stopword-grade term take the exact path directly — WAND
+    only ever pays for itself on corpus-sized posting lists.
+
+    Reference: the Lucene/WAND production posture `bm25_index_build`'s
+    docstring names; Broder et al. (WAND), Ding & Suel (Block-Max)."""
+    if b <= 0:
+        # no dl normalization → no tf/dl cutoff bounds a contribution
+        return bm25_indexed_topk(spark, index_path, queries, k, k1, b)
+    terms = sorted({t for q in queries for t in q})
+    commit, n, sdl, df_map, buckets, segs = _bm25_serve_stats(
+        spark, index_path, terms
+    )
+    if n == 0:
+        return spark.createDataFrame(
+            [], "qid int, doc_id long, bm25 double, rank int"
+        )
+    high = [t for t in terms if df_map.get(t, 0.0) >= prune_df_frac * n]
+    if not high:
+        return bm25_indexed_topk(spark, index_path, queries, k, k1, b)
+    # per-term cap on a PRUNED row's contribution —
+    # bm25_prune_error_bound's (r16 tight) formula inlined over the
+    # already-collected df map (its own call would re-collect the
+    # stats: one whole extra job on the serve path)
+    avgdl = sdl / n
+    ra = prune_min_impact * avgdl
+    per_term_ub = {
+        t: ((n - df_map.get(t, 0.0) + 0.5) / (df_map.get(t, 0.0) + 0.5))
+        * (k1 + 1.0) * ra / (ra + k1 * b)
+        for t in high
+    }
+    # per-QUERY bound (every pruned term missing) — the unseen-doc
+    # exclusion: a doc with NO retained rows scores ≤ bound[q]
+    bound = {
+        qid: sum(per_term_ub.get(t, 0.0) for t in q)
+        for qid, q in enumerate(queries)
+    }
+    # ---- phase 1: pruned scan → pivot → θ_q + candidate collect
+    posts, term_score = _bm25_pruned_postings(
+        spark, index_path, terms, k1, b, None,
+        prune_df_frac, prune_min_impact,
+        stats=(commit, n, sdl, df_map, buckets, segs),
+    )
+    s_cols = [f"__s_{i}" for i in range(len(terms))]
+    pivoted = posts.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, term_score(t))).alias(c)
+            for t, c in zip(terms, s_cols)
+        ]
+    )
+    s_col = dict(zip(terms, s_cols))
+    score_exprs = []
+    for q in queries:
+        s = None
+        for t in q:
+            ts = F.coalesce(F.col(s_col[t]), F.lit(0.0))
+            s = ts if s is None else s + ts
+        score_exprs.append(s)
+    exploded = pivoted.select(
+        "doc_id", *s_cols,
+        F.posexplode(F.array(*score_exprs)).alias("qid", "__s"),
+    ).filter(F.col("__s") > 0)
+    w = Window.partitionBy("qid").orderBy(F.desc("__s"), F.asc("doc_id"))
+    wq = Window.partitionBy("qid")
+    # per-DOC upper-bound slack: only the query's pruned terms whose
+    # retained score is MISSING for this doc can be hiding a tail row
+    # (a retained (term, doc) score is already exact) — far tighter
+    # than the per-query bound, which would flood the candidate set
+    # for stopword queries where θ itself sits inside the bound
+    missing_ub_exprs = []
+    for q in queries:
+        ub = None
+        for t in q:
+            if t in per_term_ub:
+                e = F.when(
+                    F.col(s_col[t]).isNull(), F.lit(float(per_term_ub[t]))
+                ).otherwise(F.lit(0.0))
+                ub = e if ub is None else ub + e
+        missing_ub_exprs.append(ub if ub is not None else F.lit(0.0))
+    bq = F.element_at(
+        F.array(*missing_ub_exprs), F.col("qid") + 1,
+    )
+    cand_rows = (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "theta", F.max(F.when(F.col("rank") == k, F.col("__s"))).over(wq)
+        )
+        .filter(F.col("theta").isNull() | (F.col("__s") + bq >= F.col("theta")))
+        .collect()
+    )
+    # ---- driver-side triage: per-query fallback decisions
+    theta: dict[int, float | None] = {}
+    cands: dict[int, list] = {i: [] for i in range(len(queries))}
+    svec: dict[int, list] = {}
+    for r in cand_rows:
+        theta[r["qid"]] = r["theta"]
+        cands[r["qid"]].append(r["doc_id"])
+        svec[r["doc_id"]] = [r[c] for c in s_cols]
+    fallback = [
+        i for i in range(len(queries))
+        if theta.get(i) is None or bound[i] >= theta[i]
+    ]
+    live = [i for i in range(len(queries)) if i not in set(fallback)]
+    out = None
+    if live:
+        # ---- phase 2 + compose, ONE lazy plan (no extra driver
+        # roundtrip): tail scan of the high terms pruned to candidate
+        # doc_ids (plan-time literals; the head row-groups skip on the
+        # same impact stats, now from the other side) → per-doc pivot
+        # → broadcast-join onto the collected candidate rows →
+        # per-term coalesce(head, tail) → the exact serve's sum/rank
+        # structure. Runs when the caller materializes the result.
+        # Only terms ACTUALLY MISSING from some candidate's retained
+        # vector need the tail scan — a candidate's retained (term,
+        # doc) score is already exact, so a single-term stopword query
+        # (every candidate's one term retained) skips the tail scan
+        # entirely and its final job is a local-relation rank.
+        hidx = {t: terms.index(t) for t in high}
+        need_high = sorted({
+            t for i in live for t in queries[i] if t in high
+            and any(svec[d][hidx[t]] is None for d in cands[i])
+        })
+        cand_ids = sorted({
+            d for i in live for d in cands[i]
+            if any(svec[d][hidx[t]] is None
+                   for t in queries[i] if t in high)
+        })
+        rows = [(i, d, *svec[d]) for i in live for d in cands[i]]
+        schema = "qid int, doc_id long, " + ", ".join(
+            f"{c} double" for c in s_cols
+        )
+        cf = spark.createDataFrame(rows, schema)
+        full_cols = {c: F.col(c) for c in s_cols}
+        if need_high and cand_ids:
+            hb = sorted({
+                bm25_index_bucket(t, commit["n_buckets"]) for t in need_high
+            })
+            all_marked = _bm25_all_impact_marked(commit)
+            reader = spark.read
+            if not all_marked:
+                reader = reader.option("mergeSchema", "true")
+            tail = reader.parquet(f"{index_path}/postings").filter(
+                F.col("seg").isin(segs)
+                & F.col("tbucket").isin(hb)
+                & F.col("term").isin(need_high)
+                & F.col("doc_id").isin(cand_ids)
+            )
+            if all_marked:
+                impact = F.col("impact_key")
+            elif "impact_key" in tail.columns:
+                impact = F.coalesce(F.col("impact_key"), _bm25_impact_expr())
+            else:
+                impact = _bm25_impact_expr()
+            tail = tail.filter(impact < float(prune_min_impact))
+            tail_piv = tail.groupBy("doc_id").agg(
+                *[
+                    F.max(
+                        F.when(F.col("term") == t, term_score(t))
+                    ).alias(f"__t_{s_col[t]}")
+                    for t in need_high
+                ]
+            )
+            cf = cf.join(F.broadcast(tail_piv), "doc_id", "left")
+            for t in need_high:
+                c = s_col[t]
+                # a (term, doc) posting lives in exactly ONE phase's
+                # scan, so this coalesce recomposes the exact value
+                full_cols[c] = F.coalesce(F.col(c), F.col(f"__t_{c}"))
+        comp = cf.select(
+            "qid", "doc_id", *[full_cols[c].alias(c) for c in s_cols]
+        )
+        score = F.element_at(F.array(*score_exprs), F.col("qid") + 1)
+        out = (
+            comp.select("qid", "doc_id", score.alias("__s"))
+            .filter(F.col("__s") > 0)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(
+                "qid", "doc_id", F.round("__s", 6).alias("bm25"), "rank"
+            )
+        )
+    if fallback:
+        fb = bm25_indexed_topk(
+            spark, index_path, [queries[i] for i in fallback], k, k1, b
+        )
+        remap = F.element_at(
+            F.array(*[F.lit(i) for i in fallback]), F.col("qid") + 1
+        ).cast("int")
+        fb = fb.select(
+            remap.alias("qid"), "doc_id", "bm25", "rank"
+        )
+        out = fb if out is None else out.unionByName(fb)
+    return out
 
 
 def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,

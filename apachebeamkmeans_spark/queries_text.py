@@ -1729,4 +1729,30 @@ QUERIES["stream_cdc_bm25_upsert"] = (
 )
 
 
-STAGED_QUERIES: dict = {}
+# ---------------- staged for a future window slot (r16): EXACT
+# Block-Max WAND — the two-phase θ-pass + candidate-rescore serve,
+# bit-identical to `text_bm25_indexed` by construction (per-(term,doc)
+# scores recompose from exactly one phase's scan; final sums reuse the
+# exact serve's expression structure), so it shares the exact oracle.
+
+
+def q_text_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Block-Max WAND serving (`textstats.bm25_indexed_topk_wand`,
+    r15 verdict item 2): phase 1 runs the impact-pruned scan (row-group
+    skipping over the impact-ordered layout) to get each query's kth
+    retained score θ_q and the candidate set whose upper bound clears
+    it; phase 2 rescopes ONLY the candidates' pruned-tail rows (head
+    row-groups skip on the same stats, doc_ids pushed as literals);
+    per-query fallback to the exact serve whenever the bound cannot
+    exclude unseen docs. EXACT results — the oracle is
+    `text_bm25_indexed`'s, verbatim."""
+    path = _ensure_bm25_index(spark, sf_dir)
+    return TX.bm25_indexed_topk_wand(
+        spark, path, BM25_IDX_QUERIES, k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+        prune_df_frac=BM25_PRUNE_FRAC, prune_min_impact=BM25_PRUNE_R0,
+    )
+
+
+STAGED_QUERIES: dict = {
+    "text_bm25_wand": (q_text_bm25_wand, ORACLE_TEXT_BM25_INDEXED),
+}

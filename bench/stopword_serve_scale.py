@@ -87,9 +87,16 @@ def main() -> None:
                 spark, idx, [terms], k=10, **kw
             ).count()
 
+        def serve_wand(terms: list[str]) -> int:
+            return TX.bm25_indexed_topk_wand(
+                spark, idx, [terms], k=10,
+                prune_df_frac=0.5, prune_min_impact=PRUNE_R0,
+            ).count()
+
         serve(["rare42"])  # warmup: plan + commit/df reads cached paths
         serve(["the"])
         serve(["the"], prune_df_frac=0.5, prune_min_impact=PRUNE_R0)
+        serve_wand(["the"])
         point: dict[str, object] = {"n_docs": docs.count()}
         dfl = (
             spark.read.parquet(f"{idx}/df")
@@ -103,12 +110,20 @@ def main() -> None:
             ("stopword", ["the"], {}),
             ("stopword_pruned", ["the"],
              {"prune_df_frac": 0.5, "prune_min_impact": PRUNE_R0}),
+            # r16: EXACT Block-Max WAND (θ-pass + candidate rescore) —
+            # bit-identical to the exact serve; the measured question
+            # is where its two-job protocol crosses under the exact
+            # serve's corpus-sized single-job scan+agg
+            ("stopword_wand", ["the"], {"wand": True}),
         ):
             times = []
             for _ in range(REPS):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                serve(terms, **kw)
+                if kw.get("wand"):
+                    serve_wand(terms)
+                else:
+                    serve(terms, **kw)
                 times.append(round(time.perf_counter() - t0, 3))
             point[label] = times
         point["prune_bound"] = round(TX.bm25_prune_error_bound(

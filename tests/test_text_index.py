@@ -1002,3 +1002,74 @@ def test_mixed_impact_layout_pruned_serve_is_exact(spark, tmp_path):
         ).collect()
     }
     assert pruned2 == pruned
+
+
+def test_wand_bit_identical_to_exact(spark, tmp_path):
+    """Exact Block-Max WAND (r16): same (qid, doc_id, bm25, rank)
+    tuples as the exact serve on the planted corpus — including a
+    stopword-grade term, a selective-only query, and a mixed query —
+    across cutoffs loose and tight."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "wand")
+    TX.bm25_index_build(docs, idx)
+    q = [["the", "table"], ["the"], ["hash", "join"], ["stream"]]
+    exact = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, q, k=10).collect()))
+    for r0 in (0.05, 0.3, 0.5):
+        got = sorted(map(tuple, TX.bm25_indexed_topk_wand(
+            spark, idx, q, k=10,
+            prune_df_frac=0.5, prune_min_impact=r0,
+        ).collect()))
+        assert got == exact and exact, (r0, got, exact)
+
+
+def test_wand_bit_identical_on_stopword_heavy_corpus(spark, tmp_path):
+    """A 60-doc corpus where 'the' appears in every doc with varying
+    tf/dl (so the impact cutoff genuinely splits head from tail):
+    WAND must reproduce the exact serve bit-for-bit, and with k
+    beyond the positive-doc count the per-query fallback must fire
+    and still agree."""
+    docs = spark.createDataFrame(
+        [(i, ("the " * (1 + i % 7)) + ("hash " if i % 3 == 0 else "scan "))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "wandhot")
+    TX.bm25_index_build(docs, idx)
+    q = [["the"], ["the", "hash"], ["scan"]]
+    for k in (5, 10, 100):  # 100 > positive docs → θ undefined → fallback
+        exact = sorted(map(tuple, TX.bm25_indexed_topk(
+            spark, idx, q, k=k).collect()))
+        got = sorted(map(tuple, TX.bm25_indexed_topk_wand(
+            spark, idx, q, k=k,
+            prune_df_frac=0.5, prune_min_impact=0.2,
+        ).collect()))
+        assert got == exact and exact, k
+
+
+def test_wand_degenerate_paths(spark, tmp_path):
+    """No stopword-grade term → direct exact path; b=0 → exact path
+    (no bound exists); empty index → typed empty frame."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "wanddeg")
+    TX.bm25_index_build(docs, idx)
+    q = [["hash", "join"]]
+    exact = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, q, k=5).collect()))
+    got = sorted(map(tuple, TX.bm25_indexed_topk_wand(
+        spark, idx, q, k=5, prune_df_frac=0.9,  # nothing stopword-grade
+        prune_min_impact=0.5).collect()))
+    assert got == exact
+    got_b0 = sorted(map(tuple, TX.bm25_indexed_topk_wand(
+        spark, idx, q, k=5, b=0.0).collect()))
+    exact_b0 = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, q, k=5, b=0.0).collect()))
+    assert got_b0 == exact_b0
+    empty = str(tmp_path / "wandempty")
+    TX.bm25_index_build(
+        spark.createDataFrame([], "doc_id long, text string"), empty
+    )
+    res = TX.bm25_indexed_topk_wand(spark, empty, q, k=5)
+    assert res.collect() == [] and res.columns == [
+        "qid", "doc_id", "bm25", "rank"
+    ]
