@@ -341,6 +341,10 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
                     help="SQL predicate over doc_id/meta columns — "
                          "any matching posting row deletes that doc "
                          "everywhere (maintenance; no --docs)")
+    ix.add_argument("--tombstone", action="store_true",
+                    help="delete logically (tombstone sidecar, no "
+                         "segment rewrite — flat cost; serving stays "
+                         "exact; compact applies physically)")
     ix.add_argument("--index", required=True,
                     help="index directory")
 
@@ -452,6 +456,11 @@ def _retrieve_run(args, spark) -> int:
             raise ValueError(
                 "retrieve index: --compact/--delete-* take no --docs"
             )
+        if args.tombstone and not deleting:
+            raise ValueError(
+                "retrieve index: --tombstone requires --delete-ids or "
+                "--delete-where"
+            )
         if not maint and not args.docs:
             raise ValueError("retrieve index: --docs is required")
         if (args.append or args.upsert or maint) and not (
@@ -468,17 +477,19 @@ def _retrieve_run(args, spark) -> int:
             TX.bm25_index_compact(spark, args.index)
         elif deleting:
             verb = "delete"
+            dmode = "tombstone" if args.tombstone else "rewrite"
             if args.delete_ids is not None:
                 n_del = TX.bm25_index_delete(
                     spark, args.index,
                     doc_ids=[int(d) for d in args.delete_ids.split(",")
                              if d.strip()],
+                    mode=dmode,
                 )
             else:
                 n_del = TX.bm25_index_delete(
-                    spark, args.index, where=args.delete_where
+                    spark, args.index, where=args.delete_where, mode=dmode,
                 )
-            extra = f", {n_del} doc(s) deleted"
+            extra = f", {n_del} doc(s) deleted ({dmode})"
         elif args.upsert:
             verb = "upsert"
             n_rep = TX.bm25_index_upsert(

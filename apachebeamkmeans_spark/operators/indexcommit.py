@@ -202,11 +202,12 @@ def sweep_orphan_dirs(base: str, committed_ids: set, grace_sec: float,
     pat = re.compile(pattern)
     if not os.path.isdir(base):
         return removed
+    committed = {str(c) for c in committed_ids}
     cutoff = time.time() - grace_sec
     for d in os.listdir(base):
         m = pat.fullmatch(d)
         full = os.path.join(base, d)
-        if not m or int(m.group(1)) in committed_ids:
+        if not m or m.group(1) in committed:
             continue
         try:
             if newest_tree_mtime(full) < cutoff:

@@ -1252,9 +1252,16 @@ def bm25_index_compact(spark, index_path: str,
         IC.sweep_orphan_dirs(
             os.path.join(index_path, layout), committed, orphan_grace_sec
         )
-    if len(old) <= 1:
+    ts_names = [t["file"] for t in commit.get("tombstones", [])]
+    IC.sweep_orphan_dirs(
+        os.path.join(index_path, "tombstones"), set(ts_names),
+        orphan_grace_sec, pattern=r"(ts-[0-9a-f]+)",
+    )
+    # a single-segment index with pending tombstones still compacts:
+    # physical removal of logically-deleted docs is compact's job
+    if len(old) <= 1 and not ts_names:
         return
-    seg = 1 + max(old)
+    seg = 1 + max(old, default=-1)
     # clear the target segment dirs first — a crashed append or a
     # crashed prior compact leaves orphan files at this uncommitted id,
     # and mode("append") would merge them into the committed segment
@@ -1271,6 +1278,21 @@ def bm25_index_compact(spark, index_path: str,
     # is also the cheap UPGRADE path for pre-r15 segments (vs a full
     # re-tokenizing rebuild)
     posts = _bm25_read_postings_maintenance(spark, index_path, old)
+    ts = _bm25_tombstones(spark, index_path, commit)
+    n_dead, sdl_dead = 0, 0
+    if ts is not None:
+        # physical application of the logical deletes (r16): the
+        # merged segment drops tombstoned docs' rows; n/Σdl subtract
+        # the sidecar's exact aggregates, and the per-term dfs MUST
+        # recount from the surviving rows (summing the per-segment df
+        # layouts would keep the dead docs' counts)
+        trow = ts.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        ).collect()[0]
+        n_dead, sdl_dead = int(trow["n"]), int(trow["sdl"] or 0)
+        posts = posts.join(
+            F.broadcast(ts.select("doc_id")), "doc_id", "left_anti"
+        )
     merged_posts = posts.withColumn("seg", F.lit(seg))
     # impact-ordered (Block-Max) layout through the merge —
     # correctness never depends on it, but the pruned serve's
@@ -1284,11 +1306,19 @@ def bm25_index_compact(spark, index_path: str,
         .partitionBy("seg", "tbucket")
         .parquet(f"{index_path}/postings")
     )
+    if ts is None:
+        df_src = (
+            spark.read.parquet(f"{index_path}/df")
+            .filter(F.col("seg").isin(old))
+            .groupBy("term", "tbucket")
+            .agg(F.sum("df").alias("df"))
+        )
+    else:
+        df_src = posts.groupBy("term", "tbucket").agg(
+            F.count(F.lit(1)).alias("df")
+        )
     (
-        spark.read.parquet(f"{index_path}/df")
-        .filter(F.col("seg").isin(old))
-        .groupBy("term", "tbucket")
-        .agg(F.sum("df").alias("df"))
+        df_src
         .withColumn("seg", F.lit(seg))
         .write.mode("append")
         .partitionBy("seg", "tbucket")
@@ -1296,8 +1326,8 @@ def bm25_index_compact(spark, index_path: str,
     )
     merged = {
         "id": seg,
-        "n": sum(s["n"] for s in commit["segments"]),
-        "sdl": sum(s["sdl"] for s in commit["segments"]),
+        "n": sum(s["n"] for s in commit["segments"]) - n_dead,
+        "sdl": sum(s["sdl"] for s in commit["segments"]) - sdl_dead,
         # the normalization above makes the merged segment
         # full-impact-layout regardless of its inputs' layouts
         "impact": True,
@@ -1312,15 +1342,21 @@ def bm25_index_compact(spark, index_path: str,
     if tags:
         merged["batch_tags"] = sorted(tags)
     commit["segments"] = [merged]
+    commit["tombstones"] = []
     present = _bm25_segment_dirs_present(index_path, [seg])
     _bm25_verify_segment_dirs(index_path, present)
     _bm25_write_commit(index_path, commit, expect=fence)
     _bm25_reap_segments(index_path, old)
+    for nm in ts_names:
+        shutil.rmtree(
+            os.path.join(index_path, "tombstones", nm), ignore_errors=True
+        )
 
 
 def bm25_index_delete(spark, index_path: str,
                       doc_ids: list | None = None,
-                      where: str | None = None) -> int:
+                      where: str | None = None,
+                      mode: str = "rewrite") -> int:
     """Delete DOCUMENTS from the segmented index — the
     right-to-be-forgotten maintenance verb completing the text index's
     lifecycle parity with AnnIndex (build → append → DELETE → compact;
@@ -1370,14 +1406,23 @@ def bm25_index_delete(spark, index_path: str,
     re-delivered streamed batch stays a no-op after its docs were
     deleted — re-appending deleted docs would undo the deletion.
 
-    Cost honesty (the Lucene trade): a delete REWRITES each affected
-    segment in full — against batch-sized append segments that is
-    batch cost; against one big compacted segment it is a corpus-sized
-    rewrite (Lucene's merge-on-delete pays the same; its amortization
-    is tombstone bitmaps + deferred merge, the documented escalation
-    if delete rates ever warrant serve-side anti-joins). At 100 TB:
-    batch deletes, target them before compaction, and let the one
-    rewrite amortize across the batch.
+    Cost honesty (the Lucene trade): a REWRITE-mode delete rewrites
+    each affected segment in full — against batch-sized append
+    segments that is batch cost; against one big compacted segment it
+    is a corpus-sized rewrite (Lucene's merge-on-delete pays the
+    same). `mode="tombstone"` (r16 — the Lucene live-docs escalation,
+    implemented) makes that case flat: the matched docs' (doc_id, dl)
+    rows land in a tiny tombstone sidecar under the same fenced
+    commit — a NARROW two-column scan of only the range-pruned
+    segments, no survivor rewrite, no shuffle-write. Serving honors
+    tombstones EXACTLY (bit-identical to a rebuild over survivors,
+    extended test_delete_equals_rebuild): n/Σdl subtract from the
+    sidecar, each query term's df subtracts a semi-join count over
+    the already-pruned buckets, and the postings anti-join the
+    broadcast tombstone set in the same stage. Physical removal
+    happens at the next `bm25_index_compact`; an upsert of a
+    tombstoned doc_id clears its tombstone (the new revision lives).
+    At 100 TB: tombstone the deletes, compact on pressure.
 
     SINGLE WRITER contract (see `bm25_index_append`): fenced swap."""
     import os
@@ -1385,6 +1430,8 @@ def bm25_index_delete(spark, index_path: str,
 
     if (doc_ids is None) == (where is None):
         raise ValueError("pass exactly one of doc_ids= or where=")
+    if mode not in ("rewrite", "tombstone"):
+        raise ValueError(f"mode must be rewrite|tombstone, got {mode!r}")
     commit, fence = _bm25_read_commit_raw(index_path)
     segs = [s["id"] for s in commit["segments"]]
     # nothing to delete from an empty corpus — and with zero docs no
@@ -1409,6 +1456,36 @@ def bm25_index_delete(spark, index_path: str,
     else:
         posts = _bm25_read_postings_maintenance(spark, index_path, segs)
         ids = posts.filter(F.expr(where)).select("doc_id").distinct()
+    # already-tombstoned docs are logically gone: deleting them again
+    # is a no-op in EITHER mode (a rewrite would physically drop rows
+    # a tombstone's n/Σdl/df corrections still reference — silent
+    # double-subtraction at serve)
+    existing = _bm25_tombstones(spark, index_path, commit)
+    if existing is not None:
+        ids = ids.join(
+            F.broadcast(existing.select("doc_id")), "doc_id", "left_anti"
+        )
+    if mode == "tombstone":
+        import uuid
+
+        matched = (
+            posts.join(ids, "doc_id", "semi")
+            .select("doc_id", "dl").distinct()
+            .localCheckpoint()
+        )
+        n_dead = matched.count()
+        if n_dead == 0:
+            return 0
+        name = f"ts-{uuid.uuid4().hex[:12]}"
+        matched.coalesce(1).write.parquet(
+            os.path.join(index_path, "tombstones", name)
+        )
+        commit.setdefault("tombstones", []).append({"file": name})
+        _bm25_verify_segment_dirs(
+            index_path, [os.path.join(index_path, "tombstones", name)]
+        )
+        _bm25_write_commit(index_path, commit, expect=fence)
+        return n_dead
     affected, entry, n_deleted = _bm25_survivor_rewrite(
         spark, index_path, commit, posts, ids
     )
@@ -1672,6 +1749,9 @@ def bm25_index_upsert(docs: DataFrame, index_path: str,
     SINGLE WRITER contract and cost honesty: identical to delete
     (affected segments rewrite in full; batch the upserts and target
     them before compaction)."""
+    import os
+    import shutil
+
     spark = docs.sparkSession
     commit, fence = _bm25_read_commit_raw(index_path)
     if batch_tag is not None and batch_tag in _bm25_seen_tags(
@@ -1696,6 +1776,29 @@ def bm25_index_upsert(docs: DataFrame, index_path: str,
             f"reduce to one row per doc_id (the final version) before "
             f"upserting"
         )
+    # a tombstoned doc re-delivered by CDC comes back to life: its
+    # tombstone clears under the SAME fenced commit swap that
+    # publishes the new revision's segment (the surviving tombstones
+    # rewrite into a fresh sidecar — tiny by construction)
+    reap_ts: list[str] = []
+    existing_ts = _bm25_tombstones(spark, index_path, commit)
+    if existing_ts is not None:
+        import uuid
+
+        bids = docs.select("doc_id").distinct()
+        if existing_ts.join(bids, "doc_id", "semi").count() > 0:
+            surv_ts = existing_ts.join(
+                bids, "doc_id", "left_anti"
+            ).localCheckpoint()
+            new_entries = []
+            if surv_ts.count() > 0:
+                nm = f"ts-{uuid.uuid4().hex[:12]}"
+                surv_ts.coalesce(1).write.parquet(
+                    os.path.join(index_path, "tombstones", nm)
+                )
+                new_entries = [{"file": nm}]
+            reap_ts = [t["file"] for t in commit.get("tombstones", [])]
+            commit["tombstones"] = new_entries
     segs = [s["id"] for s in commit["segments"]]
     affected: list = []
     entry = None
@@ -1742,6 +1845,10 @@ def bm25_index_upsert(docs: DataFrame, index_path: str,
     _bm25_verify_segment_dirs(index_path, present)
     _bm25_write_commit(index_path, commit, expect=fence)
     _bm25_reap_segments(index_path, affected)
+    for nm in reap_ts:
+        shutil.rmtree(
+            os.path.join(index_path, "tombstones", nm), ignore_errors=True
+        )
     return n_replaced
 
 
@@ -1888,14 +1995,39 @@ def _bm25_write_commit(index_path: str, commit: dict,
     )
 
 
+def _bm25_tombstones(spark, index_path: str, commit: dict):
+    """The committed tombstone set as a (doc_id, dl) DataFrame — one
+    row per logically-deleted doc (r16 tombstone delete tier) — or
+    None when the index carries none (the common case: ZERO extra
+    cost on the serve path)."""
+    names = [t["file"] for t in commit.get("tombstones", [])]
+    if not names:
+        return None
+    import os
+
+    return spark.read.parquet(
+        *[os.path.join(index_path, "tombstones", nm) for nm in names]
+    )
+
+
 def _bm25_serve_stats(spark, index_path: str, terms: list[str]):
     """Serve-time global stats: (commit, n, Σdl, per-term df map,
-    pruned tbuckets, committed seg ids). n and Σdl sum exactly
-    (Python ints) over the commit entries; each query term's df sums
-    over the pruned per-segment df layouts — ONE k-row-class collect,
-    after which every idf is an engine-side expression over plan-time
-    literals. Shared by the serve scans, the prune error bound, and
-    the exact Block-Max serve's threshold pass."""
+    pruned tbuckets, committed seg ids, tombstone frame|None). n and
+    Σdl sum exactly (Python ints) over the commit entries; each query
+    term's df sums over the pruned per-segment df layouts — ONE
+    k-row-class collect, after which every idf is an engine-side
+    expression over plan-time literals. Shared by the serve scans,
+    the prune error bound, and the exact Block-Max serve's threshold
+    pass.
+
+    TOMBSTONES (r16): logically-deleted docs subtract EXACTLY —
+    n/Σdl from the tiny tombstone sidecar itself, and each query
+    term's df by counting tombstoned docs among that term's postings
+    (a semi-join on the SAME pruned buckets the serve reads — never a
+    corpus scan). Serving is bit-identical to a rebuild over the
+    survivors; physical removal happens at compact. Lucene pays the
+    same shape (live-docs bitset; its stats stay stale until merge —
+    ours don't, which is what the rebuild-equality oracle demands)."""
     commit = _bm25_read_commit(index_path)
     n_buckets = commit["n_buckets"]
     segs = [s["id"] for s in commit["segments"]]
@@ -1915,7 +2047,28 @@ def _bm25_serve_stats(spark, index_path: str, terms: list[str]):
             .collect()
         )
         df_map = {r["term"]: float(r["df"]) for r in df_rows}
-    return commit, n, sdl, df_map, buckets, segs
+    ts = _bm25_tombstones(spark, index_path, commit)
+    if ts is not None and n > 0:
+        trow = ts.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        ).collect()[0]
+        n -= float(trow["n"])
+        sdl -= float(trow["sdl"] or 0)
+        if df_map:
+            corr = (
+                spark.read.parquet(f"{index_path}/postings")
+                .filter(
+                    F.col("seg").isin(segs)
+                    & F.col("tbucket").isin(buckets)
+                    & F.col("term").isin(list(terms))
+                )
+                .join(F.broadcast(ts.select("doc_id")), "doc_id", "semi")
+                .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            for r in corr:
+                df_map[r["term"]] -= float(r["c"])
+    return commit, n, sdl, df_map, buckets, segs, ts
 
 
 def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
@@ -1939,7 +2092,7 @@ def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
     predicate over the denormalized metadata columns (filtered
     retrieval: candidates are pruned inside the scan, stats stay
     global — the Lucene filtered-query semantics)."""
-    commit, n, sdl, df_map, buckets, segs = (
+    commit, n, sdl, df_map, buckets, segs, ts = (
         _bm25_serve_stats(spark, index_path, terms)
         if stats is None else stats
     )
@@ -1962,6 +2115,12 @@ def _bm25_pruned_postings(spark, index_path: str, terms: list[str],
         & F.col("tbucket").isin(buckets)
         & F.col("term").isin(list(terms))
     )
+    if ts is not None:
+        # logical deletes: the broadcast anti-join rides the same
+        # stage as the pruned scan — tombstoned docs never rank, and
+        # the stats above already subtracted them exactly
+        posts = posts.join(F.broadcast(ts.select("doc_id")), "doc_id",
+                           "left_anti")
     if where is not None:
         posts = posts.filter(F.expr(where))
     if pruning:
@@ -2122,7 +2281,7 @@ def bm25_prune_error_bound(spark, index_path: str,
     contribution)."""
     if not b > 0:
         raise ValueError("prune error bound requires b > 0")
-    _commit, n, sdl, df_map, _bk, _segs = _bm25_serve_stats(
+    _commit, n, sdl, df_map, _bk, _segs, _ts = _bm25_serve_stats(
         spark, index_path, sorted({t for q in queries for t in q})
     )
     if n == 0:
@@ -2186,9 +2345,8 @@ def bm25_indexed_topk_wand(spark, index_path: str,
         # no dl normalization → no tf/dl cutoff bounds a contribution
         return bm25_indexed_topk(spark, index_path, queries, k, k1, b)
     terms = sorted({t for q in queries for t in q})
-    commit, n, sdl, df_map, buckets, segs = _bm25_serve_stats(
-        spark, index_path, terms
-    )
+    stats = _bm25_serve_stats(spark, index_path, terms)
+    commit, n, sdl, df_map, buckets, segs, _ts = stats
     if n == 0:
         return spark.createDataFrame(
             [], "qid int, doc_id long, bm25 double, rank int"
@@ -2216,8 +2374,7 @@ def bm25_indexed_topk_wand(spark, index_path: str,
     # ---- phase 1: pruned scan → pivot → θ_q + candidate collect
     posts, term_score = _bm25_pruned_postings(
         spark, index_path, terms, k1, b, None,
-        prune_df_frac, prune_min_impact,
-        stats=(commit, n, sdl, df_map, buckets, segs),
+        prune_df_frac, prune_min_impact, stats=stats,
     )
     s_cols = [f"__s_{i}" for i in range(len(terms))]
     pivoted = posts.groupBy("doc_id").agg(

@@ -85,6 +85,11 @@ def main() -> None:
                 spark, p, doc_ids=del_batch_ids)),
             ("delete_base", lambda p: TX.bm25_index_delete(
                 spark, p, doc_ids=del_base_ids)),
+            # r16 tombstone tier: the same worst-case base-segment
+            # delete with NO survivor rewrite — expected to flatten
+            # the linear row (serving stays exact; compact applies)
+            ("delete_base_tombstone", lambda p: TX.bm25_index_delete(
+                spark, p, doc_ids=del_base_ids, mode="tombstone")),
             ("upsert", lambda p: TX.bm25_index_upsert(upsert_docs, p)),
         ):
             times = []

@@ -1073,3 +1073,135 @@ def test_wand_degenerate_paths(spark, tmp_path):
     assert res.collect() == [] and res.columns == [
         "qid", "doc_id", "bm25", "rank"
     ]
+
+
+def test_tombstone_delete_equals_rebuild(spark, tmp_path):
+    """Tombstone-tier delete (r16): serving after
+    `bm25_index_delete(mode="tombstone")` is bit-identical to a
+    rebuild over the survivors — n/Σdl subtract from the sidecar,
+    per-term dfs subtract the semi-join counts, tombstoned docs never
+    rank — across the exact, pruned, WAND, and batch-table serve
+    paths; the base segment's files stay byte-identical (no rewrite)."""
+    import os
+
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "merge join fast"), (11, "the stream table scan")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "tsdel")
+    TX.bm25_index_build(a, idx)
+    TX.bm25_index_append(b, idx)
+
+    def _mtimes():
+        out = {}
+        for root in (f"{idx}/postings", f"{idx}/df"):
+            for r, _d, fs in os.walk(root):
+                for f_ in fs:
+                    p = os.path.join(r, f_)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = _mtimes()
+    assert TX.bm25_index_delete(
+        spark, idx, doc_ids=[2, 10], mode="tombstone"
+    ) == 2
+    assert _mtimes() == before  # no segment rewrite at all
+    rebuilt = str(tmp_path / "tsreb")
+    survivors = a.unionByName(b).filter(~F.col("doc_id").isin([2, 10]))
+    TX.bm25_index_build(survivors, rebuilt)
+    q = QUERIES + [["merge", "fast"], ["the", "table"]]
+    want = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, rebuilt, q, k=20).collect()))
+    got = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, q, k=20).collect()))
+    assert got == want and got
+    assert not {2, 10} & {t[1] for t in got}
+    kw = {"prune_df_frac": 0.5, "prune_min_impact": 0.05}
+    got_p = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, q, k=20, **kw).collect()))
+    want_p = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, rebuilt, q, k=20, **kw).collect()))
+    assert got_p == want_p
+    got_w = sorted(map(tuple, TX.bm25_indexed_topk_wand(
+        spark, idx, q, k=20, **kw).collect()))
+    assert got_w == want
+    qdf = spark.createDataFrame(
+        [(0, "the"), (0, "table")], "qid int, term string"
+    )
+    got_t = sorted(map(tuple, TX.bm25_indexed_topk_table(
+        spark, idx, qdf, k=20).collect()))
+    want_t = sorted(map(tuple, TX.bm25_indexed_topk_table(
+        spark, rebuilt, qdf, k=20).collect()))
+    assert got_t == want_t
+    # re-deleting a tombstoned doc is a no-op in both modes
+    assert TX.bm25_index_delete(spark, idx, doc_ids=[2],
+                                mode="tombstone") == 0
+    assert TX.bm25_index_delete(spark, idx, doc_ids=[2]) == 0
+    # compact applies the tombstones physically and clears them
+    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
+    commit = TX._bm25_read_commit(idx)
+    assert commit.get("tombstones") == []
+    assert not os.path.isdir(f"{idx}/tombstones") or not os.listdir(
+        f"{idx}/tombstones"
+    )
+    posts = spark.read.parquet(f"{idx}/postings")
+    assert posts.filter(F.col("doc_id").isin([2, 10])).count() == 0
+    got2 = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, q, k=20).collect()))
+    assert got2 == want
+
+
+def test_tombstone_compact_on_single_segment(spark, tmp_path):
+    """A single-segment index with pending tombstones must NOT take
+    compact's early return — physical removal is compact's job."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "tsone")
+    TX.bm25_index_build(docs, idx)
+    assert TX.bm25_index_delete(
+        spark, idx, where="doc_id = 5", mode="tombstone"
+    ) == 1
+    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
+    commit = TX._bm25_read_commit(idx)
+    assert commit.get("tombstones") == [] and len(commit["segments"]) == 1
+    rebuilt = str(tmp_path / "tsone_reb")
+    TX.bm25_index_build(
+        spark.createDataFrame(DOCS, "doc_id long, text string").filter(
+            F.col("doc_id") != 5
+        ),
+        rebuilt,
+    )
+    got = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, QUERIES, k=20).collect()))
+    want = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, rebuilt, QUERIES, k=20).collect()))
+    assert got == want and got
+
+
+def test_tombstone_cleared_by_upsert_resurrection(spark, tmp_path):
+    """CDC semantics: upserting a tombstoned doc_id brings the NEW
+    revision to life (the tombstone clears under the same fenced
+    swap) — serving equals a rebuild over (survivors ∪ new revision);
+    the other tombstones stay in force."""
+    a = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = str(tmp_path / "tsres")
+    TX.bm25_index_build(a, idx)
+    assert TX.bm25_index_delete(
+        spark, idx, doc_ids=[2, 5], mode="tombstone"
+    ) == 2
+    batch = spark.createDataFrame(
+        [(2, "merge join window")], "doc_id long, text string"
+    )
+    TX.bm25_index_upsert(batch, idx)
+    rebuilt = str(tmp_path / "tsres_reb")
+    TX.bm25_index_build(
+        a.filter(~F.col("doc_id").isin([2, 5])).unionByName(batch), rebuilt
+    )
+    q = QUERIES + [["merge", "join"]]
+    got = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, idx, q, k=20).collect()))
+    want = sorted(map(tuple, TX.bm25_indexed_topk(
+        spark, rebuilt, q, k=20).collect()))
+    assert got == want and got
+    ids = {t[1] for t in got}
+    assert 2 in ids and 5 not in ids
