@@ -409,6 +409,7 @@ def _parse_vec(s: str) -> list[float]:
 
 def _retrieve_run(args, spark) -> int:
     from apachebeamkmeans_spark.operators import similarity as SIM
+    from apachebeamkmeans_spark.operators import textindex as TI
     from apachebeamkmeans_spark.operators import textstats as TX
 
     def points():
@@ -464,7 +465,7 @@ def _retrieve_run(args, spark) -> int:
         if not maint and not args.docs:
             raise ValueError("retrieve index: --docs is required")
         if (args.append or args.upsert or maint) and not (
-            TX.bm25_index_exists(args.index)
+            TI.bm25_index_exists(args.index)
         ):
             raise ValueError(
                 f"retrieve index: no committed index at {args.index} "
@@ -474,41 +475,41 @@ def _retrieve_run(args, spark) -> int:
         extra = ""
         if args.compact:
             verb = "compact"
-            TX.bm25_index_compact(spark, args.index)
+            TI.bm25_index_compact(spark, args.index)
         elif deleting:
             verb = "delete"
             dmode = "tombstone" if args.tombstone else "rewrite"
             if args.delete_ids is not None:
-                n_del = TX.bm25_index_delete(
+                n_del = TI.bm25_index_delete(
                     spark, args.index,
                     doc_ids=[int(d) for d in args.delete_ids.split(",")
                              if d.strip()],
                     mode=dmode,
                 )
             else:
-                n_del = TX.bm25_index_delete(
+                n_del = TI.bm25_index_delete(
                     spark, args.index, where=args.delete_where, mode=dmode,
                 )
             extra = f", {n_del} doc(s) deleted ({dmode})"
         elif args.upsert:
             verb = "upsert"
-            n_rep = TX.bm25_index_upsert(
+            n_rep = TI.bm25_index_upsert(
                 spark.read.parquet(args.docs), args.index
             )
             extra = f", {n_rep} doc(s) replaced"
         elif args.append:
             verb = "append"
-            TX.bm25_index_append(spark.read.parquet(args.docs), args.index)
+            TI.bm25_index_append(spark.read.parquet(args.docs), args.index)
         else:
             verb = "build"
             meta = tuple(
                 c.strip() for c in (args.meta_cols or "").split(",")
                 if c.strip()
             )
-            TX.bm25_index_build(
+            TI.bm25_index_build(
                 spark.read.parquet(args.docs), args.index, meta_cols=meta
             )
-        commit = TX._bm25_read_commit(args.index)
+        commit = TI._bm25_read_commit(args.index)
         n = sum(s["n"] for s in commit["segments"])
         print(f"retrieve index {verb}: {len(commit['segments'])} "
               f"segment(s), {n} docs{extra} -> {args.index}")
@@ -538,7 +539,7 @@ def _retrieve_run(args, spark) -> int:
                 "(unpruned) results"
             )
         if args.index:
-            hits = TX.bm25_indexed_topk(
+            hits = TI.bm25_indexed_topk(
                 spark, args.index, [terms], args.k, where=args.where,
                 prune_df_frac=args.prune_df_frac,
                 prune_min_impact=args.prune_min_impact,
@@ -560,7 +561,7 @@ def _retrieve_run(args, spark) -> int:
 
             from apachebeamkmeans_spark.ann import AnnIndex
 
-            tranked = TX.bm25_indexed_topk(
+            tranked = TI.bm25_indexed_topk(
                 spark, args.bm25_index, [terms], args.per_side
             ).select(
                 "qid", F.col("doc_id").alias("id"),

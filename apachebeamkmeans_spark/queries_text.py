@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark import oraclegen as OG
 from apachebeamkmeans_spark.fixtures import STOPWORDS
+from apachebeamkmeans_spark.operators import textindex as TI
 from apachebeamkmeans_spark.operators import textstats as TX
 from apachebeamkmeans_spark.sources import io
 
@@ -1325,7 +1326,7 @@ def _bm25_index_path(sf_dir: str, extra: str = "") -> str:
     # "i" = the impact-ordered layout with the impact_key column
     # (r15 Block-Max analogue) — a pre-impact layout can serve the
     # exact queries but not the pruned form, so it must rebuild
-    cfg = f"b{TX.BM25_INDEX_BUCKETS}srcv2i{extra}"
+    cfg = f"b{TI.BM25_INDEX_BUCKETS}srcv2i{extra}"
     path = os.path.join(
         scratch.repo_root(), ".text_index",
         f"bm25_{cfg}_{sfx}_{ph}_f{fp}",
@@ -1343,7 +1344,7 @@ def _ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
 
     return scratch.publish_once(
         _bm25_index_path(sf_dir), "_ready",
-        lambda tmp: TX.bm25_index_build(
+        lambda tmp: TI.bm25_index_build(
             _docs(spark, sf_dir), tmp, meta_cols=("source",)
         ),
     )
@@ -1359,7 +1360,7 @@ def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-free IDF, same left-associated term sums — the oracle is the
     same generator over the indexed literal set)."""
     path = _ensure_bm25_index(spark, sf_dir)
-    return TX.bm25_indexed_topk(
+    return TI.bm25_indexed_topk(
         spark, path, BM25_IDX_QUERIES,
         k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
     )
@@ -1497,7 +1498,7 @@ def q_text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, q in enumerate(BM25_BATCH_QUERIES) for t in q],
         "qid int, term string",
     )
-    return TX.bm25_indexed_topk_table(
+    return TI.bm25_indexed_topk_table(
         spark, path, qdf, k=BM25_TOPK, k1=BM25_K1, b=BM25_B
     )
 
@@ -1537,7 +1538,7 @@ def q_text_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays it exactly (the same CASE per term over the same
     doubles) — an approximate serve path with a bit-exact oracle."""
     path = _ensure_bm25_index(spark, sf_dir)
-    return TX.bm25_indexed_topk(
+    return TI.bm25_indexed_topk(
         spark, path, BM25_IDX_QUERIES, k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
         prune_df_frac=BM25_PRUNE_FRAC, prune_min_impact=BM25_PRUNE_R0,
     )
@@ -1571,10 +1572,10 @@ def _ensure_bm25_deleted_index(spark: SparkSession, sf_dir: str) -> str:
     from apachebeamkmeans_spark import scratch
 
     def build(tmp: str) -> None:
-        TX.bm25_index_build(
+        TI.bm25_index_build(
             _docs(spark, sf_dir), tmp, meta_cols=("source",)
         )
-        TX.bm25_index_delete(spark, tmp, where=BM25_DELETE_WHERE)
+        TI.bm25_index_delete(spark, tmp, where=BM25_DELETE_WHERE)
 
     return scratch.publish_once(
         _bm25_index_path(sf_dir, extra="del7"), "_ready", build
@@ -1592,7 +1593,7 @@ def q_text_bm25_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_text_index.py::test_delete_equals_rebuild (r15 verdict:
     the delete verb shipped without a certified query)."""
     path = _ensure_bm25_deleted_index(spark, sf_dir)
-    return TX.bm25_indexed_topk(
+    return TI.bm25_indexed_topk(
         spark, path, BM25_IDX_QUERIES, k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
     )
 
@@ -1696,8 +1697,8 @@ def q_stream_cdc_bm25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.concat(F.col("text"), F.lit(CDC_SUFFIX_B))
     )
     src, idx, ckpt = _cdc_scratch_roots(spark, sf_dir, (b1, b2, b3))
-    if not TX.bm25_index_exists(idx):
-        TX.bm25_index_build(corpus, idx)
+    if not TI.bm25_index_exists(idx):
+        TI.bm25_index_build(corpus, idx)
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     q = run_text_index_ingest_stream(
         spark, idx, src, b1.schema, ckpt,
@@ -1707,7 +1708,7 @@ def q_stream_cdc_bm25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return TX.bm25_indexed_topk(
+    return TI.bm25_indexed_topk(
         spark, idx, BM25_IDX_QUERIES, k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
     )
 
@@ -1747,7 +1748,7 @@ def q_text_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclude unseen docs. EXACT results — the oracle is
     `text_bm25_indexed`'s, verbatim."""
     path = _ensure_bm25_index(spark, sf_dir)
-    return TX.bm25_indexed_topk_wand(
+    return TI.bm25_indexed_topk_wand(
         spark, path, BM25_IDX_QUERIES, k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
         prune_df_frac=BM25_PRUNE_FRAC, prune_min_impact=BM25_PRUNE_R0,
     )

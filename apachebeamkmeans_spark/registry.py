@@ -149,6 +149,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_kmeans,
         queries_multimodal,
         queries_relational,
+        queries_sim_serving,
         queries_similarity,
         queries_text,
     )
@@ -160,6 +161,7 @@ def all_queries() -> dict[str, QuerySpec]:
         queries_text,
         queries_dedup,
         queries_similarity,
+        queries_sim_serving,
         queries_multimodal,
         queries_advanced,
     ]

@@ -480,7 +480,7 @@ def run_text_index_ingest_stream(
     rewrites the segments containing its ids (delete's survivor
     rewrite), so upsert streams want small segment counts — compact on
     pressure, in a trigger gap, as above."""
-    from apachebeamkmeans_spark.operators import textstats as TX
+    from apachebeamkmeans_spark.operators import textindex as TI
 
     if mode not in ("append", "upsert"):
         raise ValueError(f"mode must be append|upsert, got {mode!r}")
@@ -493,11 +493,11 @@ def run_text_index_ingest_stream(
         if batch_df.isEmpty():
             return
         if mode == "upsert":
-            TX.bm25_index_upsert(
+            TI.bm25_index_upsert(
                 batch_df, index_path, batch_tag=f"stream-{batch_id}"
             )
         else:
-            TX.bm25_index_append(
+            TI.bm25_index_append(
                 batch_df, index_path, batch_tag=f"stream-{batch_id}"
             )
 

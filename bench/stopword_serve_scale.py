@@ -50,7 +50,7 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from apachebeamkmeans_spark.operators import textstats as TX  # noqa: E402
+from apachebeamkmeans_spark.operators import textindex as TI
 from apachebeamkmeans_spark.session import get_spark  # noqa: E402
 
 REPS = int(os.environ.get("STOPWORD_SCALE_REPS", "3"))
@@ -80,15 +80,15 @@ def main() -> None:
             )
         )
         idx = os.path.join(work, f"x{mult}")
-        TX.bm25_index_build(docs, idx)  # untimed: the amortized stage
+        TI.bm25_index_build(docs, idx)  # untimed: the amortized stage
 
         def serve(terms: list[str], **kw) -> int:
-            return TX.bm25_indexed_topk(
+            return TI.bm25_indexed_topk(
                 spark, idx, [terms], k=10, **kw
             ).count()
 
         def serve_wand(terms: list[str]) -> int:
-            return TX.bm25_indexed_topk_wand(
+            return TI.bm25_indexed_topk_wand(
                 spark, idx, [terms], k=10,
                 prune_df_frac=0.5, prune_min_impact=PRUNE_R0,
             ).count()
@@ -126,7 +126,7 @@ def main() -> None:
                     serve(terms, **kw)
                 times.append(round(time.perf_counter() - t0, 3))
             point[label] = times
-        point["prune_bound"] = round(TX.bm25_prune_error_bound(
+        point["prune_bound"] = round(TI.bm25_prune_error_bound(
             spark, idx, [["the"]], 0.5, PRUNE_R0)[0], 4)
         point["rows_kept_pruned"] = (
             spark.read.parquet(f"{idx}/postings")

@@ -36,7 +36,7 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from apachebeamkmeans_spark.operators import textstats as TX  # noqa: E402
+from apachebeamkmeans_spark.operators import textindex as TI
 from apachebeamkmeans_spark.session import get_spark  # noqa: E402
 
 REPS = int(os.environ.get("MAINT_SCALE_REPS", "2"))
@@ -64,8 +64,8 @@ def main() -> None:
                     "text")
         )
         proto = os.path.join(work, f"x{mult}", "proto")
-        TX.bm25_index_build(docs, proto)       # untimed amortized stage
-        TX.bm25_index_append(batch, proto)     # untimed (r14 flat row)
+        TI.bm25_index_build(docs, proto)       # untimed amortized stage
+        TI.bm25_index_append(batch, proto)     # untimed (r14 flat row)
         n = docs.count()
         del_batch_ids = [APPEND_BASE_ID + i for i in range(0, BATCH, 2)]
         del_base_ids = list(range(0, n, max(1, n // 250)))[:250]
@@ -81,16 +81,16 @@ def main() -> None:
         )
         point: dict[str, object] = {"n": n}
         for label, verb in (
-            ("delete", lambda p: TX.bm25_index_delete(
+            ("delete", lambda p: TI.bm25_index_delete(
                 spark, p, doc_ids=del_batch_ids)),
-            ("delete_base", lambda p: TX.bm25_index_delete(
+            ("delete_base", lambda p: TI.bm25_index_delete(
                 spark, p, doc_ids=del_base_ids)),
             # r16 tombstone tier: the same worst-case base-segment
             # delete with NO survivor rewrite — expected to flatten
             # the linear row (serving stays exact; compact applies)
-            ("delete_base_tombstone", lambda p: TX.bm25_index_delete(
+            ("delete_base_tombstone", lambda p: TI.bm25_index_delete(
                 spark, p, doc_ids=del_base_ids, mode="tombstone")),
-            ("upsert", lambda p: TX.bm25_index_upsert(upsert_docs, p)),
+            ("upsert", lambda p: TI.bm25_index_upsert(upsert_docs, p)),
         ):
             times = []
             for rep in range(REPS):

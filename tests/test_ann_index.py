@@ -277,7 +277,8 @@ def test_serve_index_builds_once_and_serves(spark, sf_dir):
     got = idx.topk(
         QS.QUERY_VECS, k=QS.IVFPQ_TOPK, nprobe=QS.IVFPQ_NPROBE
     ).collect()
-    want = QS.q_ann_index_roundtrip(spark, sf_dir).collect()
+    from apachebeamkmeans_spark import queries_sim_serving as QSS
+    want = QSS.q_ann_index_roundtrip(spark, sf_dir).collect()
     assert sorted(
         [(r["qid"], r["vec_id"], r["cosine"], r["rank"]) for r in got]
     ) == sorted(

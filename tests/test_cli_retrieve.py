@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark import cli
 from apachebeamkmeans_spark.operators import similarity as SIM
+from apachebeamkmeans_spark.operators import textindex as TI
 from apachebeamkmeans_spark.operators import textstats as TX
 from apachebeamkmeans_spark.sources import io
 
@@ -183,7 +184,7 @@ def test_retrieve_hybrid_indexed_equals_library(spark, sf_dir, tmp_path):
     ) == 0
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
 
-    tranked = TX.bm25_indexed_topk(
+    tranked = TI.bm25_indexed_topk(
         spark, bm25_idx, [["join", "hash"]], 50
     ).select("qid", F.col("doc_id").alias("id"),
              F.col("rank").alias("text_rank"))
@@ -252,7 +253,7 @@ def test_retrieve_index_append_compact_cycle(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(out1).collect()}
     b = {tuple(r) for r in spark.read.parquet(out2).collect()}
     assert a == b and a
-    assert len(TX._bm25_read_commit(idx)["segments"]) == 1
+    assert len(TI._bm25_read_commit(idx)["segments"]) == 1
 
 
 def test_retrieve_error_paths_are_typed(spark, sf_dir, tmp_path):
@@ -368,10 +369,10 @@ def test_retrieve_index_verb_positional_symmetry(spark, sf_dir, tmp_path):
     assert cli.main(
         ["retrieve", "index", "compact", "--index", idx], spark=spark,
     ) == 0
-    commit = TX._bm25_read_commit(idx)
+    commit = TI._bm25_read_commit(idx)
     assert len(commit["segments"]) == 1  # compacted
     ids = {
-        r["doc_id"] for r in TX.bm25_indexed_topk(
+        r["doc_id"] for r in TI.bm25_indexed_topk(
             spark, idx, [["join", "hash"]], k=50
         ).collect()
     }
@@ -408,7 +409,7 @@ def test_retrieve_bm25_pruned_flags(spark, sf_dir, tmp_path):
         spark=spark,
     ) == 0
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
-    want = {tuple(r) for r in TX.bm25_indexed_topk(
+    want = {tuple(r) for r in TI.bm25_indexed_topk(
         spark, idx, [["join", "hash"]], 5,
         prune_df_frac=0.5, prune_min_impact=0.05,
     ).collect()}

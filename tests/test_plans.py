@@ -705,9 +705,9 @@ def test_hybrid_indexed_vector_side_partition_pruned(spark, sf_dir):
     coarse_id, the query terms reach the postings scan as
     PartitionFilters on tbucket, and no corpus tokenize survives
     (the text side reads the persisted index, not documents)."""
-    from apachebeamkmeans_spark import queries_similarity as QS
+    from apachebeamkmeans_spark import queries_sim_serving as QSS
 
-    res = QS.q_hybrid_search_indexed(spark, sf_dir)
+    res = QSS.q_hybrid_search_indexed(spark, sf_dir)
     plan = X.formatted_plan(res)
     assert "coarse_id" in "".join(plan.split("PartitionFilters")[1:])
     assert "tbucket" in "".join(plan.split("PartitionFilters")[1:])

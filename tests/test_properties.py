@@ -486,16 +486,17 @@ def test_bm25_indexed_equals_live_property(spark, tmp_path_factory, texts,
     """For ANY corpus and term-set queries, the persisted-index serve
     path reproduces the live scorer exactly — the bit-identity claim
     `text_bm25_indexed`'s oracle rests on, as a property."""
+    from apachebeamkmeans_spark.operators import textindex as TI
     from apachebeamkmeans_spark.operators import textstats as TX
 
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
     idx = str(tmp_path_factory.mktemp("bm25prop"))
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     live = sorted(map(tuple, TX.bm25_topk(docs, queries, k=10).collect()))
     served = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, queries, k=10).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, queries, k=10).collect())
     )
     assert served == live
 

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark.ann import AnnIndex
 from apachebeamkmeans_spark.operators import similarity as SIM
-from apachebeamkmeans_spark.operators import textstats as TX
+from apachebeamkmeans_spark.operators import textindex as TI
 from apachebeamkmeans_spark.sources import io
 
 MAXSIM_QUERIES = [
@@ -112,16 +112,16 @@ def test_bm25_table_equals_literal(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "bm25idx")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     queries = [["hash", "join"], ["scan", "table"], ["stream"]]
     qdf = spark.createDataFrame(
         [(qid, t) for qid, q in enumerate(queries) for t in q],
         "qid int, term string",
     )
     lit = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, queries, k=10).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, queries, k=10).collect())
     )
     tab = sorted(
-        map(tuple, TX.bm25_indexed_topk_table(spark, idx, qdf, k=10).collect())
+        map(tuple, TI.bm25_indexed_topk_table(spark, idx, qdf, k=10).collect())
     )
     assert tab == lit and lit

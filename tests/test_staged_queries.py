@@ -13,11 +13,12 @@ import duckdb
 import pandas as pd
 import pytest
 
+from apachebeamkmeans_spark import queries_sim_serving as QSS
 from apachebeamkmeans_spark import queries_similarity as QS
 from apachebeamkmeans_spark import queries_text as QT
 from apachebeamkmeans_spark.sources.io import TABLES
 
-STAGED = {**QS.STAGED_QUERIES, **QT.STAGED_QUERIES}
+STAGED = {**QSS.STAGED_QUERIES, **QT.STAGED_QUERIES}
 
 # The driver certifies at sf0.01, and the trained-query oracles
 # (serve-index probes) replay TRAINED_CENTERS, which are only the
@@ -70,7 +71,7 @@ def test_staged_maxsim_indexed_plan_pruned(spark):
     PartitionFilters on the shortlist side) and stays Python-free."""
     from apachebeamkmeans_spark.plans import explain as X
 
-    res = QS.q_sim_maxsim_indexed(spark, GATE_SF)
+    res = QSS.q_sim_maxsim_indexed(spark, GATE_SF)
     plan = X.formatted_plan(res)
     assert "coarse_id" in "".join(plan.split("PartitionFilters")[1:])
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
@@ -90,7 +91,7 @@ def test_staged_maxsim_indexed_recall(spark):
     fullsets = {}
     for r in full:
         fullsets.setdefault(r["qid"], set()).add(r["vec_id"])
-    pruned = QS.q_sim_maxsim_indexed(spark, GATE_SF).collect()
+    pruned = QSS.q_sim_maxsim_indexed(spark, GATE_SF).collect()
     prunedsets = {}
     for r in pruned:
         prunedsets.setdefault(r["qid"], set()).add(r["vec_id"])

@@ -353,6 +353,7 @@ def test_text_index_ingest_stream_equals_batch_and_resumes(
 
     from pyspark.sql import functions as F
 
+    from apachebeamkmeans_spark.operators import textindex as TI
     from apachebeamkmeans_spark.operators import textstats as TX
     from apachebeamkmeans_spark.sources import io
     from apachebeamkmeans_spark.streaming.ingest import (
@@ -363,7 +364,7 @@ def test_text_index_ingest_stream_equals_batch_and_resumes(
     docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     new = docs.filter(F.col("doc_id") % 10 == 0)
-    TX.bm25_index_build(base, idx)
+    TI.bm25_index_build(base, idx)
     # two source files → (typically) two micro-batches
     new.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
         "append").parquet(src)
@@ -385,14 +386,14 @@ def test_text_index_ingest_stream_equals_batch_and_resumes(
 
     queries = [["join", "hash"], ["slow", "scan"]]
     got = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, queries, k=15).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, queries, k=15).collect())
     )
     want = sorted(
         map(tuple, TX.bm25_topk(docs, queries, k=15).collect())
     )
     assert got == want and got
 
-    n_segs = len(TX._bm25_read_commit(idx)["segments"])
+    n_segs = len(TI._bm25_read_commit(idx)["segments"])
     assert n_segs >= 2  # base + at least one streamed segment
 
     # restart on the same checkpoint: nothing re-delivers, and even a
@@ -403,19 +404,19 @@ def test_text_index_ingest_stream_equals_batch_and_resumes(
     finally:
         q2.stop()
         q2.awaitTermination(60)
-    assert len(TX._bm25_read_commit(idx)["segments"]) == n_segs
-    TX.bm25_index_append(new.limit(1), idx, batch_tag="stream-0")
-    assert len(TX._bm25_read_commit(idx)["segments"]) == n_segs
+    assert len(TI._bm25_read_commit(idx)["segments"]) == n_segs
+    TI.bm25_index_append(new.limit(1), idx, batch_tag="stream-0")
+    assert len(TI._bm25_read_commit(idx)["segments"]) == n_segs
 
     # compaction keeps the replay protection: tags survive the merge
-    TX.bm25_index_compact(spark, idx)
-    commit = TX._bm25_read_commit(idx)
+    TI.bm25_index_compact(spark, idx)
+    commit = TI._bm25_read_commit(idx)
     assert len(commit["segments"]) == 1
     assert "stream-0" in commit["segments"][0].get("batch_tags", ())
-    TX.bm25_index_append(new.limit(1), idx, batch_tag="stream-0")
-    assert len(TX._bm25_read_commit(idx)["segments"]) == 1
+    TI.bm25_index_append(new.limit(1), idx, batch_tag="stream-0")
+    assert len(TI._bm25_read_commit(idx)["segments"]) == 1
     after = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, queries, k=15).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, queries, k=15).collect())
     )
     assert after == want
 
@@ -426,6 +427,7 @@ def test_text_index_crashed_append_retry_is_exact(spark, sf_dir, tmp_path):
     the pre-write segment-dir clear prevents duplicate rows."""
     from pyspark.sql import functions as F
 
+    from apachebeamkmeans_spark.operators import textindex as TI
     from apachebeamkmeans_spark.operators import textstats as TX
     from apachebeamkmeans_spark.sources import io
 
@@ -433,13 +435,13 @@ def test_text_index_crashed_append_retry_is_exact(spark, sf_dir, tmp_path):
     docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    TX.bm25_index_build(base, idx)
-    commit = TX._bm25_read_commit(idx)
+    TI.bm25_index_build(base, idx)
+    commit = TI._bm25_read_commit(idx)
     # simulate the crash: segment 1 data written, commit NOT swapped
-    TX._bm25_write_segment(batch, idx, 1, commit["n_buckets"], (), False)
+    TI._bm25_write_segment(batch, idx, 1, commit["n_buckets"], (), False)
     # the retry (same next seg id) must clear the orphans and commit
-    TX.bm25_index_append(batch, idx, batch_tag="retry-1")
-    got = sorted(map(tuple, TX.bm25_indexed_topk(
+    TI.bm25_index_append(batch, idx, batch_tag="retry-1")
+    got = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, [["join", "hash"]], k=15).collect()))
     want = sorted(map(tuple, TX.bm25_topk(
         docs, [["join", "hash"]], k=15).collect()))
@@ -453,6 +455,7 @@ def test_text_index_upsert_stream_applies_updates(spark, sf_dir, tmp_path):
     document state, and a checkpoint restart re-delivers nothing."""
     from pyspark.sql import functions as F
 
+    from apachebeamkmeans_spark.operators import textindex as TI
     from apachebeamkmeans_spark.operators import textstats as TX
     from apachebeamkmeans_spark.sources import io
     from apachebeamkmeans_spark.streaming.ingest import (
@@ -462,7 +465,7 @@ def test_text_index_upsert_stream_applies_updates(spark, sf_dir, tmp_path):
     src, ckpt, idx = (str(tmp_path / d) for d in ("src", "ckpt", "uidx"))
     docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.filter(F.col("doc_id") < 100)
-    TX.bm25_index_build(base, idx)
+    TI.bm25_index_build(base, idx)
     # one streamed batch: updates for ids < 10 (rewritten text) +
     # brand-new ids >= 1000
     updates = base.filter(F.col("doc_id") < 10).select(
@@ -491,7 +494,7 @@ def test_text_index_upsert_stream_applies_updates(spark, sf_dir, tmp_path):
         base.filter(F.col("doc_id") >= 10).unionByName(batch)
     )
     queries = [["updated", "join"], ["slow", "scan"]]
-    got = sorted(map(tuple, TX.bm25_indexed_topk(
+    got = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, queries, k=15).collect()))
     want = sorted(map(tuple, TX.bm25_topk(final_docs, queries, k=15)
                       .collect()))
@@ -499,11 +502,11 @@ def test_text_index_upsert_stream_applies_updates(spark, sf_dir, tmp_path):
 
     # restart on the same checkpoint: the tagged upsert no-ops — the
     # update is not re-applied and nothing double-replaces
-    commit_before = TX._bm25_read_commit(idx)
+    commit_before = TI._bm25_read_commit(idx)
     q2 = start("uidx_p2")
     try:
         q2.processAllAvailable()
     finally:
         q2.stop()
         q2.awaitTermination(60)
-    assert TX._bm25_read_commit(idx) == commit_before
+    assert TI._bm25_read_commit(idx) == commit_before

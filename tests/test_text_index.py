@@ -8,6 +8,7 @@ import math
 
 from pyspark.sql import functions as F
 
+from apachebeamkmeans_spark.operators import textindex as TI
 from apachebeamkmeans_spark.operators import textstats as TX
 
 DOCS = [
@@ -29,14 +30,14 @@ def test_indexed_equals_live_bm25(spark, tmp_path):
     same (qid, doc_id) set, same rounded scores, same ranks."""
     docs = _docs(spark)
     idx = str(tmp_path / "bm25idx")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     live = {
         (r["qid"], r["doc_id"]): (r["bm25"], r["rank"])
         for r in TX.bm25_topk(docs, QUERIES, k=10).collect()
     }
     served = {
         (r["qid"], r["doc_id"]): (r["bm25"], r["rank"])
-        for r in TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect()
+        for r in TI.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect()
     }
     assert served == live and len(live) > 0
 
@@ -47,8 +48,8 @@ def test_indexed_topk_partition_pruned(spark, tmp_path):
     and never touches the corpus (no tokenize regex, no explode)."""
     docs = _docs(spark)
     idx = str(tmp_path / "bm25idx")
-    TX.bm25_index_build(docs, idx)
-    res = TX.bm25_indexed_topk(spark, idx, [["hash"]], k=5)
+    TI.bm25_index_build(docs, idx)
+    res = TI.bm25_indexed_topk(spark, idx, [["hash"]], k=5)
     plan = res._sc._jvm.PythonSQLUtils.explainString(
         res._jdf.queryExecution(), "formatted"
     )
@@ -71,11 +72,11 @@ def test_index_bucket_matches_spark_crc32(spark):
     terms = ["hash", "join", "stream", "the", "zebra"]
     rows = (
         spark.createDataFrame([(t,) for t in terms], "term string")
-        .select("term", (F.crc32("term") % TX.BM25_INDEX_BUCKETS).alias("b"))
+        .select("term", (F.crc32("term") % TI.BM25_INDEX_BUCKETS).alias("b"))
         .collect()
     )
     for r in rows:
-        assert TX.bm25_index_bucket(r["term"]) == r["b"]
+        assert TI.bm25_index_bucket(r["term"]) == r["b"]
 
 
 def test_ndcg_hand_computed(spark):
@@ -135,9 +136,9 @@ def test_filtered_serving_prunes_candidates_global_stats(spark, tmp_path):
         "doc_id long, text string, source string",
     )
     idx = str(tmp_path / "bm25idx_meta")
-    TX.bm25_index_build(docs, idx, meta_cols=("source",))
-    unfiltered = TX.bm25_indexed_topk(spark, idx, [["hash", "join"]], k=10)
-    filtered = TX.bm25_indexed_topk(
+    TI.bm25_index_build(docs, idx, meta_cols=("source",))
+    unfiltered = TI.bm25_indexed_topk(spark, idx, [["hash", "join"]], k=10)
+    filtered = TI.bm25_indexed_topk(
         spark, idx, [["hash", "join"]], k=10, where="source = 'book'"
     )
     all_scores = {r["doc_id"]: r["bm25"] for r in unfiltered.collect()}
@@ -159,8 +160,8 @@ def test_meta_column_pruned_from_unfiltered_scan(spark, tmp_path):
         "doc_id long, text string, source string",
     )
     idx = str(tmp_path / "bm25idx_meta2")
-    TX.bm25_index_build(docs, idx, meta_cols=("source",))
-    res = TX.bm25_indexed_topk(spark, idx, [["hash"]], k=5)
+    TI.bm25_index_build(docs, idx, meta_cols=("source",))
+    res = TI.bm25_indexed_topk(spark, idx, [["hash"]], k=5)
     plan = res._sc._jvm.PythonSQLUtils.explainString(
         res._jdf.queryExecution(), "formatted"
     )
@@ -189,7 +190,7 @@ def test_stopword_grade_term_serves_exactly(spark, tmp_path):
     prev = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
     try:
-        TX.bm25_index_build(docs, idx)
+        TI.bm25_index_build(docs, idx)
     finally:
         spark.conf.set(coalesce_key, prev)
     live = sorted(
@@ -197,11 +198,11 @@ def test_stopword_grade_term_serves_exactly(spark, tmp_path):
     )
     served = sorted(
         map(tuple,
-            TX.bm25_indexed_topk(spark, idx, [["the"], ["the", "hash"]],
+            TI.bm25_indexed_topk(spark, idx, [["the"], ["the", "hash"]],
                                  k=50).collect())
     )
     assert served == live and len(live) > 40
-    hot_bucket = TX.bm25_index_bucket("the")
+    hot_bucket = TI.bm25_index_bucket("the")
     files = glob.glob(
         f"{idx}/postings/seg=0/tbucket={hot_bucket}/*.parquet"
     )
@@ -217,14 +218,14 @@ def test_append_equals_rebuild(spark, tmp_path):
         "doc_id long, text string",
     )
     grown = str(tmp_path / "grown")
-    TX.bm25_index_build(a, grown)
-    TX.bm25_index_append(b, grown)
+    TI.bm25_index_build(a, grown)
+    TI.bm25_index_append(b, grown)
     rebuilt = str(tmp_path / "rebuilt")
-    TX.bm25_index_build(a.unionByName(b), rebuilt)
+    TI.bm25_index_build(a.unionByName(b), rebuilt)
     q = QUERIES + [["merge", "fast"]]
-    got = sorted(map(tuple, TX.bm25_indexed_topk(spark, grown, q, k=20).collect()))
+    got = sorted(map(tuple, TI.bm25_indexed_topk(spark, grown, q, k=20).collect()))
     want = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, rebuilt, q, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, rebuilt, q, k=20).collect())
     )
     assert got == want and got
     # ...and both equal the live scorer over the union corpus
@@ -239,26 +240,26 @@ def test_uncommitted_segment_is_invisible(spark, tmp_path):
     must not change serving — the commit file is the read boundary."""
     docs = _docs(spark)
     idx = str(tmp_path / "crashy")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     before = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
     )
     # simulate the crash: write segment 1's data but SKIP the commit
     batch = spark.createDataFrame(
         [(99, "hash join hash join")], "doc_id long, text string"
     )
-    commit = TX._bm25_read_commit(idx)
-    TX._bm25_write_segment(batch, idx, 1, commit["n_buckets"], (), False)
+    commit = TI._bm25_read_commit(idx)
+    TI._bm25_write_segment(batch, idx, 1, commit["n_buckets"], (), False)
     after = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
     )
     assert after == before
     # the real append commits and the batch becomes visible
-    TX.bm25_index_append(
+    TI.bm25_index_append(
         spark.createDataFrame([(100, "stream stream window")],
                               "doc_id long, text string"), idx
     )
-    rows = TX.bm25_indexed_topk(spark, idx, [["stream"]], k=10).collect()
+    rows = TI.bm25_indexed_topk(spark, idx, [["stream"]], k=10).collect()
     assert 100 in {r["doc_id"] for r in rows}
 
 
@@ -273,9 +274,9 @@ def test_append_respects_recorded_meta_cols(spark, tmp_path):
         [(2, "hash scan", "book")], "doc_id long, text string, source string"
     )
     idx = str(tmp_path / "meta_grow")
-    TX.bm25_index_build(a, idx, meta_cols=("source",))
-    TX.bm25_index_append(b, idx)
-    rows = TX.bm25_indexed_topk(
+    TI.bm25_index_build(a, idx, meta_cols=("source",))
+    TI.bm25_index_append(b, idx)
+    rows = TI.bm25_indexed_topk(
         spark, idx, [["hash"]], k=10, where="source = 'book'"
     ).collect()
     assert {r["doc_id"] for r in rows} == {2}
@@ -293,24 +294,24 @@ def test_compact_preserves_serving_and_reclaims(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "compactme")
-    TX.bm25_index_build(a, idx)
-    TX.bm25_index_append(b, idx)
+    TI.bm25_index_build(a, idx)
+    TI.bm25_index_append(b, idx)
     before = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
     )
-    TX.bm25_index_compact(spark, idx)
-    commit = TX._bm25_read_commit(idx)
+    TI.bm25_index_compact(spark, idx)
+    commit = TI._bm25_read_commit(idx)
     assert len(commit["segments"]) == 1
     assert commit["segments"][0]["n"] == len(DOCS) + 2
     after = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
     )
     assert after == before and before
     assert not os.path.isdir(f"{idx}/postings/seg=0")
     assert not os.path.isdir(f"{idx}/postings/seg=1")
     # idempotent: a single-segment index is a no-op
-    TX.bm25_index_compact(spark, idx)
-    assert len(TX._bm25_read_commit(idx)["segments"]) == 1
+    TI.bm25_index_compact(spark, idx)
+    assert len(TI._bm25_read_commit(idx)["segments"]) == 1
 
 
 def test_compact_after_crashed_append_is_exact(spark, tmp_path):
@@ -323,20 +324,20 @@ def test_compact_after_crashed_append_is_exact(spark, tmp_path):
         [(10, "merge join fast")], "doc_id long, text string"
     )
     idx = str(tmp_path / "compact_crash")
-    TX.bm25_index_build(a, idx)
-    TX.bm25_index_append(b, idx)
+    TI.bm25_index_build(a, idx)
+    TI.bm25_index_append(b, idx)
     want = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
     )
     # crashed append at the NEXT seg id (= the id compact will use)
-    commit = TX._bm25_read_commit(idx)
+    commit = TI._bm25_read_commit(idx)
     crash = spark.createDataFrame(
         [(99, "hash join hash join")], "doc_id long, text string"
     )
-    TX._bm25_write_segment(crash, idx, 2, commit["n_buckets"], (), False)
-    TX.bm25_index_compact(spark, idx)
+    TI._bm25_write_segment(crash, idx, 2, commit["n_buckets"], (), False)
+    TI.bm25_index_compact(spark, idx)
     got = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
     )
     assert got == want
     assert 99 not in {t[1] for t in got}
@@ -354,19 +355,19 @@ def test_delete_equals_rebuild(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "delme")
-    TX.bm25_index_build(a, idx)
-    TX.bm25_index_append(b, idx)
-    n = TX.bm25_index_delete(spark, idx, doc_ids=[2, 10])
+    TI.bm25_index_build(a, idx)
+    TI.bm25_index_append(b, idx)
+    n = TI.bm25_index_delete(spark, idx, doc_ids=[2, 10])
     assert n == 2
     rebuilt = str(tmp_path / "rebuilt")
     survivors = a.unionByName(b).filter(~F.col("doc_id").isin([2, 10]))
-    TX.bm25_index_build(survivors, rebuilt)
+    TI.bm25_index_build(survivors, rebuilt)
     q = QUERIES + [["merge", "fast"]]
     got = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, q, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, q, k=20).collect())
     )
     want = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, rebuilt, q, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, rebuilt, q, k=20).collect())
     )
     assert got == want and got
     live = sorted(map(tuple, TX.bm25_topk(survivors, q, k=20).collect()))
@@ -385,7 +386,7 @@ def test_delete_rewrites_only_affected_segments(spark, tmp_path):
         [(10, "merge join fast")], "doc_id long, text string"
     )
     idx = str(tmp_path / "scoped")
-    TX.bm25_index_build(a, idx)
+    TI.bm25_index_build(a, idx)
 
     def _mtimes(seg):
         base = f"{idx}/postings/seg={seg}"
@@ -394,14 +395,14 @@ def test_delete_rewrites_only_affected_segments(spark, tmp_path):
             for r, _d, fs in os.walk(base) for f in fs
         }
 
-    TX.bm25_index_append(b, idx)
+    TI.bm25_index_append(b, idx)
     before = _mtimes(0)
-    assert TX.bm25_index_delete(spark, idx, doc_ids=[10]) == 1
+    assert TI.bm25_index_delete(spark, idx, doc_ids=[10]) == 1
     assert _mtimes(0) == before, "unaffected segment was rewritten"
     assert not os.path.isdir(f"{idx}/postings/seg=1")
-    commit = TX._bm25_read_commit(idx)
+    commit = TI._bm25_read_commit(idx)
     assert sum(s["n"] for s in commit["segments"]) == len(DOCS)
-    rows = TX.bm25_indexed_topk(spark, idx, [["merge"]], k=5).collect()
+    rows = TI.bm25_indexed_topk(spark, idx, [["merge"]], k=5).collect()
     assert rows == []
 
 
@@ -415,9 +416,9 @@ def test_delete_where_predicate_over_meta(spark, tmp_path):
         "doc_id long, text string, source string",
     )
     idx = str(tmp_path / "metadel")
-    TX.bm25_index_build(docs, idx, meta_cols=("source",))
-    assert TX.bm25_index_delete(spark, idx, where="source = 'web'") == 2
-    rows = TX.bm25_indexed_topk(
+    TI.bm25_index_build(docs, idx, meta_cols=("source",))
+    assert TI.bm25_index_delete(spark, idx, where="source = 'web'") == 2
+    rows = TI.bm25_indexed_topk(
         spark, idx, [["hash"], ["join"], ["scan"]], k=10
     ).collect()
     assert {r["doc_id"] for r in rows} == {2}
@@ -435,12 +436,12 @@ def test_delete_carries_replay_tags(spark, tmp_path):
         [(50, "hash hash hash")], "doc_id long, text string"
     )
     idx = str(tmp_path / "tagdel")
-    TX.bm25_index_build(a, idx)
-    TX.bm25_index_append(batch, idx, batch_tag="b-50")
-    assert TX.bm25_index_delete(spark, idx, doc_ids=[50]) == 1
+    TI.bm25_index_build(a, idx)
+    TI.bm25_index_append(batch, idx, batch_tag="b-50")
+    assert TI.bm25_index_delete(spark, idx, doc_ids=[50]) == 1
     # re-delivery of the same micro-batch: must be a no-op
-    TX.bm25_index_append(batch, idx, batch_tag="b-50")
-    rows = TX.bm25_indexed_topk(spark, idx, [["hash"]], k=10).collect()
+    TI.bm25_index_append(batch, idx, batch_tag="b-50")
+    rows = TI.bm25_indexed_topk(spark, idx, [["hash"]], k=10).collect()
     assert 50 not in {r["doc_id"] for r in rows}
 
 
@@ -449,13 +450,13 @@ def test_delete_requires_exactly_one_selector(spark, tmp_path):
 
     docs = _docs(spark)
     idx = str(tmp_path / "selector")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     with pytest.raises(ValueError, match="exactly one"):
-        TX.bm25_index_delete(spark, idx)
+        TI.bm25_index_delete(spark, idx)
     with pytest.raises(ValueError, match="exactly one"):
-        TX.bm25_index_delete(spark, idx, doc_ids=[1], where="doc_id = 1")
+        TI.bm25_index_delete(spark, idx, doc_ids=[1], where="doc_id = 1")
     # no matches: commit untouched, 0 returned
-    assert TX.bm25_index_delete(spark, idx, doc_ids=[999]) == 0
+    assert TI.bm25_index_delete(spark, idx, doc_ids=[999]) == 0
 
 
 def test_commit_conflict_fences_lost_update(spark, tmp_path):
@@ -467,17 +468,17 @@ def test_commit_conflict_fences_lost_update(spark, tmp_path):
 
     docs = _docs(spark)
     idx = str(tmp_path / "fence")
-    TX.bm25_index_build(docs, idx)
-    stale, raw = TX._bm25_read_commit_raw(idx)
+    TI.bm25_index_build(docs, idx)
+    stale, raw = TI._bm25_read_commit_raw(idx)
     # another writer commits in between
-    TX.bm25_index_append(
+    TI.bm25_index_append(
         spark.createDataFrame([(77, "merge fast")],
                               "doc_id long, text string"), idx,
     )
-    with pytest.raises(TX.Bm25CommitConflict):
-        TX._bm25_write_commit(idx, stale, expect=raw)
+    with pytest.raises(TI.Bm25CommitConflict):
+        TI._bm25_write_commit(idx, stale, expect=raw)
     # the winning append's segment survived
-    assert len(TX._bm25_read_commit(idx)["segments"]) == 2
+    assert len(TI._bm25_read_commit(idx)["segments"]) == 2
 
 
 def test_compact_reclaims_orphans_even_when_single_segment(spark, tmp_path):
@@ -493,29 +494,29 @@ def test_compact_reclaims_orphans_even_when_single_segment(spark, tmp_path):
 
     docs = _docs(spark)
     idx = str(tmp_path / "orphans")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     # orphan: an uncommitted segment (crashed append / unreclaimed
     # superseded dir — same on-disk shape)
-    TX._bm25_write_segment(
+    TI._bm25_write_segment(
         spark.createDataFrame([(99, "hash join")],
                               "doc_id long, text string"),
-        idx, 7, TX._bm25_read_commit(idx)["n_buckets"], (), False,
+        idx, 7, TI._bm25_read_commit(idx)["n_buckets"], (), False,
     )
     assert os.path.isdir(f"{idx}/postings/seg=7")
     before = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
     )
     # default grace: the fresh "orphan" (indistinguishable from an
     # in-flight append) survives
-    TX.bm25_index_compact(spark, idx)
+    TI.bm25_index_compact(spark, idx)
     assert os.path.isdir(f"{idx}/postings/seg=7")
     # aged past the grace window (grace 0 here): reclaimed, even
     # though the single-segment early return still fires
-    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
+    TI.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
     assert not os.path.isdir(f"{idx}/postings/seg=7")
     assert not os.path.isdir(f"{idx}/df/seg=7")
     after = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
     )
     assert after == before
 
@@ -532,11 +533,11 @@ def test_orphan_sweep_ages_by_newest_tree_mtime(spark, tmp_path):
 
     docs = _docs(spark)
     idx = str(tmp_path / "agedtree")
-    TX.bm25_index_build(docs, idx)
-    TX._bm25_write_segment(
+    TI.bm25_index_build(docs, idx)
+    TI._bm25_write_segment(
         spark.createDataFrame([(99, "hash join")],
                               "doc_id long, text string"),
-        idx, 7, TX._bm25_read_commit(idx)["n_buckets"], (), False,
+        idx, 7, TI._bm25_read_commit(idx)["n_buckets"], (), False,
     )
     old = (0.0, 0.0)
     paths = []
@@ -553,10 +554,10 @@ def test_orphan_sweep_ages_by_newest_tree_mtime(spark, tmp_path):
         if p.startswith(f"{idx}/postings/") and p.endswith(".parquet")
     )
     os.utime(leaf)
-    TX.bm25_index_compact(spark, idx, orphan_grace_sec=60.0)
+    TI.bm25_index_compact(spark, idx, orphan_grace_sec=60.0)
     assert os.path.isdir(f"{idx}/postings/seg=7")  # survived
     os.utime(leaf, old)
-    TX.bm25_index_compact(spark, idx, orphan_grace_sec=60.0)
+    TI.bm25_index_compact(spark, idx, orphan_grace_sec=60.0)
     assert not os.path.isdir(f"{idx}/postings/seg=7")
     assert not os.path.isdir(f"{idx}/df/seg=7")
 
@@ -572,16 +573,16 @@ def test_writer_verifies_segment_dirs_before_commit(spark, tmp_path):
 
     docs = _docs(spark)
     idx = str(tmp_path / "verifyme")
-    TX.bm25_index_build(docs, idx)
-    present = TX._bm25_segment_dirs_present(idx, [0])
+    TI.bm25_index_build(docs, idx)
+    present = TI._bm25_segment_dirs_present(idx, [0])
     assert len(present) == 2  # postings + df for the built segment
-    TX._bm25_verify_segment_dirs(idx, present)  # intact: no raise
+    TI._bm25_verify_segment_dirs(idx, present)  # intact: no raise
     shutil.rmtree(f"{idx}/postings/seg=0")
-    with pytest.raises(TX.Bm25CommitConflict, match="orphan_grace_sec"):
-        TX._bm25_verify_segment_dirs(idx, present)
+    with pytest.raises(TI.Bm25CommitConflict, match="orphan_grace_sec"):
+        TI._bm25_verify_segment_dirs(idx, present)
     # an all-empty batch snapshots no dirs and must not self-conflict
-    assert TX._bm25_segment_dirs_present(idx, [42]) == []
-    TX._bm25_verify_segment_dirs(idx, [])
+    assert TI._bm25_segment_dirs_present(idx, [42]) == []
+    TI._bm25_verify_segment_dirs(idx, [])
 
 
 def test_upsert_equals_rebuild(spark, tmp_path):
@@ -594,17 +595,17 @@ def test_upsert_equals_rebuild(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "upsertme")
-    TX.bm25_index_build(a, idx)
-    assert TX.bm25_index_upsert(batch, idx) == 1  # doc 2 replaced
+    TI.bm25_index_build(a, idx)
+    assert TI.bm25_index_upsert(batch, idx) == 1  # doc 2 replaced
     rebuilt = str(tmp_path / "rebuilt_up")
     updated = a.filter(F.col("doc_id") != 2).unionByName(batch)
-    TX.bm25_index_build(updated, rebuilt)
+    TI.bm25_index_build(updated, rebuilt)
     q = QUERIES + [["merge", "fast"], ["window", "agg"]]
     got = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, q, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, q, k=20).collect())
     )
     want = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, rebuilt, q, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, rebuilt, q, k=20).collect())
     )
     assert got == want and got
     live = sorted(map(tuple, TX.bm25_topk(updated, q, k=20).collect()))
@@ -619,16 +620,16 @@ def test_upsert_replay_tag_noops(spark, tmp_path):
         [(2, "window agg window")], "doc_id long, text string"
     )
     idx = str(tmp_path / "uptag")
-    TX.bm25_index_build(a, idx)
-    assert TX.bm25_index_upsert(batch, idx, batch_tag="u-1") == 1
+    TI.bm25_index_build(a, idx)
+    assert TI.bm25_index_upsert(batch, idx, batch_tag="u-1") == 1
     before = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
     )
-    commit_before = TX._bm25_read_commit(idx)
-    assert TX.bm25_index_upsert(batch, idx, batch_tag="u-1") == 0
-    assert TX._bm25_read_commit(idx) == commit_before
+    commit_before = TI._bm25_read_commit(idx)
+    assert TI.bm25_index_upsert(batch, idx, batch_tag="u-1") == 0
+    assert TI._bm25_read_commit(idx) == commit_before
     after = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=20).collect())
     )
     assert after == before
 
@@ -641,16 +642,16 @@ def test_upsert_pure_insert_matches_append(spark, tmp_path):
         [(30, "merge join fast")], "doc_id long, text string"
     )
     up, ap = str(tmp_path / "upnew"), str(tmp_path / "apnew")
-    TX.bm25_index_build(a, up)
-    TX.bm25_index_build(a, ap)
-    assert TX.bm25_index_upsert(batch, up) == 0
-    TX.bm25_index_append(batch, ap)
+    TI.bm25_index_build(a, up)
+    TI.bm25_index_build(a, ap)
+    assert TI.bm25_index_upsert(batch, up) == 0
+    TI.bm25_index_append(batch, ap)
     q = QUERIES + [["merge"]]
     got = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, up, q, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, up, q, k=20).collect())
     )
     want = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, ap, q, k=20).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, ap, q, k=20).collect())
     )
     assert got == want and got
 
@@ -661,16 +662,16 @@ def test_batch_table_duplicate_qid_term_rows_dedup(spark, tmp_path):
     contribution — the join dedups, matching the literal form."""
     docs = _docs(spark)
     idx = str(tmp_path / "dupterms")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     clean = spark.createDataFrame(
         [(0, "hash"), (0, "join")], "qid int, term string"
     )
     dup = spark.createDataFrame(
         [(0, "hash"), (0, "hash"), (0, "join")], "qid int, term string"
     )
-    want = sorted(map(tuple, TX.bm25_indexed_topk_table(
+    want = sorted(map(tuple, TI.bm25_indexed_topk_table(
         spark, idx, clean, k=10).collect()))
-    got = sorted(map(tuple, TX.bm25_indexed_topk_table(
+    got = sorted(map(tuple, TI.bm25_indexed_topk_table(
         spark, idx, dup, k=10).collect()))
     assert got == want and want
 
@@ -680,11 +681,11 @@ def test_pruned_serve_noop_threshold_is_exact(spark, tmp_path):
     reproduce the exact serve bit-for-bit."""
     docs = _docs(spark)
     idx = str(tmp_path / "prune0")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     exact = sorted(
-        map(tuple, TX.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
+        map(tuple, TI.bm25_indexed_topk(spark, idx, QUERIES, k=10).collect())
     )
-    pruned = sorted(map(tuple, TX.bm25_indexed_topk(
+    pruned = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, QUERIES, k=10,
         prune_df_frac=0.5, prune_min_impact=0.0,
     ).collect()))
@@ -698,14 +699,14 @@ def test_pruned_serve_understates_within_bound(spark, tmp_path):
     predicate reaches the postings scan as a pushed filter."""
     docs = _docs(spark)
     idx = str(tmp_path / "pruneb")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     q = [["the", "table"], ["the"], ["hash", "join"]]
     frac, r0 = 0.5, 0.5  # df(the)=3 >= 0.5*5 → pruned; others exact
     exact = {
         (r["qid"], r["doc_id"]): r["bm25"]
-        for r in TX.bm25_indexed_topk(spark, idx, q, k=10).collect()
+        for r in TI.bm25_indexed_topk(spark, idx, q, k=10).collect()
     }
-    res = TX.bm25_indexed_topk(
+    res = TI.bm25_indexed_topk(
         spark, idx, q, k=10, prune_df_frac=frac, prune_min_impact=r0,
     )
     plan = res._sc._jvm.PythonSQLUtils.explainString(
@@ -713,7 +714,7 @@ def test_pruned_serve_understates_within_bound(spark, tmp_path):
     )
     assert "impact_key" in plan.split("PushedFilters", 1)[1][:400]
     pruned = {(r["qid"], r["doc_id"]): r["bm25"] for r in res.collect()}
-    bound = TX.bm25_prune_error_bound(spark, idx, q, frac, r0)
+    bound = TI.bm25_prune_error_bound(spark, idx, q, frac, r0)
     assert bound[0] > 0 and bound[1] > 0 and bound[2] == 0.0
     assert pruned, "pruned serve returned nothing"
     for key, s in pruned.items():
@@ -743,22 +744,22 @@ def test_pruned_serve_survives_compact_and_delete(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "prunelife")
-    TX.bm25_index_build(a, idx)
-    TX.bm25_index_append(b, idx)
-    TX.bm25_index_delete(spark, idx, doc_ids=[11])
-    TX.bm25_index_compact(spark, idx)
+    TI.bm25_index_build(a, idx)
+    TI.bm25_index_append(b, idx)
+    TI.bm25_index_delete(spark, idx, doc_ids=[11])
+    TI.bm25_index_compact(spark, idx)
     q = [["the", "table"]]
     exact = {
         (r["qid"], r["doc_id"]): r["bm25"]
-        for r in TX.bm25_indexed_topk(spark, idx, q, k=10).collect()
+        for r in TI.bm25_indexed_topk(spark, idx, q, k=10).collect()
     }
     pruned = {
         (r["qid"], r["doc_id"]): r["bm25"]
-        for r in TX.bm25_indexed_topk(
+        for r in TI.bm25_indexed_topk(
             spark, idx, q, k=10, prune_df_frac=0.5, prune_min_impact=0.5,
         ).collect()
     }
-    bound = TX.bm25_prune_error_bound(spark, idx, q, 0.5, 0.5)
+    bound = TI.bm25_prune_error_bound(spark, idx, q, 0.5, 0.5)
     assert pruned
     for key, s in pruned.items():
         assert -2e-6 <= exact[key] - s <= bound[0] + 2e-6
@@ -770,15 +771,15 @@ def test_pruned_batch_table_matches_pruned_literal(spark, tmp_path):
     two forms' fold orders coincide on sorted 2-term queries)."""
     docs = _docs(spark)
     idx = str(tmp_path / "pruneq")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     q = [["table", "the"]]  # sorted; 'the' is stopword-grade (df 3/5)
     kw = {"prune_df_frac": 0.5, "prune_min_impact": 0.5}
-    lit = sorted(map(tuple, TX.bm25_indexed_topk(
+    lit = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, q, k=10, **kw).collect()))
     qdf = spark.createDataFrame(
         [(0, t) for t in q[0]], "qid int, term string"
     )
-    tab = sorted(map(tuple, TX.bm25_indexed_topk_table(
+    tab = sorted(map(tuple, TI.bm25_indexed_topk_table(
         spark, idx, qdf, k=10, **kw).collect()))
     assert tab == lit and lit
 
@@ -789,13 +790,13 @@ def test_delete_and_upsert_on_empty_built_index(spark, tmp_path):
     insert — neither may crash on postings-schema inference."""
     empty = spark.createDataFrame([], "doc_id long, text string")
     idx = str(tmp_path / "emptyidx")
-    TX.bm25_index_build(empty, idx)
-    assert TX.bm25_index_delete(spark, idx, doc_ids=[1]) == 0
+    TI.bm25_index_build(empty, idx)
+    assert TI.bm25_index_delete(spark, idx, doc_ids=[1]) == 0
     batch = spark.createDataFrame(
         [(1, "hash join fast")], "doc_id long, text string"
     )
-    assert TX.bm25_index_upsert(batch, idx) == 0  # nothing replaced
-    rows = TX.bm25_indexed_topk(spark, idx, [["hash"]], k=5).collect()
+    assert TI.bm25_index_upsert(batch, idx) == 0  # nothing replaced
+    rows = TI.bm25_indexed_topk(spark, idx, [["hash"]], k=5).collect()
     assert {r["doc_id"] for r in rows} == {1}
 
 
@@ -807,12 +808,12 @@ def test_upsert_rejects_duplicate_batch_ids(spark, tmp_path):
 
     docs = _docs(spark)
     idx = str(tmp_path / "dupup")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     dup = spark.createDataFrame(
         [(2, "v1 hash"), (2, "v2 hash join")], "doc_id long, text string"
     )
     with pytest.raises(ValueError, match="duplicate doc_ids"):
-        TX.bm25_index_upsert(dup, idx)
+        TI.bm25_index_upsert(dup, idx)
 
 
 def test_delete_where_removes_doc_from_every_segment(spark, tmp_path):
@@ -829,12 +830,12 @@ def test_delete_where_removes_doc_from_every_segment(spark, tmp_path):
         [(5, "beta gamma")], "doc_id long, text string"
     )
     idx = str(tmp_path / "everywhere")
-    TX.bm25_index_build(a, idx)
+    TI.bm25_index_build(a, idx)
     # contract-violating append: doc 5 again, different text, no
     # 'target' row — the predicate below matches only seg 0's copy
-    TX.bm25_index_append(dup, idx)
-    assert TX.bm25_index_delete(spark, idx, where="term = 'target'") == 1
-    rows = TX.bm25_indexed_topk(
+    TI.bm25_index_append(dup, idx)
+    assert TI.bm25_index_delete(spark, idx, where="term = 'target'") == 1
+    rows = TI.bm25_indexed_topk(
         spark, idx, [["alpha"], ["beta"], ["gamma"]], k=10
     ).collect()
     assert 5 not in {r["doc_id"] for r in rows}
@@ -854,12 +855,12 @@ def test_delete_by_ids_prunes_match_scan_to_range_segments(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "rangedel")
-    TX.bm25_index_build(a, idx)
-    TX.bm25_index_append(b, idx)
-    commit = TX._bm25_read_commit(idx)
+    TI.bm25_index_build(a, idx)
+    TI.bm25_index_append(b, idx)
+    commit = TI._bm25_read_commit(idx)
     assert commit["segments"][0]["dmin"] == 1
     assert commit["segments"][1]["dmax"] == 1001
-    cand = TX._bm25_segs_in_doc_range(commit, 1000, 1000, [1000])
+    cand = TI._bm25_segs_in_doc_range(commit, 1000, 1000, [1000])
     assert cand == [1]  # the base segment [1,5] is range-pruned
 
     def _mtimes(seg):
@@ -870,9 +871,9 @@ def test_delete_by_ids_prunes_match_scan_to_range_segments(spark, tmp_path):
         }
 
     before = _mtimes(0)
-    assert TX.bm25_index_delete(spark, idx, doc_ids=[1000]) == 1
+    assert TI.bm25_index_delete(spark, idx, doc_ids=[1000]) == 1
     assert _mtimes(0) == before
-    rows = TX.bm25_indexed_topk(spark, idx, [["merge"], ["scan"]],
+    rows = TI.bm25_indexed_topk(spark, idx, [["merge"], ["scan"]],
                                 k=10).collect()
     ids = {r["doc_id"] for r in rows}
     assert 1000 not in ids and 1001 in ids and 2 in ids
@@ -900,11 +901,11 @@ def _make_segments_legacy(spark, idx, segs):
         .write.mode("append")
         .partitionBy("seg", "tbucket").parquet(f"{idx}/postings")
     )
-    commit, fence = TX._bm25_read_commit_raw(idx)
+    commit, fence = TI._bm25_read_commit_raw(idx)
     for s in commit["segments"]:
         if s["id"] in set(segs):
             s.pop("impact", None)
-    TX._bm25_write_commit(idx, commit, expect=fence)
+    TI._bm25_write_commit(idx, commit, expect=fence)
 
 
 def test_compact_upgrades_pre_impact_layout(spark, tmp_path):
@@ -918,17 +919,17 @@ def test_compact_upgrades_pre_impact_layout(spark, tmp_path):
         [(10, "the the table")], "doc_id long, text string"
     )
     idx = str(tmp_path / "legacy")
-    TX.bm25_index_build(a, idx)
-    TX.bm25_index_append(b, idx)
+    TI.bm25_index_build(a, idx)
+    TI.bm25_index_append(b, idx)
     _make_segments_legacy(spark, idx, [0, 1])
-    bound = TX.bm25_prune_error_bound(spark, idx, [["the"]], 0.5, 0.5)
+    bound = TI.bm25_prune_error_bound(spark, idx, [["the"]], 0.5, 0.5)
     exact = {
         (r["qid"], r["doc_id"]): r["bm25"]
-        for r in TX.bm25_indexed_topk(spark, idx, [["the"]], k=5).collect()
+        for r in TI.bm25_indexed_topk(spark, idx, [["the"]], k=5).collect()
     }
 
     def _check_pruned():
-        pruned = TX.bm25_indexed_topk(
+        pruned = TI.bm25_indexed_topk(
             spark, idx, [["the"]], k=5,
             prune_df_frac=0.5, prune_min_impact=0.5,
         ).collect()
@@ -938,14 +939,14 @@ def test_compact_upgrades_pre_impact_layout(spark, tmp_path):
             assert -2e-6 <= diff <= bound[0] + 2e-6
 
     _check_pruned()  # derived-expression path, before any upgrade
-    exact_before = sorted(map(tuple, TX.bm25_indexed_topk(
+    exact_before = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, QUERIES, k=10).collect()))
-    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
-    assert sorted(map(tuple, TX.bm25_indexed_topk(
+    TI.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
+    assert sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, QUERIES, k=10).collect())) == exact_before
     # upgraded: marker present, physical-column fast path (pushed)
-    assert TX._bm25_all_impact_marked(TX._bm25_read_commit(idx))
-    res = TX.bm25_indexed_topk(
+    assert TI._bm25_all_impact_marked(TI._bm25_read_commit(idx))
+    res = TI.bm25_indexed_topk(
         spark, idx, [["the"]], k=5,
         prune_df_frac=0.5, prune_min_impact=0.5,
     )
@@ -966,20 +967,20 @@ def test_mixed_impact_layout_pruned_serve_is_exact(spark, tmp_path):
     rewrites (upsert here, compact below) must normalize the mix."""
     a = spark.createDataFrame(DOCS, "doc_id long, text string")
     idx = str(tmp_path / "mixed")
-    TX.bm25_index_build(a, idx)
+    TI.bm25_index_build(a, idx)
     _make_segments_legacy(spark, idx, [0])
     b = spark.createDataFrame(
         [(10, "the the table")], "doc_id long, text string"
     )
-    TX.bm25_index_append(b, idx)  # r16 writer: marked + physical column
-    bound = TX.bm25_prune_error_bound(spark, idx, [["the"]], 0.5, 0.5)
+    TI.bm25_index_append(b, idx)  # r16 writer: marked + physical column
+    bound = TI.bm25_prune_error_bound(spark, idx, [["the"]], 0.5, 0.5)
     exact = {
         (r["qid"], r["doc_id"]): r["bm25"]
-        for r in TX.bm25_indexed_topk(spark, idx, [["the"]], k=5).collect()
+        for r in TI.bm25_indexed_topk(spark, idx, [["the"]], k=5).collect()
     }
     pruned = {
         (r["qid"], r["doc_id"]): r["bm25"]
-        for r in TX.bm25_indexed_topk(
+        for r in TI.bm25_indexed_topk(
             spark, idx, [["the"]], k=5,
             prune_df_frac=0.5, prune_min_impact=0.5,
         ).collect()
@@ -990,13 +991,13 @@ def test_mixed_impact_layout_pruned_serve_is_exact(spark, tmp_path):
         assert -2e-6 <= exact[key] - s <= bound[0] + 2e-6
     # compact normalizes the mix: merged segment is full impact layout
     # with NO null impact keys (the legacy rows were coalesced)
-    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
-    assert TX._bm25_all_impact_marked(TX._bm25_read_commit(idx))
+    TI.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
+    assert TI._bm25_all_impact_marked(TI._bm25_read_commit(idx))
     merged = spark.read.parquet(f"{idx}/postings")
     assert merged.filter(F.col("impact_key").isNull()).count() == 0
     pruned2 = {
         (r["qid"], r["doc_id"]): r["bm25"]
-        for r in TX.bm25_indexed_topk(
+        for r in TI.bm25_indexed_topk(
             spark, idx, [["the"]], k=5,
             prune_df_frac=0.5, prune_min_impact=0.5,
         ).collect()
@@ -1011,12 +1012,12 @@ def test_wand_bit_identical_to_exact(spark, tmp_path):
     across cutoffs loose and tight."""
     docs = _docs(spark)
     idx = str(tmp_path / "wand")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     q = [["the", "table"], ["the"], ["hash", "join"], ["stream"]]
-    exact = sorted(map(tuple, TX.bm25_indexed_topk(
+    exact = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, q, k=10).collect()))
     for r0 in (0.05, 0.3, 0.5):
-        got = sorted(map(tuple, TX.bm25_indexed_topk_wand(
+        got = sorted(map(tuple, TI.bm25_indexed_topk_wand(
             spark, idx, q, k=10,
             prune_df_frac=0.5, prune_min_impact=r0,
         ).collect()))
@@ -1035,12 +1036,12 @@ def test_wand_bit_identical_on_stopword_heavy_corpus(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "wandhot")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     q = [["the"], ["the", "hash"], ["scan"]]
     for k in (5, 10, 100):  # 100 > positive docs → θ undefined → fallback
-        exact = sorted(map(tuple, TX.bm25_indexed_topk(
+        exact = sorted(map(tuple, TI.bm25_indexed_topk(
             spark, idx, q, k=k).collect()))
-        got = sorted(map(tuple, TX.bm25_indexed_topk_wand(
+        got = sorted(map(tuple, TI.bm25_indexed_topk_wand(
             spark, idx, q, k=k,
             prune_df_frac=0.5, prune_min_impact=0.2,
         ).collect()))
@@ -1052,24 +1053,24 @@ def test_wand_degenerate_paths(spark, tmp_path):
     (no bound exists); empty index → typed empty frame."""
     docs = _docs(spark)
     idx = str(tmp_path / "wanddeg")
-    TX.bm25_index_build(docs, idx)
+    TI.bm25_index_build(docs, idx)
     q = [["hash", "join"]]
-    exact = sorted(map(tuple, TX.bm25_indexed_topk(
+    exact = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, q, k=5).collect()))
-    got = sorted(map(tuple, TX.bm25_indexed_topk_wand(
+    got = sorted(map(tuple, TI.bm25_indexed_topk_wand(
         spark, idx, q, k=5, prune_df_frac=0.9,  # nothing stopword-grade
         prune_min_impact=0.5).collect()))
     assert got == exact
-    got_b0 = sorted(map(tuple, TX.bm25_indexed_topk_wand(
+    got_b0 = sorted(map(tuple, TI.bm25_indexed_topk_wand(
         spark, idx, q, k=5, b=0.0).collect()))
-    exact_b0 = sorted(map(tuple, TX.bm25_indexed_topk(
+    exact_b0 = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, q, k=5, b=0.0).collect()))
     assert got_b0 == exact_b0
     empty = str(tmp_path / "wandempty")
-    TX.bm25_index_build(
+    TI.bm25_index_build(
         spark.createDataFrame([], "doc_id long, text string"), empty
     )
-    res = TX.bm25_indexed_topk_wand(spark, empty, q, k=5)
+    res = TI.bm25_indexed_topk_wand(spark, empty, q, k=5)
     assert res.collect() == [] and res.columns == [
         "qid", "doc_id", "bm25", "rank"
     ]
@@ -1090,8 +1091,8 @@ def test_tombstone_delete_equals_rebuild(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "tsdel")
-    TX.bm25_index_build(a, idx)
-    TX.bm25_index_append(b, idx)
+    TI.bm25_index_build(a, idx)
+    TI.bm25_index_append(b, idx)
 
     def _mtimes():
         out = {}
@@ -1103,51 +1104,51 @@ def test_tombstone_delete_equals_rebuild(spark, tmp_path):
         return out
 
     before = _mtimes()
-    assert TX.bm25_index_delete(
+    assert TI.bm25_index_delete(
         spark, idx, doc_ids=[2, 10], mode="tombstone"
     ) == 2
     assert _mtimes() == before  # no segment rewrite at all
     rebuilt = str(tmp_path / "tsreb")
     survivors = a.unionByName(b).filter(~F.col("doc_id").isin([2, 10]))
-    TX.bm25_index_build(survivors, rebuilt)
+    TI.bm25_index_build(survivors, rebuilt)
     q = QUERIES + [["merge", "fast"], ["the", "table"]]
-    want = sorted(map(tuple, TX.bm25_indexed_topk(
+    want = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, rebuilt, q, k=20).collect()))
-    got = sorted(map(tuple, TX.bm25_indexed_topk(
+    got = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, q, k=20).collect()))
     assert got == want and got
     assert not {2, 10} & {t[1] for t in got}
     kw = {"prune_df_frac": 0.5, "prune_min_impact": 0.05}
-    got_p = sorted(map(tuple, TX.bm25_indexed_topk(
+    got_p = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, q, k=20, **kw).collect()))
-    want_p = sorted(map(tuple, TX.bm25_indexed_topk(
+    want_p = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, rebuilt, q, k=20, **kw).collect()))
     assert got_p == want_p
-    got_w = sorted(map(tuple, TX.bm25_indexed_topk_wand(
+    got_w = sorted(map(tuple, TI.bm25_indexed_topk_wand(
         spark, idx, q, k=20, **kw).collect()))
     assert got_w == want
     qdf = spark.createDataFrame(
         [(0, "the"), (0, "table")], "qid int, term string"
     )
-    got_t = sorted(map(tuple, TX.bm25_indexed_topk_table(
+    got_t = sorted(map(tuple, TI.bm25_indexed_topk_table(
         spark, idx, qdf, k=20).collect()))
-    want_t = sorted(map(tuple, TX.bm25_indexed_topk_table(
+    want_t = sorted(map(tuple, TI.bm25_indexed_topk_table(
         spark, rebuilt, qdf, k=20).collect()))
     assert got_t == want_t
     # re-deleting a tombstoned doc is a no-op in both modes
-    assert TX.bm25_index_delete(spark, idx, doc_ids=[2],
+    assert TI.bm25_index_delete(spark, idx, doc_ids=[2],
                                 mode="tombstone") == 0
-    assert TX.bm25_index_delete(spark, idx, doc_ids=[2]) == 0
+    assert TI.bm25_index_delete(spark, idx, doc_ids=[2]) == 0
     # compact applies the tombstones physically and clears them
-    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
-    commit = TX._bm25_read_commit(idx)
+    TI.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
+    commit = TI._bm25_read_commit(idx)
     assert commit.get("tombstones") == []
     assert not os.path.isdir(f"{idx}/tombstones") or not os.listdir(
         f"{idx}/tombstones"
     )
     posts = spark.read.parquet(f"{idx}/postings")
     assert posts.filter(F.col("doc_id").isin([2, 10])).count() == 0
-    got2 = sorted(map(tuple, TX.bm25_indexed_topk(
+    got2 = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, q, k=20).collect()))
     assert got2 == want
 
@@ -1157,23 +1158,23 @@ def test_tombstone_compact_on_single_segment(spark, tmp_path):
     compact's early return — physical removal is compact's job."""
     docs = _docs(spark)
     idx = str(tmp_path / "tsone")
-    TX.bm25_index_build(docs, idx)
-    assert TX.bm25_index_delete(
+    TI.bm25_index_build(docs, idx)
+    assert TI.bm25_index_delete(
         spark, idx, where="doc_id = 5", mode="tombstone"
     ) == 1
-    TX.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
-    commit = TX._bm25_read_commit(idx)
+    TI.bm25_index_compact(spark, idx, orphan_grace_sec=0.0)
+    commit = TI._bm25_read_commit(idx)
     assert commit.get("tombstones") == [] and len(commit["segments"]) == 1
     rebuilt = str(tmp_path / "tsone_reb")
-    TX.bm25_index_build(
+    TI.bm25_index_build(
         spark.createDataFrame(DOCS, "doc_id long, text string").filter(
             F.col("doc_id") != 5
         ),
         rebuilt,
     )
-    got = sorted(map(tuple, TX.bm25_indexed_topk(
+    got = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, QUERIES, k=20).collect()))
-    want = sorted(map(tuple, TX.bm25_indexed_topk(
+    want = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, rebuilt, QUERIES, k=20).collect()))
     assert got == want and got
 
@@ -1185,22 +1186,22 @@ def test_tombstone_cleared_by_upsert_resurrection(spark, tmp_path):
     the other tombstones stay in force."""
     a = spark.createDataFrame(DOCS, "doc_id long, text string")
     idx = str(tmp_path / "tsres")
-    TX.bm25_index_build(a, idx)
-    assert TX.bm25_index_delete(
+    TI.bm25_index_build(a, idx)
+    assert TI.bm25_index_delete(
         spark, idx, doc_ids=[2, 5], mode="tombstone"
     ) == 2
     batch = spark.createDataFrame(
         [(2, "merge join window")], "doc_id long, text string"
     )
-    TX.bm25_index_upsert(batch, idx)
+    TI.bm25_index_upsert(batch, idx)
     rebuilt = str(tmp_path / "tsres_reb")
-    TX.bm25_index_build(
+    TI.bm25_index_build(
         a.filter(~F.col("doc_id").isin([2, 5])).unionByName(batch), rebuilt
     )
     q = QUERIES + [["merge", "join"]]
-    got = sorted(map(tuple, TX.bm25_indexed_topk(
+    got = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, idx, q, k=20).collect()))
-    want = sorted(map(tuple, TX.bm25_indexed_topk(
+    want = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, rebuilt, q, k=20).collect()))
     assert got == want and got
     ids = {t[1] for t in got}
