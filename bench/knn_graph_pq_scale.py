@@ -59,6 +59,7 @@ def main() -> None:
         n = len(ids)
         cells = knn_cells(n)
         nprobe = int(os.environ.get("KNNPQ_NPROBE", "0")) or knn_nprobe(cells)
+        refine = int(os.environ.get("KNNPQ_REFINE", "0")) or KNNPQ_REFINE
         centers = ANN.round_mat(
             ANN.ivf_train_np(ids, mat, cells, KNN_TRAIN_ITERS, "knn")
         )
@@ -76,7 +77,7 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             g = SIM.knn_graph_pq(
-                base, centers, books, KNN_K, nprobe, KNNPQ_REFINE, dim=DIM
+                base, centers, books, KNN_K, nprobe, refine, dim=DIM
             )
             edges = g.collect()
             times.append(round(time.perf_counter() - t0, 3))
@@ -99,7 +100,7 @@ def main() -> None:
             hits += len(true3 & mine)
             total += 3
         out[str(mult)] = {
-            "n": n, "cells": cells, "nprobe": nprobe,
+            "n": n, "cells": cells, "nprobe": nprobe, "refine": refine,
             "secs": times, "recall3": round(hits / total, 4),
         }
         print(f"x{mult}: {out[str(mult)]}", file=sys.stderr)
