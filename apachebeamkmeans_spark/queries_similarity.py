@@ -496,6 +496,67 @@ def q_sim_ivf_trained_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centers_fp(centers: list[list[float]]) -> str:
+    import hashlib
+    import json as _json
+
+    return hashlib.md5(_json.dumps(centers).encode()).hexdigest()
+
+
+def _layout_matches(path: str, centers: list[list[float]]) -> bool:
+    """True iff the layout at `path` is complete AND was assigned under
+    exactly these centers (the `_centers_fp` marker written at build)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    try:
+        with open(os.path.join(path, "_centers_fp")) as f:
+            return f.read().strip() == _centers_fp(centers)
+    except OSError:
+        return False
+
+
+def _write_layout_fp(path: str, centers: list[list[float]]) -> None:
+    tmp = os.path.join(path, f"_centers_fp.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(_centers_fp(centers))
+    os.replace(tmp, os.path.join(path, "_centers_fp"))
+
+
+
+def _sign_codes_path(sf_dir: str) -> str:
+    """Persisted sign-codes stage (the binary tier's 16 B/row screen
+    table): fingerprint-keyed under `.ivf_index/` like the serve
+    index; `signcodes_` prefix is disjoint from the `serve_` reaper."""
+    import hashlib
+
+    from apachebeamkmeans_spark import scratch
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ph = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    fp = scratch.data_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(
+        scratch.repo_root(), ".ivf_index",
+        f"signcodes_{sfx}_{ph}_f{fp}",
+    )
+    scratch.reap(os.path.dirname(path), "signcodes_", keep=path)
+    return path
+
+
+def _ensure_sign_codes(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once publish of the sign-codes table
+    (`scratch.publish_once`): one pass over the embeddings deriving
+    the two 32-bit words per row, written once and scanned by every
+    binary search after — the banked 32× saving."""
+    from apachebeamkmeans_spark import scratch
+
+    return scratch.publish_once(
+        _sign_codes_path(sf_dir), "_ready",
+        lambda tmp: SIM.sign_codes(io.load_points(spark, sf_dir), DIM)
+        .write.mode("overwrite").parquet(f"{tmp}/codes"),
+    )
+
+
+
 def _trained_ca_ctes(table: str = _E2) -> str:
     """The normalize + trained-center coarse-assign CTE pair (`en`,
     `ca`) shared by the trained-index oracles and the indexed-hybrid

@@ -258,7 +258,7 @@ def test_serve_index_builds_once_and_serves(spark, sf_dir):
     `_serve_ready` marker without touching the layout (same inode
     mtimes), and the served result equals the roundtrip lifecycle's
     search over the identical corpus."""
-    from apachebeamkmeans_spark import queries_similarity as QS
+    from apachebeamkmeans_spark import queries_sim_serving as QS
 
     path = QS._ensure_serve_index(spark, sf_dir, pq=False)
     assert os.path.exists(os.path.join(path, "_serve_ready"))
