@@ -1754,6 +1754,48 @@ def q_text_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_bm25_tombstoned_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once publish of the TOMBSTONE-tier post-delete index:
+    full build + `bm25_index_delete(mode="tombstone")` of the same
+    predicate as the rewrite-tier fixture — the sidecar stays in place
+    (no compact), so serving exercises the live tombstone corrections
+    (n/Σdl from the sidecar, df semi-join subtraction, in-stage
+    anti-join) rather than a physically-clean layout."""
+    from apachebeamkmeans_spark import scratch
+
+    def build(tmp: str) -> None:
+        TI.bm25_index_build(
+            _docs(spark, sf_dir), tmp, meta_cols=("source",)
+        )
+        TI.bm25_index_delete(
+            spark, tmp, where=BM25_DELETE_WHERE, mode="tombstone"
+        )
+
+    return scratch.publish_once(
+        _bm25_index_path(sf_dir, extra="ts7"), "_ready", build
+    )
+
+
+def q_text_bm25_tombstone_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tombstone delete tier CERTIFIED at serve time (r16): the
+    same docs deleted as `text_bm25_delete_serve` but LOGICALLY — the
+    sidecar is live at serve (no compact has applied it), so the
+    hash-checked claim is exactly the tombstone corrections: n/Σdl
+    subtract from the sidecar, every query term's df subtracts its
+    semi-join count, tombstoned docs anti-join out in-stage. The
+    oracle is the rewrite tier's VERBATIM (scores over the surviving
+    corpus) — bit-identity between the two delete tiers IS the
+    contract (test_tombstone_delete_equals_rebuild, as a certified
+    query)."""
+    path = _ensure_bm25_tombstoned_index(spark, sf_dir)
+    return TI.bm25_indexed_topk(
+        spark, path, BM25_IDX_QUERIES, k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+    )
+
+
 STAGED_QUERIES: dict = {
     "text_bm25_wand": (q_text_bm25_wand, ORACLE_TEXT_BM25_INDEXED),
+    "text_bm25_tombstone_serve": (
+        q_text_bm25_tombstone_serve, ORACLE_TEXT_BM25_DELETE_SERVE,
+    ),
 }
