@@ -1206,3 +1206,37 @@ def test_tombstone_cleared_by_upsert_resurrection(spark, tmp_path):
     assert got == want and got
     ids = {t[1] for t in got}
     assert 2 in ids and 5 not in ids
+
+
+def test_tombstone_composes_with_filtered_serving(spark, tmp_path):
+    """Tombstones and `where=` filtered retrieval compose: candidates
+    prune by the predicate AND the tombstone set, while global stats
+    reflect only the tombstone subtraction (the filter keeps stats
+    global — Lucene semantics). Equality against a rebuild over the
+    survivors served with the same filter."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join the hash table fast", "web"),
+            (2, "slow scan of the big table", "web"),
+            (3, "hash hash hash join", "book"),
+            (4, "join hash stream", "book"),
+            (5, "the the the hash", "book"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    idx = str(tmp_path / "tsfilter")
+    TI.bm25_index_build(docs, idx, meta_cols=("source",))
+    assert TI.bm25_index_delete(
+        spark, idx, doc_ids=[3], mode="tombstone"
+    ) == 1
+    rebuilt = str(tmp_path / "tsfilter_reb")
+    TI.bm25_index_build(
+        docs.filter(F.col("doc_id") != 3), rebuilt, meta_cols=("source",)
+    )
+    q = [["hash", "join"], ["the"]]
+    got = sorted(map(tuple, TI.bm25_indexed_topk(
+        spark, idx, q, k=10, where="source = 'book'").collect()))
+    want = sorted(map(tuple, TI.bm25_indexed_topk(
+        spark, rebuilt, q, k=10, where="source = 'book'").collect()))
+    assert got == want and got
+    assert 3 not in {t[1] for t in got}
