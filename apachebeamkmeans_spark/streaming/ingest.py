@@ -441,6 +441,7 @@ def run_text_index_ingest_stream(
     max_files_per_trigger: int | None = None,
     name: str = "text_index_ingest_stream",
     mode: str = "append",
+    compact_segment_threshold: int | None = None,
 ):
     """Streaming maintenance of the SEGMENTED BM25 index — the text
     twin of the embedding gate's standing-index posture, but here the
@@ -479,11 +480,24 @@ def run_text_index_ingest_stream(
     pre-update revision or double-replace). Cost: an updating batch
     rewrites the segments containing its ids (delete's survivor
     rewrite), so upsert streams want small segment counts — compact on
-    pressure, in a trigger gap, as above."""
+    pressure, in a trigger gap, as above.
+
+    `compact_segment_threshold` (r16) AUTOMATES that schedule safely:
+    after a batch commits, if the committed segment count exceeds the
+    threshold, the SAME foreachBatch invocation runs
+    `bm25_index_compact` — the foreachBatch thread IS the single
+    writer, so compaction between two of its own batches can never
+    race an append (the interleaving the docstrings warn about only
+    exists for an EXTERNAL compact job). Replay-protection tags
+    survive the merge, so checkpoint recovery stays exactly-once;
+    pending tombstones apply physically on the same pass. This is
+    Lucene's merge-on-commit policy in micro-batch form."""
     from apachebeamkmeans_spark.operators import textindex as TI
 
     if mode not in ("append", "upsert"):
         raise ValueError(f"mode must be append|upsert, got {mode!r}")
+    if compact_segment_threshold is not None and compact_segment_threshold < 1:
+        raise ValueError("compact_segment_threshold must be >= 1")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -500,6 +514,10 @@ def run_text_index_ingest_stream(
             TI.bm25_index_append(
                 batch_df, index_path, batch_tag=f"stream-{batch_id}"
             )
+        if compact_segment_threshold is not None:
+            commit = TI._bm25_read_commit(index_path)
+            if len(commit["segments"]) > compact_segment_threshold:
+                TI.bm25_index_compact(spark, index_path)
 
     return (
         stream.writeStream.outputMode("append")

@@ -510,3 +510,64 @@ def test_text_index_upsert_stream_applies_updates(spark, sf_dir, tmp_path):
         q2.stop()
         q2.awaitTermination(60)
     assert TI._bm25_read_commit(idx) == commit_before
+
+
+def test_text_index_stream_compacts_on_pressure(spark, sf_dir, tmp_path):
+    """r16: `compact_segment_threshold` runs compaction INSIDE the
+    foreachBatch thread (the single writer — no race by construction):
+    after draining a 3-file stream with threshold=1 the index holds
+    ONE segment, serves bit-identically to a one-shot build over the
+    union, and a restart on the same checkpoint re-delivers nothing
+    (the replay tags survived the in-stream merges)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import textindex as TI
+    from apachebeamkmeans_spark.sources import io
+    from apachebeamkmeans_spark.streaming.ingest import (
+        run_text_index_ingest_stream,
+    )
+
+    src, ckpt, idx = (str(tmp_path / d) for d in ("csrc", "cckpt", "cidx"))
+    docs = io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    TI.bm25_index_build(base, idx)
+    for r in (0, 10):
+        new.filter(F.col("doc_id") % 20 == r).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    def start(name):
+        return run_text_index_ingest_stream(
+            spark, idx, src, new.schema, ckpt,
+            max_files_per_trigger=1, name=name,
+            compact_segment_threshold=1,
+        )
+
+    q = start("cidx_p1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    commit = TI._bm25_read_commit(idx)
+    assert len(commit["segments"]) == 1  # merged on pressure
+    assert TI._bm25_seen_tags(commit["segments"])  # tags survived
+    rebuilt = str(tmp_path / "crebuilt")
+    TI.bm25_index_build(base.unionByName(new), rebuilt)
+    queries = [["join", "hash"], ["slow", "scan"]]
+    got = sorted(map(tuple, TI.bm25_indexed_topk(
+        spark, idx, queries, k=15).collect()))
+    want = sorted(map(tuple, TI.bm25_indexed_topk(
+        spark, rebuilt, queries, k=15).collect()))
+    assert got == want and got
+    # restart: checkpoint replays nothing, tagged no-ops, state intact
+    q2 = start("cidx_p2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+    assert sorted(map(tuple, TI.bm25_indexed_topk(
+        spark, idx, queries, k=15).collect())) == want
