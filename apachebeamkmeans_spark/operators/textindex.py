@@ -1469,6 +1469,41 @@ def bm25_indexed_topk_wand(spark, index_path: str,
     return out
 
 
+def bm25_indexed_topk_table_wand(spark, index_path: str,
+                                 queries: DataFrame, k: int = 10,
+                                 k1: float = 1.2, b: float = 0.75,
+                                 prune_df_frac: float = 0.5,
+                                 prune_min_impact: float = 0.05) -> DataFrame:
+    """EXACT Block-Max WAND for a query TABLE — bit-identical to
+    `bm25_indexed_topk_table` (the eval-batch serve, where a stopword
+    query's corpus-sized scan multiplies by n_q, so early termination
+    pays first). A query table is k-row-class by contract, so it
+    collects (the same static-pushdown move the batch form itself
+    makes) and the two-phase literal engine runs with each query's
+    terms in SORTED order. That makes the composition bit-identical
+    to the table form's array_sort + left-associated fold: the
+    literal path's `coalesce(s_t, 0.0)` inserts exact IEEE no-ops
+    (0.0 + x == x, x + 0.0 == x) where the fold skips absent terms,
+    and both sum present terms in the same sorted order."""
+    rows = queries.select("qid", "term").distinct().collect()
+    qmap: dict[int, set] = {}
+    for r in rows:
+        qmap.setdefault(int(r["qid"]), set()).add(r["term"])
+    if not qmap:
+        return spark.createDataFrame(
+            [], "qid int, doc_id long, bm25 double, rank int"
+        )
+    qids = sorted(qmap)
+    res = bm25_indexed_topk_wand(
+        spark, index_path, [sorted(qmap[q]) for q in qids], k, k1, b,
+        prune_df_frac, prune_min_impact,
+    )
+    remap = F.element_at(
+        F.array(*[F.lit(q) for q in qids]), F.col("qid") + 1
+    ).cast("int")
+    return res.select(remap.alias("qid"), "doc_id", "bm25", "rank")
+
+
 def bm25_indexed_topk_table(spark, index_path: str, queries: DataFrame,
                             k: int = 10, k1: float = 1.2,
                             b: float = 0.75,

@@ -1793,8 +1793,27 @@ def q_text_bm25_tombstone_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bm25_batch_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Block-Max WAND for the BATCH query-table serve
+    (`textindex.bm25_indexed_topk_table_wand`, r16) — the eval
+    workload is where a stopword query's corpus-sized scan multiplies
+    by n_q, so early termination pays first there. Bit-identical to
+    `text_bm25_batch` by construction (sorted-term composition +
+    IEEE-no-op coalesce), sharing its oracle verbatim."""
+    path = _ensure_bm25_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, q in enumerate(BM25_BATCH_QUERIES) for t in q],
+        "qid int, term string",
+    )
+    return TI.bm25_indexed_topk_table_wand(
+        spark, path, qdf, k=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+        prune_df_frac=BM25_PRUNE_FRAC, prune_min_impact=BM25_PRUNE_R0,
+    )
+
+
 STAGED_QUERIES: dict = {
     "text_bm25_wand": (q_text_bm25_wand, ORACLE_TEXT_BM25_INDEXED),
+    "text_bm25_batch_wand": (q_text_bm25_batch_wand, ORACLE_TEXT_BM25_BATCH),
     "text_bm25_tombstone_serve": (
         q_text_bm25_tombstone_serve, ORACLE_TEXT_BM25_DELETE_SERVE,
     ),

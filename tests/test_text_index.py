@@ -1240,3 +1240,37 @@ def test_tombstone_composes_with_filtered_serving(spark, tmp_path):
         spark, rebuilt, q, k=10, where="source = 'book'").collect()))
     assert got == want and got
     assert 3 not in {t[1] for t in got}
+
+
+def test_wand_table_bit_identical_to_table_serve(spark, tmp_path):
+    """The batch-table exact WAND must reproduce
+    `bm25_indexed_topk_table` bit-for-bit: stopword + selective mixed
+    queries, duplicate term rows, non-contiguous qids, and k beyond
+    the positive-doc count (per-query fallback)."""
+    docs = spark.createDataFrame(
+        [(i, ("the " * (1 + i % 7)) + ("hash " if i % 3 == 0 else "scan "))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "wandtab")
+    TI.bm25_index_build(docs, idx)
+    qdf = spark.createDataFrame(
+        [(0, "the"), (0, "hash"), (0, "hash"),   # dup term row
+         (3, "the"),                              # pure stopword
+         (7, "scan")],                            # selective
+        "qid int, term string",
+    )
+    for k in (5, 10, 100):
+        want = sorted(map(tuple, TI.bm25_indexed_topk_table(
+            spark, idx, qdf, k=k).collect()))
+        got = sorted(map(tuple, TI.bm25_indexed_topk_table_wand(
+            spark, idx, qdf, k=k,
+            prune_df_frac=0.5, prune_min_impact=0.2).collect()))
+        assert got == want and want, k
+    # empty query table → typed empty frame
+    empty = TI.bm25_indexed_topk_table_wand(
+        spark, idx, spark.createDataFrame([], "qid int, term string"), k=5
+    )
+    assert empty.collect() == [] and empty.columns == [
+        "qid", "doc_id", "bm25", "rank"
+    ]
