@@ -331,7 +331,9 @@ class AnnIndex:
         if local is not None:
             commit, _v = IC.read_commit(local, missing_ok=True)
             if commit is not None:
-                gen = commit.get("gen", "")
+                # the commit doc may exist only for tombstones (r16) —
+                # a missing "gen" key means no pointer, not corruption
+                gen = commit.get("gen")
         if gen is None:
             ptr = os.path.join(path, AnnIndex._POINTER)
             jvm = spark._jvm
@@ -412,6 +414,45 @@ class AnnIndex:
                 carry=names,
             )
 
+    _TOMBSTONES = "_ann_tombstones"
+
+    def _ts_names(self) -> list[str]:
+        """Committed tombstone sidecar names from the shared commit doc
+        (driver-local indexes only — `delete(mode="tombstone")` raises
+        for remote schemes, like the rename publish)."""
+        local = _local_path(self.path)
+        if local is None:
+            return []
+        commit, _v = IC.read_commit(local, missing_ok=True)
+        return list((commit or {}).get("tombstones", []))
+
+    def _tombstones(self) -> DataFrame | None:
+        """The committed tombstone set as a one-column (vec_id) frame,
+        or None when the index carries none — the common case costs
+        nothing on the serve path."""
+        names = self._ts_names()
+        if not names:
+            return None
+        return self._spark.read.parquet(*[
+            os.path.join(self.path, AnnIndex._TOMBSTONES, nm)
+            for nm in names
+        ]).select("vec_id")
+
+    def _live_layout(self) -> DataFrame:
+        """The layout minus tombstoned rows — what SERVING and
+        REBUILDS see (r16 tombstone tier, the text index's vector
+        twin: the vector side needs no stats corrections, so the
+        whole semantic is this one broadcast anti-join, free when no
+        tombstones exist). Maintenance rewrites (`delete`/`upsert`)
+        read the physical `_layout` instead."""
+        from pyspark.sql import functions as F
+
+        layout = self._layout()
+        ts = self._tombstones()
+        if ts is None:
+            return layout
+        return layout.join(F.broadcast(ts), "vec_id", "left_anti")
+
     def cell_stats(self) -> DataFrame:
         """Per-cell occupancy of the layout: (coarse_id, n_rows) — the
         index-health view an operator watches. Balanced cells mean
@@ -426,12 +467,12 @@ class AnnIndex:
         from pyspark.sql import functions as F
 
         return (
-            self._layout()
+            self._live_layout()
             .groupBy("coarse_id")
             .agg(F.count("*").alias("n_rows"))
         )
 
-    def delete(self, where) -> int:
+    def delete(self, where, mode: str = "rewrite") -> int:
         """Delete layout rows matching a predicate (a SQL string or
         Column over `vec_id` / the metadata columns) — the
         right-to-be-forgotten maintenance verb, completing the CRUD
@@ -452,10 +493,58 @@ class AnnIndex:
         independently, like `append`): a crash mid-delete leaves some
         cells rewritten and others not — safe to re-run, the operation
         is idempotent. For an atomic generation-swap delete, filter
-        into a fresh `train`/`adopt` instead."""
+        into a fresh `train`/`adopt` instead.
+
+        `mode="tombstone"` (r16 — the text index's tombstone tier, on
+        the vector side even simpler because ANN serving has no global
+        stats to correct): the matched vec_ids land in a tiny sidecar
+        under `_ann_tombstones/`, committed through the shared fenced
+        protocol (`operators/indexcommit.py`) — NO cell rewrite at
+        all. Serving, `cell_stats`, and every rebuild read the LIVE
+        view (one broadcast anti-join, zero cost with no tombstones);
+        `compact`/`retrain` apply tombstones physically and clear them
+        in the same publish; `upsert` of a tombstoned id resurrects
+        the new row. Driver-local indexes only (the fence is O_EXCL —
+        same restriction as the rename publish); already-tombstoned
+        rows never double-count. Tombstoned rows that a later
+        REWRITE-mode delete or upsert happens to match are removed
+        physically along the way — harmless (their sidecar entries
+        anti-join nothing)."""
         from pyspark.sql import functions as F
 
+        if mode not in ("rewrite", "tombstone"):
+            raise ValueError(f"mode must be rewrite|tombstone, got {mode!r}")
         pred = F.expr(where) if isinstance(where, str) else where
+        if mode == "tombstone":
+            import uuid
+
+            local = _local_path(self.path)
+            if local is None:
+                raise ValueError(
+                    "AnnIndex.delete(mode='tombstone') needs a "
+                    "driver-local index path (the commit fence is an "
+                    "O_EXCL create); use mode='rewrite' for remote "
+                    "schemes"
+                )
+            commit, fence = IC.read_commit(local, missing_ok=True)
+            commit = dict(commit or {})
+            ids = self._layout().filter(pred).select("vec_id").distinct()
+            ts = self._tombstones()
+            if ts is not None:
+                ids = ids.join(F.broadcast(ts), "vec_id", "left_anti")
+            ids = ids.localCheckpoint()
+            n_dead = ids.count()
+            if n_dead == 0:
+                return 0
+            nm = f"ts-{uuid.uuid4().hex[:12]}"
+            dest = os.path.join(local, AnnIndex._TOMBSTONES, nm)
+            ids.coalesce(1).write.parquet(dest)
+            commit["tombstones"] = list(commit.get("tombstones", [])) + [nm]
+            IC.verify_dirs([dest], conflict_cls=AnnCommitConflict)
+            IC.write_commit(
+                local, commit, expect=fence, conflict_cls=AnnCommitConflict
+            )
+            return n_dead
         layout = self._layout()
         cells = sorted(
             r["coarse_id"]
@@ -465,7 +554,15 @@ class AnnIndex:
         if not cells:
             return 0
         affected = layout.filter(F.col("coarse_id").isin(cells))
-        n_del = affected.filter(pred).count()
+        matched = affected.filter(pred)
+        ts = self._tombstones()
+        if ts is not None:
+            # already-tombstoned rows are logically gone: they don't
+            # count as deleted again (their physical rows still drop
+            # below — opportunistic cleanup; the sidecar entries left
+            # behind anti-join nothing)
+            matched = matched.join(F.broadcast(ts), "vec_id", "left_anti")
+        n_del = matched.count()
         # eager snapshot BEFORE the write: Spark (correctly) refuses to
         # overwrite a path its own plan reads from, and the post-write
         # emptied-cell check below must see the pre-delete survivors,
@@ -516,6 +613,35 @@ class AnnIndex:
         names = tuple(n for n, _ in self.meta)
         vecs = _normalize(embeddings, id_col, vec_col, names)
         ids = vecs.select(F.col("id").alias("vec_id")).distinct()
+        # a tombstoned id re-delivered by the batch comes back to life:
+        # its tombstone clears (fenced commit) BEFORE the physical
+        # replace, so the appended row serves (r16 tombstone tier)
+        ts = self._tombstones()
+        if ts is not None and ts.join(ids, "vec_id", "semi").count() > 0:
+            import shutil
+            import uuid
+
+            local = _local_path(self.path)
+            commit, fence = IC.read_commit(local, missing_ok=True)
+            commit = dict(commit or {})
+            surv = ts.join(ids, "vec_id", "left_anti").localCheckpoint()
+            old_names = list(commit.get("tombstones", []))
+            new_names: list[str] = []
+            if surv.count() > 0:
+                nm = f"ts-{uuid.uuid4().hex[:12]}"
+                surv.coalesce(1).write.parquet(
+                    os.path.join(local, AnnIndex._TOMBSTONES, nm)
+                )
+                new_names = [nm]
+            commit["tombstones"] = new_names
+            IC.write_commit(
+                local, commit, expect=fence, conflict_cls=AnnCommitConflict
+            )
+            for nm in old_names:
+                shutil.rmtree(
+                    os.path.join(local, AnnIndex._TOMBSTONES, nm),
+                    ignore_errors=True,
+                )
         layout = self._layout()
         hits = layout.join(ids, "vec_id")
         cells = sorted(
@@ -576,10 +702,19 @@ class AnnIndex:
         src = self.data_root
         n_cells = self.n_cells
 
+        ts = self._tombstones()
+
         def build(dest: str) -> None:
+            rows = self._spark.read.schema(schema).parquet(src)
+            if ts is not None:
+                # physical application of the logical deletes (r16):
+                # the rebuilt generation drops tombstoned rows; the
+                # publish clears the sidecar list in the same commit
+                from pyspark.sql import functions as F
+
+                rows = rows.join(F.broadcast(ts), "vec_id", "left_anti")
             (
-                self._spark.read.schema(schema).parquet(src)
-                .repartition(n_cells, "coarse_id")
+                rows.repartition(n_cells, "coarse_id")
                 .write.partitionBy("coarse_id")
                 .mode("overwrite")
                 .parquet(dest)
@@ -619,7 +754,7 @@ class AnnIndex:
         names = tuple(n for n, _ in self.meta)
         # one logical read of the current generation; Lloyd's driver
         # loop re-reads it per iteration, so stage it once
-        vecs = self._layout().select(
+        vecs = self._live_layout().select(
             F.col("vec_id").alias("id"), F.col("f").alias("features"),
             *[F.col(n) for n in names],
         ).localCheckpoint(eager=False)
@@ -736,10 +871,11 @@ class AnnIndex:
         # AnnCommitConflict instead of silently orphaning the winner's
         # generation (the r15 Spark-text overwrite had no fence at all)
         local = _local_path(self.path)
-        fence = (
-            IC.read_commit(local, missing_ok=True)[1]
-            if local is not None else None
-        )
+        fence = None
+        old_ts: list[str] = []
+        if local is not None:
+            prior, fence = IC.read_commit(local, missing_ok=True)
+            old_ts = list((prior or {}).get("tombstones", []))
         try:
             build_fn(dest)
             AnnIndex.adopt(self._spark, dest, centers, codebooks, self.meta)
@@ -749,6 +885,10 @@ class AnnIndex:
             # remote schemes keep the Spark text overwrite (an object
             # store without conditional-put cannot fence — documented)
             if local is not None:
+                # the rebuilt generation already excluded tombstoned
+                # rows (build_fn reads the live view), so the same
+                # commit that flips the pointer CLEARS the sidecar
+                # list; the dirs reap after the publish
                 IC.write_commit(
                     local, {"gen": gen}, expect=fence,
                     conflict_cls=AnnCommitConflict,
@@ -770,6 +910,14 @@ class AnnIndex:
             raise
         # reclaim superseded generations beyond the retention window
         self._reclaim_generations(dest, retain)
+        if local is not None and old_ts:
+            import shutil as _sh
+
+            for nm in old_ts:
+                _sh.rmtree(
+                    os.path.join(local, AnnIndex._TOMBSTONES, nm),
+                    ignore_errors=True,
+                )
         self.data_root = dest
 
     def _reclaim_generations(self, current: str, retain: int) -> None:
@@ -817,7 +965,7 @@ class AnnIndex:
         tests/test_plans.py) — at 100 TB a filtered search reads the
         probed directories' row groups minus whatever the pushed
         predicate's stats exclude."""
-        index = self._layout()
+        index = self._live_layout()
         return index if where is None else index.filter(where)
 
     def topk(self, queries: list[list[float]], k: int = 5,

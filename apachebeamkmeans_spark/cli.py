@@ -213,6 +213,10 @@ def build_ann_parser() -> argparse.ArgumentParser:
     d.add_argument("--index-path", required=True)
     d.add_argument("--where", required=True,
                    help="SQL predicate over vec_id / metadata columns")
+    d.add_argument("--tombstone", action="store_true",
+                   help="delete logically (sidecar, no cell rewrite — "
+                        "flat cost; serving anti-joins; compact/"
+                        "retrain apply physically)")
 
     rt = sub.add_parser(
         "retrain",
@@ -663,8 +667,9 @@ def _ann_run(args, spark) -> int:
         print(f"ann upsert: {n} rows replaced in {args.index_path}")
     elif args.action == "delete":
         idx = AnnIndex.load(spark, args.index_path)
-        n = idx.delete(args.where)
-        print(f"ann delete: {n} rows removed from {args.index_path}")
+        dmode = "tombstone" if args.tombstone else "rewrite"
+        n = idx.delete(args.where, mode=dmode)
+        print(f"ann delete: {n} rows removed from {args.index_path} ({dmode})")
     elif args.action == "retrain":
         idx = AnnIndex.load(spark, args.index_path)
         old = idx.n_cells

@@ -676,7 +676,8 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
                         compact: bool = False,
                         retrain: bool = False,
                         delete: bool = False,
-                        upsert: bool = False) -> str:
+                        upsert: bool = False,
+                        tombstone: bool = False) -> str:
     """Build-once publish of the serving index: the roundtrip queries'
     exact corpus (train at the certified config, then the
     deterministic shifted-id append), staged and PUBLISHED via
@@ -699,6 +700,8 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
     tier = ("pq" if pq else "flat") + ("c" if compact else "") + (
         f"r{RETRAIN_K}" if retrain else ""
     ) + (f"d{DELETE_PRED_RESIDUE}" if delete else "") + (
+        f"t{DELETE_PRED_RESIDUE}" if tombstone else ""
+    ) + (
         f"u{UPSERT_RESIDUE}" if upsert else ""
     )
 
@@ -734,6 +737,14 @@ def _ensure_serve_index(spark: SparkSession, sf_dir: str, pq: bool,
             # of only the cells containing matches
             idx.delete(
                 f"vec_id % {DELETE_PRED_MOD} = {DELETE_PRED_RESIDUE}"
+            )
+        if tombstone:
+            # the same deletion LOGICALLY (r16 tombstone tier): the
+            # sidecar stays live at serve — no cell rewrite, the
+            # broadcast anti-join is the whole semantic
+            idx.delete(
+                f"vec_id % {DELETE_PRED_MOD} = {DELETE_PRED_RESIDUE}",
+                mode="tombstone",
             )
         if upsert:
             # the re-embedding refresh: replace-by-id, reversed vectors
@@ -1567,7 +1578,33 @@ QUERIES["hybrid_search_batch"] = (
 )
 
 
-STAGED_QUERIES: dict = {}
+# ---------------- staged for a future window slot (r16): the vector
+# tombstone tier — the text index's r16 escalation mirrored onto
+# AnnIndex (delete(mode="tombstone"): sidecar + broadcast anti-join,
+# zero cell rewrites), served with the sidecar LIVE and certified by
+# the REWRITE tier's oracle verbatim (tier bit-identity is the claim).
+
+
+def q_ann_index_tombstone_search(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """`AnnIndex.delete(mode="tombstone")` certified at serve time:
+    the delete-search corpus's predicate applied LOGICALLY — the
+    tombstone sidecar is live (no compact), so the hash-checked claim
+    is the serve-side anti-join itself. Oracle =
+    `ORACLE_ANN_INDEX_DELETE_SEARCH` verbatim."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _warn_if_not_train_sf(sf_dir, "ann_index_tombstone_search")
+    path = _ensure_serve_index(spark, sf_dir, pq=False, tombstone=True)
+    idx = AnnIndex.load(spark, path)
+    return idx.topk(QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
+
+
+STAGED_QUERIES: dict = {
+    "ann_index_tombstone_search": (
+        q_ann_index_tombstone_search, ORACLE_ANN_INDEX_DELETE_SEARCH,
+    ),
+}
 
 
 QUERIES.update({

@@ -1024,3 +1024,88 @@ def test_upsert_all_new_ids_is_pure_append(spark, sf_dir, tmp_path):
     )
     assert idx.upsert(batch) == 0
     assert spark.read.schema(SIM.INDEX_SCHEMA).parquet(path).count() == n0 + 7
+
+
+def test_tombstone_delete_serves_like_rewrite(spark, sf_dir, tmp_path):
+    """r16 vector tombstone tier: delete(mode='tombstone') removes no
+    cell files (mtimes identical) yet serving — literal topk, batch
+    topk_table, filtered search, cell_stats — equals an index whose
+    rows were physically deleted; re-deleting tombstoned rows is a
+    no-op in both modes."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    p1 = str(tmp_path / "ts_idx")
+    p2 = str(tmp_path / "ts_twin")
+    idx = AnnIndex.train(spark, emb, p1, k=4)
+    twin = AnnIndex.train(spark, emb, p2, k=4)
+
+    def _mtimes(root):
+        out = {}
+        for r, _d, fs in os.walk(root):
+            if "_ann_tombstones" in r or "_commits" in r:
+                continue
+            for f in fs:
+                if f.startswith("_segments") or f.endswith(".json"):
+                    continue
+                p = os.path.join(r, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = _mtimes(p1)
+    n = idx.delete("vec_id % 10 = 4", mode="tombstone")
+    assert n > 0
+    assert _mtimes(p1) == before  # zero cell rewrites
+    assert twin.delete("vec_id % 10 = 4") == n  # physical twin
+    got = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=4).collect()))
+    want = sorted(map(tuple, twin.topk(QUERIES, k=5, nprobe=4).collect()))
+    assert got == want and got
+    qtab = emb.filter(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got_t = sorted(map(tuple, idx.topk_table(qtab, k=5, nprobe=4).collect()))
+    want_t = sorted(map(tuple, twin.topk_table(qtab, k=5, nprobe=4).collect()))
+    assert got_t == want_t and got_t
+    got_s = sorted(map(tuple, idx.cell_stats().collect()))
+    want_s = sorted(map(tuple, twin.cell_stats().collect()))
+    assert got_s == want_s
+    # idempotence across modes
+    assert idx.delete("vec_id % 10 = 4", mode="tombstone") == 0
+    assert idx.delete("vec_id % 10 = 4") == 0
+
+
+def test_tombstone_upsert_resurrects_and_compact_applies(
+    spark, sf_dir, tmp_path,
+):
+    """Upserting a tombstoned id clears its tombstone (the new row
+    serves); compact applies the remaining tombstones physically and
+    clears the sidecar; serving is identical before and after."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ts_life")
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    victims = [r["vec_id"] for r in emb.select("vec_id")
+               .orderBy("vec_id").limit(2).collect()]
+    assert idx.delete(f"vec_id IN ({victims[0]}, {victims[1]})",
+                      mode="tombstone") == 2
+    # resurrect victim 0 with a reversed vector
+    batch = emb.filter(F.col("vec_id") == victims[0]).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    assert idx.upsert(batch) >= 1
+    ids_served = {
+        r["vec_id"] for r in idx.topk(QUERIES, k=500, nprobe=4).collect()
+    }
+    assert victims[0] in ids_served and victims[1] not in ids_served
+    before = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=4).collect()))
+    idx.compact()
+    assert idx._ts_names() == []  # sidecar cleared by the publish
+    layout_ids = {
+        r["vec_id"] for r in idx._layout().select("vec_id").collect()
+    }
+    assert victims[1] not in layout_ids  # applied physically
+    reloaded = AnnIndex.load(spark, path)
+    after = sorted(map(tuple,
+                       reloaded.topk(QUERIES, k=5, nprobe=4).collect()))
+    assert after == before

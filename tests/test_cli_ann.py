@@ -233,6 +233,37 @@ def test_ann_delete_verb(spark, sf_dir, tmp_path):
     assert layout.filter("vec_id % 10 = 4").count() == 0
 
 
+def test_ann_delete_tombstone_flag(spark, sf_dir, tmp_path):
+    """`ann delete --tombstone` (r16): the physical layout keeps the
+    rows, serving excludes them — the flag maps to the library's
+    tombstone mode."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    idx_path = str(tmp_path / "cli_ts_idx")
+    assert cli.main(
+        ["ann", "train", "--embeddings", _emb_path(sf_dir),
+         "--index-path", idx_path, "--k", "4"],
+        spark=spark,
+    ) == 0
+    n_before = spark.read.parquet(idx_path).count()
+    assert cli.main(
+        ["ann", "delete", "--index-path", idx_path,
+         "--where", "vec_id % 10 = 4", "--tombstone"],
+        spark=spark,
+    ) == 0
+    assert spark.read.parquet(idx_path).count() == n_before  # physical
+    idx = AnnIndex.load(spark, idx_path)
+    served = {
+        r["vec_id"]
+        for r in idx.topk(
+            [[0.1 * ((i * 7 + j) % 5 - 2) for j in range(64)]
+             for i in range(3)],
+            k=500, nprobe=4,
+        ).collect()
+    }
+    assert served and not any(v % 10 == 4 for v in served)
+
+
 def test_ann_upsert_verb(spark, sf_dir, tmp_path):
     idx_path = str(tmp_path / "cli_ups_idx")
     assert cli.main(
