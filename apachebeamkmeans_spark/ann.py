@@ -39,6 +39,11 @@ from apachebeamkmeans_spark.operators import ann_train as ANN
 from apachebeamkmeans_spark.operators import indexcommit as IC
 from apachebeamkmeans_spark.operators import similarity as SIM
 
+# age threshold for reaping never-committed tombstone sidecars in
+# `compact` — same GC-grace convention as the text index's sweep
+# (operators/textindex.py ORPHAN_GRACE_SEC)
+_ORPHAN_GRACE_SEC = 3600.0
+
 
 class AnnCommitConflict(IC.CommitConflict):
     """The generation-pointer commit advanced between a maintenance
@@ -540,10 +545,21 @@ class AnnIndex:
             dest = os.path.join(local, AnnIndex._TOMBSTONES, nm)
             ids.coalesce(1).write.parquet(dest)
             commit["tombstones"] = list(commit.get("tombstones", [])) + [nm]
-            IC.verify_dirs([dest], conflict_cls=AnnCommitConflict)
-            IC.write_commit(
-                local, commit, expect=fence, conflict_cls=AnnCommitConflict
-            )
+            try:
+                IC.verify_dirs([dest], conflict_cls=AnnCommitConflict)
+                IC.write_commit(
+                    local, commit, expect=fence,
+                    conflict_cls=AnnCommitConflict,
+                )
+            except AnnCommitConflict:
+                # the sidecar never committed — unlink it rather than
+                # orphan it forever (ADVICE r16 low: compact's sweep
+                # only reaps committed names + gen-* dirs by age; an
+                # eager unlink on a known-lost race costs nothing)
+                import shutil
+
+                shutil.rmtree(dest, ignore_errors=True)
+                raise
             return n_dead
         layout = self._layout()
         cells = sorted(
@@ -562,7 +578,11 @@ class AnnIndex:
             # below — opportunistic cleanup; the sidecar entries left
             # behind anti-join nothing)
             matched = matched.join(F.broadcast(ts), "vec_id", "left_anti")
-        n_del = matched.count()
+        # distinct vec_ids, matching tombstone mode's count — the two
+        # modes must report the same total for the same predicate even
+        # when duplicate vec_id rows exist (ADVICE r16 low); the
+        # physical rewrite below still drops every matching ROW
+        n_del = matched.select("vec_id").distinct().count()
         # eager snapshot BEFORE the write: Spark (correctly) refuses to
         # overwrite a path its own plan reads from, and the post-write
         # emptied-cell check below must see the pre-delete survivors,
@@ -613,35 +633,20 @@ class AnnIndex:
         names = tuple(n for n, _ in self.meta)
         vecs = _normalize(embeddings, id_col, vec_col, names)
         ids = vecs.select(F.col("id").alias("vec_id")).distinct()
-        # a tombstoned id re-delivered by the batch comes back to life:
-        # its tombstone clears (fenced commit) BEFORE the physical
-        # replace, so the appended row serves (r16 tombstone tier)
+        # a tombstoned id re-delivered by the batch comes back to life
+        # — but the clearing commit publishes AFTER the physical
+        # replace + append below (r17, ADVICE r16): clearing first
+        # meant a crash between the commit and the cell rewrite served
+        # the stale pre-delete row as live (deleted content
+        # resurrected with old values). Cleared last, a crash
+        # mid-upsert leaves the id logically deleted (the appended row
+        # still hidden behind its active tombstone) — re-running the
+        # upsert finishes the job, matching the text index's
+        # publish-clears-tombstones-in-the-same-swap contract.
         ts = self._tombstones()
-        if ts is not None and ts.join(ids, "vec_id", "semi").count() > 0:
-            import shutil
-            import uuid
-
-            local = _local_path(self.path)
-            commit, fence = IC.read_commit(local, missing_ok=True)
-            commit = dict(commit or {})
-            surv = ts.join(ids, "vec_id", "left_anti").localCheckpoint()
-            old_names = list(commit.get("tombstones", []))
-            new_names: list[str] = []
-            if surv.count() > 0:
-                nm = f"ts-{uuid.uuid4().hex[:12]}"
-                surv.coalesce(1).write.parquet(
-                    os.path.join(local, AnnIndex._TOMBSTONES, nm)
-                )
-                new_names = [nm]
-            commit["tombstones"] = new_names
-            IC.write_commit(
-                local, commit, expect=fence, conflict_cls=AnnCommitConflict
-            )
-            for nm in old_names:
-                shutil.rmtree(
-                    os.path.join(local, AnnIndex._TOMBSTONES, nm),
-                    ignore_errors=True,
-                )
+        resurrecting = (
+            ts is not None and ts.join(ids, "vec_id", "semi").count() > 0
+        )
         layout = self._layout()
         hits = layout.join(ids, "vec_id")
         cells = sorted(
@@ -681,6 +686,47 @@ class AnnIndex:
                 vecs, self.centers, self.codebooks, self.data_root,
                 carry=names,
             )
+        if resurrecting:
+            # physical replace + append are durable — now publish the
+            # tombstone clear so the new rows serve. The fence reads
+            # here (not before the rewrite) so a slow rewrite doesn't
+            # widen the conflict window.
+            import shutil
+            import uuid
+
+            local = _local_path(self.path)
+            commit, fence = IC.read_commit(local, missing_ok=True)
+            commit = dict(commit or {})
+            surv = ts.join(ids, "vec_id", "left_anti").localCheckpoint()
+            old_names = list(commit.get("tombstones", []))
+            new_names: list[str] = []
+            if surv.count() > 0:
+                nm = f"ts-{uuid.uuid4().hex[:12]}"
+                surv.coalesce(1).write.parquet(
+                    os.path.join(local, AnnIndex._TOMBSTONES, nm)
+                )
+                new_names = [nm]
+            commit["tombstones"] = new_names
+            try:
+                IC.write_commit(
+                    local, commit, expect=fence,
+                    conflict_cls=AnnCommitConflict,
+                )
+            except AnnCommitConflict:
+                # don't orphan the never-committed survivor sidecar
+                # (ADVICE r16 low — compact's sweep only reaps by
+                # pattern+age; unlink eagerly when we know it lost)
+                for nm in new_names:
+                    shutil.rmtree(
+                        os.path.join(local, AnnIndex._TOMBSTONES, nm),
+                        ignore_errors=True,
+                    )
+                raise
+            for nm in old_names:
+                shutil.rmtree(
+                    os.path.join(local, AnnIndex._TOMBSTONES, nm),
+                    ignore_errors=True,
+                )
         return n_replaced
 
     def compact(self, strategy: str = "auto", retain: int = 0) -> None:
@@ -701,6 +747,21 @@ class AnnIndex:
         schema = self._read_schema()
         src = self.data_root
         n_cells = self.n_cells
+
+        # reclaim aged UNCOMMITTED ts-* sidecars first (ADVICE r16
+        # low): a delete/upsert that lost its commit race before the
+        # r17 eager-unlink landed — or crashed between sidecar write
+        # and commit — leaves a dir no commit references; invisible to
+        # readers (_tombstones reads committed names only) but paid in
+        # disk + listings forever. Same age-judged sweep as the text
+        # index's tombstones/ dir.
+        local = _local_path(self.path)
+        if local is not None:
+            IC.sweep_orphan_dirs(
+                os.path.join(local, AnnIndex._TOMBSTONES),
+                set(self._ts_names()), _ORPHAN_GRACE_SEC,
+                pattern=r"(ts-[0-9a-f]+)",
+            )
 
         ts = self._tombstones()
 
@@ -876,6 +937,7 @@ class AnnIndex:
         if local is not None:
             prior, fence = IC.read_commit(local, missing_ok=True)
             old_ts = list((prior or {}).get("tombstones", []))
+        committed = False
         try:
             build_fn(dest)
             AnnIndex.adopt(self._spark, dest, centers, codebooks, self.meta)
@@ -893,20 +955,41 @@ class AnnIndex:
                     local, {"gen": gen}, expect=fence,
                     conflict_cls=AnnCommitConflict,
                 )
-            self._spark.range(0, 1, 1, 1).select(
-                F.lit(gen).alias("value")
-            ).write.mode("overwrite").text(
-                os.path.join(self.path, AnnIndex._POINTER)
-            )
+                committed = True
+                # the legacy `_ann_current` mirror is ADVISORY once a
+                # versioned commit exists (never read back) — its
+                # failure must not unwind the committed generation
+                # (ADVICE r16 high: pre-r16 the text write WAS the
+                # commit, so deleting dest on failure was safe; now it
+                # would destroy state the commit already references,
+                # leaving every later load pointing at a missing dir)
+                try:
+                    self._spark.range(0, 1, 1, 1).select(
+                        F.lit(gen).alias("value")
+                    ).write.mode("overwrite").text(
+                        os.path.join(self.path, AnnIndex._POINTER)
+                    )
+                except Exception:
+                    pass
+            else:
+                # remote scheme: the text pointer IS the commit
+                self._spark.range(0, 1, 1, 1).select(
+                    F.lit(gen).alias("value")
+                ).write.mode("overwrite").text(
+                    os.path.join(self.path, AnnIndex._POINTER)
+                )
         except BaseException:
             # same no-orphan rule as the rename path, through the
             # scheme-portable FS API; a failed publish also must not
             # leave a non-partition gen-* dir to confuse a later
-            # root-level partition discovery
-            try:
-                _fs_delete(self._spark, dest)
-            except Exception:
-                pass
+            # root-level partition discovery. Only when the versioned
+            # commit has NOT landed — after it has, dest is committed
+            # state and must survive.
+            if not committed:
+                try:
+                    _fs_delete(self._spark, dest)
+                except Exception:
+                    pass
             raise
         # reclaim superseded generations beyond the retention window
         self._reclaim_generations(dest, retain)

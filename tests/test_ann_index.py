@@ -1109,3 +1109,147 @@ def test_tombstone_upsert_resurrects_and_compact_applies(
     after = sorted(map(tuple,
                        reloaded.topk(QUERIES, k=5, nprobe=4).collect()))
     assert after == before
+
+
+def test_mirror_failure_does_not_destroy_committed_generation(
+    spark, sf_dir, tmp_path, monkeypatch,
+):
+    """r17 (ADVICE r16 high): once the versioned commit lands, the
+    legacy `_ann_current` mirror write is advisory — its failure must
+    neither unwind the publish nor delete the generation dir the
+    commit references. Pre-fix, the except handler _fs_delete'd the
+    committed generation, leaving every later load resolving to a
+    missing directory."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "mirror_fail")
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    want = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=4).collect()))
+
+    pointer = os.path.join(path, AnnIndex._POINTER)
+    fired = []
+    real_text = DataFrameWriter.text
+
+    def failing_text(self, p, *a, **kw):
+        if os.path.abspath(str(p)) == os.path.abspath(pointer):
+            fired.append(p)
+            raise RuntimeError("injected mirror-write failure")
+        return real_text(self, p, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "text", failing_text)
+    idx.compact(strategy="pointer")  # must NOT raise
+    assert fired  # the injected failure actually hit the mirror write
+    monkeypatch.setattr(DataFrameWriter, "text", real_text)
+
+    reloaded = AnnIndex.load(spark, path)
+    got = sorted(map(tuple, reloaded.topk(QUERIES, k=5, nprobe=4).collect()))
+    assert got == want and got
+
+
+def test_upsert_conflict_leaves_id_deleted_not_resurrected(
+    spark, sf_dir, tmp_path, monkeypatch,
+):
+    """r17 (ADVICE r16 medium): the tombstone-clearing commit now
+    publishes AFTER the physical replace+append. A failure at that
+    commit leaves the id logically DELETED (new row hidden behind the
+    still-active tombstone) — never the old pre-delete row serving —
+    and the never-committed survivor sidecar is unlinked, not
+    orphaned. Re-running the upsert completes the resurrection."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark import ann as ann_mod
+    from apachebeamkmeans_spark.ann import AnnCommitConflict
+    from apachebeamkmeans_spark.operators import indexcommit as IC
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "upsert_conflict")
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    victims = [r["vec_id"] for r in emb.select("vec_id")
+               .orderBy("vec_id").limit(2).collect()]
+    assert idx.delete(f"vec_id IN ({victims[0]}, {victims[1]})",
+                      mode="tombstone") == 2
+    committed_sidecars = set(idx._ts_names())
+
+    batch = emb.filter(F.col("vec_id") == victims[0]).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+
+    real_write = IC.write_commit
+
+    def conflicting_write(*a, **kw):
+        raise kw.get("conflict_cls", AnnCommitConflict)(
+            "injected commit conflict"
+        )
+
+    monkeypatch.setattr(ann_mod.IC, "write_commit", conflicting_write)
+    with pytest.raises(AnnCommitConflict):
+        idx.upsert(batch)
+    monkeypatch.setattr(ann_mod.IC, "write_commit", real_write)
+
+    # still logically deleted: neither stale nor new row serves
+    served = {r["vec_id"]
+              for r in idx.topk(QUERIES, k=500, nprobe=4).collect()}
+    assert victims[0] not in served and victims[1] not in served
+    # the losing survivor sidecar was unlinked, not orphaned
+    ts_root = os.path.join(path, AnnIndex._TOMBSTONES)
+    on_disk = {d for d in os.listdir(ts_root)
+               if d.startswith("ts-")} if os.path.isdir(ts_root) else set()
+    assert on_disk == committed_sidecars
+
+    # re-run completes: id 0 resurrects with the NEW vector, id 1 stays dead
+    idx.upsert(batch)
+    served = {r["vec_id"]
+              for r in idx.topk(QUERIES, k=500, nprobe=4).collect()}
+    assert victims[0] in served and victims[1] not in served
+
+
+def test_delete_count_modes_agree_with_duplicate_rows(
+    spark, sf_dir, tmp_path,
+):
+    """r17 (ADVICE r16 low): delete() reports DISTINCT vec_ids in both
+    modes, so an index carrying duplicate vec_id rows gives the same
+    total for the same predicate whichever tier runs — while the
+    rewrite still drops every physical row."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    dup = emb.filter(F.col("vec_id") % 10 == 7)
+    n_ids = dup.select("vec_id").distinct().count()
+    assert n_ids > 0
+    twins = []
+    for nm in ("dupcount_a", "dupcount_b"):
+        idx = AnnIndex.train(spark, emb, str(tmp_path / nm), k=4)
+        idx.append(dup)  # duplicate rows for every matching id
+        twins.append(idx)
+    n_rw = twins[0].delete("vec_id % 10 = 7")
+    n_ts = twins[1].delete("vec_id % 10 = 7", mode="tombstone")
+    assert n_rw == n_ts == n_ids
+    # the rewrite removed BOTH physical copies
+    left = twins[0]._layout().filter(F.col("vec_id") % 10 == 7).count()
+    assert left == 0
+
+
+def test_compact_sweeps_aged_orphan_ts_dir(spark, sf_dir, tmp_path):
+    """r17 (ADVICE r16 low): compact reaps aged ts-* sidecar dirs that
+    no commit references (crashed or race-lost writers), while
+    committed sidecars are applied+cleared by the publish as before."""
+    import time
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ts_sweep")
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    assert idx.delete("vec_id % 10 = 1", mode="tombstone") > 0
+
+    orphan = os.path.join(path, AnnIndex._TOMBSTONES, "ts-deadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-orphan.parquet"), "w") as f:
+        f.write("junk")
+    old = time.time() - 7200
+    os.utime(os.path.join(orphan, "part-orphan.parquet"), (old, old))
+    os.utime(orphan, (old, old))
+
+    idx.compact()
+    assert not os.path.isdir(orphan)  # aged orphan reaped
+    assert idx._ts_names() == []  # committed tombstones applied+cleared
