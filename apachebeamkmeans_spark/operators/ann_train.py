@@ -110,6 +110,33 @@ def knn_cells(n: int) -> int:
     return max(1, min(n, max(4, int(round(n ** 0.5)))))
 
 
+# floor of the exact-rerank shortlist: below it the rerank is
+# negligible anyway and the certified small-sf plans stay bit-identical
+KNN_REFINE_FLOOR = 100
+
+
+def knn_refine(n: int, nprobe: int, cells: int) -> int:
+    """Exact-rerank shortlist size for an n-vector PQ graph build:
+    ∝ per-cell candidate membership n·nprobe/cells (= O(√n·nprobe)
+    under the √n cell rule), floored at `KNN_REFINE_FLOOR`.
+
+    The r16 x30 measurement (SCALE.md, `bench/knn_graph_pq_scale.py`)
+    is the whole argument: per-node ADC candidates grow as
+    n·nprobe/cells (~1.2k at x30) while a FIXED refine=100 truncates
+    the ADC ranking before the exact rerank — recall@3 collapses
+    0.93 → 0.73. Holding refine ≈ n·nprobe/(3·cells) restores 0.928
+    at ×1.19 wall-clock (the rerank is linear in refine and a
+    minority term). Lives next to `knn_cells` so every surface that
+    derives cells from n derives refine from the same n — a graph
+    build must never scale its blocking without scaling its
+    shortlist."""
+    import math
+
+    return max(
+        KNN_REFINE_FLOOR, math.ceil(n * nprobe / (3.0 * max(1, cells)))
+    )
+
+
 def ivf_train(vecs: DataFrame, k: int, n_iters: int = 5, seed="ivf",
               id_col: str = "id", features_col: str = "features") -> list[list[float]]:
     """k coarse centers by Lloyd: literal-center argmin assign (zero

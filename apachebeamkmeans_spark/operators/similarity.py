@@ -226,7 +226,8 @@ def _adc_expr(lut, codes, m: int):
 
 def knn_graph_pq(normed: DataFrame, centers: list[list[float]],
                  codebooks: list[list[list[float]]], knn_k: int = 3,
-                 nprobe: int = 4, refine: int = 100, dim: int | None = None,
+                 nprobe: int = 4, refine: int | None = None,
+                 dim: int | None = None,
                  id_col: str = "id",
                  features_col: str = "features") -> DataFrame:
     """KNN-graph build riding the IVF-PQ serving stack — the documented
@@ -267,6 +268,13 @@ def knn_graph_pq(normed: DataFrame, centers: list[list[float]],
     pts = normed.select(
         F.col(id_col).alias("vec_id"), F.col(features_col).alias("f")
     )
+    if refine is None:
+        # derive the shortlist with the blocking (r17, the SCALE.md
+        # x30 finding): a fixed refine silently caps recall as
+        # per-cell candidate volume n·nprobe/cells outgrows it
+        from apachebeamkmeans_spark.operators.ann_train import knn_refine
+
+        refine = knn_refine(pts.count(), nprobe, len(centers))
     dfn = lambda c: F.aggregate(  # noqa: E731 — same fold as l2_sq_unrolled
         F.zip_with(F.col("f"), c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda a, v: a + v,

@@ -1600,11 +1600,13 @@ def q_ann_index_tombstone_search(spark: SparkSession,
     return idx.topk(QUERY_VECS, k=IVFPQ_TOPK, nprobe=IVFPQ_NPROBE)
 
 
-STAGED_QUERIES: dict = {
-    "ann_index_tombstone_search": (
-        q_ann_index_tombstone_search, ORACLE_ANN_INDEX_DELETE_SEARCH,
-    ),
-}
+# r17: registered (staged r16) — slot funded by the r13-cohort
+# retirements (judge r16 item 1)
+QUERIES["ann_index_tombstone_search"] = (
+    q_ann_index_tombstone_search, ORACLE_ANN_INDEX_DELETE_SEARCH,
+)
+
+STAGED_QUERIES: dict = {}
 
 
 QUERIES.update({

@@ -829,7 +829,10 @@ KNN_TRAIN_ITERS = 3
 # moved to the ann_train leaf module (r10: library surfaces need the
 # formula without this module's import-time twin-training); re-exported
 # here for the registered queries and existing callers
-from apachebeamkmeans_spark.operators.ann_train import knn_cells  # noqa: E402
+from apachebeamkmeans_spark.operators.ann_train import (  # noqa: E402
+    knn_cells,
+    knn_refine,
+)
 
 
 # Probe-width ceiling (r9): the uncapped √(FRAC·cells) rule holds the
@@ -979,21 +982,27 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_train_np() -> tuple[list[list[float]], int]:
+def _knn_train_np() -> tuple[list[list[float]], int, int]:
     """Numpy-twin KNN quantizer at TRAIN_SF_DIR with the SAME derived
     cell count the Spark query computes there — the oracle's center
-    literals. Returned alongside the cell count so the oracle's nprobe
-    is derived from the identical k (the r5 advisor flagged the old
-    hand-synced nprobe)."""
+    literals. Returned alongside the cell count AND corpus size so
+    the oracle's nprobe and refine are derived from the identical
+    (k, n) (the r5 advisor flagged the old hand-synced nprobe; r17
+    added refine to the same derived-dial contract)."""
     from apachebeamkmeans_spark.operators import ann_train as ANN
 
     ids, mat = ANN.normalized_embeddings_np(TRAIN_SF_DIR)
-    k = knn_cells(len(ids))
-    return ANN.round_mat(ANN.ivf_train_np(ids, mat, k, KNN_TRAIN_ITERS, "knn")), k
+    n = len(ids)
+    k = knn_cells(n)
+    return (
+        ANN.round_mat(ANN.ivf_train_np(ids, mat, k, KNN_TRAIN_ITERS, "knn")),
+        k,
+        n,
+    )
 
 
 try:
-    KNN_TRAINED_CENTERS, KNN_TRAIN_CELLS = _knn_train_np()
+    KNN_TRAINED_CENTERS, KNN_TRAIN_CELLS, KNN_TRAIN_N = _knn_train_np()
 except (FileNotFoundError, OSError) as _e:
     # same missing-testdata-only fallback contract as _train_np above
     import sys
@@ -1003,7 +1012,8 @@ except (FileNotFoundError, OSError) as _e:
         f"back to fixture literals ({_e!r})",
         file=sys.stderr,
     )
-    KNN_TRAINED_CENTERS, KNN_TRAIN_CELLS = CENTERS, len(CENTERS)
+    # n = 0 keeps the derived refine at its floor in the fallback
+    KNN_TRAINED_CENTERS, KNN_TRAIN_CELLS, KNN_TRAIN_N = CENTERS, len(CENTERS), 0
 
 KNN_TRAIN_NPROBE = knn_nprobe(KNN_TRAIN_CELLS)
 
@@ -1059,9 +1069,22 @@ ORACLE_SIM_KNN_GRAPH = _oracle_knn_graph()
 # near-randomly on this corpus at x10 (0.21): on dense near-uniform
 # data the within-cell variation IS the neighbor signal, and residual
 # codes spend all their bits there.
+#
+# refine is DERIVED from (n, nprobe, cells) since r17 —
+# `ann_train.knn_refine`, ∝ per-cell candidate membership — closing
+# the r16 x30 finding that a fixed 100 collapses recall@3 to 0.73
+# once candidates outgrow the shortlist (SCALE.md; the derived rule
+# restores 0.928). At TRAIN_SF_DIR the formula sits on its floor of
+# 100, so the certified plan and oracle are bit-identical to the
+# pre-r17 constant.
 KNNPQ_M = 16
 KNNPQ_KSUB = 16
-KNNPQ_REFINE = 100
+
+# the oracle's shortlist bound: the SAME derived rule the Spark query
+# applies, evaluated at the train corpus (n, nprobe, cells) — 100 (the
+# floor) at the shipped TRAIN_SF_DIR
+KNNPQ_TRAIN_REFINE = knn_refine(KNN_TRAIN_N, KNN_TRAIN_NPROBE,
+                                KNN_TRAIN_CELLS)
 
 _KNNPQ_BOOKS_MEMO: dict[tuple, list[list[list[float]]]] = {}
 
@@ -1140,8 +1163,10 @@ def q_sim_knn_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, nprobe) derive from n exactly as `sim_knn_graph`'s do and
     the coarse quantizer is the IDENTICAL shared artifact, so the two
     queries differ only in scoring: PQ asymmetric distance + exact
-    re-rank of the top-`KNNPQ_REFINE` shortlist here, exact dot on
-    every blocked pair there. Output schema matches the flat graph
+    re-rank of the top-`knn_refine(n, nprobe, cells)` shortlist here
+    (derived with the blocking since r17 — SCALE.md's x30 recall
+    finding), exact dot on every blocked pair there. Output schema
+    matches the flat graph
     (vec_id, nbr_id, cosine, rank) — downstream graph consumers
     (label propagation, link dedup) can switch builds without change.
 
@@ -1159,10 +1184,11 @@ def q_sim_knn_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = base.count()
     k = knn_cells(n)
     nprobe = knn_nprobe(k)
+    refine = ANN.knn_refine(n, nprobe, k)
     centers = _knn_quantizer(base, sf_dir, k)
     books = _knnpq_codebooks(base, sf_dir, centers)
     return SIM.knn_graph_pq(
-        base, centers, books, KNN_K, nprobe, KNNPQ_REFINE, dim=DIM
+        base, centers, books, KNN_K, nprobe, refine, dim=DIM
     )
 
 
@@ -1277,7 +1303,7 @@ sl AS MATERIALIZED (
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY dist ASC, nbr_id ASC) AS rk
     FROM ad
-  ) WHERE rk <= {KNNPQ_REFINE}
+  ) WHERE rk <= {KNNPQ_TRAIN_REFINE}
 )
 SELECT vec_id, nbr_id, cosine, rank FROM (
   SELECT vec_id, nbr_id, cosine,
@@ -2268,8 +2294,21 @@ QUERIES = {
     "sim_ivfpq_residual": (q_sim_ivfpq_residual, ORACLE_SIM_IVFPQ_RESIDUAL),
     "sim_ivf_trained_indexed": (q_sim_ivf_trained_indexed, ORACLE_SIM_IVF_TRAINED_INDEXED),
     "sim_pca_ivf_topk": (q_sim_pca_ivf_topk, ORACLE_SIM_PCA_IVF_TOPK),
-    "hybrid_search_rrf": (q_hybrid_search_rrf, ORACLE_HYBRID_SEARCH_RRF),
     "sim_maxsim_topk": (q_sim_maxsim_topk, ORACLE_SIM_MAXSIM_TOPK),
     "sim_binary_hamming": (q_sim_binary_hamming, ORACLE_SIM_BINARY_HAMMING),
+}
+
+# r17 retirement funding the WAND/tombstone serving registrations —
+# FIRST name on README "Registry governance"'s designated retirement
+# order: hybrid_search_rrf is the brute-force anchor of the
+# registered indexed hybrid family (`hybrid_search_indexed` runs the
+# same RRF fusion formula through the persisted BM25 + ANN layouts
+# with its own certified oracle; `hybrid_search_filtered` and
+# `hybrid_search_batch` extend it). Retiring it also closes the
+# r16 ±35% noise watch on its two-fan-out un-indexed plan — the
+# production path was never this query. Still value-proven every
+# round by the local gate replay (tests/test_retired_queries.py).
+RETIRED_QUERIES: dict = {
+    "hybrid_search_rrf": (q_hybrid_search_rrf, ORACLE_HYBRID_SEARCH_RRF),
 }
 

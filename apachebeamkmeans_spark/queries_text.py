@@ -1730,11 +1730,11 @@ QUERIES["stream_cdc_bm25_upsert"] = (
 )
 
 
-# ---------------- staged for a future window slot (r16): EXACT
-# Block-Max WAND — the two-phase θ-pass + candidate-rescore serve,
-# bit-identical to `text_bm25_indexed` by construction (per-(term,doc)
-# scores recompose from exactly one phase's scan; final sums reuse the
-# exact serve's expression structure), so it shares the exact oracle.
+# ---------------- EXACT Block-Max WAND (staged r16, REGISTERED r17)
+# — the two-phase θ-pass + candidate-rescore serve, bit-identical to
+# `text_bm25_indexed` by construction (per-(term,doc) scores recompose
+# from exactly one phase's scan; final sums reuse the exact serve's
+# expression structure), so it shares the exact oracle.
 
 
 def q_text_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1811,10 +1811,15 @@ def q_text_bm25_batch_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_QUERIES: dict = {
+# r17: the r16 staged serving set moves into the certified registry —
+# window slots funded by the five r13-cohort retirements (see each
+# module's RETIRED_QUERIES block; judge r16 item 1).
+QUERIES.update({
     "text_bm25_wand": (q_text_bm25_wand, ORACLE_TEXT_BM25_INDEXED),
     "text_bm25_batch_wand": (q_text_bm25_batch_wand, ORACLE_TEXT_BM25_BATCH),
     "text_bm25_tombstone_serve": (
         q_text_bm25_tombstone_serve, ORACLE_TEXT_BM25_DELETE_SERVE,
     ),
-}
+})
+
+STAGED_QUERIES: dict = {}

@@ -37,37 +37,17 @@ CERT_WINDOW = 50
 # skip re-certification. Entries age out naturally (once re-certified
 # they sort normally) but should be pruned when clearly stale.
 SEMANTICS_CHANGED: dict[str, int] = {
-    # (r8 cohort pruned in r11: every entry re-certified green in r8
-    # AND again in a later round — the marker had no remaining effect)
-    # r9: exact-substring runs now merge span-OVERLAPPING islands
-    # (gap < L) into disjoint maximal covered intervals — run counts /
-    # copied_chars / chars_cut change wherever overlaps exist
-    "exact_substring_runs": 9,
-    "substring_contamination": 9,
-    "substring_purged_docs": 9,
-    # r9: q20's part filter moved to the spec-shaped name-prefix+size
-    # form so the semi-join actually prunes (r8 fixture saturation)
-    "q20_promotion_suppliers": 9,
-    # r12: PQ refine cosine unified on dot/|f| (ADVICE r11) — values
-    # verified identical at 6 dp locally, but the oracle text changed
-    # with the implementation, so the comparison must re-certify
-    "sim_ivfpq_trained": 12,
-    "sim_ivfpq_residual": 12,
-    "ann_index_pq_roundtrip": 12,
-    # r13: the arrow (BLAS-GEMM) PCA certification moved from 6 dp
-    # (bit-identical-BLAS assumption) to the margin-checked 4 dp
-    # contract — values and oracle text both changed
-    "sim_pca_project_arrow": 13,
-    # r12 (bumped in r13 per ADVICE): the batch-topk oracle text was
-    # restructured (_oracle_ivfpq_batch_topk parameterization) and the
-    # implementation gained the probed-cell encode prune in the same
-    # diff — it must re-certify under the new form, not ride its
-    # pre-change green row
-    "sim_ivfpq_batch_topk": 12,
-    # r16: dedup_containment retired and its directional containment
-    # columns FOLDED into dedup_jaccard (query + oracle both gained
-    # containment_a/containment_b) — the combined form must re-certify
-    "dedup_jaccard": 16,
+    # (aged cohorts pruned per their own contract once re-certified:
+    # r8 pruned in r11; the r9/r12/r13 markers and dedup_jaccard r16
+    # pruned in r17 — every entry held a value-green driver row at or
+    # after its marker round, so none had any remaining effect)
+    # r17: sim_knn_graph_pq's refine dial moved from the fixed 100 to
+    # the derived `ann_train.knn_refine(n, nprobe, cells)` rule
+    # (SCALE.md's x30 recall fix). At TRAIN_SF_DIR the rule sits on
+    # its floor of 100 so values and oracle text are bit-identical —
+    # the marker forces the re-certification that PROVES that, rather
+    # than riding the pre-change green row
+    "sim_knn_graph_pq": 17,
 }
 
 

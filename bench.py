@@ -88,7 +88,6 @@ HEADLINE = [
     "sim_ivfpq_trained",
     "sim_ivf_trained_indexed",
     "kmeans_fit_fixed",
-    "user_session_counts",
     "text_repetition",
     "text_pii_scrub",
     "source_caps",
@@ -134,7 +133,6 @@ HEADLINE = [
     "ann_index_filtered_search",
     "ann_index_delete_search",
     "ann_index_upsert_search",
-    "hybrid_search_rrf",
     "text_bm25_topk",
     # round 13 second wave: late-interaction MaxSim retrieval, the
     # binary-quantization Hamming tier, blocked fuzzy entity resolution
@@ -150,7 +148,6 @@ HEADLINE = [
     # approximate aggregates, calendar gap-fill, triangle counting
     "sim_ivfpq_residual",
     "cdc_scd2",
-    "events_quantiles_approx",
     "events_approx_distinct",
     "events_gapfill",
     "doc_triangles",
@@ -196,7 +193,6 @@ HEADLINE = [
     "stream_ingest_gate",
     "stream_ingest_fold",
     "exact_substring_runs",
-    "substring_purged_docs",
     "substring_contamination",
     "bpe_encode",
     "corpus_health",
@@ -219,7 +215,6 @@ HEADLINE = [
     "mm_resize_features",
     "order_status_pivot",
     "orders_above_avg",
-    "orders_by_month",
     "orders_cube",
     "orders_rollup",
     "repeat_buyers_set_ops",
@@ -255,6 +250,16 @@ HEADLINE = [
     "hybrid_search_batch",
     "text_bm25_delete_serve",
     "stream_cdc_bm25_upsert",
+    # round 17: the r16 staged serving set registered (exact WAND ×2,
+    # tombstone-tier serves on both indexes). Five r13-cohort
+    # near-twins retired the same round (judge r16 item 1), each kept
+    # value-proven by tests/test_retired_queries.py: hybrid_search_rrf,
+    # events_quantiles_approx, user_session_counts, orders_by_month,
+    # substring_purged_docs.
+    "text_bm25_wand",
+    "text_bm25_batch_wand",
+    "text_bm25_tombstone_serve",
+    "ann_index_tombstone_search",
 ]
 
 # Queries that read above their quiet anchors ONLY under mid-suite

@@ -32,15 +32,20 @@ import numpy as np  # noqa: E402
 from apachebeamkmeans_spark.operators import ann_train as ANN  # noqa: E402
 from apachebeamkmeans_spark.operators import similarity as SIM  # noqa: E402
 from apachebeamkmeans_spark.operators.ann_train import knn_cells  # noqa: E402
+from apachebeamkmeans_spark.operators.ann_train import knn_refine  # noqa: E402
 from apachebeamkmeans_spark.queries_similarity import (  # noqa: E402
     DIM,
     KNN_K,
     KNNPQ_KSUB,
     KNNPQ_M,
-    KNNPQ_REFINE,
     KNN_TRAIN_ITERS,
     knn_nprobe,
 )
+
+# the floor the derived dials must hold at EVERY scale point — the
+# r16 finding was exactly this assert failing at x30 with the then-
+# fixed refine=100 (recall@3 0.73); the knn_refine rule restores it
+RECALL3_FLOOR = 0.9
 from apachebeamkmeans_spark.sources import io  # noqa: E402
 from apachebeamkmeans_spark.session import get_spark  # noqa: E402
 
@@ -59,7 +64,13 @@ def main() -> None:
         n = len(ids)
         cells = knn_cells(n)
         nprobe = int(os.environ.get("KNNPQ_NPROBE", "0")) or knn_nprobe(cells)
-        refine = int(os.environ.get("KNNPQ_REFINE", "0")) or KNNPQ_REFINE
+        derived_dials = not (
+            os.environ.get("KNNPQ_NPROBE") or os.environ.get("KNNPQ_REFINE")
+        )
+        refine = (
+            int(os.environ.get("KNNPQ_REFINE", "0"))
+            or knn_refine(n, nprobe, cells)
+        )
         centers = ANN.round_mat(
             ANN.ivf_train_np(ids, mat, cells, KNN_TRAIN_ITERS, "knn")
         )
@@ -99,11 +110,19 @@ def main() -> None:
             }
             hits += len(true3 & mine)
             total += 3
+        recall3 = round(hits / total, 4)
         out[str(mult)] = {
             "n": n, "cells": cells, "nprobe": nprobe, "refine": refine,
-            "secs": times, "recall3": round(hits / total, 4),
+            "secs": times, "recall3": recall3,
         }
         print(f"x{mult}: {out[str(mult)]}", file=sys.stderr)
+        if derived_dials:
+            assert recall3 >= RECALL3_FLOOR, (
+                f"x{mult}: recall@3 {recall3} < {RECALL3_FLOOR} at the "
+                f"fully-derived dials (cells={cells}, nprobe={nprobe}, "
+                f"refine={refine}) — the knn_refine rule no longer holds "
+                f"the floor"
+            )
     print(json.dumps({"mults": out}))
 
 
