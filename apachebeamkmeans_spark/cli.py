@@ -309,6 +309,14 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
                         "stay exact)")
     b.add_argument("--prune-min-impact", type=float, default=0.0,
                    help="the tf/dl cutoff for pruned terms")
+    b.add_argument("--wand", action="store_true",
+                   help="EXACT Block-Max WAND serving (requires "
+                        "--index and both prune knobs): θ-pass over "
+                        "the impact-pruned head, candidate-only "
+                        "rescore of the pruned tails — bit-identical "
+                        "results at near-pruned cost; per-query "
+                        "fallback to the exact serve when the bound "
+                        "cannot exclude unseen docs")
     common(b)
 
     ix = sub.add_parser(
@@ -542,7 +550,27 @@ def _retrieve_run(args, spark) -> int:
                 "passing only one would silently serve exact "
                 "(unpruned) results"
             )
-        if args.index:
+        if args.wand:
+            # WAND is the PRUNE-driven mode: without the knobs there
+            # is no head/tail split and the serve degenerates to one
+            # exact pass plus overhead — make that a loud error, not
+            # a silently slower exact serve (the prune-pair rule)
+            if not args.index or args.prune_df_frac is None:
+                raise ValueError(
+                    "retrieve bm25: --wand requires --index and both "
+                    "prune knobs (--prune-df-frac / --prune-min-impact)"
+                )
+            if args.where:
+                raise ValueError(
+                    "retrieve bm25: --wand and --where are exclusive "
+                    "(the θ bound holds over the unfiltered corpus)"
+                )
+            hits = TI.bm25_indexed_topk_wand(
+                spark, args.index, [terms], args.k,
+                prune_df_frac=args.prune_df_frac,
+                prune_min_impact=args.prune_min_impact,
+            )
+        elif args.index:
             hits = TI.bm25_indexed_topk(
                 spark, args.index, [terms], args.k, where=args.where,
                 prune_df_frac=args.prune_df_frac,
