@@ -1,7 +1,7 @@
 """Shared index-commit protocol: versioned, fenced commit files plus
 the orphan-sweep/verify helpers — ONE implementation for both
 persisted-index lifecycles (the BM25 text index in
-`operators/textstats.py` and the vector `AnnIndex` in `ann.py`),
+`operators/textindex.py` and the vector `AnnIndex` in `ann.py`),
 extracted per the r15 verdict (item 5: the two indexes had matching
 build/append/delete/upsert/compact lifecycles but two commit-file
 dialects).

@@ -1352,7 +1352,7 @@ def _ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
 
 def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 serving off the PERSISTED fingerprint-keyed inverted index
-    (`textstats.bm25_index_build`) — the text twin of
+    (`textindex.bm25_index_build`) — the text twin of
     `ann_index_search`: the plan reads the partition-pruned postings
     layout (PartitionFilters on tbucket, pushed term filter) plus the
     1-row stats sidecar instead of tokenizing the corpus per run, and
@@ -1487,7 +1487,7 @@ BM25_BATCH_QUERIES = [sorted(q) for q in BM25_IDX_QUERIES]
 
 def q_text_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch query-TABLE BM25 against the persisted index
-    (`textstats.bm25_indexed_topk_table`) — the evaluation-workload
+    (`textindex.bm25_indexed_topk_table`) — the evaluation-workload
     shape (queries ship as a DataFrame, not literals), text twin of
     the vector side's `ann_index_batch_search`. Distinct terms
     collect first (k-row-class) so the postings scan keeps the
@@ -1586,7 +1586,7 @@ def q_text_bm25_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`bm25_index_delete` CERTIFIED: serve the certified query set
     off an index whose docs matching `doc_id % 7 = 3` were deleted
     (segment survivor-rewrite under the fenced commit swap,
-    `textstats.bm25_index_delete`). The oracle scores ONLY the
+    `textindex.bm25_index_delete`). The oracle scores ONLY the
     surviving corpus — n, Σdl and every per-term df must equal the
     recounted post-delete stats, so any leaked posting, stale df, or
     wrong scalar breaks the hash. This is the registry twin of
@@ -1738,7 +1738,7 @@ QUERIES["stream_cdc_bm25_upsert"] = (
 
 
 def q_text_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Block-Max WAND serving (`textstats.bm25_indexed_topk_wand`,
+    """Exact Block-Max WAND serving (`textindex.bm25_indexed_topk_wand`,
     r15 verdict item 2): phase 1 runs the impact-pruned scan (row-group
     skipping over the impact-ordered layout) to get each query's kth
     retained score θ_q and the candidate set whose upper bound clears
