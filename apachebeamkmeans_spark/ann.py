@@ -421,15 +421,26 @@ class AnnIndex:
 
     _TOMBSTONES = "_ann_tombstones"
 
-    def _ts_names(self) -> list[str]:
-        """Committed tombstone sidecar names from the shared commit doc
-        (driver-local indexes only — `delete(mode="tombstone")` raises
-        for remote schemes, like the rename publish)."""
+    def _ts_entries(self) -> list[dict]:
+        """Committed tombstone entries as `{"file": name, "n": count}`
+        dicts (driver-local indexes only — `delete(mode="tombstone")`
+        raises for remote schemes, like the rename publish). Counts
+        ride in the commit since r17 so the pressure heuristic needs
+        no sidecar read; pre-r17 entries were bare name strings and
+        normalize to `n=0` (they still count toward the SIDECAR
+        dimension)."""
         local = _local_path(self.path)
         if local is None:
             return []
-        commit, _v = IC.read_commit(local, missing_ok=True)
-        return list((commit or {}).get("tombstones", []))
+        out = []
+        for t in (IC.read_commit(local, missing_ok=True)[0] or {}).get(
+            "tombstones", []
+        ):
+            out.append({"file": t, "n": 0} if isinstance(t, str) else t)
+        return out
+
+    def _ts_names(self) -> list[str]:
+        return [e["file"] for e in self._ts_entries()]
 
     def _tombstones(self) -> DataFrame | None:
         """The committed tombstone set as a one-column (vec_id) frame,
@@ -544,7 +555,13 @@ class AnnIndex:
             nm = f"ts-{uuid.uuid4().hex[:12]}"
             dest = os.path.join(local, AnnIndex._TOMBSTONES, nm)
             ids.coalesce(1).write.parquet(dest)
-            commit["tombstones"] = list(commit.get("tombstones", [])) + [nm]
+            # counted entry (r17): the dead-doc count rides in the
+            # commit so compact_on_pressure's fraction dimension reads
+            # no sidecar (bare-string pre-r17 entries normalize in
+            # _ts_entries)
+            commit["tombstones"] = list(commit.get("tombstones", [])) + [
+                {"file": nm, "n": int(n_dead)}
+            ]
             try:
                 IC.verify_dirs([dest], conflict_cls=AnnCommitConflict)
                 IC.write_commit(
@@ -698,15 +715,21 @@ class AnnIndex:
             commit, fence = IC.read_commit(local, missing_ok=True)
             commit = dict(commit or {})
             surv = ts.join(ids, "vec_id", "left_anti").localCheckpoint()
-            old_names = list(commit.get("tombstones", []))
+            old_names = [
+                t if isinstance(t, str) else t["file"]
+                for t in commit.get("tombstones", [])
+            ]
             new_names: list[str] = []
-            if surv.count() > 0:
+            n_surv = surv.count()
+            if n_surv > 0:
                 nm = f"ts-{uuid.uuid4().hex[:12]}"
                 surv.coalesce(1).write.parquet(
                     os.path.join(local, AnnIndex._TOMBSTONES, nm)
                 )
                 new_names = [nm]
-            commit["tombstones"] = new_names
+            commit["tombstones"] = [
+                {"file": nm, "n": int(n_surv)} for nm in new_names
+            ]
             try:
                 IC.write_commit(
                     local, commit, expect=fence,
@@ -728,6 +751,57 @@ class AnnIndex:
                     ignore_errors=True,
                 )
         return n_replaced
+
+    def compact_pressure(self, tombstone_sidecars: int | None = None,
+                         tombstone_rows: int | None = None,
+                         tombstone_frac: float | None = None) -> str | None:
+        """Which tombstone-pressure dimension (if any) says compact
+        NOW — the vector twin of `textindex.bm25_compact_pressure`
+        (r17, judge r16 item 3): every `delete(mode="tombstone")`
+        adds one sidecar dir that EVERY serve opens
+        (`_tombstones` reads them all) plus the broadcast anti-join
+        over the dead set, and nothing else ever trips a compaction.
+
+        - `tombstone_sidecars`: committed sidecar count (commit-only).
+        - `tombstone_rows`: total dead vec_ids (commit-only — counts
+          ride in the entries since r17; pre-r17 bare-name entries
+          count 0 here but still count as sidecars).
+        - `tombstone_frac`: dead / physical layout rows. The one
+          dimension that costs a Spark job (a column-pruned count of
+          the layout — file-metadata class); the other two read only
+          the commit.
+
+        Returns the first tripped dimension name, or None."""
+        entries = self._ts_entries()
+        if tombstone_sidecars is not None and len(entries) > tombstone_sidecars:
+            return "tombstone_sidecars"
+        dead = sum(int(e.get("n", 0)) for e in entries)
+        if tombstone_rows is not None and dead > tombstone_rows:
+            return "tombstone_rows"
+        if tombstone_frac is not None and entries and dead > 0:
+            n_phys = self._layout().count()
+            if n_phys > 0 and dead / n_phys > tombstone_frac:
+                return "tombstone_frac"
+        return None
+
+    def compact_on_pressure(self, tombstone_sidecars: int | None = None,
+                            tombstone_rows: int | None = None,
+                            tombstone_frac: float | None = None,
+                            strategy: str = "auto",
+                            retain: int = 0) -> str | None:
+        """Pressure-gated compact: when a `compact_pressure` dimension
+        trips, run `compact` (which rebuilds from the LIVE view — the
+        tombstones apply physically and the publishing commit clears
+        the sidecar list; serving bit-identical before and after).
+        Returns the tripped dimension, or None when nothing fired.
+        Single-writer contract applies, as for every maintenance
+        verb."""
+        why = self.compact_pressure(
+            tombstone_sidecars, tombstone_rows, tombstone_frac,
+        )
+        if why is not None:
+            self.compact(strategy=strategy, retain=retain)
+        return why
 
     def compact(self, strategy: str = "auto", retain: int = 0) -> None:
         """Rewrite the layout to ~one file per coarse cell — the
@@ -936,7 +1010,10 @@ class AnnIndex:
         old_ts: list[str] = []
         if local is not None:
             prior, fence = IC.read_commit(local, missing_ok=True)
-            old_ts = list((prior or {}).get("tombstones", []))
+            old_ts = [
+                t if isinstance(t, str) else t["file"]
+                for t in (prior or {}).get("tombstones", [])
+            ]
         committed = False
         try:
             build_fn(dest)

@@ -194,6 +194,16 @@ def build_ann_parser() -> argparse.ArgumentParser:
     c.add_argument("--retain", type=int, default=0,
                    help="pointer publish: superseded generations kept "
                         "as a reader grace window")
+    c.add_argument("--if-tombstone-sidecars", type=int, default=None,
+                   help="pressure gate (r17): compact only when the "
+                        "committed tombstone sidecar count exceeds N "
+                        "(every serve opens every sidecar)")
+    c.add_argument("--if-tombstone-rows", type=int, default=None,
+                   help="pressure gate: compact only when total dead "
+                        "vec_ids exceed N (commit-recorded counts)")
+    c.add_argument("--if-tombstone-frac", type=float, default=None,
+                   help="pressure gate: compact only when dead/physical "
+                        "rows exceed F (one column-pruned count job)")
 
     u = sub.add_parser(
         "upsert",
@@ -357,6 +367,17 @@ def build_retrieve_parser() -> argparse.ArgumentParser:
                     help="delete logically (tombstone sidecar, no "
                          "segment rewrite — flat cost; serving stays "
                          "exact; compact applies physically)")
+    ix.add_argument("--if-segments", type=int, default=None,
+                    help="pressure gate for --compact (r17): run only "
+                         "when the committed segment count exceeds N")
+    ix.add_argument("--if-tombstone-sidecars", type=int, default=None,
+                    help="pressure gate for --compact: run only when "
+                         "the tombstone sidecar count exceeds N "
+                         "(every serve opens every sidecar)")
+    ix.add_argument("--if-tombstone-frac", type=float, default=None,
+                    help="pressure gate for --compact: run only when "
+                         "dead/committed docs exceed F "
+                         "(commit-recorded counts, no sidecar read)")
     ix.add_argument("--index", required=True,
                     help="index directory")
 
@@ -485,9 +506,26 @@ def _retrieve_run(args, spark) -> int:
                 f"--compact/--delete-*)"
             )
         extra = ""
+        gates = (args.if_segments, args.if_tombstone_sidecars,
+                 args.if_tombstone_frac)
+        if any(g is not None for g in gates) and not args.compact:
+            raise ValueError(
+                "retrieve index: --if-segments/--if-tombstone-* are "
+                "pressure gates for --compact only"
+            )
         if args.compact:
             verb = "compact"
-            TI.bm25_index_compact(spark, args.index)
+            if any(g is not None for g in gates):
+                why = TI.bm25_index_compact_on_pressure(
+                    spark, args.index,
+                    segment_threshold=args.if_segments,
+                    tombstone_sidecars=args.if_tombstone_sidecars,
+                    tombstone_frac=args.if_tombstone_frac,
+                )
+                extra = (f" (pressure: {why})" if why
+                         else " (no pressure — skipped)")
+            else:
+                TI.bm25_index_compact(spark, args.index)
         elif deleting:
             verb = "delete"
             dmode = "tombstone" if args.tombstone else "rewrite"
@@ -684,8 +722,25 @@ def _ann_run(args, spark) -> int:
         print(f"ann append: batch appended to {args.index_path}")
     elif args.action == "compact":
         idx = AnnIndex.load(spark, args.index_path)
-        idx.compact(strategy=args.strategy, retain=args.retain)
-        print(f"ann compact: {args.index_path} rewritten to one file per cell")
+        gates = (args.if_tombstone_sidecars, args.if_tombstone_rows,
+                 args.if_tombstone_frac)
+        if any(g is not None for g in gates):
+            why = idx.compact_on_pressure(
+                tombstone_sidecars=args.if_tombstone_sidecars,
+                tombstone_rows=args.if_tombstone_rows,
+                tombstone_frac=args.if_tombstone_frac,
+                strategy=args.strategy, retain=args.retain,
+            )
+            if why is None:
+                print(f"ann compact: no pressure at {args.index_path} "
+                      f"— skipped")
+            else:
+                print(f"ann compact: {args.index_path} rewritten "
+                      f"(pressure: {why})")
+        else:
+            idx.compact(strategy=args.strategy, retain=args.retain)
+            print(f"ann compact: {args.index_path} rewritten to one "
+                  f"file per cell")
     elif args.action == "upsert":
         idx = AnnIndex.load(spark, args.index_path)
         n = idx.upsert(

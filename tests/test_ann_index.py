@@ -1253,3 +1253,57 @@ def test_compact_sweeps_aged_orphan_ts_dir(spark, sf_dir, tmp_path):
     idx.compact()
     assert not os.path.isdir(orphan)  # aged orphan reaped
     assert idx._ts_names() == []  # committed tombstones applied+cleared
+
+
+def test_ann_compact_on_pressure(spark, sf_dir, tmp_path):
+    """r17: the vector twin of the text index's tombstone-pressure
+    trigger — sidecar-count / dead-row / dead-fraction dimensions
+    read the counted commit entries; tripping compacts (tombstones
+    applied + cleared), serving bit-identical; under threshold it's a
+    no-op. Pre-r17 bare-name entries still count as sidecars."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.operators import indexcommit as IC
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ann_press")
+    idx = AnnIndex.train(spark, emb, path, k=4)
+    for r in (1, 2, 3):  # one sidecar per delete
+        assert idx.delete(f"vec_id % 50 = {r}", mode="tombstone") > 0
+    entries = idx._ts_entries()
+    assert len(entries) == 3 and all(e["n"] > 0 for e in entries)
+    dead = sum(e["n"] for e in entries)
+    before = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=4).collect()))
+    # under every threshold: no-op
+    assert idx.compact_on_pressure(
+        tombstone_sidecars=5, tombstone_rows=dead,
+        tombstone_frac=0.9,
+    ) is None
+    assert len(idx._ts_entries()) == 3
+    # sidecar dimension trips
+    assert idx.compact_on_pressure(
+        tombstone_sidecars=2) == "tombstone_sidecars"
+    assert idx._ts_entries() == []
+    after = sorted(map(tuple, idx.topk(QUERIES, k=5, nprobe=4).collect()))
+    assert after == before and before
+    # dead-row / fraction dimensions on a fresh delete
+    assert idx.delete("vec_id % 50 = 4", mode="tombstone") > 0
+    n_new = idx._ts_entries()[0]["n"]
+    assert idx.compact_on_pressure(tombstone_rows=n_new) is None
+    assert idx.compact_on_pressure(
+        tombstone_rows=n_new - 1) == "tombstone_rows"
+    assert idx.delete("vec_id % 50 = 5", mode="tombstone") > 0
+    assert idx.compact_on_pressure(tombstone_frac=0.9) is None
+    assert idx.compact_on_pressure(
+        tombstone_frac=0.001) == "tombstone_frac"
+    assert idx._ts_entries() == []
+    # legacy bare-name entry: counts as a sidecar, 0 dead rows
+    local = path
+    commit, fence = IC.read_commit(local, missing_ok=True)
+    commit = dict(commit or {})
+    commit["tombstones"] = ["ts-legacyname000"]
+    IC.write_commit(local, commit, expect=fence)
+    assert idx._ts_entries() == [{"file": "ts-legacyname000", "n": 0}]
+    assert idx.compact_pressure(tombstone_rows=0) is None
+    assert idx.compact_pressure(
+        tombstone_sidecars=0) == "tombstone_sidecars"

@@ -285,3 +285,38 @@ def test_ann_upsert_verb(spark, sf_dir, tmp_path):
     layout = spark.read.parquet(idx_path)
     assert layout.count() == n0  # pure replace, no growth
     assert layout.select("vec_id").distinct().count() == n0
+
+
+def test_ann_compact_pressure_gate(spark, sf_dir, tmp_path):
+    """r17: `ann compact --if-tombstone-*` maps to
+    AnnIndex.compact_on_pressure — skipped under threshold, compacts
+    (sidecar cleared) over it."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+    from apachebeamkmeans_spark.sources import io
+
+    emb_p = f"{sf_dir}/embeddings.parquet"
+    idx_p = str(tmp_path / "cli_ann_press")
+    assert cli.main(
+        ["ann", "train", "--embeddings", emb_p, "--index-path", idx_p,
+         "--k", "4"],
+        spark=spark,
+    ) == 0
+    assert cli.main(
+        ["ann", "delete", "--index-path", idx_p,
+         "--where", "vec_id % 25 = 3", "--tombstone"],
+        spark=spark,
+    ) == 0
+    idx = AnnIndex.load(spark, idx_p)
+    assert len(idx._ts_entries()) == 1
+    assert cli.main(
+        ["ann", "compact", "--index-path", idx_p,
+         "--if-tombstone-sidecars", "3"],
+        spark=spark,
+    ) == 0
+    assert len(AnnIndex.load(spark, idx_p)._ts_entries()) == 1  # skipped
+    assert cli.main(
+        ["ann", "compact", "--index-path", idx_p,
+         "--if-tombstone-sidecars", "0"],
+        spark=spark,
+    ) == 0
+    assert AnnIndex.load(spark, idx_p)._ts_entries() == []  # compacted

@@ -483,3 +483,46 @@ def test_retrieve_bm25_wand_flag(spark, sf_dir, tmp_path):
              "--k", "3", "--output", str(tmp_path / "w2")],
             spark=spark,
         )
+
+
+def test_retrieve_index_compact_pressure_gates(spark, sf_dir, tmp_path):
+    """r17: `retrieve index compact --if-*` maps to
+    bm25_index_compact_on_pressure — skipped under threshold, runs and
+    clears tombstones over it; gates without --compact raise."""
+    import pytest
+
+    docs_p, _ = _paths(sf_dir)
+    idx = str(tmp_path / "bm25_press")
+    assert cli.main(
+        ["retrieve", "index", "--docs", docs_p, "--index", idx],
+        spark=spark,
+    ) == 0
+    ids = [r["doc_id"] for r in spark.read.parquet(docs_p)
+           .select("doc_id").orderBy("doc_id").limit(2).collect()]
+    for d in ids:
+        assert cli.main(
+            ["retrieve", "index", "--index", idx,
+             "--delete-ids", str(d), "--tombstone"],
+            spark=spark,
+        ) == 0
+    assert len(TI._bm25_read_commit(idx)["tombstones"]) == 2
+    # under threshold: skipped
+    assert cli.main(
+        ["retrieve", "index", "compact", "--index", idx,
+         "--if-tombstone-sidecars", "5"],
+        spark=spark,
+    ) == 0
+    assert len(TI._bm25_read_commit(idx)["tombstones"]) == 2
+    # over threshold: compacts, tombstones cleared
+    assert cli.main(
+        ["retrieve", "index", "compact", "--index", idx,
+         "--if-tombstone-sidecars", "1"],
+        spark=spark,
+    ) == 0
+    assert TI._bm25_read_commit(idx).get("tombstones", []) == []
+    with pytest.raises(ValueError, match="pressure gates"):
+        cli.main(
+            ["retrieve", "index", "--index", idx, "--delete-ids", "1",
+             "--if-segments", "3"],
+            spark=spark,
+        )
