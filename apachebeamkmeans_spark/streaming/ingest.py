@@ -551,3 +551,73 @@ def run_text_index_ingest_stream(
         .queryName(name)
         .start()
     )
+
+
+def run_ann_index_ingest_stream(
+    spark: SparkSession,
+    index_path: str,
+    src_dir: str,
+    schema,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+    name: str = "ann_index_ingest_stream",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_tombstone_sidecars: int | None = None,
+    compact_tombstone_rows: int | None = None,
+):
+    """Streaming maintenance of a persisted `AnnIndex` — the vector
+    twin of `run_text_index_ingest_stream` (r17), completing the
+    index-maintaining-stream story on both serving stacks: each
+    arriving micro-batch of embeddings lands via `AnnIndex.upsert`
+    (replace-or-insert by id), so a search session loading the index
+    between any two micro-batches serves every vector delivered so
+    far at its NEWEST revision — the CDC re-embedding shape
+    (documents re-encoded by a newer model) as well as plain growth.
+
+    Exactly-once WITHOUT batch tags: `upsert` is idempotent by
+    construction — a checkpoint-recovery re-delivery replaces each
+    id's rows with identical rows (a semantic no-op), and a crash
+    mid-upsert is self-healing on retry (the delete half re-matches
+    any rows the crashed attempt already appended). That is the whole
+    replay argument, where the text stream needs commit-recorded
+    batch tags because a re-delivered APPEND would duplicate docs.
+    Trade: an upserting batch pays the cell-scoped replace scan even
+    when every id is new; for append-only vector streams at cluster
+    scale, batch-tag appends like the text side's would be the
+    optimization.
+
+    The foreachBatch thread is the index's single writer, so the
+    in-thread pressure compaction (`AnnIndex.compact_on_pressure`,
+    sidecar-count / dead-row dimensions — tombstones accumulate from
+    deletes issued between batches) can never race an upsert, exactly
+    like the text stream's trigger. The dead-FRACTION dimension is
+    deliberately not exposed here: it costs a layout count per batch;
+    run it from a maintenance job instead."""
+    from apachebeamkmeans_spark.ann import AnnIndex
+
+    _require_local_dir(index_path, "ann index")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = AnnIndex.load(spark, index_path)
+        idx.upsert(batch_df, id_col=id_col, vec_col=vec_col)
+        if (compact_tombstone_sidecars is not None
+                or compact_tombstone_rows is not None):
+            idx.compact_on_pressure(
+                tombstone_sidecars=compact_tombstone_sidecars,
+                tombstone_rows=compact_tombstone_rows,
+            )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .queryName(name)
+        .start()
+    )

@@ -632,3 +632,98 @@ def test_text_index_stream_compacts_on_tombstone_pressure(
     want = sorted(map(tuple, TI.bm25_indexed_topk(
         spark, rebuilt, queries, k=15).collect()))
     assert got == want and got
+
+
+def test_ann_index_ingest_stream_upserts_and_compacts(
+    spark, sf_dir, tmp_path,
+):
+    """r17: the vector twin of the text index-maintaining stream —
+    micro-batches of embeddings land via AnnIndex.upsert (new ids
+    insert, re-delivered ids replace with the NEWEST revision), the
+    final index serves exactly like a from-scratch build over the
+    final corpus, a checkpoint restart re-delivers nothing, and
+    tombstone pressure compacts inside the writer thread."""
+    from pyspark.sql import functions as F
+
+    from apachebeamkmeans_spark.ann import AnnIndex
+    from apachebeamkmeans_spark.sources import io
+    from apachebeamkmeans_spark.streaming.ingest import (
+        run_ann_index_ingest_stream,
+    )
+
+    QUERIES = [
+        [0.1 * ((i * 7 + j) % 5 - 2) for j in range(64)] for i in range(3)
+    ]
+    src, ckpt, idx_p = (str(tmp_path / d) for d in ("asrc", "ackpt", "aidx"))
+    emb = io.read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    AnnIndex.train(spark, base, idx_p, k=4)
+    # tombstone two ids BEFORE the stream: pressure compaction target
+    victims = [r["vec_id"] for r in base.select("vec_id")
+               .orderBy("vec_id").limit(2).collect()]
+    idx = AnnIndex.load(spark, idx_p)
+    assert idx.delete(
+        f"vec_id IN ({victims[0]}, {victims[1]})", mode="tombstone") == 2
+    # batch 1: NEW ids; batch 2: UPDATES (reversed vectors) of base ids
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    upd = base.filter(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    new.coalesce(1).write.mode("append").parquet(src)
+    upd.coalesce(1).write.mode("append").parquet(src)
+
+    def start(name):
+        return run_ann_index_ingest_stream(
+            spark, idx_p, src, new.schema, ckpt,
+            max_files_per_trigger=1, name=name,
+            compact_tombstone_sidecars=0,
+        )
+
+    q = start("aidx_p1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    served = AnnIndex.load(spark, idx_p)
+    assert served._ts_entries() == []  # pressure compaction fired
+    got = sorted(map(tuple, served.topk(QUERIES, k=5, nprobe=4).collect()))
+    # from-scratch twin over the FINAL corpus: (base \ victims) with
+    # %3 ids at their updated revisions, plus the new ids
+    final = (
+        base.filter(~F.col("vec_id").isin(victims))
+        .filter(F.col("vec_id") % 10 != 3)
+        .unionByName(upd.filter(~F.col("vec_id").isin(victims)))
+        .unionByName(new)
+    )
+    twin_p = str(tmp_path / "atwin")
+    twin = AnnIndex.train(spark, final, twin_p, k=4)
+    # same centers: the stream index kept ITS quantizer; retrain the
+    # twin's centers to match by adopting the served index's centers
+    from apachebeamkmeans_spark.operators import similarity as SIM
+    from apachebeamkmeans_spark.operators.ann_train import l2_normalize
+
+    vecs = l2_normalize(final.selectExpr(
+        "vec_id AS id", "CAST(embedding AS array<double>) AS features"
+    ))
+    from apachebeamkmeans_spark.ann import _norm_vec
+    want = sorted(map(tuple, SIM.ivf_topk(
+        vecs, [_norm_vec(qv) for qv in QUERIES], served.centers,
+        k=5, nprobe=4,
+    ).collect()))
+    assert got == want and got
+    # restart on the same checkpoint: nothing re-delivered — the
+    # upserted state is unchanged (compare full layout row set)
+    before_rows = sorted(map(tuple, AnnIndex.load(spark, idx_p)
+                             ._layout().collect()))
+    q2 = start("aidx_p2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+    after_rows = sorted(map(tuple, AnnIndex.load(spark, idx_p)
+                            ._layout().collect()))
+    assert after_rows == before_rows

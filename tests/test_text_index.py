@@ -1388,3 +1388,40 @@ def test_compact_on_pressure_tombstone_frac(spark, tmp_path):
     assert TI.bm25_index_compact_on_pressure(
         spark, idx, tombstone_frac=0.25) == "tombstone_frac"
     assert TI._bm25_read_commit(idx).get("tombstones", []) == []
+
+
+def test_wand_on_tombstoned_index_bit_identical(spark, tmp_path):
+    """r17: WAND on an index with PENDING tombstones — the θ-pass rides
+    `_bm25_pruned_postings` (anti-joined, stats corrected) and phase 2
+    only reads candidate doc_ids, so logically-deleted docs can never
+    rank. Results must equal the exact serve on the same index AND a
+    rebuild over the survivors, bit-for-bit — including deleting docs
+    that ranked top-1."""
+    docs = spark.createDataFrame(
+        [(i, ("the " * (1 + i % 7)) + ("hash " if i % 3 == 0 else "scan "))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "wandts")
+    TI.bm25_index_build(docs, idx)
+    q = [["the"], ["the", "hash"], ["scan"]]
+    top = {r["doc_id"] for r in TI.bm25_indexed_topk(
+        spark, idx, q, k=3).collect()}
+    victims = sorted(top)[:3] + [7, 11]
+    assert TI.bm25_index_delete(
+        spark, idx, doc_ids=victims, mode="tombstone") == len(set(victims))
+    exact = sorted(map(tuple, TI.bm25_indexed_topk(
+        spark, idx, q, k=8).collect()))
+    got = sorted(map(tuple, TI.bm25_indexed_topk_wand(
+        spark, idx, q, k=8,
+        prune_df_frac=0.5, prune_min_impact=0.2,
+    ).collect()))
+    assert got == exact and exact
+    assert not {t[1] for t in got} & set(victims)
+    rebuilt = str(tmp_path / "wandts_rebuilt")
+    TI.bm25_index_build(
+        docs.filter(~docs.doc_id.isin(victims)), rebuilt
+    )
+    want = sorted(map(tuple, TI.bm25_indexed_topk(
+        spark, rebuilt, q, k=8).collect()))
+    assert got == want
