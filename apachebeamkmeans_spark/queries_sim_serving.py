@@ -9,19 +9,54 @@ oracle builders, fingerprint-keyed artifacts) this module imports."""
 
 from __future__ import annotations
 
-from apachebeamkmeans_spark.queries_similarity import *  # noqa: F401,F403
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apachebeamkmeans_spark import fixtures, oraclegen as OG
+from apachebeamkmeans_spark.operators import similarity as SIM
+from apachebeamkmeans_spark.sources import io
+
+# Explicit shared-infrastructure list (r17 — the r16 wildcard would
+# eventually hide a shadowing bug; every name this module actually
+# uses is spelled out, verified by an AST sweep of unresolved names).
+# Tests also reach the re-exported constants through this module
+# (e.g. tests/test_ann_index.py reads IVFPQ_NPROBE / QUERY_VECS here),
+# so the re-export surface is part of the module's contract.
 from apachebeamkmeans_spark.queries_similarity import (  # noqa: F401
+    CENTERS,
+    DIM,
+    HYBRID_PER_SIDE,
+    HYBRID_QUERIES,
+    HYBRID_RRF_K,
+    HYBRID_TOPK,
+    IVFPQ_ITERS,
+    IVFPQ_K,
+    IVFPQ_KSUB,
+    IVFPQ_M,
+    IVFPQ_NPROBE,
+    IVFPQ_REFINE,
+    IVFPQ_TOPK,
+    MAXSIM_DSUB,
+    MAXSIM_K,
+    MAXSIM_QUERIES,
+    MAXSIM_T,
+    NQUERY_VECS,
+    QUERY_VECS,
+    TRAINED_CENTERS,
+    TRAINED_CODEBOOKS,
+    TRAIN_SF_DIR,
     _E2,
     _ivf_index_path,
     _knn_quantizer,
     _layout_matches,
     _oracle_ivf_trained_indexed,
-    _trained_ca_ctes,
-    _write_layout_fp,
     _oracle_ivfpq_trained,
     _sql_maxsim_score,
+    _trained_ca_ctes,
     _train_np,
     _warn_if_not_train_sf,
+    _write_layout_fp,
 )
 
 # this module contributes its own registry entries (merged by
