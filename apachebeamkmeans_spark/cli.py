@@ -776,6 +776,14 @@ def _ann_run(args, spark) -> int:
                 f"ann stats: {len(rows)}/{idx.n_cells} cells occupied, "
                 f"max/median occupancy {max(counts)}/{med}"
             )
+        entries = idx._ts_entries()
+        if entries:
+            dead = sum(e.get("n", 0) for e in entries)
+            print(
+                f"ann stats: {len(entries)} tombstone sidecar(s), "
+                f"{dead} dead row(s) pending — compact applies them "
+                f"(see `ann compact --if-tombstone-sidecars`)"
+            )
     else:  # search
         idx = AnnIndex.load(spark, args.index_path)
         hits = idx.topk_table(

@@ -75,6 +75,9 @@ NEEDS_DATA = {
     # r16: the batch hybrid's vector side trains the same serve-side
     # quantizer in-query — same ivf_train contract
     "hybrid_search_batch",
+    # r17: the tombstone-tier serve builds the same fingerprint-keyed
+    # serve index in-query (train + append + tombstone delete)
+    "ann_index_tombstone_search",
 }
 
 QUERIES = all_queries()
