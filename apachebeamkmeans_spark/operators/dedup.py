@@ -68,6 +68,26 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 SALT_TARGET = 256
 
 
+def adaptive_salt_target(n_rows: int, parallelism: int,
+                         cells_per_core: int = 8) -> int:
+    """Split target derived from the CALLER-KNOWN row count instead of
+    the fixed `SALT_TARGET` (r17, guide §2.5/§2.6): the 256 cap keeps
+    per-cell work ≤ ~65k comparisons at any scale, but on a corpus
+    whose buckets sit just UNDER 256 rows nothing splits at all and a
+    handful of coarse buckets serialize onto a handful of tasks
+    (measured: the sf0.1 KNN pair join runs 45 cells of ~222 rows on
+    32 cores — 7.1 s; target 64 → 4.6 s). The floor keeps sub-cells
+    from degenerating to per-row tasks. Callers that already know
+    their row count (the KNN graph builds count n for the derived
+    dials) pass the result as `target`; the global default stays 256,
+    so every other certified plan is untouched and cluster-scale
+    behavior (buckets ≫ 256 always split) is identical."""
+    import math as _math
+
+    return max(32, min(SALT_TARGET,
+                       _math.ceil(n_rows / (cells_per_core * parallelism))))
+
+
 def _hot_buckets(rows: DataFrame, key_cols: list[str], target: int) -> DataFrame:
     """(key..., __s): split factor for buckets larger than `target`.
     Map-side partial aggregation keeps this cheap; the *filtered* map is

@@ -229,7 +229,8 @@ def knn_graph_pq(normed: DataFrame, centers: list[list[float]],
                  nprobe: int = 4, refine: int | None = None,
                  dim: int | None = None,
                  id_col: str = "id",
-                 features_col: str = "features") -> DataFrame:
+                 features_col: str = "features",
+                 salt_target: int | None = None) -> DataFrame:
     """KNN-graph build riding the IVF-PQ serving stack — the documented
     escalation path past the flat build's Θ(n^1.5) exact-scoring wall
     (SCALE.md §9): identical multi-probe coarse-cell blocking to
@@ -315,11 +316,25 @@ def knn_graph_pq(normed: DataFrame, centers: list[list[float]],
     def _adc(lut_col, codes_col):
         return _adc_expr(lut_col, codes_col, m)
 
+    from apachebeamkmeans_spark.operators.dedup import SALT_TARGET
+
     half = (
-        salted_self_pairs(enc, ["coarse_id"], "vec_id")
+        # `salt_target`: callers that know n pass the derived grid
+        # split (dedup.adaptive_salt_target) so ~cell-sized buckets
+        # still spread over the cluster (r17, guide §2.5)
+        salted_self_pairs(enc, ["coarse_id"], "vec_id",
+                          target=salt_target or SALT_TARGET)
+        # min-shared-cell dedup via filter(array_contains): in-place
+        # scans of the two ≤nprobe arrays instead of a per-pair hash
+        # set (r17; same form and rationale as the flat graph)
         .filter(
             F.col("a.coarse_id")
-            == F.array_min(F.array_intersect(F.col("a.probes"), F.col("b.probes")))
+            == F.array_min(
+                F.filter(
+                    F.col("a.probes"),
+                    lambda x: F.array_contains(F.col("b.probes"), x),
+                )
+            )
         )
         .select(
             F.col("a.vec_id").alias("aid"),
@@ -328,6 +343,14 @@ def knn_graph_pq(normed: DataFrame, centers: list[list[float]],
             _adc(F.col("b.lut"), F.col("a.codes")).alias("d_ba"),
         )
     )
+    # Deliberately a two-branch union (the join subtree executes once
+    # per branch): measured r17 (guide §1), merging into one pass —
+    # explode(array(struct..)) or checkpoint+union — computes BOTH
+    # 16-term ADC chains in one codegen span and regresses 11.5→15-20 s
+    # at sf0.1 (the per-branch form keeps one chain per span and the
+    # two branch stages overlap); unlike the flat graph (which dedups
+    # a repeated identical dot), the branches here share no arithmetic,
+    # so the union duplicates only join machinery.
     directed = half.select(
         F.col("aid").alias("vec_id"), F.col("bid").alias("nbr_id"),
         F.col("d_ab").alias("_d"),

@@ -949,14 +949,34 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = probed.select(
         "vec_id", "f", "probes", F.explode("probes").alias("coarse_id")
     ).localCheckpoint(eager=True)
+    from apachebeamkmeans_spark.operators.dedup import adaptive_salt_target
+
     half = (
-        salted_self_pairs(a, ["coarse_id"], "vec_id")
+        salted_self_pairs(
+            a, ["coarse_id"], "vec_id",
+            # n is already counted for the dials — derive the grid
+            # split from it so ~coarse-cell-sized buckets still spread
+            # over the cluster (r17, guide §2.5; measured 7.1→4.6 s)
+            target=adaptive_salt_target(
+                n * nprobe, spark.sparkContext.defaultParallelism
+            ),
+        )
         # a pair sharing BOTH probed cells would arrive twice; scoring
         # it only in the LOWEST shared cell dedups structurally — no
-        # multi-million-row distinct() shuffle afterwards
+        # multi-million-row distinct() shuffle afterwards. min-shared
+        # is evaluated per joined pair: the filter(array_contains)
+        # form scans the two ≤nprobe arrays in place, where
+        # array_intersect builds a hash set per pair (r17, guide
+        # step 2 "shuffle fewer bytes / cheaper per-row work";
+        # measured ~1.5 s of the pair stage at sf0.1)
         .filter(
             F.col("a.coarse_id")
-            == F.array_min(F.array_intersect(F.col("a.probes"), F.col("b.probes")))
+            == F.array_min(
+                F.filter(
+                    F.col("a.probes"),
+                    lambda x: F.array_contains(F.col("b.probes"), x),
+                )
+            )
         )
         .select(
             F.col("a.vec_id").alias("vec_id"),
@@ -966,13 +986,24 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    scored = half.unionByName(
-        half.select(
-            F.col("nbr_id").alias("vec_id"),
-            F.col("vec_id").alias("nbr_id"),
-            "cosine",
-        )
-    )
+    # symmetrize IN the scoring stage: each unordered pair fans out to
+    # its two directed rows via one explode, so the salted self-join +
+    # per-pair dot subtree executes ONCE (r17, guide §2.4: the previous
+    # half ∪ half.swapped union re-ran the whole SortMergeJoin subtree
+    # per branch — the plan carried two SortMergeJoins; exchange reuse
+    # only dedups the shuffles, not the merge/filter/dot work)
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct("vec_id", "nbr_id", "cosine"),
+                F.struct(
+                    F.col("nbr_id").alias("vec_id"),
+                    F.col("vec_id").alias("nbr_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.*")
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine"), F.asc("nbr_id")
     )
@@ -1187,8 +1218,13 @@ def q_sim_knn_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine = ANN.knn_refine(n, nprobe, k)
     centers = _knn_quantizer(base, sf_dir, k)
     books = _knnpq_codebooks(base, sf_dir, centers)
+    from apachebeamkmeans_spark.operators.dedup import adaptive_salt_target
+
     return SIM.knn_graph_pq(
-        base, centers, books, KNN_K, nprobe, refine, dim=DIM
+        base, centers, books, KNN_K, nprobe, refine, dim=DIM,
+        salt_target=adaptive_salt_target(
+            n * nprobe, spark.sparkContext.defaultParallelism
+        ),
     )
 
 

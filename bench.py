@@ -361,6 +361,15 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             print(f"[bench] ERROR {name}: {errors[name]}", file=sys.stderr)
         spark.catalog.clearCache()
+        # clearCache() clears only SQL-cached relations — localCheckpoint
+        # blocks are RDD-level persists it never touches, and 197 queries'
+        # worth of them otherwise sit in the block manager until the
+        # ContextCleaner happens to run (r17, guide §5: cached data
+        # competes with execution memory; measured in-suite inflation
+        # before this sweep: bpe_train 40.2 s at suite position ~120 vs
+        # 11.4 s in a fresh JVM, sim_curation_pipeline 36.0 vs 6.5)
+        for _rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            _rdd.unpersist(False)
         # release accumulated localCheckpoint/broadcast blocks: the
         # ContextCleaner frees them only after driver GC, and 40 queries
         # in one JVM otherwise build enough memory pressure to inflate

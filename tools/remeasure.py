@@ -44,6 +44,12 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+            # drop leftover localCheckpoint blocks (bench.py's sweep —
+            # clearCache() only clears SQL-cached relations)
+            for _rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                _rdd.unpersist(False)
             spark._jvm.System.gc()
         out[name] = runs
     print(json.dumps(out))
