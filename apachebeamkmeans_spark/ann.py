@@ -252,18 +252,35 @@ class AnnIndex:
             from apachebeamkmeans_spark.operators.ann_train import knn_cells
 
             k = knn_cells(vecs.count())
-        centers = [
-            [ANN.round_param(v) for v in c]
-            for c in ANN.ivf_train(vecs, k, n_iters)
-        ]
         if pq_m is None:
+            centers = [
+                [ANN.round_param(v) for v in c]
+                for c in ANN.ivf_train(vecs, k, n_iters)
+            ]
             SIM.build_ivf_index(vecs, centers, path, carry=tuple(meta_cols))
             books = None
         else:
-            books = [
-                [[ANN.round_param(v) for v in cent] for cent in book]
-                for book in ANN.pq_train(vecs, pq_m, pq_ksub, n_iters)
-            ]
+            # The coarse quantizer and the PQ codebooks train over the
+            # same frame but are INDEPENDENT computations (this tier
+            # encodes raw subvectors, not residuals) — overlap their
+            # driver loops so each trainer's sequential per-iteration
+            # jobs back-fill the other's stragglers (r17, guide §2.6).
+            # vecs is materialized eagerly first so the two threads
+            # race on cached blocks, not on checkpoint materialization.
+            from concurrent.futures import ThreadPoolExecutor
+
+            vecs.count()  # materialize the lazy checkpoint once, up front
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_c = pool.submit(ANN.ivf_train, vecs, k, n_iters)
+                fut_b = pool.submit(ANN.pq_train, vecs, pq_m, pq_ksub,
+                                    n_iters)
+                centers = [
+                    [ANN.round_param(v) for v in c] for c in fut_c.result()
+                ]
+                books = [
+                    [[ANN.round_param(v) for v in cent] for cent in book]
+                    for book in fut_b.result()
+                ]
             SIM.build_ivfpq_index(vecs, centers, books, path,
                                   carry=tuple(meta_cols))
         # the sidecar write is `adopt`'s job — train IS an adopt of the

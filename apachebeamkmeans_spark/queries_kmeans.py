@@ -583,13 +583,25 @@ def q_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = KMeansParams(k=K, seed=SEED, max_iter=10, init="random")
     pts = _pts(spark, sf_dir).cache()
     try:
-        init = initial_centers(pts, params)
-        sse_log: list[float] = []
-        centers, n_iter = lloyd.lloyd_fit(
-            pts, init, params.p, params.threshold, params.max_iter,
-            sse_log=sse_log,
-        )
-        fixed = ANN.ivf_train(pts, K, FIT_FIXED_ITERS, FIT_FIXED_SEED)
+        # the fixed-iteration twin is INDEPENDENT of the converged fit
+        # (separate seed, separate literals) — overlap its sequential
+        # per-iteration jobs with the main loop's so neither trainer's
+        # stragglers idle the cluster (r17, guide §2.6). pts.count()
+        # materializes the cache once before both loops race on it.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pts.count()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut_fixed = pool.submit(
+                ANN.ivf_train, pts, K, FIT_FIXED_ITERS, FIT_FIXED_SEED
+            )
+            init = initial_centers(pts, params)
+            sse_log: list[float] = []
+            centers, n_iter = lloyd.lloyd_fit(
+                pts, init, params.p, params.threshold, params.max_iter,
+                sse_log=sse_log,
+            )
+            fixed = fut_fixed.result()
         # one pass evaluates BOTH center sets and the conservation
         # count: per row, min-dist to the converged centers, min-dist
         # to the twin's, and the argmin id — three expressions over one

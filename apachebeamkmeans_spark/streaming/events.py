@@ -46,6 +46,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
+def _run_to_memory_table(spark: SparkSession, build, name: str,
+                         mode: str) -> DataFrame:
+    """Drive a streaming frame to completion into a memory table under
+    the state-sized partitioning scope (`stream_shuffle_partitions` —
+    state-store count follows state volume, not the session's
+    core-count default; see streaming/__init__.py for the measured
+    rationale). `build` is a thunk so the stream is CONSTRUCTED and
+    started inside the scope."""
+    from apachebeamkmeans_spark.streaming import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            build().writeStream.outputMode(mode)
+            .format("memory").queryName(name).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
 def hourly_agg_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Event-time tumbling-window aggregation with a watermark for
     late-data bounds. Complete output mode ⇒ results equal the batch
@@ -92,13 +114,11 @@ def session_window_agg_stream(events: DataFrame, gap: str = "30 minutes",
 
 def run_session_window_stream_to_table(spark: SparkSession, sf_dir: str,
                                        name: str = "stream_session_window_out") -> DataFrame:
-    out = session_window_agg_stream(read_events_stream(spark, sf_dir))
-    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory_table(
+        spark,
+        lambda: session_window_agg_stream(read_events_stream(spark, sf_dir)),
+        name, "complete",
+    )
 
 
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -120,13 +140,11 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 def run_dedup_stream_to_table(spark: SparkSession, sf_dir: str,
                               name: str = "stream_dedup_out") -> DataFrame:
-    out = dedup_stream(read_events_stream(spark, sf_dir))
-    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory_table(
+        spark,
+        lambda: dedup_stream(read_events_stream(spark, sf_dir)),
+        name, "append",
+    )
 
 
 def enriched_nation_agg_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
@@ -154,13 +172,13 @@ def run_enriched_stream_to_table(spark: SparkSession, sf_dir: str,
     from apachebeamkmeans_spark.sources import io as _io
 
     cust = _io.read_table(spark, sf_dir, "customer")
-    out = enriched_nation_agg_stream(read_events_stream(spark, sf_dir), cust)
-    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory_table(
+        spark,
+        lambda: enriched_nation_agg_stream(
+            read_events_stream(spark, sf_dir), cust
+        ),
+        name, "complete",
+    )
 
 
 def click_purchase_join_stream(events: DataFrame,
@@ -209,13 +227,11 @@ def click_purchase_join_stream(events: DataFrame,
 
 def run_click_purchase_join_to_table(spark: SparkSession, sf_dir: str,
                                      name: str = "stream_joined_out") -> DataFrame:
-    out = click_purchase_join_stream(read_events_stream(spark, sf_dir))
-    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory_table(
+        spark,
+        lambda: click_purchase_join_stream(read_events_stream(spark, sf_dir)),
+        name, "append",
+    )
 
 
 def run_stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
@@ -224,36 +240,31 @@ def run_stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
     idempotent overwrite-by-batch-id write. With the checkpoint
     directory this is the restart-safe (effectively exactly-once) sink
     pattern; the aggregation itself is the same hourly plan."""
-    agg = hourly_agg_stream(read_events_stream(spark, sf_dir))
+    from apachebeamkmeans_spark.streaming import stream_shuffle_partitions
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle_partitions(spark):
+        agg = hourly_agg_stream(read_events_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 def run_hourly_stream_to_table(spark: SparkSession, sf_dir: str,
                                name: str = "stream_events_hourly_out") -> DataFrame:
     """Drive the stream over all available input and return the result
     as a static DataFrame (memory sink, complete mode)."""
-    agg = hourly_agg_stream(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
+    return _run_to_memory_table(
+        spark,
+        lambda: hourly_agg_stream(read_events_stream(spark, sf_dir)),
+        name, "complete",
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)

@@ -135,12 +135,20 @@ def run_session_counts_to_table(spark, sf_dir: str,
                                 gap_minutes: int = 30) -> DataFrame:
     from apachebeamkmeans_spark.streaming.events import read_events_stream
 
-    out = session_counts_stream(read_events_stream(spark, sf_dir), gap_minutes)
-    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from apachebeamkmeans_spark.streaming import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        out = session_counts_stream(
+            read_events_stream(spark, sf_dir), gap_minutes
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory").queryName(name).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -174,23 +182,26 @@ def run_session_counts_tws_to_table(spark, sf_dir: str,
                                     gap_minutes: int = 30) -> DataFrame:
     from apachebeamkmeans_spark.streaming.events import read_events_stream
 
+    from apachebeamkmeans_spark.streaming import stream_shuffle_partitions
+
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, _ROCKSDB_PROVIDER)
     try:
-        out = session_counts_stream_tws(
-            read_events_stream(spark, sf_dir), gap_minutes
-        )
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with stream_shuffle_partitions(spark):
+            out = session_counts_stream_tws(
+                read_events_stream(spark, sf_dir), gap_minutes
+            )
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         if prev is None:
             spark.conf.unset(key)
