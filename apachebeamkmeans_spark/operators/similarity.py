@@ -208,6 +208,67 @@ def pq_encode_lut(vecs: DataFrame, codebooks: list[list[list[float]]],
     return with_lut.select("vec_id", codes.alias("codes"), "lut", *carry)
 
 
+def pq_encode_lut_arrow(vecs: DataFrame, codebooks: list[list[list[float]]],
+                        id_col: str = "id", features_col: str = "features",
+                        carry: tuple[str, ...] = ()) -> DataFrame:
+    """`pq_encode_lut` computed batch-wise in numpy via `mapInPandas`
+    (guide §4.2: hand whole Arrow batches to vectorized native code) —
+    BIT-IDENTICAL output by construction, for the fan-out consumers
+    where the HOF form's per-element interpreted evaluation dominates
+    (higher-order-function lambdas never whole-stage-codegen; the KNN
+    graph encodes n·nprobe exploded rows ≈ m·ksub·dsub interpreted
+    float ops each).
+
+    Exactness argument: the HOF fold computes
+    ((0.0 + t_0) + t_1) + ... left-to-right per (subspace, centroid);
+    the numpy path accumulates column-by-column (s = t_0; s += t_1;
+    ...), the same IEEE additions in the same order (0.0 + t_0 == t_0
+    exactly for the non-negative squared terms), and `argmin` takes
+    the first minimum exactly like array_position(array_min). Asserted
+    against the HOF twin in tests/test_knn_pq.py."""
+    import pandas as pd  # noqa: F401 — mapInPandas ships pandas frames
+
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    out_schema = (
+        "vec_id long, codes array<int>, lut array<array<double>>"
+        + "".join(f", {c} {dict(vecs.dtypes)[c]}" for c in carry)
+    )
+    cb = [[list(map(float, cent)) for cent in book] for book in codebooks]
+    fcol, icol, carry_l = features_col, id_col, list(carry)
+
+    def _encode(batches):
+        # closure (pickled by value — executors never import the repo);
+        # numpy loaded once per task, amortized over every batch
+        import numpy as np
+
+        books = np.asarray(cb, dtype=np.float64)  # m × ksub × dsub
+        for pdf in batches:
+            X = np.asarray(pdf[fcol].to_list(), dtype=np.float64)
+            n = X.shape[0]
+            if n == 0:
+                continue
+            luts = np.empty((n, m, books.shape[1]), dtype=np.float64)
+            for s in range(m):
+                sub = X[:, s * dsub:(s + 1) * dsub]       # n × dsub
+                cents = books[s]                          # ksub × dsub
+                d = (sub[:, 0:1] - cents[None, :, 0]) ** 2
+                for j in range(1, dsub):
+                    d = d + (sub[:, j:j + 1] - cents[None, :, j]) ** 2
+                luts[:, s, :] = d
+            codes = luts.argmin(axis=2).astype("int32")   # first-min ties
+            out = {
+                "vec_id": pdf[icol].to_numpy(),
+                "codes": list(codes),
+                "lut": [list(row) for row in luts],
+            }
+            for c in carry_l:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    cols = [F.col(icol), F.col(fcol), *[F.col(c) for c in carry_l]]
+    return vecs.select(*cols).mapInPandas(_encode, out_schema)
+
+
 
 def _adc_expr(lut, codes, m: int):
     """Σ_s lut[s][codes[s]] — the asymmetric-distance sum shared by
@@ -307,8 +368,12 @@ def knn_graph_pq(normed: DataFrame, centers: list[list[float]],
     )
     # (vec_id, codes, lut, coarse_id, probes): ~m·ksub doubles per row
     # instead of the raw vector — checkpointed so the self-join fans
-    # out a materialized table, not the encode tree, to both sides
-    enc = pq_encode_lut(
+    # out a materialized table, not the encode tree, to both sides.
+    # Arrow/numpy encode (r17, guide §4.2): this is the one consumer
+    # that encodes the n·nprobe EXPLODED fan-out, where the HOF form's
+    # interpreted m·ksub·dsub ops/row dominate; bit-identical by the
+    # column-order-accumulation argument on pq_encode_lut_arrow.
+    enc = pq_encode_lut_arrow(
         ex, codebooks, id_col="vec_id", features_col="r",
         carry=("coarse_id", "probes"),
     ).localCheckpoint(eager=True)

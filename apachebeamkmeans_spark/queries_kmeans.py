@@ -677,9 +677,24 @@ def q_mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _pts(spark, sf_dir).cache()
     try:
-        model, assigned = mllib_kmeans_fit(pts, k=K, seed=SEED, max_iter=20)
+        # the fixed-iteration twin is independent of the MLlib fit —
+        # overlap its 5 sequential trainer jobs with MLlib's internal
+        # iteration jobs (r17, guide §2.6; same move as
+        # kmeans_fit_clusters). pts.count() materializes the cache
+        # once up front AND is the n_pts the conservation property
+        # needs (previously a separate job at the end).
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_pts = pts.count()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut_fixed = pool.submit(
+                ANN.ivf_train, pts, K, FIT_FIXED_ITERS, FIT_FIXED_SEED
+            )
+            model, assigned = mllib_kmeans_fit(
+                pts, k=K, seed=SEED, max_iter=20
+            )
+            fixed = fut_fixed.result()
         centers = [list(map(float, c)) for c in model.clusterCenters()]
-        fixed = ANN.ivf_train(pts, K, FIT_FIXED_ITERS, FIT_FIXED_SEED)
         row = (
             lloyd.assign(pts, centers, 2.0, keep_dist=True, mode="hof")
             .withColumn(
@@ -690,7 +705,7 @@ def q_mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         mllib_sse, twin_sse = float(row[0]), float(row[1])
-        n_assigned, n_pts = assigned.count(), pts.count()
+        n_assigned = assigned.count()
     finally:
         pts.unpersist()
     props = [

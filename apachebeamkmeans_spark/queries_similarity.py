@@ -1218,13 +1218,14 @@ def q_sim_knn_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine = ANN.knn_refine(n, nprobe, k)
     centers = _knn_quantizer(base, sf_dir, k)
     books = _knnpq_codebooks(base, sf_dir, centers)
-    from apachebeamkmeans_spark.operators.dedup import adaptive_salt_target
-
+    # NOTE (r17, measured): the flat graph's adaptive_salt_target is
+    # deliberately NOT passed here — PQ pair rows carry the m×ksub LUT
+    # (~2 KB/row), so grid-splitting sub-256 cells duplicates wide rows
+    # faster than it evens the spread (256-target 2.55 s vs derived-40
+    # 2.9-3.1 s on the pair stage); the flat graph's rows are 5×
+    # narrower and win from the split.
     return SIM.knn_graph_pq(
         base, centers, books, KNN_K, nprobe, refine, dim=DIM,
-        salt_target=adaptive_salt_target(
-            n * nprobe, spark.sparkContext.defaultParallelism
-        ),
     )
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from apachebeamkmeans_spark import queries_similarity as QS
 from apachebeamkmeans_spark.operators import ann_train as ANN
@@ -161,3 +162,30 @@ def test_pq_encode_lut_consistent_with_pq_encode(spark, norm_points):
             lut_s = r["lut"][s]
             assert lut_s[code] == min(lut_s)
             assert code == lut_s.index(min(lut_s))  # first-minimum tie rule
+
+
+def test_pq_encode_lut_arrow_bit_identical_to_hof(spark, norm_points):
+    """The Arrow/numpy encoder (`pq_encode_lut_arrow`, the r17 fan-out
+    fast path used by knn_graph_pq) must be BIT-identical to the HOF
+    form — same codes, same lut doubles (the column-order accumulation
+    replays the fold's left-to-right IEEE additions exactly), same
+    carry passthrough."""
+    books = QS.KNNPQ_TRAINED_BOOKS[:8]
+    base = norm_points.limit(60).withColumn("tag", F.col("id") % 3)
+    a = {
+        r["vec_id"]: (list(r["codes"]), [list(x) for x in r["lut"]], r["tag"])
+        for r in SIM.pq_encode_lut(
+            base, books, id_col="id", carry=("tag",)
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: (list(r["codes"]), [list(x) for x in r["lut"]], r["tag"])
+        for r in SIM.pq_encode_lut_arrow(
+            base, books, id_col="id", carry=("tag",)
+        ).collect()
+    }
+    assert set(a) == set(b) and len(a) == 60
+    for vid in a:
+        assert a[vid][0] == b[vid][0], f"codes differ for {vid}"
+        assert a[vid][1] == b[vid][1], f"lut doubles differ for {vid}"
+        assert a[vid][2] == b[vid][2]
