@@ -530,9 +530,26 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     cluster_id = min doc_id of the component; singletons are not
     emitted (docs not in any pair keep themselves).
     """
+    # symmetrize with one explode instead of pairs ∪ pairs.swapped: the
+    # union form re-executes the whole upstream pair subtree per branch
+    # (for in-plan callers like the CurationPipeline facade that is the
+    # LSH join + Jaccard verification, twice — r17, guide §2.4)
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
         .distinct()
         .localCheckpoint()
     )

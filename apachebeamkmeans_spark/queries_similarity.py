@@ -946,9 +946,13 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probes"
         ),
     ).localCheckpoint(eager=True)
+    # no second checkpoint: `probed` is already the materialized cut
+    # (the codegen trap lives in the assign tree, not the explode), so
+    # fanning the trivial Generate to the join sides beats paying
+    # another eager materialization job (r17, guide §1.2 fewer passes)
     a = probed.select(
         "vec_id", "f", "probes", F.explode("probes").alias("coarse_id")
-    ).localCheckpoint(eager=True)
+    )
     from apachebeamkmeans_spark.operators.dedup import adaptive_salt_target
 
     half = (
