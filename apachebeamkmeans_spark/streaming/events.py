@@ -47,16 +47,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory_table(spark: SparkSession, build, name: str,
-                         mode: str) -> DataFrame:
+                         mode: str, source_dir: str | None = None) -> DataFrame:
     """Drive a streaming frame to completion into a memory table under
     the state-sized partitioning scope (`stream_shuffle_partitions` —
     state-store count follows state volume, not the session's
     core-count default; see streaming/__init__.py for the measured
-    rationale). `build` is a thunk so the stream is CONSTRUCTED and
-    started inside the scope."""
+    rationale; `source_dir` feeds the footer-row-count derivation).
+    `build` is a thunk so the stream is CONSTRUCTED and started inside
+    the scope."""
     from apachebeamkmeans_spark.streaming import stream_shuffle_partitions
 
-    with stream_shuffle_partitions(spark):
+    with stream_shuffle_partitions(spark, source_dir):
         q = (
             build().writeStream.outputMode(mode)
             .format("memory").queryName(name).start()
@@ -117,7 +118,7 @@ def run_session_window_stream_to_table(spark: SparkSession, sf_dir: str,
     return _run_to_memory_table(
         spark,
         lambda: session_window_agg_stream(read_events_stream(spark, sf_dir)),
-        name, "complete",
+        name, "complete", source_dir=f"{sf_dir}/events.parquet",
     )
 
 
@@ -143,7 +144,7 @@ def run_dedup_stream_to_table(spark: SparkSession, sf_dir: str,
     return _run_to_memory_table(
         spark,
         lambda: dedup_stream(read_events_stream(spark, sf_dir)),
-        name, "append",
+        name, "append", source_dir=f"{sf_dir}/events.parquet",
     )
 
 
@@ -177,7 +178,7 @@ def run_enriched_stream_to_table(spark: SparkSession, sf_dir: str,
         lambda: enriched_nation_agg_stream(
             read_events_stream(spark, sf_dir), cust
         ),
-        name, "complete",
+        name, "complete", source_dir=f"{sf_dir}/events.parquet",
     )
 
 
@@ -230,7 +231,7 @@ def run_click_purchase_join_to_table(spark: SparkSession, sf_dir: str,
     return _run_to_memory_table(
         spark,
         lambda: click_purchase_join_stream(read_events_stream(spark, sf_dir)),
-        name, "append",
+        name, "append", source_dir=f"{sf_dir}/events.parquet",
     )
 
 
@@ -245,7 +246,7 @@ def run_stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    with stream_shuffle_partitions(spark):
+    with stream_shuffle_partitions(spark, f"{sf_dir}/events.parquet"):
         agg = hourly_agg_stream(read_events_stream(spark, sf_dir))
         q = (
             agg.writeStream.outputMode("complete")
@@ -266,5 +267,5 @@ def run_hourly_stream_to_table(spark: SparkSession, sf_dir: str,
     return _run_to_memory_table(
         spark,
         lambda: hourly_agg_stream(read_events_stream(spark, sf_dir)),
-        name, "complete",
+        name, "complete", source_dir=f"{sf_dir}/events.parquet",
     )

@@ -137,7 +137,7 @@ def run_session_counts_to_table(spark, sf_dir: str,
 
     from apachebeamkmeans_spark.streaming import stream_shuffle_partitions
 
-    with stream_shuffle_partitions(spark):
+    with stream_shuffle_partitions(spark, f"{sf_dir}/events.parquet"):
         out = session_counts_stream(
             read_events_stream(spark, sf_dir), gap_minutes
         )
@@ -188,7 +188,7 @@ def run_session_counts_tws_to_table(spark, sf_dir: str,
     prev = spark.conf.get(key, None)
     spark.conf.set(key, _ROCKSDB_PROVIDER)
     try:
-        with stream_shuffle_partitions(spark):
+        with stream_shuffle_partitions(spark, f"{sf_dir}/events.parquet"):
             out = session_counts_stream_tws(
                 read_events_stream(spark, sf_dir), gap_minutes
             )

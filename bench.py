@@ -367,9 +367,26 @@ def main() -> None:
         # ContextCleaner happens to run (r17, guide §5: cached data
         # competes with execution memory; measured in-suite inflation
         # before this sweep: bpe_train 40.2 s at suite position ~120 vs
-        # 11.4 s in a fresh JVM, sim_curation_pipeline 36.0 vs 6.5)
-        for _rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            _rdd.unpersist(False)
+        # 11.4 s in a fresh JVM, sim_curation_pipeline 36.0 vs 6.5).
+        # SAFETY INVARIANT (r17 ADVICE): this blanket unpersist is valid
+        # only while no DataFrame handle crosses a query boundary — all
+        # cross-query session memos hold driver-side Python lists
+        # (centers, merges, fingerprints), never a checkpointed frame
+        # whose lineage-truncated blocks this would destroy. Any future
+        # memo of a DataFrame must switch this sweep to a targeted
+        # release. `_jsc` is a private accessor — no public enumeration
+        # of RDD-level persists exists in PySpark as of 4.1.
+        # Since r18 the ENGINE releases its internally-consumed
+        # checkpoints itself (operators' `release_blocks`, guide §5);
+        # the sweep stays as belt-and-braces for frames that feed
+        # returned lazy plans. SPARK_GRAFT_BENCH_NO_SWEEP=1 disables it
+        # for the engine-lifecycle probe (the no-sweep run must stay
+        # flat late-suite — r17 verdict "What's wrong" #1).
+        if not os.environ.get("SPARK_GRAFT_BENCH_NO_SWEEP"):
+            for _rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                _rdd.unpersist(False)
         # release accumulated localCheckpoint/broadcast blocks: the
         # ContextCleaner frees them only after driver GC, and 40 queries
         # in one JVM otherwise build enough memory pressure to inflate
@@ -424,6 +441,20 @@ def main() -> None:
         if k not in ("warmup_pass", "session_warmup_sec")
     }
     print(json.dumps(stdout_record))
+    # second, COMPACT line (r17 verdict item 5): the full record line is
+    # one long JSON object, and twice now (r5, r16) a driver-side stdout
+    # tail window clipped it mid-line, voiding the round-over-round
+    # comparison. This line is short enough to survive any tail and
+    # carries the totals a comparison minimally needs; BENCH_LATEST.json
+    # remains the full authoritative record.
+    print(json.dumps({
+        "metric": "headline_total_compact",
+        "value": record["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_completed": len(timings),
+        "n_errors": len(errors),
+    }))
 
 
 if __name__ == "__main__":
