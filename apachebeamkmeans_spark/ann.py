@@ -252,6 +252,22 @@ class AnnIndex:
             from apachebeamkmeans_spark.operators.ann_train import knn_cells
 
             k = knn_cells(vecs.count())
+        try:
+            centers, books = AnnIndex._train_and_build(
+                vecs, path, k, n_iters, pq_m, pq_ksub, meta_cols
+            )
+        finally:
+            # trainers and the layout write have all materialized —
+            # release the normalized-corpus checkpoint (r18, guide §5)
+            from apachebeamkmeans_spark.checkpoints import release_blocks
+
+            release_blocks(vecs)
+        # the sidecar write is `adopt`'s job — train IS an adopt of the
+        # layout it just built, under the parameters it just trained
+        return AnnIndex.adopt(spark, path, centers, books, meta)
+
+    @staticmethod
+    def _train_and_build(vecs, path, k, n_iters, pq_m, pq_ksub, meta_cols):
         if pq_m is None:
             centers = [
                 [ANN.round_param(v) for v in c]
@@ -283,9 +299,7 @@ class AnnIndex:
                 ]
             SIM.build_ivfpq_index(vecs, centers, books, path,
                                   carry=tuple(meta_cols))
-        # the sidecar write is `adopt`'s job — train IS an adopt of the
-        # layout it just built, under the parameters it just trained
-        return AnnIndex.adopt(spark, path, centers, books, meta)
+        return centers, books
 
     @staticmethod
     def adopt(spark: SparkSession, path: str,
@@ -594,6 +608,12 @@ class AnnIndex:
 
                 shutil.rmtree(dest, ignore_errors=True)
                 raise
+            finally:
+                # count + sidecar write have materialized — release
+                # the matched-ids checkpoint's blocks (r18, guide §5)
+                from apachebeamkmeans_spark.checkpoints import release_blocks
+
+                release_blocks(ids)
             return n_dead
         layout = self._layout()
         cells = sorted(
@@ -642,6 +662,9 @@ class AnnIndex:
                     self._spark,
                     os.path.join(self.data_root, f"coarse_id={c}"),
                 )
+        from apachebeamkmeans_spark.checkpoints import release_blocks
+
+        release_blocks(survivors)  # write + kept-collect materialized
         return n_del
 
     def upsert(self, embeddings: DataFrame,
@@ -712,6 +735,9 @@ class AnnIndex:
                         self._spark,
                         os.path.join(self.data_root, f"coarse_id={c}"),
                     )
+            from apachebeamkmeans_spark.checkpoints import release_blocks
+
+            release_blocks(survivors)  # write + kept-collect done
         if self.codebooks is None:
             SIM.append_to_ivf_index(vecs, self.centers, self.data_root,
                                     carry=names)
@@ -936,8 +962,15 @@ class AnnIndex:
                 SIM.build_ivfpq_index(vecs, centers, books, dest,
                                       carry=names)
 
-        self._rewrite_generation(build, centers, books, strategy, "retrain",
-                                 retain)
+        try:
+            self._rewrite_generation(build, centers, books, strategy,
+                                     "retrain", retain)
+        finally:
+            # trainers + the generation build have materialized —
+            # release the staged-corpus checkpoint (r18, guide §5)
+            from apachebeamkmeans_spark.checkpoints import release_blocks
+
+            release_blocks(vecs)
         self.centers = centers
         self.codebooks = books
 

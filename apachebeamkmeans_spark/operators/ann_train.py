@@ -171,17 +171,31 @@ def ivf_train(vecs: DataFrame, k: int, n_iters: int = 5, seed="ivf",
     ).withColumn("__fvec", array_to_vector("features"))
     base = base.localCheckpoint(eager=False)
     mean_agg = Summarizer.mean(F.col("__fvec")).alias("mean")
-    for _ in range(n_iters):
-        rows = (
-            base.withColumn(
-                "center_id", lloyd.sql_assign_expr(centers, 2.0, "features")
-            )
-            .groupBy("center_id")
-            .agg(mean_agg)
-            .collect()
-        )
-        by_id = {r["center_id"]: list(r["mean"]) for r in rows}
-        centers = [by_id.get(i, centers[i]) for i in range(k)]
+    from apachebeamkmeans_spark.session import driver_loop_conf
+
+    try:
+        # AQE off for the iteration loop: one scheduled job per
+        # iteration instead of two (see driver_loop_conf's rationale)
+        with driver_loop_conf(vecs.sparkSession):
+            for _ in range(n_iters):
+                rows = (
+                    base.withColumn(
+                        "center_id",
+                        lloyd.sql_assign_expr(centers, 2.0, "features"),
+                    )
+                    .groupBy("center_id")
+                    .agg(mean_agg)
+                    .collect()
+                )
+                by_id = {r["center_id"]: list(r["mean"]) for r in rows}
+                centers = [by_id.get(i, centers[i]) for i in range(k)]
+    finally:
+        # every consumer (the iteration collects) has materialized —
+        # release the checkpoint's storage blocks instead of waiting
+        # for driver GC + ContextCleaner (r18, guide §5)
+        from apachebeamkmeans_spark.checkpoints import release_blocks
+
+        release_blocks(base)
     return centers
 
 
@@ -260,6 +274,22 @@ def pq_train(vecs: DataFrame, m: int, ksub: int, n_iters: int = 5, seed="pq",
     aggs = [F.avg(F.col("sub")[j]).alias(f"c{j}") for j in range(dsub)] + [
         F.count(F.lit(1)).alias("n")
     ]
+    from apachebeamkmeans_spark.session import driver_loop_conf
+
+    try:
+        # AQE off for the iteration loop (driver_loop_conf rationale)
+        with driver_loop_conf(vecs.sparkSession):
+            codebooks = _pq_train_loop(
+                ex, codebooks, m, ksub, dsub, n_iters, aggs
+            )
+    finally:
+        from apachebeamkmeans_spark.checkpoints import release_blocks
+
+        release_blocks(ex)
+    return codebooks
+
+
+def _pq_train_loop(ex, codebooks, m, ksub, dsub, n_iters, aggs):
     for _ in range(n_iters):
         # ONE parsed expression per iteration (the `sql_assign_expr`
         # discipline): the nested codebook literal lands in the codegen
@@ -411,15 +441,21 @@ def pca_train(vecs: DataFrame, out_dim: int,
     base = vecs.select(
         array_to_vector(F.col(features_col)).alias("__fvec")
     ).localCheckpoint(eager=False)
-    if not base.head(1):
-        raise ValueError("pca_train requires a non-empty points frame")
-    row = base.agg(
-        Summarizer.mean(F.col("__fvec")).alias("m"),
-        Summarizer.std(F.col("__fvec")).alias("s"),
-    ).collect()[0]
-    mean = [round_param(v) for v in row["m"]]
-    std = list(row["s"])
-    corr = Correlation.corr(base, "__fvec").collect()[0][0].toArray()
+    try:
+        if not base.head(1):
+            raise ValueError("pca_train requires a non-empty points frame")
+        row = base.agg(
+            Summarizer.mean(F.col("__fvec")).alias("m"),
+            Summarizer.std(F.col("__fvec")).alias("s"),
+        ).collect()[0]
+        mean = [round_param(v) for v in row["m"]]
+        std = list(row["s"])
+        corr = Correlation.corr(base, "__fvec").collect()[0][0].toArray()
+    finally:
+        # all consumers (head/agg/corr collects) have materialized
+        from apachebeamkmeans_spark.checkpoints import release_blocks
+
+        release_blocks(base)
     dim = len(std)
     # Pearson corr is NaN for a zero-variance dimension; its TRUE
     # covariance with anything is exactly 0.0 (x − mean ≡ 0), which is

@@ -534,7 +534,7 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # union form re-executes the whole upstream pair subtree per branch
     # (for in-plan callers like the CurationPipeline facade that is the
     # LSH join + Jaccard verification, twice — r17, guide §2.4)
-    edges = (
+    raw_edges = (
         pairs.select(
             F.explode(
                 F.array(
@@ -551,7 +551,10 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         )
         .select("__e.*")
         .distinct()
-        .localCheckpoint()
+        # eager=False: the count below materializes the checkpoint in
+        # the SAME job it counts it — the eager form paid a separate
+        # materialization job first (r18, guide §1.2 fewer passes)
+        .localCheckpoint(eager=False)
     )
     # localCheckpoint (not cache): each round's frame feeds the next
     # round's joins, so without truncation the plan nests one join
@@ -564,8 +567,11 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # count, not the session default — a dedup graph of a few thousand
     # edges rounds through 1-partition tasks; a 100 TB corpus's edge
     # set still fans out.
-    n_parts = max(1, min(edges.count() // 100_000 + 1, 200))
-    edges = edges.coalesce(n_parts).localCheckpoint()
+    from apachebeamkmeans_spark.checkpoints import release_blocks
+
+    n_parts = max(1, min(raw_edges.count() // 100_000 + 1, 200))
+    edges = raw_edges.coalesce(n_parts).localCheckpoint()
+    release_blocks(raw_edges)  # superseded by the coalesced checkpoint
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -574,53 +580,61 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        stepped = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.src, "left"
-        ).select(
-            "doc_id",
-            F.col("cluster_id").alias("old_cluster"),
-            F.least(
-                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-            ).alias("mid_cluster"),
-        )
-        # Pointer jumping: label := min(label, label(label)). Every label
-        # value is itself a node id, so one extra (small) labels⨝labels
-        # join per round doubles the propagation reach — max_rounds
-        # rounds cover components of diameter 2^max_rounds, not
-        # max_rounds, so long duplicate chains still converge.
-        parent = stepped.select(
-            F.col("doc_id").alias("p_id"), F.col("mid_cluster").alias("p_cluster")
-        )
-        new_labels = (
-            stepped.join(parent, stepped.mid_cluster == parent.p_id, "left")
-            .withColumn(
-                "new_cluster",
-                F.least(
-                    F.col("mid_cluster"),
-                    F.coalesce(F.col("p_cluster"), F.col("mid_cluster")),
-                ),
+    from apachebeamkmeans_spark.session import driver_loop_conf
+
+    # AQE off for the propagation loop: each round's checkpoint +
+    # convergence count otherwise schedules extra re-planned jobs for
+    # exchanges AQE can never improve (edge-count-sized frames; see
+    # session.driver_loop_conf; r18)
+    with driver_loop_conf(pairs.sparkSession):
+        for _ in range(max_rounds):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            .select(
+            stepped = labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.src, "left"
+            ).select(
                 "doc_id",
-                F.col("new_cluster").alias("cluster_id"),
-                (F.col("new_cluster") < F.col("old_cluster")).alias("changed"),
+                F.col("cluster_id").alias("old_cluster"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("mid_cluster"),
             )
-            .coalesce(n_parts)
-            .localCheckpoint()
-        )
-        # the convergence test is a predicate over the frame this round
-        # materializes anyway — no extra new⨝old join.
-        changed = new_labels.filter("changed").limit(1).count()
-        labels = new_labels.drop("changed")
-        if changed == 0:
-            converged = True
-            break
+            # Pointer jumping: label := min(label, label(label)). Every label
+            # value is itself a node id, so one extra (small) labels⨝labels
+            # join per round doubles the propagation reach — max_rounds
+            # rounds cover components of diameter 2^max_rounds, not
+            # max_rounds, so long duplicate chains still converge.
+            parent = stepped.select(
+                F.col("doc_id").alias("p_id"), F.col("mid_cluster").alias("p_cluster")
+            )
+            new_labels = (
+                stepped.join(parent, stepped.mid_cluster == parent.p_id, "left")
+                .withColumn(
+                    "new_cluster",
+                    F.least(
+                        F.col("mid_cluster"),
+                        F.coalesce(F.col("p_cluster"), F.col("mid_cluster")),
+                    ),
+                )
+                .select(
+                    "doc_id",
+                    F.col("new_cluster").alias("cluster_id"),
+                    (F.col("new_cluster") < F.col("old_cluster")).alias("changed"),
+                )
+                .coalesce(n_parts)
+                .localCheckpoint()
+            )
+            # the convergence test is a predicate over the frame this round
+            # materializes anyway — no extra new⨝old join.
+            changed = new_labels.filter("changed").limit(1).count()
+            release_blocks(labels)  # superseded by this round's checkpoint
+            labels = new_labels.drop("changed")
+            if changed == 0:
+                converged = True
+                break
     if not converged:
         # Never return partially-propagated labels silently: they would
         # split one true component into several keepers.
@@ -628,6 +642,7 @@ def duplicate_clusters(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             f"duplicate_clusters: min-label propagation did not converge in "
             f"{max_rounds} rounds (component diameter > 2^{max_rounds})"
         )
+    release_blocks(edges)  # fully consumed; only `labels` is returned
     return labels
 
 

@@ -37,18 +37,37 @@ def pagerank(
     Output: (doc_id, rank) with rank rounded to 6 (summation order
     across engines differs below that).
     """
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # symmetrize with one explode instead of pairs ∪ pairs.swapped —
+    # the union form re-executes the upstream pair subtree per branch
+    # (r17's duplicate_clusters fix, guide §2.4, applied here in r18);
+    # eager=False so the count below materializes the checkpoint in
+    # the same job it counts it
+    raw_edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("__e")
         )
+        .select("__e.*")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Like duplicate_clusters: the verified pair graph is far smaller
     # than the corpus, so partition by edge count, not session default.
-    n_parts = max(1, min(edges.count() // 100_000 + 1, 200))
-    edges = edges.coalesce(n_parts).localCheckpoint()
+    from apachebeamkmeans_spark.checkpoints import release_blocks
+
+    n_parts = max(1, min(raw_edges.count() // 100_000 + 1, 200))
+    edges = raw_edges.coalesce(n_parts).localCheckpoint()
+    release_blocks(raw_edges)  # superseded by the coalesced checkpoint
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("doc_id"))

@@ -244,36 +244,42 @@ def lloyd_fit(df: DataFrame, init_centers: list[list[float]], p: float,
         F.count(F.lit(1)).alias("size"),
     ]
     n_iter = 0
+    from apachebeamkmeans_spark.session import driver_loop_conf
+
     try:
-        for _ in range(max_iter):
-            n_iter += 1
-            frame = vpts.withColumn(
-                "center_id", sql_assign_expr(centers, p, features_col)
-            )
-            ag = aggs
-            if sse_log is not None:
-                frame = frame.withColumn(
-                    "__md",
-                    min_dist_col(F.col(features_col), centers, p, mode="hof"),
+        # AQE off for the iteration loop: each iteration's k-row
+        # aggregate otherwise schedules as two jobs (see
+        # session.driver_loop_conf; r18)
+        with driver_loop_conf(df.sparkSession):
+            for _ in range(max_iter):
+                n_iter += 1
+                frame = vpts.withColumn(
+                    "center_id", sql_assign_expr(centers, p, features_col)
                 )
-                ag = aggs + [F.sum("__md").alias("__sse")]
-            rows = frame.groupBy("center_id").agg(*ag).collect()
-            if sse_log is not None:
-                sse_log.append(float(sum(r["__sse"] for r in rows)))
-            by_id = {r["center_id"]: list(r["mean"]) for r in rows}
-            new_centers: list[list[float] | None] = [by_id.get(i) for i in range(k)]
-            for i in range(k):
-                if new_centers[i] is None:
-                    new_centers[i] = farthest_point(
-                        df,
-                        [c for c in new_centers if c is not None] or centers,
-                        p,
-                        features_col,
+                ag = aggs
+                if sse_log is not None:
+                    frame = frame.withColumn(
+                        "__md",
+                        min_dist_col(F.col(features_col), centers, p, mode="hof"),
                     )
-            delta = movement(centers, new_centers, p)  # matched pairs, not any-match
-            centers = new_centers
-            if delta <= threshold:
-                break
+                    ag = aggs + [F.sum("__md").alias("__sse")]
+                rows = frame.groupBy("center_id").agg(*ag).collect()
+                if sse_log is not None:
+                    sse_log.append(float(sum(r["__sse"] for r in rows)))
+                by_id = {r["center_id"]: list(r["mean"]) for r in rows}
+                new_centers: list[list[float] | None] = [by_id.get(i) for i in range(k)]
+                for i in range(k):
+                    if new_centers[i] is None:
+                        new_centers[i] = farthest_point(
+                            df,
+                            [c for c in new_centers if c is not None] or centers,
+                            p,
+                            features_col,
+                        )
+                delta = movement(centers, new_centers, p)  # matched pairs, not any-match
+                centers = new_centers
+                if delta <= threshold:
+                    break
     finally:
         vpts.unpersist()
     return centers, n_iter

@@ -225,13 +225,25 @@ def pq_encode_lut_arrow(vecs: DataFrame, codebooks: list[list[list[float]]],
     ...), the same IEEE additions in the same order (0.0 + t_0 == t_0
     exactly for the non-negative squared terms), and `argmin` takes
     the first minimum exactly like array_position(array_min). Asserted
-    against the HOF twin in tests/test_knn_pq.py."""
+    against the HOF twin in tests/test_knn_pq.py.
+
+    Precondition (r17 ADVICE): inputs must be FINITE. On a NaN
+    element np.argmin returns the first NaN index (NaN propagates as
+    the min) while Spark's array_min/array_position order NaN
+    greatest, so codes would diverge from the HOF twin. Every current
+    caller feeds L2-normalized or residual vectors derived from
+    finite parquet doubles, which cannot produce non-finite terms."""
     import pandas as pd  # noqa: F401 — mapInPandas ships pandas frames
 
     m, dsub = len(codebooks), len(codebooks[0][0])
+    # the id column keeps ITS OWN type (r17 ADVICE: a hardcoded
+    # `vec_id long` silently retyped int/string ids that the HOF twin
+    # preserves) — derived exactly like the carry columns
+    dtypes = dict(vecs.dtypes)
     out_schema = (
-        "vec_id long, codes array<int>, lut array<array<double>>"
-        + "".join(f", {c} {dict(vecs.dtypes)[c]}" for c in carry)
+        f"vec_id {dtypes[id_col]}, codes array<int>, "
+        "lut array<array<double>>"
+        + "".join(f", {c} {dtypes[c]}" for c in carry)
     )
     cb = [[list(map(float, cent)) for cent in book] for book in codebooks]
     fcol, icol, carry_l = features_col, id_col, list(carry)

@@ -126,19 +126,80 @@ def asof_join_latest(probes: DataFrame, updates: DataFrame, key: str,
     )
 
 
+def _partition_median(df: DataFrame, order_col: str, w_all,
+                      out_name: str) -> DataFrame:
+    """Exact per-partition median of `order_col` as a window column:
+    rank the values within the partition, select the two middle order
+    statistics (1-indexed lo = (n+1)//2, hi = n//2 + 1), and average
+    them — for odd n lo == hi and (v+v)/2 == v exactly; for even n
+    this is np.median's mean of the two middle elements bit-for-bit
+    ((a+b)/2 is the same IEEE add + exact power-of-two scaling numpy
+    performs). Selection-based, so ties among equal values cannot
+    change the result. Adds __rn/__n working columns internally and
+    drops them."""
+    w_ord = w_all.orderBy(F.col(order_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w_ord)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    lo = F.floor((F.col("__n") + 1) / 2)
+    hi = F.floor(F.col("__n") / 2) + 1
+    picked = ranked.withColumn(
+        "__lo_v",
+        F.max(F.when(F.col("__rn") == lo, F.col(order_col))).over(w_all),
+    ).withColumn(
+        "__hi_v",
+        F.max(F.when(F.col("__rn") == hi, F.col(order_col))).over(w_all),
+    )
+    return picked.withColumn(
+        out_name, (F.col("__lo_v") + F.col("__hi_v")) / 2
+    ).drop("__rn", "__n", "__lo_v", "__hi_v")
+
+
 def mad_outliers(events: DataFrame, threshold: float = 3.0) -> DataFrame:
     """Per-user robust outlier profile via median absolute deviation —
-    the grouped-map `applyInPandas` surface (each user's rows arrive as
-    one Arrow-backed pandas frame; medians need the whole group sorted,
-    which no single SQL window expresses without two self-joins).
+    pure window/aggregate plan since r18 (guide §4: the grouped-map
+    Python boundary removed from the query path; the applyInPandas
+    form survives as `mad_outliers_pandas`, asserted value-identical
+    in tests/test_timeseries.py).
 
-    Scale shape: one shuffle on user_id, then embarrassingly parallel
-    per-group numpy. Group size is a user's event count — bounded in
-    practice; a pathological hot user would be capped/sampled upstream.
-    All arithmetic is order-independent (selection-based medians,
-    elementwise abs/compare), so the DuckDB oracle matches bit-for-bit
-    without rounding.
+    Medians are SELECTION-based per user (`_partition_median`): rank
+    within the user partition, average the two middle order statistics
+    — exactly np.median's arithmetic, so the rewrite is bit-identical
+    to the pandas twin (and to the DuckDB oracle it already matched).
+
+    Scale shape: ONE shuffle on user_id; both median ranks and the
+    final per-user aggregate reuse that partitioning (in-partition
+    sorts only — no further Exchange), where the grouped-map form paid
+    the same shuffle plus an Arrow round-trip of every row through a
+    Python worker.
     """
+    w_all = Window.partitionBy("user_id")
+    base = events.select("user_id", "value")
+    with_med = _partition_median(base, "value", w_all, "__med")
+    with_ad = with_med.withColumn(
+        "__ad", F.abs(F.col("value") - F.col("__med"))
+    )
+    with_mad = _partition_median(with_ad, "__ad", w_all, "__mad")
+    return with_mad.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("__med").alias("median"),
+        F.min("__mad").alias("mad"),
+        F.sum(
+            F.when(
+                (F.col("__mad") > 0)
+                & (F.col("__ad") > threshold * F.col("__mad")),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+def mad_outliers_pandas(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """The grouped-map `applyInPandas` twin of `mad_outliers` (each
+    user's rows arrive as one Arrow-backed pandas frame) — kept as the
+    engine's grouped-map API surface and as the bit-identity witness
+    for the window rewrite (all arithmetic is order-independent:
+    selection-based medians, elementwise abs/compare)."""
     import pandas as pd
 
     schema = "user_id long, n_events long, median double, mad double, n_outliers long"

@@ -182,31 +182,38 @@ ORACLE_INIT_EXTREMES = " UNION ALL ".join(
 def q_kmeans_gonzalez_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_farthest seeding trace: k seed picks, each one TakeOrdered
     job; driver holds only k×dim doubles."""
-    # localCheckpoint, not cache: blocks release when `pts` is GC'd
-    # on the driver (operators/dedup.py:_materialize rationale) —
-    # no unpersist point exists and cache() would leak per call.
+    # localCheckpoint, not cache; since r18 the blocks are released
+    # explicitly in the finally below (checkpoints.release_blocks) —
+    # every consumer is a driver collect inside this function.
     pts = _pts(spark, sf_dir).localCheckpoint(eager=False)
     f = F.col("features")
     try:
-        first = (
-            pts.select("id", f.alias("f"), F.sqrt(D.norm_sq_unrolled(f, DIM)).alias("n"))
-            .orderBy(F.desc("n"), F.asc("id"))
-            .limit(1)
-            .collect()[0]
-        )
-    except IndexError:
-        raise ValueError("k-means seeding requires a non-empty points frame") from None
-    chosen = [(0, first["id"])]
-    centers = [list(first["f"])]
-    for r in range(1, K):
-        row = (
-            pts.select("id", f.alias("f"), lloyd.min_dist_col(f, centers, 2.0, mode="hof").alias("d"))
-            .orderBy(F.desc("d"), F.asc("id"))
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append((r, row["id"]))
-        centers.append(list(row["f"]))
+        try:
+            first = (
+                pts.select("id", f.alias("f"), F.sqrt(D.norm_sq_unrolled(f, DIM)).alias("n"))
+                .orderBy(F.desc("n"), F.asc("id"))
+                .limit(1)
+                .collect()[0]
+            )
+        except IndexError:
+            raise ValueError("k-means seeding requires a non-empty points frame") from None
+        chosen = [(0, first["id"])]
+        centers = [list(first["f"])]
+        for r in range(1, K):
+            row = (
+                pts.select("id", f.alias("f"), lloyd.min_dist_col(f, centers, 2.0, mode="hof").alias("d"))
+                .orderBy(F.desc("d"), F.asc("id"))
+                .limit(1)
+                .collect()[0]
+            )
+            chosen.append((r, row["id"]))
+            centers.append(list(row["f"]))
+    finally:
+        # all consumers (the K seed collects) materialized — release
+        # the checkpoint's blocks now instead of at driver GC (r18)
+        from apachebeamkmeans_spark.checkpoints import release_blocks
+
+        release_blocks(pts)
     return spark.createDataFrame(chosen, "seed_rank INT, vec_id BIGINT")
 
 
@@ -244,34 +251,41 @@ def q_kmeans_plusplus_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling — winner = argmin -ln(hash01(id, seed⊕round))/D²(x).
     Replaces the reference's whole-dataset collect + linear roulette
     scan (SparKMeansGroupByPlusPlus.java:105, SURVEY.md §8.6)."""
-    # localCheckpoint, not cache: blocks release when `pts` is GC'd
-    # on the driver (operators/dedup.py:_materialize rationale) —
-    # no unpersist point exists and cache() would leak per call.
+    # localCheckpoint, not cache; since r18 the blocks are released
+    # explicitly in the finally below (checkpoints.release_blocks) —
+    # every consumer is a driver collect inside this function.
     pts = _pts(spark, sf_dir).localCheckpoint(eager=False)
     f = F.col("features")
     try:
-        first = (
-            pts.select("id", f.alias("f"), hash01(F.col("id"), SEED).alias("h"))
-            .orderBy(F.asc("h"), F.asc("id"))
-            .limit(1)
-            .collect()[0]
-        )
-    except IndexError:
-        raise ValueError("k-means seeding requires a non-empty points frame") from None
-    chosen = [(0, first["id"])]
-    centers = [list(first["f"])]
-    for r in range(1, K):
-        dcol = lloyd.min_dist_col(f, centers, 2.0, mode="hof")  # squared L2 = D² weight
-        u = hash01(F.col("id"), f"{SEED}-{r}")
-        t = F.when(dcol > 0, -F.log(u) / dcol).otherwise(F.lit(float("inf")))
-        row = (
-            pts.select("id", f.alias("f"), t.alias("t"))
-            .orderBy(F.asc("t"), F.asc("id"))
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append((r, row["id"]))
-        centers.append(list(row["f"]))
+        try:
+            first = (
+                pts.select("id", f.alias("f"), hash01(F.col("id"), SEED).alias("h"))
+                .orderBy(F.asc("h"), F.asc("id"))
+                .limit(1)
+                .collect()[0]
+            )
+        except IndexError:
+            raise ValueError("k-means seeding requires a non-empty points frame") from None
+        chosen = [(0, first["id"])]
+        centers = [list(first["f"])]
+        for r in range(1, K):
+            dcol = lloyd.min_dist_col(f, centers, 2.0, mode="hof")  # squared L2 = D² weight
+            u = hash01(F.col("id"), f"{SEED}-{r}")
+            t = F.when(dcol > 0, -F.log(u) / dcol).otherwise(F.lit(float("inf")))
+            row = (
+                pts.select("id", f.alias("f"), t.alias("t"))
+                .orderBy(F.asc("t"), F.asc("id"))
+                .limit(1)
+                .collect()[0]
+            )
+            chosen.append((r, row["id"]))
+            centers.append(list(row["f"]))
+    finally:
+        # all consumers (the K seed collects) materialized — release
+        # the checkpoint's blocks now instead of at driver GC (r18)
+        from apachebeamkmeans_spark.checkpoints import release_blocks
+
+        release_blocks(pts)
     return spark.createDataFrame(chosen, "seed_rank INT, vec_id BIGINT")
 
 
@@ -307,35 +321,42 @@ def q_kmeans_plusplus_seeds_dweight(spark: SparkSession, sf_dir: str) -> DataFra
     """The reference's exact k-means++ variant — roulette weighted by D
     (distance), not classic D² (SparKMeansGroupByPlusPlus.java:82-114,
     SURVEY.md §8.4) — as a distributed seeded race."""
-    # localCheckpoint, not cache: blocks release when `pts` is GC'd
-    # on the driver (operators/dedup.py:_materialize rationale) —
-    # no unpersist point exists and cache() would leak per call.
+    # localCheckpoint, not cache; since r18 the blocks are released
+    # explicitly in the finally below (checkpoints.release_blocks) —
+    # every consumer is a driver collect inside this function.
     pts = _pts(spark, sf_dir).localCheckpoint(eager=False)
     f = F.col("features")
     try:
-        first = (
-            pts.select("id", f.alias("f"), hash01(F.col("id"), SEED).alias("h"))
-            .orderBy(F.asc("h"), F.asc("id"))
-            .limit(1)
-            .collect()[0]
-        )
-    except IndexError:
-        raise ValueError("k-means seeding requires a non-empty points frame") from None
-    chosen = [(0, first["id"])]
-    centers = [list(first["f"])]
-    for r in range(1, K):
-        d = lloyd.min_dist_col(f, centers, 2.0, mode="hof")  # squared
-        w = F.sqrt(d)  # D weighting (reference semantics)
-        u = hash01(F.col("id"), f"{SEED}-{r}")
-        t = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
-        row = (
-            pts.select("id", f.alias("f"), t.alias("t"))
-            .orderBy(F.asc("t"), F.asc("id"))
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append((r, row["id"]))
-        centers.append(list(row["f"]))
+        try:
+            first = (
+                pts.select("id", f.alias("f"), hash01(F.col("id"), SEED).alias("h"))
+                .orderBy(F.asc("h"), F.asc("id"))
+                .limit(1)
+                .collect()[0]
+            )
+        except IndexError:
+            raise ValueError("k-means seeding requires a non-empty points frame") from None
+        chosen = [(0, first["id"])]
+        centers = [list(first["f"])]
+        for r in range(1, K):
+            d = lloyd.min_dist_col(f, centers, 2.0, mode="hof")  # squared
+            w = F.sqrt(d)  # D weighting (reference semantics)
+            u = hash01(F.col("id"), f"{SEED}-{r}")
+            t = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+            row = (
+                pts.select("id", f.alias("f"), t.alias("t"))
+                .orderBy(F.asc("t"), F.asc("id"))
+                .limit(1)
+                .collect()[0]
+            )
+            chosen.append((r, row["id"]))
+            centers.append(list(row["f"]))
+    finally:
+        # all consumers (the K seed collects) materialized — release
+        # the checkpoint's blocks now instead of at driver GC (r18)
+        from apachebeamkmeans_spark.checkpoints import release_blocks
+
+        release_blocks(pts)
     return spark.createDataFrame(chosen, "seed_rank INT, vec_id BIGINT")
 
 
@@ -590,7 +611,11 @@ def q_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materializes the cache once before both loops race on it.
         from concurrent.futures import ThreadPoolExecutor
 
-        pts.count()
+        # the materializing count IS the conservation-property n_pts —
+        # the previous second pts.count() after the eval was a whole
+        # extra job for a number this one already produced (r18,
+        # guide §1.2 "don't compute things you throw away")
+        n_pts = pts.count()
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut_fixed = pool.submit(
                 ANN.ivf_train, pts, K, FIT_FIXED_ITERS, FIT_FIXED_SEED
@@ -626,7 +651,6 @@ def q_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         final_sse, twin_sse, n_assigned = (
             float(row[0]), float(row[1]), int(row[2]),
         )
-        n_pts = pts.count()
     finally:
         pts.unpersist()
     props = [

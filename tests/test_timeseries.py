@@ -113,3 +113,52 @@ def test_scd2_version_chains(spark, sf_dir):
     inserted = next(d for d in by_doc if d >= 100000)
     assert [r["valid_from"] for r in by_doc[inserted]] == [SCD2_T2]
     assert by_doc[inserted][0]["is_current"]
+
+
+def test_mad_outliers_window_equals_pandas_twin(spark, sf_dir):
+    """The r18 window rewrite of mad_outliers must be BIT-IDENTICAL to
+    the grouped-map applyInPandas twin (np.median arithmetic: average
+    of the two middle order statistics) — exact float equality, no
+    rounding, on the real events table plus hand-built edge groups
+    (odd/even counts, singleton, all-equal values, zero MAD)."""
+    from apachebeamkmeans_spark.sources import io
+
+    ev = io.read_table(spark, sf_dir, "events")
+    a = {r["user_id"]: r for r in TS.mad_outliers(ev, 3.0).collect()}
+    b = {r["user_id"]: r for r in TS.mad_outliers_pandas(ev, 3.0).collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for uid, ra in a.items():
+        rb = b[uid]
+        assert ra["n_events"] == rb["n_events"]
+        assert ra["median"] == rb["median"], uid   # exact, no tolerance
+        assert ra["mad"] == rb["mad"], uid
+        assert ra["n_outliers"] == rb["n_outliers"], uid
+
+    from datetime import datetime
+
+    rows = [
+        # even count with distinct middles (true interpolation case)
+        (1, datetime(2024, 1, 1, 10, 0), 7, "x", 1.0),
+        (2, datetime(2024, 1, 1, 10, 1), 7, "x", 2.0),
+        (3, datetime(2024, 1, 1, 10, 2), 7, "x", 10.0),
+        (4, datetime(2024, 1, 1, 10, 3), 7, "x", 100.0),
+        # singleton
+        (5, datetime(2024, 1, 1, 10, 0), 8, "x", 5.5),
+        # all-equal values -> mad == 0 -> n_outliers forced 0
+        (6, datetime(2024, 1, 1, 10, 0), 9, "x", 3.0),
+        (7, datetime(2024, 1, 1, 10, 1), 9, "x", 3.0),
+        (8, datetime(2024, 1, 1, 10, 2), 9, "x", 3.0),
+        # odd count with an outlier
+        (9, datetime(2024, 1, 1, 10, 0), 10, "x", 1.0),
+        (10, datetime(2024, 1, 1, 10, 1), 10, "x", 1.1),
+        (11, datetime(2024, 1, 1, 10, 2), 10, "x", 50.0),
+    ]
+    hand = _ev(spark, rows)
+    ha = {r["user_id"]: r for r in TS.mad_outliers(hand, 3.0).collect()}
+    hb = {r["user_id"]: r for r in TS.mad_outliers_pandas(hand, 3.0).collect()}
+    assert ha.keys() == hb.keys()
+    for uid in ha:
+        for c in ("n_events", "median", "mad", "n_outliers"):
+            assert ha[uid][c] == hb[uid][c], (uid, c)
+    assert ha[7]["median"] == 6.0 and ha[9]["mad"] == 0.0
+    assert ha[9]["n_outliers"] == 0 and ha[10]["n_outliers"] == 1
