@@ -334,3 +334,40 @@ def test_retention_cohorts_hand_built(spark):
     assert out[(a, 2)]["n_users"] == 2 and out[(a, 2)]["retention"] == 1.0
     assert out[(b, 0)]["n_users"] == 1 and out[(b, 0)]["retention"] == 1.0
     assert set(out) == {(a, 0), (a, 1), (a, 2), (b, 0)}
+
+
+def test_bpe_batched_merges_equal_serial(spark, sf_dir):
+    """The r18 speculative multi-merge batch (top-J candidates +
+    trigram-bound conflict check) must produce EXACTLY the serial
+    trainer's merge list — on the real corpus vocab AND on an
+    adversarial vocab built to trigger each rejection rule (shared
+    symbols; a merge whose new pair would win the next round; greedy
+    overlap chains)."""
+    from apachebeamkmeans_spark.operators import textstats as TX
+    from apachebeamkmeans_spark.sources import io
+
+    vocab = TX.bpe_word_vocab(
+        io.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    batched, _ = TX._bpe_fit_vocab(vocab, 20, batch_candidates=8)
+    serial, _ = TX._bpe_fit_vocab(vocab, 20, batch_candidates=1)
+    assert batched == serial and len(serial) > 0
+
+    # adversarial: 'xab' * many -> merging (a,b) creates (x, ab) with a
+    # count that must block speculation of the next candidate; 'abab'
+    # exercises greedy chains ((ab,ab) from 4-grams); 'cd'/'ce' share
+    # symbol c across candidates.
+    rows = (
+        [(i, "xab xab abab") for i in range(50)]
+        + [(1000 + i, "cd ce dc abab") for i in range(49)]
+        + [(2000 + i, "aaa qq") for i in range(30)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab2 = TX.bpe_word_vocab(docs)
+    batched2, f2 = TX._bpe_fit_vocab(vocab2, 12, batch_candidates=8)
+    serial2, f1 = TX._bpe_fit_vocab(vocab2, 12, batch_candidates=1)
+    assert batched2 == serial2 and len(serial2) > 0
+    # final vocab frames identical too (the encoder consumes them)
+    a = sorted(tuple(r) for r in f2.collect())
+    b = sorted(tuple(r) for r in f1.collect())
+    assert a == b
